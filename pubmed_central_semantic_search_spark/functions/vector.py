@@ -1,0 +1,86 @@
+"""Dense-vector column expressions — pure Spark SQL, no UDFs.
+
+The reference's vector math lives inside Qdrant (cosine distance,
+``/root/reference/src/backend/database/qdrant.py:75-77,85-87``) and numpy
+(mean-pool, ``qdrant.py:121``). Here every operation is a Catalyst
+expression over ``array<float>`` columns built from higher-order functions
+(``zip_with``/``aggregate``/``transform``), so scoring stays JVM-side inside
+whole-stage codegen and scales linearly with executors — no Python in the
+hot path.
+
+All arithmetic is done in double precision (inputs cast element-wise) so
+results are reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    """Cast array<float> → array<double> element-wise."""
+    v = F.col(v) if isinstance(v, str) else v
+    return v.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length numeric arrays (double precision).
+
+    Sequential left-to-right fold — same accumulation order as a scalar
+    loop, so it agrees with DuckDB's ``list_dot_product`` to ~1 ulp.
+    """
+    a, b = as_double(a), as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def l2_normalize(v: Column | str) -> Column:
+    """Unit-normalize an array column (returns array<double>)."""
+    v = as_double(v)
+    n = l2_norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity — the reference's distance metric
+    (``qdrant.py:75-77``). NULL-safe only as far as Spark's semantics:
+    a NULL array yields NULL."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_similarity_prenormed(a: Column | str, b: Column | str) -> Column:
+    """Cosine when BOTH sides are already unit-normalized: just the dot.
+
+    At 100 TB scale, normalize once at write time (`l2_normalize`) and use
+    this in every query — saves 2/3 of the flops per comparison.
+    """
+    return dot(a, b)
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    a, b = as_double(a), as_double(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def vector_sum(a: Column | str, b: Column | str) -> Column:
+    """Element-wise sum of two arrays."""
+    return F.zip_with(as_double(a), as_double(b), lambda x, y: x + y)
+
+
+def scale(v: Column | str, s: Column) -> Column:
+    """Element-wise scalar multiply."""
+    return F.transform(as_double(v), lambda x: x * s)
