@@ -1,0 +1,56 @@
+"""Mean-pooling of vectors (SURVEY §2.5 E3 / §2.7 A1).
+
+Reference: document vector = numpy mean over the article's chunk embeddings
+(``/root/reference/src/backend/database/qdrant.py:121``).
+
+Spark design — two shapes:
+
+- ``mean_pool_flat``: posexplode components → hash-aggregate on
+  ``(group, pos)``. Partial (map-side) aggregation means the shuffle carries
+  one partial sum per (group, pos, partition), NOT dim× the row count —
+  this is the 100 TB-safe shape and also the oracle-checkable one.
+- ``mean_pool``: same aggregation, then re-assembles ``array<double>``
+  ordered by component index. Used by the document pipeline.
+
+Both are pure DataFrame ops — no UDF, no driver collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double
+
+
+def mean_pool_flat(
+    df: DataFrame, group: Sequence[str], vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group element-wise mean, one row per (group, component pos)."""
+    exploded = df.select(
+        *group, F.posexplode(as_double(vec_col)).alias("pos", "val")
+    )
+    return exploded.groupBy(*group, "pos").agg(F.avg("val").alias("mean_val"))
+
+
+def mean_pool(
+    df: DataFrame,
+    group: Sequence[str],
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector re-assembled as ``array<double>``.
+
+    ``sort_array(collect_list(struct(pos, mean)))`` guarantees component
+    order regardless of shuffle order; collect_list here aggregates exactly
+    `dim` rows per group (bounded, no skew risk).
+    """
+    flat = mean_pool_flat(df, group, vec_col)
+    return flat.groupBy(*group).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias(out_col)
+    )

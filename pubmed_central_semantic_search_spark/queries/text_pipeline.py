@@ -1,0 +1,237 @@
+"""Text-pipeline queries (SURVEY §2.3 F1-F6/H1, §2.4 N1-N6, §2.6 Q6, X4).
+
+The reference's chunk pipeline — literal-separator chunking
+(``data_fetcher.py:7-30``), double explode with positions
+(``qdrant.py:124-131``), ±1-neighbor context windows
+(``responses.py:81-87``) — exercised on the driver's ``documents`` table
+(word-level tokens: the corpus has no sentence punctuation; the real
+article pipeline with sentence/paragraph chunking is in
+``operators/chunking.py`` + the fixture-based tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+# ---------------------------------------------------------------------------
+# F1 + N2 — chunk (tokenize) and explode with positions. The reference's
+# ArticleChunker is a literal str.split (data_fetcher.py:28-30); positions
+# come from enumerate() (qdrant.py:128). posexplode is the Spark analog —
+# narrow (no shuffle), codegen'd, and at 100 TB the explosion happens
+# executor-side with no driver involvement.
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+
+
+@register(
+    "q13_tokenize_explode",
+    """
+    SELECT doc_id, pos, token FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ) WHERE token <> ''
+    """,
+    survey_rows="F1, N2, P5",
+)
+def q13_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# F3/F4/F5/H1 + X4 — scalar text functions: content hash (md5 — identical
+# across engines), citation strip, char/token counts.
+
+
+@register(
+    "q14_doc_text_funcs",
+    """
+    SELECT doc_id,
+           md5(text) AS content_key,
+           length(text) AS n_chars_computed,
+           len(list_filter(string_split(regexp_replace(trim(text), '\\[[^\\]]*\\]', '', 'g'), ' '), t -> t <> '')) AS n_tokens,
+           upper(substr(text, 1, 8)) AS head_upper
+    FROM documents
+    """,
+    survey_rows="F3, F4, F5, H1, X4",
+)
+def q14_doc_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.trim(F.col("text")), r"\[[^\]]*\]", "")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_key"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.size(F.filter(F.split(cleaned, " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.upper(F.substring("text", 1, 8)).alias("head_upper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus quality stats by language: doc counts, char stats, stopword
+# ratio, source breadth. The aggregation shape (groupBy low-cardinality key)
+# is partial-aggregated map-side; no skew concern.
+
+
+@register(
+    "q15_lang_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens,
+           round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens), 6) AS stopword_ratio
+    FROM tok GROUP BY lang
+    """,
+    survey_rows="X4, A1, A2",
+)
+def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stops = F.filter(F.split("text", " "), lambda t: t.isin("the", "a"))
+    tok = d.select(
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(stops).cast("bigint").alias("n_stop"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_stop").cast("double") / F.sum("n_tokens"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/H1 — exact dedup by content key (the reference's hash-keyed idempotent
+# upsert, qdrant.py:137-139, generalized). groupBy(md5) shuffles once on the
+# key; at 100 TB this is the standard exact-dedup pass.
+
+
+@register(
+    "q16_exact_dedup",
+    """
+    SELECT md5(text) AS content_key,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey_rows="X1, H1",
+)
+def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_key")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — ±1-neighbor context expansion via lag/lead (the reference's
+# context-window loop, responses.py:81-87, with the boundary clamp at
+# :85,101 — lag/lead yield NULL at section bounds, coalesced to '').
+
+
+@register(
+    "q17_neighbor_context",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    ctx AS (
+      SELECT doc_id, pos, token,
+             coalesce(lag(token) OVER w, '') AS prev_token,
+             coalesce(lead(token) OVER w, '') AS next_token
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, pos, prev_token, next_token
+    FROM ctx WHERE token = 'spark'
+    """,
+    survey_rows="Q6, Q5, N6",
+)
+def q17_neighbor_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.coalesce(F.lag("token").over(w), F.lit("")).alias("prev_token"),
+        F.coalesce(F.lead("token").over(w), F.lit("")).alias("next_token"),
+    )
+    return ctx.filter(F.col("token") == "spark").select(
+        "doc_id", "pos", "prev_token", "next_token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 groundwork — 3-gram shingles + per-document fingerprint facts: distinct
+# shingle count and the min shingle hash (a 1-permutation MinHash; the full
+# banded MinHash-LSH near-dup operator builds on exactly this shape).
+
+
+@register(
+    "q18_shingle_fingerprint",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           count(DISTINCT shingle) AS n_shingles,
+           min(md5(shingle)) AS min_shingle_hash
+    FROM sh WHERE shingle IS NOT NULL
+    GROUP BY doc_id
+    """,
+    survey_rows="X2 (shingling + minhash groundwork), H1",
+)
+def q18_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("shingle"),
+        F.lead("token", 2).over(w).alias("_complete"),
+    ).filter(F.col("_complete").isNotNull())
+    return sh.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("n_shingles"),
+        F.min(F.md5("shingle")).alias("min_shingle_hash"),
+    )

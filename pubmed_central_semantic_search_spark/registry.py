@@ -11,6 +11,9 @@ Every operator from SURVEY.md §2 lands here as a named entry with:
 Column names are aliased identically on both sides (the driver's comparator
 sorts columns by name before value-hashing). Float outputs are rounded on
 both sides to absorb float32-vs-float64 and summation-order noise.
+
+Query bodies live in ``queries/`` modules grouped by theme; importing them
+(bottom of this file) populates ``REGISTRY`` via the ``@register`` decorator.
 """
 
 from __future__ import annotations
@@ -22,27 +25,37 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import vector
-from .operators.topk import top_k
-
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and convert. Runtime
+        # conf — works in any session, including the driver's.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
-# Deterministic 64-dim query vector shared by Spark plans and oracle SQL.
-# Pure function of the index — no RNG, no wall clock — so both sides embed
+# Deterministic 64-dim query vectors shared by Spark plans and oracle SQL.
+# Pure functions of the index — no RNG, no wall clock — so both sides embed
 # the exact same literal.
 QUERY_DIM = 64
 QUERY_VEC = [round(math.sin(0.7 * i + 0.3), 6) for i in range(QUERY_DIM)]
+QUERY_VECS = {  # multi-query batch (Q3)
+    qid: [round(math.sin(0.7 * i + 0.3 + 2.1 * qid), 6) for i in range(QUERY_DIM)]
+    for qid in range(3)
+}
 
 
-def _sql_vec(vec: list[float]) -> str:
+def sql_vec(vec: list[float]) -> str:
     return "CAST([" + ", ".join(repr(v) for v in vec) + "] AS DOUBLE[])"
 
 
@@ -64,40 +77,21 @@ def register(name: str, oracle: str | None, survey_rows: str = ""):
     return deco
 
 
-# ---------------------------------------------------------------------------
-# Q1 flagship — top-5 cosine similarity over document vectors.
-# Reference semantics: qdrant.py:202-205 (cosine top-k over the MAIN
-# collection). Spark plan: scan → JVM-side cosine expression →
-# TakeOrderedAndProject (per-partition k-heap + driver merge; no shuffle).
-
-
-@register(
-    "q1_topk_cosine",
-    f"""
-    SELECT vec_id, label,
-           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_vec(QUERY_VEC)}), 6) AS score
-    FROM embeddings
-    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_vec(QUERY_VEC)}) DESC, vec_id
-    LIMIT 5
-    """,
-    survey_rows="Q1, A4, S3, E2",
-)
-def q1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    qv = F.lit(QUERY_VEC)
-    scored = emb.select(
-        "vec_id",
-        "label",
-        vector.cosine_similarity("embedding", qv).alias("score"),
-    )
-    return top_k(scored, "score", 5, tiebreak=["vec_id"]).withColumn(
-        "score", F.round("score", 6)
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+# --- populate the registry -------------------------------------------------
+from .queries import relational, similarity, text_pipeline  # noqa: E402,F401
+
+try:  # optional modules land as the build widens
+    from .queries import dedup_pack, extensions  # noqa: E402,F401
+except ImportError:  # pragma: no cover
+    pass
+
+# Re-export the flagship for __spark_entry__.entry().
+q1_topk_cosine = REGISTRY["q1_topk_cosine"].spark
