@@ -1,0 +1,129 @@
+"""Article chunking + nested↔flat conversion (SURVEY §2.3 F1, §2.4 N1-N6).
+
+Reference semantics:
+
+- ``ArticleChunker`` splits text at a literal separator per chunk level
+  (sentence ``'. '`` / paragraph ``'\\n'`` / section sentinel;
+  ``/root/reference/src/backend/data_fetching/data_fetcher.py:7-30``).
+- The upload path double-explodes the nested article — ``for section_name,
+  section in zip(section_names, sections): for paragraph_ind, paragraph in
+  enumerate(section)`` — into one row per chunk carrying
+  ``(article_id, section_name, paragraph_id, paragraph)``
+  (``qdrant.py:124-131``).
+- The render path regroups chunks by section (``responses.py:33-43``).
+
+Spark design: ``posexplode(arrays_zip(...))`` then ``posexplode(section)``
+— both narrow ops (no shuffle); order/position carried as data, so the
+pipeline is embarrassingly parallel regardless of scale. The inverse
+(``assemble_articles``) is a groupBy + sort_array — used for round-trip
+property tests (SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import CHUNK_SEPARATORS, chunk_split
+from ..schemas import ARTICLE_ID, SECTION_NAMES, SECTIONS
+
+
+def chunk_flat_text(
+    df: DataFrame, text_col: str = "text", level: str = "sentence", out_col: str = "chunks"
+) -> DataFrame:
+    """F1 on flat documents: add an array<string> chunk column."""
+    return df.withColumn(out_col, chunk_split(text_col, level))
+
+
+def rechunk_sections(
+    articles: DataFrame, level: str = "sentence", used_separator: str = "\n"
+) -> DataFrame:
+    """The reference's ``from_dataset`` path (data_fetcher.py:39,45):
+    re-flatten an article's chunk lists with ``used_separator`` then
+    re-split at the chunker's level — per section, preserving nesting."""
+    sep = CHUNK_SEPARATORS[level]
+    escaped = "".join("\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep)
+    return articles.withColumn(
+        SECTIONS,
+        F.transform(
+            F.col(SECTIONS),
+            lambda sec: F.split(F.array_join(sec, used_separator), escaped),
+        ),
+    )
+
+
+def explode_chunks(articles: DataFrame, drop_empty: bool = True) -> DataFrame:
+    """N2 — nested article → one row per chunk with positions.
+
+    Output: (chunk_id, article_id, section_id, section_name, paragraph_id,
+    paragraph). ``paragraph_id`` is the position within the section
+    (enumerate semantics, qdrant.py:128); ``section_id`` preserves section
+    order (the zip index). ``chunk_id`` is the deterministic H2 key
+    (xxhash64 of article_id/section/position — replaces the reference's
+    uuid4, qdrant.py:140-141, for reproducibility)."""
+    zipped = articles.select(
+        ARTICLE_ID,
+        F.posexplode(F.arrays_zip(SECTION_NAMES, SECTIONS)).alias("section_id", "z"),
+    ).select(
+        ARTICLE_ID,
+        "section_id",
+        F.col("z")[SECTION_NAMES].alias("section_name"),
+        F.posexplode(F.col("z")[SECTIONS]).alias("paragraph_id", "paragraph"),
+    )
+    if drop_empty:
+        # armac_scientific_papers.py:52 drops empty chunks ("if j").
+        zipped = zipped.filter(F.col("paragraph") != "")
+    return zipped.select(
+        F.xxhash64(ARTICLE_ID, "section_name", "paragraph_id").alias("chunk_id"),
+        ARTICLE_ID,
+        "section_id",
+        "section_name",
+        "paragraph_id",
+        "paragraph",
+    )
+
+
+def assemble_articles(chunks: DataFrame) -> DataFrame:
+    """N6 inverse of explode_chunks — regroup chunk rows into the nested
+    article shape. sort_array on (section_id|paragraph_id) structs restores
+    order deterministically regardless of shuffle order."""
+    sections = (
+        chunks.groupBy(ARTICLE_ID, "section_id", "section_name")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("paragraph_id", "paragraph"))),
+                lambda s: s["paragraph"],
+            ).alias("section")
+        )
+    )
+    return (
+        sections.groupBy(ARTICLE_ID)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("section_id", "section_name", "section"))
+                ),
+                lambda s: s["section_name"],
+            ).alias(SECTION_NAMES),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("section_id", "section_name", "section"))
+                ),
+                lambda s: s["section"],
+            ).alias(SECTIONS),
+        )
+    )
+
+
+def prepend_abstract(
+    articles: DataFrame, abstract_col: str = "abstract_text", level: str = "sentence"
+) -> DataFrame:
+    """P6 — prepend "Abstract" to section_names and the chunked abstract to
+    sections (data_fetcher.py:40, fetch_pmcid.py:20,
+    armac_scientific_papers.py:53)."""
+    return articles.withColumn(
+        SECTION_NAMES, F.concat(F.array(F.lit("Abstract")), F.col(SECTION_NAMES))
+    ).withColumn(
+        SECTIONS,
+        F.concat(F.array(chunk_split(abstract_col, level)), F.col(SECTIONS)),
+    )

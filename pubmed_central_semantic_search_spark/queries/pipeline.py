@@ -1,0 +1,156 @@
+"""End-to-end pipeline queries — the reference's flagship semantics
+(SURVEY §3.1/§3.2) over driver tables.
+
+- ``q20_semantic_search_e2e``: the COMPLETE query path — doc vectors by
+  mean-pooling chunk vectors, per-query top-k docs, filtered top-n chunk
+  highlight, ±1 context expansion — oracle-checked in DuckDB end to end.
+  Chunk structure is synthesized deterministically from the ``embeddings``
+  table (article = vec_id mod 50, paragraph position = vec_id div 50).
+- ``q21_document_pipeline``: articles built from ``documents`` → chunk →
+  fake-encode (E1 pandas_udf) → mean-pool → semantic search with an
+  encoded text query. The encoder is a Python model → rows-only check
+  (SURVEY §5.2: E1 can't be oracle-checked; the fake keeps it
+  deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..encoder import encode_column
+from ..operators.chunking import explode_chunks
+from ..operators.pooling import mean_pool
+from ..operators.search import semantic_search
+from ..registry import QUERY_VEC, load, register, sql_vec
+
+N_ARTICLES = 50  # synthetic article count for the e2e oracle query
+
+
+def _synthetic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        (F.col("vec_id") % N_ARTICLES).cast("string").alias("article_id"),
+        F.lit(0).alias("section_id"),
+        F.lit("body").alias("section_name"),
+        (F.col("vec_id") / N_ARTICLES).cast("int").alias("paragraph_id"),
+        F.concat(F.lit("p"), F.col("vec_id")).alias("paragraph"),
+        F.col("embedding"),
+    )
+
+
+@register(
+    "q20_semantic_search_e2e",
+    f"""
+    WITH chunk AS (
+      SELECT CAST(vec_id % {N_ARTICLES} AS VARCHAR) AS article_id,
+             CAST(vec_id // {N_ARTICLES} AS INT) AS paragraph_id,
+             'p' || CAST(vec_id AS VARCHAR) AS paragraph,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT article_id,
+             generate_subscripts(emb, 1) AS pos,
+             unnest(emb) AS val
+      FROM chunk
+    ),
+    docvec AS (
+      SELECT article_id, list(m ORDER BY pos) AS emb
+      FROM (SELECT article_id, pos, avg(val) AS m FROM comp GROUP BY article_id, pos)
+      GROUP BY article_id
+    ),
+    top_docs AS (
+      SELECT article_id,
+             list_cosine_similarity(emb, {sql_vec(QUERY_VEC)}) AS doc_score
+      FROM docvec
+      QUALIFY row_number() OVER (
+        ORDER BY list_cosine_similarity(emb, {sql_vec(QUERY_VEC)}) DESC, article_id
+      ) <= 5
+    ),
+    chunk_hits AS (
+      SELECT c.article_id, d.doc_score, c.paragraph_id,
+             list_cosine_similarity(c.emb, {sql_vec(QUERY_VEC)}) AS chunk_score
+      FROM chunk c JOIN top_docs d USING (article_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY c.article_id
+        ORDER BY list_cosine_similarity(c.emb, {sql_vec(QUERY_VEC)}) DESC, c.paragraph_id
+      ) <= 1
+    )
+    SELECT h.article_id,
+           round(h.doc_score, 6) AS doc_score,
+           h.paragraph_id,
+           round(h.chunk_score, 6) AS chunk_score,
+           string_agg(n.paragraph, '|' ORDER BY n.paragraph_id) AS context
+    FROM chunk_hits h
+    JOIN chunk n ON n.article_id = h.article_id
+               AND n.paragraph_id BETWEEN h.paragraph_id - 1 AND h.paragraph_id + 1
+    GROUP BY h.article_id, h.doc_score, h.paragraph_id, h.chunk_score
+    """,
+    survey_rows="Q1, Q2, Q5, Q6, Q7, E3, A1, A4, §2.8 joins — full §3.1 path",
+)
+def q20_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _synthetic_chunks(spark, sf_dir)
+    doc_vectors = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+    queries = spark.createDataFrame(
+        [(0, QUERY_VEC)], "query_id int, qvec array<double>"
+    )
+    out = semantic_search(
+        doc_vectors, chunks, queries, k_docs=5, n_paragraphs=1, context_window=1
+    )
+    return out.select(
+        "article_id",
+        F.round("doc_score", 6).alias("doc_score"),
+        "paragraph_id",
+        F.round("chunk_score", 6).alias("chunk_score"),
+        F.array_join("context_paragraphs", "|").alias("context"),
+    )
+
+
+@register(
+    "q21_document_pipeline",
+    None,  # E1 (python model) in the plan — rows-only check per SURVEY §5.2
+    survey_rows="E1, E3, F1, N2, Q1-Q7 — full §3.2 ingest + §3.1 query path",
+)
+def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # Articles from flat documents: "Abstract" = first 8 tokens, "Body" =
+    # the rest in 16-token paragraphs (slice on the token array — narrow,
+    # no shuffle).
+    toks = F.split("text", " ")
+    articles = docs.select(
+        F.col("doc_id").cast("string").alias("article_id"),
+        F.array(F.lit("Abstract"), F.lit("Body")).alias("section_names"),
+        F.array(
+            F.array(F.array_join(F.slice(toks, 1, 8), " ")),
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(toks) - 9) / 16, F.lit(0)
+                    ).cast("int"),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 9, 16), " "),
+            ),
+        ).alias("sections"),
+    )
+    chunks = explode_chunks(articles).withColumn(
+        "embedding", encode_column("paragraph")
+    )
+    doc_vectors = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+    queries = spark.createDataFrame(
+        [(0, "spark query join"), (1, "stream window merge")],
+        "query_id int, query_text string",
+    ).select("query_id", encode_column("query_text").cast("array<double>").alias("qvec"))
+    out = semantic_search(
+        doc_vectors, chunks, queries, k_docs=5, n_paragraphs=2, context_window=1
+    )
+    return out.select(
+        "query_id",
+        "article_id",
+        F.round("doc_score", 6).alias("doc_score"),
+        "section_name",
+        "paragraph_id",
+        F.round("chunk_score", 6).alias("chunk_score"),
+        F.array_join("context_paragraphs", "|").alias("context"),
+    )

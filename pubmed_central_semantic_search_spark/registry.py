@@ -86,7 +86,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 # --- populate the registry -------------------------------------------------
-from .queries import relational, similarity, text_pipeline  # noqa: E402,F401
+from .queries import pipeline, relational, similarity, text_pipeline  # noqa: E402,F401
 
 try:  # optional modules land as the build widens
     from .queries import dedup_pack, extensions  # noqa: E402,F401
