@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (SURVEY §2.9 X2/X3; north
+star "similarity search").
+
+Tiers (the reference's HNSW has no Spark twin — SURVEY §4 records the
+plan):
+
+1. **Exact brute-force** — cosine expression + TakeOrderedAndProject
+   (``operators/topk.py``/``search.py``). Correctness baseline; scans
+   everything but never shuffles the big side. Fine when queries are few.
+2. **Random-hyperplane LSH (bucketed)** — the scale path: sign-bit
+   signature against D fixed hyperplanes → equi-join on bucket → exact
+   cosine only within buckets. Deterministic (hyperplanes are literals
+   derived from a seed), so oracle-checkable. Recall is tunable by
+   #planes and multi-probe (xor 1-bit neighbor buckets).
+3. ``BucketedRandomProjectionLSH`` from MLlib is available for Euclidean;
+   we keep our own hyperplane variant because it's cosine-native,
+   plan-transparent, and has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot
+from .topk import grouped_top_k
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes — pure function of
+    (n_planes, dim, seed): sin-mixed values, no RNG state. Shared verbatim
+    by oracle SQL literals."""
+    return [
+        [round(math.sin(seed + 0.61 * p + 0.37 * i + 0.13 * p * i), 6) for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def bucket_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff vec·plane_p > 0. Returns bigint."""
+    sig = None
+    for p, plane in enumerate(planes):
+        bit = F.when(dot(vec_col, F.lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("bigint")
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    out_col: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(out_col, bucket_signature(vec_col, hyperplanes(n_planes, dim, seed)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact ANN baseline: per-query top-k cosine. ``queries``:
+    (query_id, qvec) — broadcast."""
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(vec_col, F.col("qvec")).alias("score"),
+    )
+    return grouped_top_k(scored, ["query_id"], "score", k, tiebreak=[id_col])
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket matches the
+    query's bucket. At scale the vectors side is written bucket-partitioned
+    (partitionBy(bucket) parquet), so a query touches 1/2^planes of the
+    data — partition pruning does the rest."""
+    planes = hyperplanes(n_planes, dim, seed)
+    v = vectors.withColumn("bucket", bucket_signature(vec_col, planes))
+    q = queries.withColumn("bucket", bucket_signature("qvec", planes))
+    scored = v.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(vec_col, F.col("qvec")).alias("score"),
+    )
+    return grouped_top_k(scored, ["query_id"], "score", k, tiebreak=[id_col])

@@ -1,0 +1,248 @@
+"""Deduplication operators (SURVEY §2.9 X1/X2; BASELINE north star).
+
+Anchored to the reference's hash-keyed idempotent upsert
+(``/root/reference/src/backend/database/qdrant.py:137-139,159`` — a stable
+content-derived key makes re-upload an overwrite, i.e. exact dedup) and its
+embedding/cosine machinery (near-dup generalization).
+
+Scale design notes (the point of each shape at 100 TB):
+
+- exact dedup: one shuffle on the content hash; keep-min-id via
+  ``row_number`` or min-aggregate. Never collects; never compares texts
+  pairwise.
+- MinHash: shingle explode is narrow; the signature is k min-aggregates in
+  ONE groupBy pass (partial aggregation map-side → the shuffle carries k
+  mins per doc, not the shingle stream). LSH banding turns the quadratic
+  candidate problem into an equi-join on (band, band_key) — only documents
+  sharing a band key ever meet. Hash functions are md5-derived 32-bit ints
+  (identical in DuckDB → oracle-checkable end to end).
+- SimHash: 32 per-bit signed sums in one groupBy (again partial-agg
+  friendly); near-dup = hamming distance on a 64.. 32-bit fingerprint,
+  blocked by byte bands.
+- Embedding near-dup: cosine self-join is quadratic unless blocked — block
+  on a cheap key (label, length bucket) or the hyperplane-LSH buckets from
+  ``operators/ann.py``.
+
+Everything below is pure DataFrame/Catalyst — no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """X1 — keep exactly one row (min ``order_col``) per distinct content.
+
+    ``row_number`` over the content hash, not ``dropDuplicates``: the
+    survivor is deterministic (the reference's re-upload semantics pick a
+    stable winner via the content key; arbitrary-winner dedup is not
+    reproducible run-to-run)."""
+    w = Window.partitionBy(*[F.md5(F.col(c)) for c in content_cols]).orderBy(
+        F.col(order_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) — literal whitespace split, empties dropped (F1/P5)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-gram token shingles per document: (id, shingle).
+
+    lead-window construction — narrow within the per-doc sort; the
+    distinct dedups repeated shingles (set semantics, as MinHash needs)."""
+    tok = tokenize(df, id_col, text_col)
+    w = Window.partitionBy("_id").orderBy("pos")
+    leads = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        tok.select("_id", F.concat_ws(" ", *leads).alias("shingle"),
+                   F.lead("token", n - 1).over(w).alias("_complete"))
+        .filter(F.col("_complete").isNotNull())
+        .select("_id", "shingle")
+        .distinct()
+    )
+
+
+def hash32(col: Column | str, seed: int) -> Column:
+    """Seeded 32-bit integer hash, cross-engine reproducible:
+    first 8 hex chars of md5(value ⊕ seed-tag) → bigint.
+
+    (xxhash64 would be faster JVM-side but has no DuckDB twin; the md5
+    variant is the oracle-checkable default, and the hash cost is dwarfed
+    by the shuffle it feeds.)"""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def minhash_signature_flat(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, hash_idx, min_hash) — k-permutation MinHash, flat shape.
+
+    ONE groupBy pass computing all k mins as separate aggregates, then an
+    explode of the k-array — the shuffle carries k values per doc."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    mins = sh.groupBy("_id").agg(
+        *[F.min(hash32("shingle", i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(n_hashes)])).alias(
+            "hash_idx", "min_hash"
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 — LSH banding: docs sharing any band's full signature slice become
+    candidate pairs (id_a < id_b, distinct). Equi-join on (band, key) —
+    never quadratic."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature_flat(df, id_col, text_col, n_hashes, shingle_n)
+    band_keys = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("_id", "band")
+        .agg(
+            F.concat_ws(
+                "_", F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash")))
+                .getField("min_hash")
+                .cast("array<string>"),
+            ).alias("band_key")
+        )
+    )
+    a = band_keys.select(
+        F.col("_id").alias("id_a"), "band", F.col("band_key").alias("k_a")
+    )
+    b = band_keys.select(
+        F.col("_id").alias("id_b"), "band", F.col("band_key").alias("k_b")
+    )
+    return (
+        a.join(b, ["band"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("k_a") == F.col("k_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """X2 end-to-end: LSH candidates → true-Jaccard verify → threshold.
+
+    Returns (id_a, id_b, n_intersect, n_union, jaccard)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
+    sh_a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        inter.join(counts.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+            F.round(
+                F.col("n_intersect")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash32(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """X2 — 32-bit SimHash fingerprint per document: per-bit signed sums of
+    distinct-token hashes, majority → bit. (id, simhash)."""
+    tok = tokenize(df, id_col, text_col).select("_id", "token").distinct()
+    hashed = tok.select("_id", hash32("token", 0).alias("h"))
+    bit_sums = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    sim = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """X2/X3 — cosine near-dup self-join. ``block_col`` keys the equi-join
+    (label, length bucket, or an LSH bucket from operators/ann.py);
+    ``None`` means a full cross join — correctness baseline only, never the
+    100 TB path."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

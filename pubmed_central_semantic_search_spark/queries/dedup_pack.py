@@ -1,0 +1,316 @@
+"""Dedup + similarity-search query pack (SURVEY §2.9 X1/X2/X3).
+
+Near-dup queries run on a corpus with PLANTED duplicates — each base
+document/vector unioned with a deterministic perturbation of itself
+(text: last 5 tokens dropped; vectors: one component nudged) — so the
+detectors provably recover known pairs, and both engines build the exact
+same corpus (no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ann import hyperplanes, lsh_topk, with_lsh_bucket
+from ..operators.dedup import (
+    embedding_near_dup,
+    minhash_signature_flat,
+    near_dup_minhash,
+    simhash32,
+)
+from ..registry import QUERY_VECS, load, register, sql_vec
+
+N_BASE = 200  # planted-corpus size cap (keeps pair joins bounded at any SF)
+COPY_OFFSET = 100000
+
+# --- shared corpus builders (Spark + SQL twins) ----------------------------
+
+
+def _planted_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < N_BASE).select(
+        "doc_id", "text"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    copies = base.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return base.unionByName(copies)
+
+
+_SQL_TEXT_CORPUS = f"""
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < {N_BASE}),
+    base_tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM base
+    ),
+    copies AS (
+      SELECT doc_id + {COPY_OFFSET} AS doc_id,
+             array_to_string(toks[1:greatest(len(toks) - 5, 1)], ' ') AS text
+      FROM base_tok
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+    tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM corpus
+      ) WHERE token <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE shingle IS NOT NULL
+    )
+"""
+
+_H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash signatures (flat: one row per (doc, hash function)).
+
+
+@register(
+    "q22_minhash_signatures",
+    f"""
+    WITH
+    {_SQL_TEXT_CORPUS}
+    SELECT doc_id AS id, seeds.hash_idx,
+           min({_H32.format(expr="shingle || '#' || hash_idx")}) AS min_hash
+    FROM sh CROSS JOIN generate_series(0, 7) seeds(hash_idx)
+    GROUP BY doc_id, seeds.hash_idx
+    """,
+    survey_rows="X2 (MinHash), H1, N2",
+)
+def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_text_corpus(spark, sf_dir)
+    return minhash_signature_flat(corpus, "doc_id", "text", n_hashes=8).select(
+        F.col("_id").alias("id"),
+        F.col("hash_idx").cast("bigint").alias("hash_idx"),
+        "min_hash",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash-LSH near-dup end to end: banding → candidates → true-Jaccard
+# verify. Must recover the planted (doc, doc+offset) pairs.
+
+
+@register(
+    "q23_minhash_near_dup",
+    f"""
+    WITH
+    {_SQL_TEXT_CORPUS},
+    sig AS (
+      SELECT doc_id, seeds.hash_idx,
+             min({_H32.format(expr="shingle || '#' || hash_idx")}) AS min_hash
+      FROM sh CROSS JOIN generate_series(0, 7) seeds(hash_idx)
+      GROUP BY doc_id, seeds.hash_idx
+    ),
+    band AS (
+      SELECT doc_id, hash_idx // 2 AS band,
+             string_agg(CAST(min_hash AS VARCHAR), '_' ORDER BY hash_idx) AS band_key
+      FROM sig GROUP BY doc_id, hash_idx // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_intersect
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT * FROM (
+      SELECT id_a, id_b, n_intersect,
+             ca.n_sh + cb.n_sh - n_intersect AS n_union,
+             round(CAST(n_intersect AS DOUBLE) / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+    ) WHERE jaccard >= 0.3
+    """,
+    survey_rows="X2 (MinHash-LSH end to end), §2.8 joins",
+)
+def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_text_corpus(spark, sf_dir)
+    return near_dup_minhash(
+        corpus, "doc_id", "text", n_hashes=8, bands=4, min_jaccard=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — SimHash fingerprints (32-bit, majority-bit over distinct tokens).
+
+_SIMHASH_BITS_SQL = ",\n             ".join(
+    f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_VAL_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+)
+
+
+@register(
+    "q24_simhash",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, {_H32.format(expr="token || '#0'")} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id,
+             {_SIMHASH_BITS_SQL}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id AS id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash
+    FROM bits
+    """,
+    survey_rows="X2 (SimHash)",
+)
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text").select(
+        F.col("_id").alias("id"), "simhash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 — embedding-cosine near-dup with planted perturbed vectors,
+# label-blocked self-join.
+
+
+def _planted_vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_BASE)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    pert = base.select(
+        (F.col("vec_id") + COPY_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            "emb", lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("emb"),
+    )
+    return base.unionByName(pert)
+
+
+_SQL_VEC_CORPUS = f"""
+    vbase AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < {N_BASE}
+    ),
+    vpert AS (
+      SELECT vec_id + {COPY_OFFSET} AS vec_id, label,
+             list_transform(emb, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS emb
+      FROM vbase
+    ),
+    vcorpus AS (SELECT * FROM vbase UNION ALL SELECT * FROM vpert)
+"""
+
+
+@register(
+    "q25_embedding_near_dup",
+    f"""
+    WITH
+    {_SQL_VEC_CORPUS}
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+      FROM vcorpus a JOIN vcorpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.99
+    """,
+    survey_rows="X2/X3 (embedding near-dup, blocked self-join)",
+)
+def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_vec_corpus(spark, sf_dir)
+    return embedding_near_dup(
+        corpus, id_col="vec_id", vec_col="emb", block_col="label", min_cosine=0.99
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 scale path — random-hyperplane LSH buckets + bucketed approximate
+# top-k. Hyperplanes are deterministic literals (operators/ann.py).
+
+_PLANES = hyperplanes(n_planes=8, dim=64, seed=7)
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(p)}) > 0 THEN {1 << i} ELSE 0 END"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@register(
+    "q26_lsh_buckets",
+    f"""
+    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+    survey_rows="X2 (hyperplane LSH bucketing — the ANN scale path)",
+)
+def q26_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return with_lsh_bucket(emb, "embedding", n_planes=8, dim=64, seed=7).select(
+        "vec_id", "bucket"
+    )
+
+
+def _query_bucket(vec: list[float]) -> int:
+    b = 0
+    for i, plane in enumerate(_PLANES):
+        if sum(x * y for x, y in zip(vec, plane)) > 0:
+            b |= 1 << i
+    return b
+
+
+_Q27_QUERIES_SQL = ",\n      ".join(
+    f"({qid}, {sql_vec(v)}, {_query_bucket(v)})" for qid, v in QUERY_VECS.items()
+)
+
+
+@register(
+    "q27_lsh_bucketed_topk",
+    f"""
+    WITH q(query_id, qvec, qbucket) AS (VALUES
+      {_Q27_QUERIES_SQL}
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             list_cosine_similarity(v.emb, q.qvec) AS raw
+      FROM v JOIN q ON v.bucket = q.qbucket
+    )
+    SELECT query_id, vec_id, round(raw, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 5
+    """,
+    survey_rows="X2/X3 (LSH-bucketed approximate top-k)",
+)
+def q27_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(qid, v) for qid, v in QUERY_VECS.items()], "query_id int, qvec array<double>"
+    )
+    out = lsh_topk(emb, qdf, k=5, n_planes=8, dim=64, seed=7)
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
