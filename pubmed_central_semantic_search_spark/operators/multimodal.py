@@ -1,0 +1,150 @@
+"""Multimodal columns (SURVEY §2.9 X5; north star "multimodal columns").
+
+Anchor: the reference's only non-text modality is the unimplemented PDF
+source (S6). Design: media are opaque ``binary`` columns + typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages.
+
+The actual codec work is STUBBED (image/audio libs are not in this
+container — each stub either raises ``NotImplementedError`` or, for
+pipeline testing, produces a deterministic fake). What IS real and tested:
+the schemas, the UDF signatures and batch shapes, the partitioning
+pattern, and the binaryFile reader plumbing — swapping a stub for
+PIL/ffmpeg is a one-function change, not an architecture change.
+
+Scale notes: binary payloads ride the same columnar path as everything
+else; keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` low for wide
+media rows so a batch fits executor memory, and partition media tables by
+(modality, size bucket) so decode stages don't straggle on mixed sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """X5 source — directory of media files → (path, modificationTime,
+    length, content) via Spark's binaryFile source, normalized to
+    MEDIA_SCHEMA (modality from extension; decode fills real meta later)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    modality = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif"), "image")
+        .when(ext.isin("wav", "mp3", "flac"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv"), "video")
+        .otherwise("unknown")
+    )
+    return raw.select(
+        F.col("path").alias("media_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = (
+    "media_id string, modality string, n_bytes bigint, "
+    "feature array<float>, error string"
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, real_decode: bool = False) -> DataFrame:
+    """X5 decode + feature-extract stage (mapInPandas, Arrow-batched).
+
+    ``real_decode=True`` is the seam for an actual codec (PIL/torchaudio)
+    — deliberately unimplemented here (no media libs in this container).
+    The default path computes a deterministic fake feature (hash-seeded,
+    like encoder.py) from the raw bytes, so downstream plumbing (ANN over
+    media embeddings, dedup by feature) is testable end to end."""
+    if real_decode:
+        raise NotImplementedError(
+            "real media decoding requires PIL/torchaudio/ffmpeg — not in "
+            "this container. The mapInPandas plumbing below is the "
+            "production shape; plug the codec into `_feature`."
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        def _feature(content: bytes):
+            seed = int.from_bytes(
+                _hashlib.md5(content).digest()[:4], "little"
+            )
+            rng = _np.random.RandomState(seed)
+            v = rng.standard_normal(dim).astype(_np.float32)
+            n = float(_np.linalg.norm(v))
+            return (v / n) if n > 0 else v
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    out.append(
+                        (mid, modality, len(blob), _feature(blob), None)
+                    )
+                except Exception as ex:
+                    out.append((mid, modality, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "modality", "n_bytes", "feature", "error"],
+            )
+
+    return df.mapInPandas(_extract, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """X5 video frame-sampling *plan*: one output row per planned frame
+    timestamp (sequence over duration) — the explode happens JVM-side;
+    only the (stubbed) frame decode would touch the binary payload."""
+    return df.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators (SURVEY §2.9 X4; north star "text analysis").
+
+Anchored to the reference's string pipeline (chunker F1, cleanup F3-F5) and
+generalized to the LLM-pipeline quality stack: language ID, quality
+scoring, token counting, document fingerprinting. All pure Catalyst
+expressions — per-row, narrow, codegen'd; they scale linearly and never
+shuffle (the aggregations over them do, once, on low-cardinality keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword profiles for the n-gram/stopword language-ID
+# heuristic. Real deployments swap in fuller profiles; the operator shape
+# (argmax over per-language token-hit counts) is the point.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def _tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    toks = _tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def language_id(text: Column | str) -> Column:
+    """Predicted language = argmax score, ties broken alphabetically
+    (first language in sorted order that is ≥ all later ones wins);
+    all-zero scores fall back to 'und'. The CASE chain has a literal SQL
+    twin for the oracle."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    expr = F.when(F.greatest(*[scores[lg] for lg in langs]) == 0, F.lit("und"))
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, stopword/digit
+    ratios, mean token length. Downstream filters threshold on these."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is")))
+    n_digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return df.withColumns(
+        {
+            "n_chars_q": F.length(text_col).cast("bigint"),
+            "n_tokens_q": n_tok.cast("bigint"),
+            "mean_token_len": F.round(
+                (F.length(text_col) - (n_tok - 1)) / n_tok, 6
+            ),
+            "stopword_ratio_q": F.round(n_stop / n_tok, 6),
+            "digit_ratio_q": F.round(n_digit / n_tok, 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score — monotone in "looks like prose": enough
+    tokens, sane token length, some stopwords, few digits.
+
+    Computed ENTIRELY in integer arithmetic on a 0-1000 milli scale
+    (``quality_milli``), with the float ``quality`` derived at the end.
+    Rationale: weighted sums of rounded ratios land exactly on decimal
+    rounding boundaries where engines disagree by 1 ulp — integer math is
+    bit-deterministic on every engine and at every cluster size."""
+    feat = quality_features(df, text_col)
+    n_tok = F.col("n_tokens_q")
+    n_chars = F.col("n_chars_q")
+    toks = _tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is")))
+    n_digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    len_score = F.least(F.floor(n_tok * 1000 / 32), F.lit(1000))
+    mean_len_milli = F.floor((n_chars - (n_tok - 1)) * 1000 / n_tok)
+    tok_len_score = F.when(
+        (mean_len_milli >= 3000) & (mean_len_milli <= 10000), F.lit(1000)
+    ).otherwise(F.lit(500))
+    stop_score = F.least(F.floor(n_stop * 5000 / n_tok), F.lit(1000))
+    digit_penalty = 1000 - F.least(F.floor(n_digit * 2000 / n_tok), F.lit(1000))
+    milli = F.floor(
+        (3 * len_score + 2 * tok_len_score + 3 * stop_score + 2 * digit_penalty) / 10
+    )
+    return feat.withColumn("quality_milli", milli.cast("bigint")).withColumn(
+        "quality", F.col("quality_milli") / 1000.0
+    )
+
+
+# BPE-ish token pattern: word-ish runs, number runs, or single
+# non-space symbols — kept to character classes that mean the same thing
+# in Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex — the whitespace-free analog of
+    tokenizer cost estimation for LLM pipelines."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("bigint")
+
+
+FP_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+FP_BASE = 31
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the ordered token-hash stream:
+    ``h = fold(tokens, (acc, t) -> (acc*31 + h32(t)) mod (2^31-1))``.
+
+    Order-sensitive (unlike the set-based MinHash) — detects exact
+    sequence duplicates cheaply. The fold runs over an ordered in-group
+    array (docs are bounded); all arithmetic stays in int64 (31 * 2^31 <<
+    2^63, no overflow)."""
+    from .dedup import hash32, tokenize
+
+    tok = tokenize(df, id_col, text_col).select(
+        "_id", "pos", hash32("token", 0).alias("h")
+    )
+    per_doc = tok.groupBy("_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "h"))), lambda s: s["h"]
+        ).alias("hs")
+    )
+    return per_doc.select(
+        "_id",
+        F.aggregate(
+            "hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,140 @@
+"""X4 text-analysis queries: language ID, quality scoring, BPE-ish token
+counting, rolling-hash fingerprints (SURVEY §2.9; north star "text
+analysis").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import (
+    BPE_PATTERN,
+    FP_BASE,
+    FP_MOD,
+    LANG_PROFILES,
+    bpe_token_count,
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+)
+from ..registry import load, register
+
+
+def _sql_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),"
+        f" t -> t IN ({words})))"
+    )
+
+
+_LANG_CASE = f"""
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END
+"""
+
+
+@register(
+    "q28_language_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_sql_score('de')} AS s_de,
+             {_sql_score('en')} AS s_en,
+             {_sql_score('es')} AS s_es,
+             {_sql_score('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, {_LANG_CASE} AS predicted_lang
+    FROM scored
+    """,
+    survey_rows="X4 (language-ID heuristic)",
+)
+def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q29_quality_score",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+             len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop,
+             len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> regexp_full_match(t, '[0-9]+'))) AS n_digit,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             least(n_tok * 1000 // 32, 1000) AS len_score,
+             CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
+                  THEN 1000 ELSE 500 END AS tok_len_score,
+             least(n_stop * 5000 // n_tok, 1000) AS stop_score,
+             1000 - least(n_digit * 2000 // n_tok, 1000) AS digit_penalty
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST((3 * len_score + 2 * tok_len_score + 3 * stop_score + 2 * digit_penalty) // 10 AS BIGINT) AS quality_milli
+    FROM scores
+    """,
+    survey_rows="X4 (quality scoring, integer-deterministic)",
+)
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality_milli")
+
+
+@register(
+    "q30_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    survey_rows="X4 (token counting, BPE-ish regex)",
+)
+def q30_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "q31_rolling_fingerprint",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(token || '#0'), 1, 8)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    ordered AS (
+      SELECT doc_id, list(h ORDER BY pos) AS hs FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id AS id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
+    FROM ordered
+    """,
+    survey_rows="X4 (rolling-hash document fingerprint)",
+)
+def q31_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return rolling_fingerprint(d, "doc_id", "text").select(
+        F.col("_id").alias("id"), "fingerprint"
+    )

@@ -1,0 +1,77 @@
+"""Table DDL + idempotent upsert writer (SURVEY §2.1 S7/S8/S9).
+
+Reference: Qdrant collection DDL — exists-check, create with vector
+config, delete+recreate (``qdrant.py:69-96``); batched upserts keyed by
+the content-derived point id so re-upload overwrites (``qdrant.py:137-139,
+149-175``); snapshots (``scripts/setup_local_database.py:19-20``).
+
+Spark: catalog tables over parquet; "upsert" = union + keep-newest-per-key
++ partition overwrite (dynamic mode — only touched partitions rewrite,
+which is the 100 TB-safe idempotent ingest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def ensure_table(
+    spark: SparkSession, name: str, df: DataFrame, path: str | None = None
+) -> None:
+    """S9 — create-if-not-exists from a DataFrame's schema."""
+    if not spark.catalog.tableExists(name):
+        writer = df.limit(0).write
+        if path:
+            writer = writer.option("path", path)
+        writer.saveAsTable(name)
+
+
+def reset_table(spark: SparkSession, name: str) -> None:
+    """S9 — the reference's reset_database (drop + lazily recreated)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+) -> None:
+    """S7 — idempotent keyed write: new rows win over existing rows with
+    the same key (the reference's content-keyed overwrite semantics).
+
+    Implementation: read-existing → unionByName → row_number over key
+    (new rows ranked first) → rewrite. At scale, partition the path by a
+    key prefix and use dynamic partition overwrite so only affected
+    partitions rewrite; task retries stay safe because the final write is
+    atomic-per-partition."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        existing = spark.read.parquet(path)
+        tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
+            df.withColumn("_is_new", F.lit(1))
+        )
+    except Exception:  # first write — nothing to merge
+        tagged = df.withColumn("_is_new", F.lit(1))
+    order = [F.col("_is_new").desc()] + (
+        [F.col(version_col).desc()] if version_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+    # Stage-then-swap: never overwrite the path we are still reading from
+    # (caching is NOT a guard — evicted blocks would recompute from
+    # deleted files). Atomic-enough swap via the Hadoop FS API.
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(hstaging, hpath)

@@ -1,0 +1,186 @@
+"""EuropePMC source (SURVEY §2.1 S5): REST fetch by PMCID + JATS-XML parse.
+
+Reference behavior (``/root/reference/src/backend/data_fetching/fetch_pmcid.py:4-36``):
+GET ``https://www.ebi.ac.uk/europepmc/webservices/rest/{pmcid}/fullTextXML``,
+then from the JATS tree extract:
+
+- ``article_id`` = text of ``article-id[@pub-id-type='pmcid']`` prefixed
+  ``PMC`` (:12-13),
+- abstract = all inner text of the first ``<abstract>`` child (:17),
+- per ``<sec>``: the ``<title>`` text → section name; every non-title
+  descendant's ``text``+``tail`` joined with ``'\\n'`` → section text
+  (:19-24),
+- citation brackets ``[...]`` stripped, paragraphs re-joined with ``'.'``
+  (:26-28), and ``"Abstract"`` prepended to section_names with the
+  abstract as section 0 (:20,28).
+
+Spark design: parsing is a **mapInPandas** stage over (pmcid, xml) rows —
+at scale you download XML once into object storage (binaryFile/text
+source), then parse executor-side; the network fetch itself is isolated in
+``fetch_xml_udf`` (requests behind an import-try) so the parse path is
+fully offline-testable. stdlib ElementTree only — no lxml dependency.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PARSED_SCHEMA = (
+    "pmcid string, article_id string, section_names array<string>, "
+    "sections array<array<string>>, abstract_text string, error string"
+)
+
+EUROPEPMC_URL = "https://www.ebi.ac.uk/europepmc/webservices/rest/{}/fullTextXML"
+
+
+def parse_jats(xml_text: str, chunk_sep: str = ". ") -> dict:
+    """Parse one JATS fullTextXML document into the canonical article shape
+    (ARTICLES_SCHEMA + pmcid). Pure function — no I/O, no Spark."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+
+    id_el = next(
+        (
+            el
+            for el in root.iter("article-id")
+            if el.get("pub-id-type") == "pmcid"
+        ),
+        None,
+    )
+    article_id = f"PMC{id_el.text}" if id_el is not None and id_el.text else None
+
+    abstract_el = root.find(".//abstract")
+    abstract = (
+        "".join(abstract_el.itertext()).strip() if abstract_el is not None else ""
+    )
+
+    section_names = ["Abstract"]
+    sections = [[s for s in abstract.split(chunk_sep) if s]]
+    for sec in root.iter("sec"):
+        title_el = sec.find("title")
+        title = title_el.text if title_el is not None else None
+        # fetch_pmcid.py:22-24: every non-title descendant's text+tail,
+        # newline-joined.
+        parts = []
+        for el in sec.iter():
+            if el is sec or el.tag == "title":
+                continue
+            for piece in (el.text, el.tail):
+                if piece:
+                    parts.append(piece)
+        text = "\n".join(parts)
+        # :27 — strip bracketed citations (DOTALL), re-join with '.' (:28)
+        text = re.sub(r"\[[^\]]*\]", "", text, flags=re.DOTALL)
+        text = ".".join(text.split("\n"))
+        section_names.append(title)
+        sections.append([s for s in text.split(chunk_sep) if s])
+    return {
+        "article_id": article_id,
+        "section_names": section_names,
+        "sections": sections,
+        "abstract_text": abstract,
+    }
+
+
+def parse_articles(xml_df: DataFrame) -> DataFrame:
+    """mapInPandas parse stage: (pmcid, xml) → parsed article rows.
+
+    Self-contained closure (no module references — see encoder.py for the
+    pickling rule); bad XML lands in the ``error`` column instead of
+    failing the job (at 100 TB a poison document must not kill the run —
+    unlike the reference's swallowed ``except: print``, qdrant.py:172-174,
+    errors stay visible as data)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        import xml.etree.ElementTree as _ET
+
+        def one(xml_text):
+            root = _ET.fromstring(xml_text)
+            id_el = next(
+                (
+                    el
+                    for el in root.iter("article-id")
+                    if el.get("pub-id-type") == "pmcid"
+                ),
+                None,
+            )
+            article_id = (
+                f"PMC{id_el.text}" if id_el is not None and id_el.text else None
+            )
+            abstract_el = root.find(".//abstract")
+            abstract = (
+                "".join(abstract_el.itertext()).strip()
+                if abstract_el is not None
+                else ""
+            )
+            names = ["Abstract"]
+            secs = [[s for s in abstract.split(". ") if s]]
+            for sec in root.iter("sec"):
+                title_el = sec.find("title")
+                parts = []
+                for el in sec.iter():
+                    if el is sec or el.tag == "title":
+                        continue
+                    for piece in (el.text, el.tail):
+                        if piece:
+                            parts.append(piece)
+                text = _re.sub(r"\[[^\]]*\]", "", "\n".join(parts), flags=_re.DOTALL)
+                text = ".".join(text.split("\n"))
+                names.append(title_el.text if title_el is not None else None)
+                secs.append([s for s in text.split(". ") if s])
+            return article_id, names, secs, abstract
+
+        for pdf in batches:
+            out = []
+            for pmcid, xml_text in zip(pdf["pmcid"], pdf["xml"]):
+                try:
+                    article_id, names, secs, abstract = one(xml_text)
+                    out.append((pmcid, article_id, names, secs, abstract, None))
+                except Exception as ex:  # poison row → error column
+                    out.append((pmcid, None, None, None, None, repr(ex)[:500]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "pmcid",
+                    "article_id",
+                    "section_names",
+                    "sections",
+                    "abstract_text",
+                    "error",
+                ],
+            )
+
+    return xml_df.mapInPandas(_parse, PARSED_SCHEMA)
+
+
+def fetch_articles(spark: SparkSession, pmcids: list[str]) -> DataFrame:
+    """S5 online path: DataFrame of pmcids → HTTP fetch (mapInPandas, one
+    session per partition) → parse. Requires ``requests`` + network; the
+    offline path (download first, then ``parse_articles``) is preferred at
+    scale and is what tests exercise."""
+    pmcid_df = spark.createDataFrame([(p,) for p in pmcids], "pmcid string")
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import requests
+
+        url = "https://www.ebi.ac.uk/europepmc/webservices/rest/{}/fullTextXML"
+        session = requests.Session()
+        for pdf in batches:
+            xmls = []
+            for pmcid in pdf["pmcid"]:
+                try:
+                    resp = session.get(url.format(pmcid), timeout=30)
+                    resp.raise_for_status()
+                    xmls.append(resp.text)
+                except Exception:
+                    xmls.append(None)
+            yield pd.DataFrame({"pmcid": pdf["pmcid"], "xml": xmls})
+
+    xml_df = pmcid_df.mapInPandas(_fetch, "pmcid string, xml string")
+    return parse_articles(xml_df)

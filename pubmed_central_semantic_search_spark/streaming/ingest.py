@@ -1,0 +1,108 @@
+"""Structured-Streaming incremental ingest (SURVEY §2.9 X6).
+
+Anchor: the reference's per-PMCID append path (S5/S7 —
+``qdrant.py:102-104,149-175``) is one-article-at-a-time ingestion into the
+same pipeline the bulk path uses. The Spark analog: a file-source stream
+over an articles drop-zone runs the IDENTICAL batch transformations
+(chunk → encode → mean-pool) per micro-batch, with ``foreachBatch``
+doing the keyed parquet upsert.
+
+Scale notes:
+- File source with ``maxFilesPerTrigger`` bounds micro-batch size; at
+  1000 executors the same code runs unchanged — checkpointing handles
+  exactly-once per sink partition.
+- Watermarked windowed aggregation (``windowed_event_counts``) is the
+  late-data pattern: state is bounded by (watermark horizon × key
+  cardinality); without the watermark, 100 TB of stream state OOMs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..encoder import encode_column
+from ..operators.chunking import explode_chunks
+from ..operators.pooling import mean_pool
+from ..schemas import ARTICLES_SCHEMA
+
+
+def read_article_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """X6 — streaming source over a JSONL drop-zone of article records."""
+    return (
+        spark.readStream.schema(ARTICLES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def article_stream_to_chunks(articles_stream: DataFrame, encoder: str = "fake") -> DataFrame:
+    """The same chunk→encode pipeline as batch ingest (SURVEY §3.2), applied
+    to a stream — Structured Streaming runs these stateless narrow ops
+    per micro-batch with no extra code."""
+    chunks = explode_chunks(articles_stream)
+    return chunks.withColumn("embedding", encode_column("paragraph", kind=encoder))
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    chunks_path: str,
+    doc_vectors_path: str,
+    checkpoint_path: str,
+    encoder: str = "fake",
+):
+    """X6 — end-to-end incremental ingest: stream → chunks + doc_vectors
+    parquet, exactly-once via checkpoint + idempotent keyed write.
+
+    ``foreachBatch`` gives us the batch DataFrame API (mean_pool needs a
+    full groupBy) — the standard pattern for sinks that need batch-only
+    operations."""
+
+    stream = read_article_stream(spark, source_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = explode_chunks(batch_df).withColumn(
+            "embedding", encode_column("paragraph", kind=encoder)
+        )
+        chunks.persist()
+        chunks.write.mode("append").parquet(chunks_path)
+        vecs = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+        vecs.withColumn("doc_pk", F.xxhash64("article_id")).write.mode(
+            "append"
+        ).parquet(doc_vectors_path)
+        chunks.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """X6 — watermarked tumbling-window aggregation over an event stream
+    (ts, event_type, value): the bounded-state late-data pattern."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

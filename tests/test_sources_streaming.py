@@ -1,0 +1,158 @@
+"""Tests for sources (JATS parse, JSONL splits, upsert writer, PDF stub),
+streaming ingest, and multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+)
+from pubmed_central_semantic_search_spark.schemas import ARTICLES_SCHEMA
+from pubmed_central_semantic_search_spark.sources import pdf as pdf_source
+from pubmed_central_semantic_search_spark.sources.catalog import upsert_parquet
+from pubmed_central_semantic_search_spark.sources.jsonl import (
+    read_jsonl_splits,
+    write_sharded_parquet,
+)
+from pubmed_central_semantic_search_spark.sources.pmc import (
+    parse_articles,
+    parse_jats,
+)
+from pubmed_central_semantic_search_spark.streaming.ingest import start_ingest
+
+FIXTURE_XML = os.path.join(os.path.dirname(__file__), "fixtures", "pmc_article.xml")
+
+
+def test_parse_jats_reference_semantics():
+    """Mirrors fetch_pmcid.py:12-28: PMC-prefixed id, Abstract prepended,
+    per-section title + citation-stripped text."""
+    with open(FIXTURE_XML) as f:
+        xml = f.read()
+    art = parse_jats(xml)
+    assert art["article_id"] == "PMC1234567"
+    assert art["section_names"] == ["Abstract", "Introduction", "Methods"]
+    # abstract chunked at '. '
+    assert art["sections"][0][0].startswith("Background sentence one")
+    # citation brackets stripped everywhere (fetch_pmcid.py:27)
+    flat = " ".join(c for sec in art["sections"] for c in sec)
+    assert "[1" not in flat and "[3]" not in flat and "[4,5]" not in flat
+    assert any("Venous thrombosis" in c for c in art["sections"][1])
+
+
+def test_parse_articles_mapinpandas(spark):
+    with open(FIXTURE_XML) as f:
+        xml = f.read()
+    df = spark.createDataFrame(
+        [("PMC1234567", xml), ("PMCBAD", "<not-xml")], "pmcid string, xml string"
+    )
+    out = {r.pmcid: r for r in parse_articles(df).collect()}
+    assert out["PMC1234567"].article_id == "PMC1234567"
+    assert out["PMC1234567"].error is None
+    assert out["PMC1234567"].section_names == ["Abstract", "Introduction", "Methods"]
+    # poison row → error column, job survives (unlike qdrant.py:172-174)
+    assert out["PMCBAD"].error is not None
+    assert out["PMCBAD"].article_id is None
+
+
+def test_jsonl_splits_roundtrip(spark, tmp_path):
+    rows = [
+        {"article_id": f"PMC{i}", "section_names": ["Abstract"], "sections": [["s"]],
+         "abstract_text": "a"}
+        for i in range(6)
+    ]
+    for split, chunk in (("train", rows[:3]), ("val", rows[3:5]), ("test", rows[5:])):
+        with open(tmp_path / f"{split}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    df = read_jsonl_splits(
+        spark,
+        [str(tmp_path / f"{s}.jsonl") for s in ("train", "val", "test")],
+        schema=ARTICLES_SCHEMA,
+    )
+    assert df.count() == 6
+    out_dir = str(tmp_path / "corpus")
+    write_sharded_parquet(df, out_dir, max_records_per_file=2)
+    assert spark.read.parquet(out_dir).count() == 6
+
+
+def test_upsert_parquet_idempotent_overwrite(spark, tmp_path):
+    """S7 semantics: re-upload with the same key overwrites (qdrant.py:
+    137-139 content-keyed upsert)."""
+    path = str(tmp_path / "docs")
+    v1 = spark.createDataFrame(
+        [("PMC1", "old"), ("PMC2", "keep")], "article_id string, payload string"
+    )
+    upsert_parquet(spark, v1, path, key_cols=["article_id"])
+    v2 = spark.createDataFrame([("PMC1", "new")], "article_id string, payload string")
+    upsert_parquet(spark, v2, path, key_cols=["article_id"])
+    got = {r.article_id: r.payload for r in spark.read.parquet(path).collect()}
+    assert got == {"PMC1": "new", "PMC2": "keep"}
+
+
+def test_pdf_source_is_declared_stub(spark):
+    with pytest.raises(NotImplementedError):
+        pdf_source.read_pdfs(spark, "/nonexistent")
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    """X6 — file-source stream through chunk→encode→mean-pool into parquet;
+    a second file triggers an incremental batch."""
+    src = tmp_path / "dropzone"
+    src.mkdir()
+    art = {
+        "article_id": "PMC10",
+        "section_names": ["Intro"],
+        "sections": [["alpha beta", "gamma"]],
+        "abstract_text": "x",
+    }
+    with open(src / "a1.jsonl", "w") as f:
+        f.write(json.dumps(art) + "\n")
+    chunks_path = str(tmp_path / "chunks")
+    vecs_path = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ingest(spark, str(src), chunks_path, vecs_path, ckpt)
+    q.awaitTermination(120)
+    chunks = spark.read.parquet(chunks_path)
+    assert chunks.count() == 2
+    vecs = spark.read.parquet(vecs_path)
+    assert vecs.count() == 1
+    assert vecs.first().article_id == "PMC10"
+    # incremental: drop a second article, run another availableNow pass
+    art2 = dict(art, article_id="PMC11")
+    with open(src / "a2.jsonl", "w") as f:
+        f.write(json.dumps(art2) + "\n")
+    q2 = start_ingest(spark, str(src), chunks_path, vecs_path, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(vecs_path).count() == 2
+    assert spark.read.parquet(chunks_path).count() == 4
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        ("m1", "image", bytearray(b"\x89PNG fake bytes")),
+        ("m2", "image", bytearray(b"\x89PNG fake bytes")),  # dup content
+        ("m3", "audio", bytearray(b"RIFF other bytes")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, modality string, content binary"
+    )
+    out = {r.media_id: r for r in extract_features(df, dim=8).collect()}
+    assert out["m1"].error is None
+    assert len(out["m1"].feature) == 8
+    # deterministic: identical bytes → identical features (dedup-ready)
+    assert list(out["m1"].feature) == list(out["m2"].feature)
+    assert list(out["m1"].feature) != list(out["m3"].feature)
+    assert out["m3"].n_bytes == len(b"RIFF other bytes")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [("v1", "video", (None, None, None, 3500, None))],
+        "media_id string, modality string, meta struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
