@@ -1,0 +1,76 @@
+"""Plan-construction helpers (SURVEY §4).
+
+The reference's only "planner" decisions are Qdrant-side (HNSW on/off,
+filtered search). Ours are Python-level plan choices — deliberately NOT
+custom Catalyst rules (SURVEY §4: nothing in the surface needs one; a
+library-level rewrite is idiomatic and debuggable):
+
+- ``plan_topk_search``: exact brute-force vs. hyperplane-LSH approximate,
+  chosen by an explicit mode or a corpus-size threshold. The exact tier is
+  the correctness baseline; LSH is the opt-in scale tier (the analog of
+  the reference's HNSW, SURVEY §4 row 1).
+- ``explain_str`` / ``assert_plan``: plan introspection used by the
+  plan-regression tests — the ".explain and iterate until it's the plan
+  you'd want" loop, automated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.ann import brute_force_topk, lsh_topk
+
+
+def plan_topk_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    mode: str = "auto",
+    approx_threshold_rows: int = 10_000_000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Choose the physical strategy for vector top-k.
+
+    ``auto`` stays exact until the vector side is known to be huge —
+    statistics when available, else the caller's hint. (Counting to decide
+    would cost a scan; at 100 TB the caller KNOWS it's huge.)"""
+    if mode == "exact":
+        return brute_force_topk(vectors, queries, k)
+    if mode == "approx":
+        return lsh_topk(vectors, queries, k, **lsh_kwargs)
+    if mode == "auto":
+        try:
+            est_rows = (
+                vectors._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+                .getOrElse(None)
+            )
+        except Exception:
+            est_rows = None
+        if est_rows is not None and int(str(est_rows)) > approx_threshold_rows:
+            return lsh_topk(vectors, queries, k, **lsh_kwargs)
+        return brute_force_topk(vectors, queries, k)
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_plan(
+    df: DataFrame,
+    contains: list[str] = (),
+    not_contains: list[str] = (),
+) -> str:
+    """Assert physical-plan properties; returns the plan text for
+    diagnostics."""
+    plan = explain_str(df)
+    for frag in contains:
+        assert frag in plan, f"expected plan to contain {frag!r}:\n{plan}"
+    for frag in not_contains:
+        assert frag not in plan, f"expected plan WITHOUT {frag!r}:\n{plan}"
+    return plan

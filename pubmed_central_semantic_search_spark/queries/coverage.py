@@ -1,0 +1,158 @@
+"""Coverage queries for Spark-SQL surface the reference lacks but our
+engine exposes (SURVEY §2.10 "explicit absences" — window/tumbling aggs,
+grouping sets, set ops, as-of joins). Each certifies the Spark plan shape
+AND the DuckDB-matched semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+# ---------------------------------------------------------------------------
+# Tumbling time window (the streaming windowed-agg shape, X6, in batch
+# form — F.window's aligned hour buckets == date_trunc).
+
+
+@register(
+    "q32_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_rows="X6 (windowed agg, batch twin), A1",
+)
+def q32_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets (free via Spark SQL; absent in reference §2.10).
+
+
+@register(
+    "q33_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_rows="§2.10 exposure: grouping sets / rollup",
+)
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT — absent in reference §2.10).
+
+
+@register(
+    "q34_set_ops",
+    """
+    SELECT 'both' AS tag, n_nationkey AS nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+    survey_rows="§2.10 exposure: INTERSECT/EXCEPT",
+)
+def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "nationkey")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (absent in reference §2.10; a core time-series EXT): for each
+# order, the latest event of user o_custkey at-or-before the order date.
+# Spark shape: range-join + per-order argmax window. At scale: bucket both
+# sides by user, sort within bucket — or use the lag/merge pattern per
+# partition; here the window form is the declarative baseline.
+
+
+@register(
+    "q35_asof_join",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, event_ts, event_value FROM (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             e.ts AS event_ts, e.value AS event_value,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id
+             ) AS rn
+      FROM orders o
+      JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+      WHERE o.o_orderkey < 3000
+    ) WHERE rn = 1
+    """,
+    survey_rows="§2.10 exposure: as-of join (latest event ≤ order date)",
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    e = load(spark, sf_dir, "events")
+    joined = o.join(
+        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), "event_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("ts").alias("event_ts"),
+            F.col("value").alias("event_value"),
+        )
+    )

@@ -88,10 +88,7 @@ def oracle_sql() -> dict[str, str]:
 # --- populate the registry -------------------------------------------------
 from .queries import pipeline, relational, similarity, text_pipeline  # noqa: E402,F401
 
-try:  # optional modules land as the build widens
-    from .queries import dedup_pack, extensions  # noqa: E402,F401
-except ImportError:  # pragma: no cover
-    pass
+from .queries import coverage, dedup_pack, extensions  # noqa: E402,F401
 
 # Re-export the flagship for __spark_entry__.entry().
 q1_topk_cosine = REGISTRY["q1_topk_cosine"].spark

@@ -1,0 +1,111 @@
+"""Plan-regression tests — lock in the physical plans that survive 100 TB
+(SURVEY §4; brief: ".explain the plan and iterate until it's the plan
+you'd want", then keep it that way).
+
+Each assertion encodes a scale property:
+- top-k → TakeOrderedAndProject (per-partition heaps, no global Sort).
+- filters/projections → pushed into the parquet scan.
+- k-sized/dim-sized join sides → BroadcastHashJoin (no shuffle of the big
+  side); no CartesianProduct anywhere except the intended broadcast cross.
+- scoring stays in WholeStageCodegen (no Python in the hot path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.plans.planner import (
+    assert_plan,
+    plan_topk_search,
+)
+from pubmed_central_semantic_search_spark.registry import REGISTRY, QUERY_VECS
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].spark(spark, sf_dir)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = assert_plan(
+        _q("q1_topk_cosine", spark, sf_dir),
+        contains=["TakeOrderedAndProject"],
+        not_contains=["Exchange rangepartitioning", "CartesianProduct"],
+    )
+    # cosine is a Catalyst expression: no python worker in this plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    assert_plan(
+        _q("q4_filter_project", spark, sf_dir),
+        contains=["PushedFilters: [IsNotNull(o_orderstatus)"],
+    )
+    plan = assert_plan(_q("q4_filter_project", spark, sf_dir), contains=[])
+    # column pruning: the scan reads the 3 projected columns + the filter
+    # column (kept for post-scan re-check) and nothing else
+    assert "o_orderdate" not in plan and "o_orderpriority" not in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    assert_plan(
+        _q("q5_revenue_by_nation", spark, sf_dir),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct"],
+    )
+
+
+def test_semi_join_physical(spark, sf_dir):
+    assert_plan(
+        _q("q6_semi_join", spark, sf_dir),
+        contains=["LeftSemi"],
+    )
+
+
+def test_multiquery_broadcasts_query_side(spark, sf_dir):
+    # the tiny query side must broadcast; the embeddings scan must not
+    # shuffle before scoring
+    assert_plan(
+        _q("q3_multiquery_topk", spark, sf_dir),
+        contains=["BroadcastNestedLoopJoin"],
+        not_contains=["SortMergeJoin"],
+    )
+
+
+def test_e2e_search_no_cartesian_blowup(spark, sf_dir):
+    # chunk-side joins must all broadcast the k-sized side
+    assert_plan(
+        _q("q20_semantic_search_e2e", spark, sf_dir),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct"],
+    )
+
+
+def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
+    assert_plan(
+        _q("q27_lsh_bucketed_topk", spark, sf_dir),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+
+def test_planner_modes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = spark.createDataFrame(
+        [(qid, v) for qid, v in QUERY_VECS.items()],
+        "query_id int, qvec array<double>",
+    )
+    exact = plan_topk_search(emb, qdf, k=3, mode="exact")
+    approx = plan_topk_search(emb, qdf, k=3, mode="approx", dim=64)
+    auto = plan_topk_search(emb, qdf, k=3, mode="auto")
+    assert exact.count() == 9  # 3 queries × k
+    assert approx.count() <= 9  # LSH may return < k per bucket
+    assert auto.count() == 9  # small corpus → exact tier
+
+
+def test_pipeline_encoder_is_arrow_batched(spark, sf_dir):
+    # E1 must run as ArrowEvalPython (pandas_udf), never BatchEvalPython
+    # (row-pickling UDF)
+    plan = assert_plan(
+        _q("q21_document_pipeline", spark, sf_dir),
+        contains=["ArrowEvalPython"],
+    )
+    assert "BatchEvalPython" not in plan
