@@ -32,21 +32,40 @@ from pyspark.sql import functions as F
 DEFAULT_DIM = 64  # tests/fixtures; the reference's real model is 768-dim
 
 
-def fake_encode_one(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """Deterministic unit vector from the text's md5 (FIXTURES.md A5).
+def fake_encode_matrix(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Deterministic unit vectors, one row per text (FIXTURES.md A5).
+
+    shake_128(text) → 8·dim digest bytes → uint32 pairs → Box-Muller
+    normals → L2-normalize. Fully numpy-vectorized over the batch (the
+    per-row hashing is the only Python-loop work, ~1 µs/row) — an earlier
+    per-row ``np.random.RandomState`` version cost ~300 µs/row and
+    dominated the whole document pipeline.
 
     Properties: identical text → identical vector; distinct texts →
     (near-orthogonal) distinct vectors; no wall-clock or global RNG.
     """
-    seed = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:4], "little")
-    rng = np.random.RandomState(seed)
-    v = rng.standard_normal(dim).astype(np.float32)
-    n = float(np.linalg.norm(v))
-    return v / n if n > 0 else v
+    nb = 8 * dim  # 2 uint32 per normal (Box-Muller pair)
+    buf = bytearray(len(texts) * nb)
+    for i, t in enumerate(texts):
+        buf[i * nb : (i + 1) * nb] = hashlib.shake_128(
+            (t if t is not None else "").encode("utf-8")
+        ).digest(nb)
+    m = np.frombuffer(bytes(buf), dtype="<u4").reshape(len(texts), 2 * dim)
+    u = (m.astype(np.float64) + 0.5) / 2.0**32
+    z = (np.sqrt(-2.0 * np.log(u[:, :dim])) * np.cos(2.0 * np.pi * u[:, dim:])).astype(
+        np.float32
+    )
+    norms = np.linalg.norm(z, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return z / norms
+
+
+def fake_encode_one(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    return fake_encode_matrix([text], dim)[0]
 
 
 def fake_encode_batch(texts: pd.Series, dim: int = DEFAULT_DIM) -> pd.Series:
-    return texts.map(lambda t: fake_encode_one(t if t is not None else "", dim))
+    return pd.Series(list(fake_encode_matrix(texts.tolist(), dim)), index=texts.index)
 
 
 def fake_encoder_udf(dim: int = DEFAULT_DIM):
@@ -66,18 +85,27 @@ def fake_encoder_udf(dim: int = DEFAULT_DIM):
         import hashlib as _hashlib
 
         import numpy as _np
+        import pandas as _pd
 
-        def _one(text):
-            seed = int.from_bytes(
-                _hashlib.md5(text.encode("utf-8")).digest()[:4], "little"
-            )
-            rng = _np.random.RandomState(seed)
-            v = rng.standard_normal(dim).astype(_np.float32)
-            n = float(_np.linalg.norm(v))
-            return v / n if n > 0 else v
+        def _matrix(texts):
+            nb = 8 * dim
+            buf = bytearray(len(texts) * nb)
+            for i, t in enumerate(texts):
+                buf[i * nb : (i + 1) * nb] = _hashlib.shake_128(
+                    (t if t is not None else "").encode("utf-8")
+                ).digest(nb)
+            m = _np.frombuffer(bytes(buf), dtype="<u4").reshape(len(texts), 2 * dim)
+            u = (m.astype(_np.float64) + 0.5) / 2.0**32
+            z = (
+                _np.sqrt(-2.0 * _np.log(u[:, :dim]))
+                * _np.cos(2.0 * _np.pi * u[:, dim:])
+            ).astype(_np.float32)
+            norms = _np.linalg.norm(z, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            return z / norms
 
         for texts in batches:
-            yield texts.map(lambda t: _one(t if t is not None else ""))
+            yield _pd.Series(list(_matrix(texts.tolist())), index=texts.index)
 
     return encode
 

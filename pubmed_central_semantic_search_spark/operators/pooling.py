@@ -40,13 +40,25 @@ def mean_pool(
     group: Sequence[str],
     vec_col: str = "embedding",
     out_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-group mean vector re-assembled as ``array<double>``.
 
-    ``sort_array(collect_list(struct(pos, mean)))`` guarantees component
-    order regardless of shuffle order; collect_list here aggregates exactly
-    `dim` rows per group (bounded, no skew risk).
+    With ``dim`` known (the common case — the encoder fixes it), this is
+    ONE hash aggregate of `dim` avg columns: one shuffle whose map-side
+    partials are (groups-per-partition × dim) doubles. The dim-agnostic
+    fallback explodes components first, which shuffles dim× the row count
+    — correct, but strictly more data in flight; always pass ``dim`` in
+    pipelines.
     """
+    if dim is not None:
+        vec = as_double(vec_col)
+        pooled = df.groupBy(*group).agg(
+            *[F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)]
+        )
+        return pooled.select(
+            *group, F.array(*[f"_m{i}" for i in range(dim)]).alias(out_col)
+        )
     flat = mean_pool_flat(df, group, vec_col)
     return flat.groupBy(*group).agg(
         F.transform(
