@@ -193,6 +193,65 @@ def near_dup_minhash(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """X2 — EXACT n-gram Jaccard near-dup (no MinHash approximation).
+
+    Inverted-index shape: only documents sharing ≥1 shingle ever meet
+    (equi-join on shingle), so the join is output-bounded, not |docs|².
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    (the CCNet/Gopher "stop n-gram" tactic) — at 100 TB a handful of
+    boilerplate shingles would otherwise create quadratic hot keys; with a
+    cap the intersection undercounts those pairs only, and union counts
+    stay exact. Default ``None`` = exact Jaccard (the oracle-checked mode).
+
+    Returns (id_a, id_b, n_intersect, n_union, jaccard ≥ threshold).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        joinable = sh.join(
+            freq.filter(F.col("_df") <= max_doc_freq).select("shingle"), "shingle"
+        )
+    inter = (
+        joinable.select(F.col("_id").alias("id_a"), "shingle")
+        .join(joinable.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    out = (
+        inter.join(
+            counts.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+            F.round(
+                F.col("n_intersect")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
 def simhash32(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

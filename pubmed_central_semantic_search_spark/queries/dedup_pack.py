@@ -17,6 +17,7 @@ from ..operators.dedup import (
     embedding_near_dup,
     minhash_signature_flat,
     near_dup_minhash,
+    ngram_jaccard_pairs,
     simhash32,
 )
 from ..registry import QUERY_VECS, load, register, sql_vec
@@ -148,6 +149,39 @@ def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_minhash(
         corpus, "doc_id", "text", n_hashes=8, bands=4, min_jaccard=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — EXACT n-gram Jaccard (no MinHash): inverted-index self-join, only
+# docs sharing a shingle ever meet. The planted copies must surface with
+# jaccard ≥ 0.5; unrelated docs share almost no 3-gram.
+
+
+@register(
+    "q36_ngram_jaccard",
+    f"""
+    WITH
+    {_SQL_TEXT_CORPUS},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_intersect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT * FROM (
+      SELECT id_a, id_b, n_intersect,
+             ca.n_sh + cb.n_sh - n_intersect AS n_union,
+             round(CAST(n_intersect AS DOUBLE) / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    """,
+    survey_rows="X2 (exact n-gram Jaccard, inverted-index join)",
+)
+def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_text_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5)
 
 
 # ---------------------------------------------------------------------------

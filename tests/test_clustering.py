@@ -1,0 +1,118 @@
+"""Unit tests for clustering/IVF operators and exact n-gram Jaccard
+(SURVEY §2.9 X7, X2/X3) — hand-computed fixtures, deterministic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.operators.ann import brute_force_topk
+from pubmed_central_semantic_search_spark.operators.clustering import (
+    ivf_topk,
+    lloyd_kmeans,
+    nearest_centroid,
+    seed_centroids,
+    top_centroids,
+)
+from pubmed_central_semantic_search_spark.operators.dedup import ngram_jaccard_pairs
+
+
+@pytest.fixture(scope="module")
+def axis_vectors(spark):
+    # 3 tight groups around the x/y/z axes of R^3.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.1, 0.9, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.0, 0.1, 0.9]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_nearest_centroid_projection(spark, axis_vectors):
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    got = {
+        r["vec_id"]: r["c"]
+        for r in axis_vectors.select(
+            "vec_id", nearest_centroid("embedding", cents).alias("c")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_top_centroids_order(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.2, 0.0])], "query_id int, qvec array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    [row] = df.select(top_centroids("qvec", cents, 2).alias("p")).collect()
+    assert list(row["p"]) == [0, 1]  # x-axis best, y-axis second
+
+
+def test_lloyd_recovers_axis_clusters(spark, axis_vectors):
+    assigned, cents = lloyd_kmeans(axis_vectors, k=3, n_iter=2, dim=3)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    # seeds 0/1/2 are x, x-ish, y → after re-centering, the three axis
+    # groups must land in three distinct clusters with pair members together
+    assert got[0] == got[1] and got[2] == got[3] and got[4] == got[5]
+    assert len({got[0], got[2], got[4]}) == 3
+    # determinism: same inputs → same assignment and centroids
+    assigned2, cents2 = lloyd_kmeans(axis_vectors, k=3, n_iter=2, dim=3)
+    assert {r["vec_id"]: r["cluster_id"] for r in assigned2.collect()} == got
+    assert cents2 == cents
+
+
+def test_ivf_full_probe_equals_brute_force(spark, axis_vectors):
+    queries = spark.createDataFrame(
+        [(0, [0.8, 0.3, 0.1]), (1, [0.0, 0.2, 1.0])],
+        "query_id int, qvec array<double>",
+    )
+    cents = seed_centroids(axis_vectors, 3)
+    exact = brute_force_topk(axis_vectors, queries, k=2)
+    # probing EVERY list must reproduce the exact result
+    full = ivf_topk(axis_vectors, queries, cents, k=2, nprobe=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+    # nprobe=1 returns ≤ k rows per query, all present in the exact top-6
+    narrow = ivf_topk(axis_vectors, queries, cents, k=2, nprobe=1)
+    exact_all = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(axis_vectors, queries, k=6).collect()
+    }
+    for r in narrow.collect():
+        assert (r["query_id"], r["vec_id"]) in exact_all
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"          # 6 distinct 3-grams
+    b = "w1 w2 w3 w4 w5 w6 w7"             # 5, all shared with a
+    c = "x1 x2 x3 x4"                      # disjoint
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id int, text string"
+    )
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", 3, min_jaccard=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["n_intersect"], r["n_union"]) == (1, 2, 5, 6)
+    assert abs(r["jaccard"] - round(5 / 6, 6)) < 1e-9
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle present in every doc is dropped by the cap; pair (1,2)
+    # then only intersects on their private shingles
+    common = "the quick brown"
+    df = spark.createDataFrame(
+        [
+            (1, common + " fox jumps high"),
+            (2, common + " fox jumps high"),
+            (3, common + " dog sleeps low"),
+        ],
+        "doc_id int, text string",
+    )
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, min_jaccard=0.0, max_doc_freq=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_intersect"] for r in capped.collect()}
+    full = ngram_jaccard_pairs(df, "doc_id", "text", 3, min_jaccard=0.0)
+    full_got = {(r["id_a"], r["id_b"]): r["n_intersect"] for r in full.collect()}
+    # identical docs 1,2: intersection shrinks only by the capped shingle
+    assert full_got[(1, 2)] - got[(1, 2)] == 1
+    # cross-group pair shares ONLY the capped shingle → disappears
+    assert (1, 3) in full_got and (1, 3) not in got
