@@ -91,7 +91,9 @@ def _synthetic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = _synthetic_chunks(spark, sf_dir)
-    doc_vectors = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+    doc_vectors = mean_pool(
+        chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
+    )
     queries = spark.createDataFrame(
         [(0, QUERY_VEC)], "query_id int, qvec array<double>"
     )

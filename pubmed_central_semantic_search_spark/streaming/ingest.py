@@ -84,6 +84,47 @@ def start_ingest(
     )
 
 
+def stream_first_seen_dedup(
+    articles_stream: DataFrame, key_col: str = "article_id"
+) -> DataFrame:
+    """X1-on-a-stream — custom stateful operator via
+    ``applyInPandasWithState``: emit each key's FIRST occurrence across the
+    whole stream, drop every later duplicate (the streaming twin of the
+    reference's content-keyed idempotent upsert, qdrant.py:137-139,159 —
+    there re-uploads overwrite; here they never reach the sink at all).
+
+    State per key = one long (n occurrences seen) — bounded by key
+    cardinality, not stream length; at 100 TB add a state-store TTL
+    (GroupStateTimeout) if keys are unbounded. Rows within a micro-batch
+    are sorted before picking the survivor so the emitted row is
+    deterministic. Output schema == input schema.
+    """
+    out_schema = articles_stream.schema
+    state_schema = T.StructType([T.StructField("n_seen", T.LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    # Self-contained closure (cloudpickled by value — no package import on
+    # the executors, same rule as every UDF in this package).
+    def _dedup(key, pdfs, state):
+        import pandas as _pd
+
+        n_before = state.get[0] if state.exists else 0
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        n_new = len(batch)
+        if n_before == 0 and n_new > 0:
+            first = batch.sort_values(by=cols, key=lambda s: s.astype(str)).head(1)
+            yield first
+        state.update((n_before + n_new,))
+
+    return articles_stream.groupBy(key_col).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

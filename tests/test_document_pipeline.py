@@ -132,3 +132,23 @@ def test_context_window_interior(spark, articles):
     assert hit.section_name == "Intro"
     assert hit.paragraph_id == 1
     assert hit.context_paragraphs == ["alpha beta", "gamma delta", "epsilon"]
+
+
+def test_highlight_toggle_skips_chunk_path(spark, articles):
+    """Q4 — highlight=False returns doc hits only and builds NO chunk-side
+    join (qdrant.py:201,209: the reference skips the chunk queries
+    entirely)."""
+    chunks = explode_chunks(articles).withColumn(
+        "embedding", encode_column("paragraph")
+    )
+    doc_vectors = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+    qvec = [float(x) for x in fake_encode_one("single paragraph only")]
+    queries = spark.createDataFrame([(0, qvec)], "query_id int, qvec array<double>")
+    out = semantic_search(doc_vectors, chunks, queries, k_docs=2, highlight=False)
+    assert out.columns == ["query_id", "article_id", "doc_score"]
+    assert out.count() == 2
+    # the plan contains no highlight machinery (chunk scoring / context
+    # collection) — doc_vectors still derives from chunks, so "paragraph"
+    # itself legitimately appears upstream of the mean-pool
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "chunk_score" not in plan and "context_paragraphs" not in plan

@@ -131,6 +131,53 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     assert spark.read.parquet(chunks_path).count() == 4
 
 
+def test_stream_stateful_first_seen_dedup(spark, tmp_path):
+    """X1-on-a-stream via applyInPandasWithState: a key re-appearing in a
+    LATER micro-batch is suppressed by cross-batch state; each key's first
+    version survives."""
+    import os
+    import time
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        read_article_stream,
+        stream_first_seen_dedup,
+    )
+
+    src = tmp_path / "dedupzone"
+    src.mkdir()
+
+    def art(aid, abstract):
+        return {
+            "article_id": aid,
+            "section_names": ["Intro"],
+            "sections": [["p0"]],
+            "abstract_text": abstract,
+        }
+
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(json.dumps(art("PMC1", "v1")) + "\n")
+        f.write(json.dumps(art("PMC2", "v1")) + "\n")
+    time.sleep(1.1)  # distinct mtimes → file order (oldest first) is fixed
+    with open(src / "b2.jsonl", "w") as f:
+        f.write(json.dumps(art("PMC1", "v2")) + "\n")  # cross-batch dup
+        f.write(json.dumps(art("PMC3", "v1")) + "\n")
+    os.utime(src / "b2.jsonl")
+
+    stream = read_article_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream_first_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.article_id: r for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert set(rows) == {"PMC1", "PMC2", "PMC3"}
+    assert rows["PMC1"].abstract_text == "v1"  # the first occurrence won
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [
         ("m1", "image", bytearray(b"\x89PNG fake bytes")),
@@ -156,3 +203,23 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_catalog_ddl(spark, tmp_path):
+    """S9 — create-if-not-exists + drop (the reference's _setup_collections
+    / reset_database, qdrant.py:69-96)."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ensure_table,
+        reset_table,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    name = "t_catalog_ddl_test"
+    reset_table(spark, name)
+    ensure_table(spark, name, df, path=str(tmp_path / "tbl"))
+    assert spark.catalog.tableExists(name)
+    schema1 = spark.table(name).schema
+    ensure_table(spark, name, df, path=str(tmp_path / "tbl"))  # idempotent
+    assert spark.table(name).schema == schema1
+    reset_table(spark, name)
+    assert not spark.catalog.tableExists(name)
