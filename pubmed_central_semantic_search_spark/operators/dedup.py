@@ -68,17 +68,26 @@ def shingles(
 ) -> DataFrame:
     """Distinct n-gram token shingles per document: (id, shingle).
 
-    lead-window construction — narrow within the per-doc sort; the
-    distinct dedups repeated shingles (set semantics, as MinHash needs)."""
-    tok = tokenize(df, id_col, text_col)
-    w = Window.partitionBy("_id").orderBy("pos")
-    leads = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    Built from the token ARRAY with ``transform(sequence(...))`` — a pure
+    projection followed by one explode: fully NARROW, no shuffle. (An
+    earlier lead-window version shuffled the whole token stream on doc id
+    just to line up neighbors that were already adjacent in the array —
+    at 100 TB that shuffle is the corpus itself.) The distinct dedups
+    repeated shingles (set semantics, as MinHash needs)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # guard: sequence(1, 0) would run DESCENDING for docs shorter than n
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        tok.select("_id", F.concat_ws(" ", *leads).alias("shingle"),
-                   F.lead("token", n - 1).over(w).alias("_complete"))
-        .filter(F.col("_complete").isNotNull())
-        .select("_id", "shingle")
-        .distinct()
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
     )
 
 

@@ -1,0 +1,81 @@
+"""Skew mitigation (brief: "skewed keys hurt … salting for skew, AQE for
+runtime re-plan").
+
+AQE's skew-join handling (on in ``session.py``) splits oversized shuffle
+partitions automatically — that is the first line of defense and needs no
+code. The operators here cover the cases AQE cannot fix:
+
+- ``salted_join``: a single hot key (one article cited everywhere, one
+  empty-string language tag) lands every matching row on ONE task. AQE can
+  split a skewed partition only for sort-merge joins reading shuffle files;
+  for hash-partitioned equi-joins against a replicable right side, salting
+  is the classic cure: the big side gets a deterministic salt in
+  ``[0, n)``, the small side is exploded n× (one copy per salt), and the
+  join key becomes ``(key, salt)`` — the hot key's rows spread over n
+  tasks. Result set is IDENTICAL to the unsalted join (the salt is an
+  internal column, dropped on output).
+- ``salted_distinct_count``: exact count-distinct on a skewed key pair —
+  two-stage: distinct on (key, salt, value) first (spreads the hot key),
+  then merge. Same two-shuffle cost as plain distinct+count, but no
+  single-task hot spot.
+
+The salt must be DETERMINISTIC per row (task retries must re-derive the
+same salt or shuffle-replay breaks): hash of stable row columns, never
+``rand()``/partition id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(cols: Sequence[Column | str], n_salt: int) -> Column:
+    """Deterministic salt in [0, n_salt): xxhash64 of stable row columns."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salt)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_by: Sequence[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated n×.
+
+    ``salt_by``: stable big-side columns that distinguish rows WITHIN a hot
+    key (e.g. the big table's own primary key) — they feed the salt hash.
+    Output columns = the plain join's (salt is internal). ``small`` grows
+    n_salt× — keep it the genuinely small side.
+    """
+    big_s = big.withColumn("_salt", salt_column(salt_by, n_salt))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = big_s.join(small_s, [*on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group: Sequence[str],
+    value_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact per-group count-distinct that survives one group holding most
+    of the data: spread the group over (group, salt) for the distinct
+    stage, then sum the per-salt distinct counts (sets are disjoint across
+    salts because the salt is a function of the value)."""
+    salted = df.select(
+        *group, F.col(value_col).alias("_v"),
+        salt_column([value_col], n_salt).alias("_salt"),
+    ).distinct()
+    per_salt = salted.groupBy(*group, "_salt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_salt.groupBy(*group).agg(F.sum("_c").alias("n_distinct"))
