@@ -1,0 +1,155 @@
+"""User-facing engine facade — the workflow twin of the reference's
+``QdrantDatabase`` (``/root/reference/src/backend/database/qdrant.py:59-247``)
+plus ``DataFetcher`` dispatch (``data_fetcher.py:32-61``). A user of the
+reference maps their calls 1:1:
+
+| Reference | Here |
+|---|---|
+| ``QdrantDatabase(client, model)``        | ``SemanticSearchEngine(spark, root)`` |
+| ``reset_database()`` (qdrant.py:91-96)   | ``reset_database()`` |
+| ``upload_from_dataset`` (qdrant.py:98-100) | ``upload_articles(df)`` / ``upload_from_jsonl(paths)`` |
+| ``upload_from_pmcid`` (qdrant.py:102-104)  | ``upload_from_pmcids([...])`` |
+| ``DataFetcher.from_pdf`` (stub)          | ``upload_from_pdf`` (stub, S6 parity) |
+| ``query(queries, docs_per_query, highlight, paragraphs_per_document)`` (qdrant.py:233-247) | ``query(...)`` same signature |
+| ``QdrantQueryResponses`` HTML (responses.py) | ``query_html(...)`` |
+
+Storage: two parquet tables under ``root`` mirroring the two Qdrant
+collections (SURVEY §1.4) — ``chunks`` (chunk vectors + payload) and
+``doc_vectors`` (mean-pooled, H1-keyed). Ingest writes chunks FIRST and
+derives doc vectors from the written parquet, so the expensive E1 encode
+is materialized exactly once (the stage-isolation tactic from SURVEY §4);
+both writes are keyed idempotent upserts — re-uploading an article
+overwrites it, the reference's re-upload semantics (qdrant.py:137-139).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .encoder import DEFAULT_DIM, encode_column, fake_encode_matrix
+from .functions.text import doc_key
+from .operators.chunking import explode_chunks
+from .operators.pooling import mean_pool
+from .operators.render import render_hits
+from .operators.search import highlight_chunks, score_documents, semantic_search
+from .sources.catalog import upsert_parquet
+from .sources.jsonl import read_jsonl_splits
+from .sources.pmc import fetch_articles, to_article_rows
+from .schemas import ARTICLES_SCHEMA
+
+
+class SemanticSearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        encoder: str = "fake",
+        dim: int = DEFAULT_DIM,
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.chunks_path = f"{self.root}/chunks"
+        self.doc_vectors_path = f"{self.root}/doc_vectors"
+        self.encoder = encoder
+        self.dim = dim
+
+    # -- DDL ---------------------------------------------------------------
+
+    def reset_database(self) -> None:
+        """qdrant.py:91-96 — drop both collections (works on any Hadoop
+        filesystem scheme, not just local)."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for path in (self.chunks_path, self.doc_vectors_path):
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(conf).delete(p, True)
+
+    # -- ingest ------------------------------------------------------------
+
+    def upload_articles(self, articles: DataFrame) -> None:
+        """The reference's ``_upload`` pipeline (qdrant.py:110-175) as two
+        batch jobs: explode→encode→upsert chunks; mean-pool from the
+        WRITTEN chunks → upsert doc vectors (E1 runs once, H1-keyed
+        idempotent overwrite)."""
+        chunks = explode_chunks(articles).withColumn(
+            "embedding", encode_column("paragraph", kind=self.encoder, dim=self.dim)
+        )
+        upsert_parquet(
+            self.spark, chunks, self.chunks_path, key_cols=["chunk_id"]
+        )
+        written = self.spark.read.parquet(self.chunks_path)
+        vecs = mean_pool(
+            written, group=["article_id"], vec_col="embedding", dim=self.dim
+        ).withColumn("doc_pk", doc_key("article_id"))
+        upsert_parquet(
+            self.spark, vecs, self.doc_vectors_path, key_cols=["article_id"]
+        )
+
+    def upload_from_jsonl(self, paths: list[str]) -> None:
+        """armac corpus path (S1/S2): JSONL splits → one union → ingest."""
+        self.upload_articles(
+            read_jsonl_splits(self.spark, paths, schema=ARTICLES_SCHEMA)
+        )
+
+    def upload_from_pmcids(self, pmcids: list[str]) -> None:
+        """qdrant.py:102-104 — fetch + JATS-parse + ingest (network)."""
+        parsed = fetch_articles(self.spark, pmcids)
+        self.upload_articles(to_article_rows(parsed))
+
+    def upload_from_pdf(self, path: str) -> None:
+        """S6 — declared-unimplemented, matching fetch_pdf.py:2-4."""
+        raise NotImplementedError("PDF ingestion is a stub in the reference too")
+
+    # -- query -------------------------------------------------------------
+
+    def _query_frame(self, queries: str | list[str]) -> DataFrame:
+        """qdrant.py:233-236 — str→[str] promote, encode once driver-side
+        (same encoder as ingest; tiny row count)."""
+        if isinstance(queries, str):
+            queries = [queries]
+        vecs = fake_encode_matrix(list(queries), self.dim)
+        return self.spark.createDataFrame(
+            [(i, q, [float(x) for x in v]) for i, (q, v) in enumerate(zip(queries, vecs))],
+            "query_id int, query_text string, qvec array<double>",
+        )
+
+    def query(
+        self,
+        queries: str | list[str],
+        docs_per_query: int = 5,
+        highlight: bool = True,
+        paragraphs_per_document: int = 1,
+        context_window: int = 1,
+    ) -> DataFrame:
+        """The reference's core query (qdrant.py:201-247) — defaults mirror
+        the UI (k=5 docs, 1 paragraph, app.py:113,118)."""
+        doc_vectors = self.spark.read.parquet(self.doc_vectors_path)
+        chunks = self.spark.read.parquet(self.chunks_path)
+        q = self._query_frame(queries)
+        out = semantic_search(
+            doc_vectors,
+            chunks,
+            q,
+            k_docs=docs_per_query,
+            n_paragraphs=paragraphs_per_document,
+            highlight=highlight,
+            context_window=context_window,
+        )
+        return out.join(F.broadcast(q.select("query_id", "query_text")), "query_id")
+
+    def query_html(
+        self,
+        queries: str | list[str],
+        docs_per_query: int = 5,
+        paragraphs_per_document: int = 1,
+    ) -> DataFrame:
+        """responses.py rendering: <mark>-wrapped context, article link."""
+        doc_vectors = self.spark.read.parquet(self.doc_vectors_path)
+        chunks = self.spark.read.parquet(self.chunks_path)
+        q = self._query_frame(queries)
+        top_docs = score_documents(doc_vectors, q, k_docs=docs_per_query)
+        hits = highlight_chunks(chunks, top_docs, paragraphs_per_document)
+        return render_hits(hits, chunks).join(
+            F.broadcast(q.select("query_id", "query_text")), "query_id"
+        )

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from ..encoder import DEFAULT_DIM, encode_column, fake_encode_one
 from ..operators.chunking import explode_chunks
 from ..operators.pooling import mean_pool
-from ..operators.search import semantic_search
+from ..operators.render import render_hits
+from ..operators.search import (
+    highlight_chunks,
+    score_documents,
+    semantic_search,
+)
 from ..registry import QUERY_VEC, load, register, sql_vec
 
 N_ARTICLES = 50  # synthetic article count for the e2e oracle query
@@ -170,4 +175,87 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "paragraph_id",
         F.round("chunk_score", 6).alias("chunk_score"),
         F.array_join("context_paragraphs", "|").alias("context"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — the reference's presentation layer (responses.py) as string
+# expressions: <mark>-wrapped ±1 context, newline-joined most-relevant
+# block, external article link. Oracle-checked character for character.
+
+_MARK = '<mark class="highlight-paragraph">'
+_LINK = (
+    '<a target="_blank" rel="noopener noreferrer" '
+    'href="https://pmc.ncbi.nlm.nih.gov/articles/'
+)
+
+
+@register(
+    "q39_render_hits",
+    f"""
+    WITH chunk AS (
+      SELECT CAST(vec_id % {N_ARTICLES} AS VARCHAR) AS article_id,
+             CAST(vec_id // {N_ARTICLES} AS INT) AS paragraph_id,
+             'p' || CAST(vec_id AS VARCHAR) AS paragraph,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT article_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+      FROM chunk
+    ),
+    docvec AS (
+      SELECT article_id, list(m ORDER BY pos) AS emb
+      FROM (SELECT article_id, pos, avg(val) AS m FROM comp GROUP BY article_id, pos)
+      GROUP BY article_id
+    ),
+    top_docs AS (
+      SELECT article_id,
+             list_cosine_similarity(emb, {sql_vec(QUERY_VEC)}) AS doc_score
+      FROM docvec
+      QUALIFY row_number() OVER (
+        ORDER BY list_cosine_similarity(emb, {sql_vec(QUERY_VEC)}) DESC, article_id
+      ) <= 5
+    ),
+    chunk_hits AS (
+      SELECT c.article_id, d.doc_score, c.paragraph_id,
+             list_cosine_similarity(c.emb, {sql_vec(QUERY_VEC)}) AS chunk_score
+      FROM chunk c JOIN top_docs d USING (article_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY c.article_id
+        ORDER BY list_cosine_similarity(c.emb, {sql_vec(QUERY_VEC)}) DESC, c.paragraph_id
+      ) <= 1
+    )
+    SELECT h.article_id,
+           h.paragraph_id,
+           round(h.chunk_score, 6) AS chunk_score,
+           string_agg('{_MARK}' || trim(n.paragraph) || '</mark>',
+                      chr(10) ORDER BY n.paragraph_id) AS marked_html,
+           string_agg(n.paragraph, chr(10) ORDER BY n.paragraph_id) AS most_relevant_html,
+           '{_LINK}' || h.article_id || '/">View full article on external site: '
+             || h.article_id || '</a>' AS article_link
+    FROM chunk_hits h
+    JOIN chunk n ON n.article_id = h.article_id
+               AND n.paragraph_id BETWEEN h.paragraph_id - 1 AND h.paragraph_id + 1
+    GROUP BY h.article_id, h.paragraph_id, h.chunk_score
+    """,
+    survey_rows="F5, F6, Q6 — responses.py render layer (mark/link/context)",
+)
+def q39_render_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _synthetic_chunks(spark, sf_dir)
+    doc_vectors = mean_pool(
+        chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
+    )
+    queries = spark.createDataFrame(
+        [(0, QUERY_VEC)], "query_id int, qvec array<double>"
+    )
+    top_docs = score_documents(doc_vectors, queries, k_docs=5)
+    hits = highlight_chunks(chunks, top_docs, n_paragraphs=1)
+    return render_hits(hits, chunks, window=1).select(
+        "article_id",
+        "paragraph_id",
+        F.round("chunk_score", 6).alias("chunk_score"),
+        "marked_html",
+        "most_relevant_html",
+        "article_link",
     )

@@ -184,3 +184,13 @@ def fetch_articles(spark: SparkSession, pmcids: list[str]) -> DataFrame:
 
     xml_df = pmcid_df.mapInPandas(_fetch, "pmcid string, xml string")
     return parse_articles(xml_df)
+
+
+def to_article_rows(parsed: DataFrame) -> DataFrame:
+    """Parsed rows → ARTICLES_SCHEMA shape: poison rows (error != null)
+    are excluded from ingest but stay queryable upstream."""
+    from pyspark.sql import functions as F
+
+    return parsed.filter(F.col("error").isNull() & F.col("article_id").isNotNull()).select(
+        "article_id", "section_names", "sections", "abstract_text"
+    )
