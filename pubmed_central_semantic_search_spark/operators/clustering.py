@@ -33,19 +33,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_similarity
+from ..functions.vector import as_double, cosine_similarity, dot
 from .topk import grouped_top_k
 
 Centroids = list[tuple[int, list[float]]]
 
 
+def _unit(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec] if n > 0 else vec
+
+
 def _ranked_centroids(vec_col: Column | str, centroids: Centroids) -> Column:
-    """array<struct<nsim,c>> sorted best-first (ties → lowest cluster id)."""
+    """array<struct<nsim,c>> sorted best-first (ties → lowest cluster id).
+
+    Ranking trick: argsort by cosine(v, c) over FIXED centroids equals
+    argsort by dot(v, c/|c|) — |v| is a positive per-row constant and
+    |c| is folded into the literal driver-side. Saves two norm folds per
+    centroid per row and shrinks the codegen tree ~3×."""
     return F.array_sort(
         F.array(
             *[
                 F.struct(
-                    (-cosine_similarity(vec_col, F.lit(vec))).alias("nsim"),
+                    (-dot(vec_col, F.lit(_unit(vec)))).alias("nsim"),
                     F.lit(cid).alias("c"),
                 )
                 for cid, vec in centroids

@@ -156,3 +156,53 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("event_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snowflake multi-way join: part → lineitem ← supplier → nation → region,
+# revenue by region × brand. Exercises Catalyst join reordering with every
+# dim broadcast — the fact table shuffles ZERO times before aggregation.
+
+
+@register(
+    "q40_snowflake_join",
+    """
+    SELECT r.r_name AS region_name,
+           p.p_brand AS brand,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 20
+    GROUP BY r.r_name, p.p_brand
+    """,
+    survey_rows="§2.8 joins (multi-way snowflake, broadcast dims), A1",
+)
+def q40_snowflake_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -138,3 +138,104 @@ def q31_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(d, "doc_id", "text").select(
         F.col("_id").alias("id"), "fingerprint"
     )
+
+
+# ---------------------------------------------------------------------------
+# The flagship LLM-training-data prep pipeline, ONE declarative plan
+# (north star: "the operations a large-scale training-data pipeline
+# would need"): quality gate → language gate → exact dedup (keep lowest
+# id) → per-source corpus stats. Every stage reuses an already-certified
+# operator; the whole composition is oracle-checked end to end.
+
+
+@register(
+    "q41_data_prep_pipeline",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, text, source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+             len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop,
+             len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> regexp_full_match(t, '[0-9]+'))) AS n_digit,
+             length(text) AS n_chars,
+             {_sql_score('de')} AS s_de,
+             {_sql_score('en')} AS s_en,
+             {_sql_score('es')} AS s_es,
+             {_sql_score('fr')} AS s_fr
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source,
+             CAST((3 * least(n_tok * 1000 // 32, 1000)
+                 + 2 * CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
+                        THEN 1000 ELSE 500 END
+                 + 3 * least(n_stop * 5000 // n_tok, 1000)
+                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10 AS BIGINT)
+               AS quality_milli,
+             {_LANG_CASE} AS predicted_lang
+      FROM feat
+    ),
+    kept AS (
+      SELECT doc_id, text, source, quality_milli FROM scored
+      WHERE quality_milli >= 600 AND predicted_lang = 'en'
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS total_bpe_tokens,
+           sum(quality_milli) AS sum_quality_milli
+    FROM kept
+    GROUP BY source
+    """,
+    survey_rows="X1+X4 composition — full data-prep pipeline (quality → lang → dedup → stats), one plan",
+)
+def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    scored = quality_score(d).withColumn("predicted_lang", language_id("text"))
+    kept = exact_dedup(
+        scored.filter(
+            (F.col("quality_milli") >= 600) & (F.col("predicted_lang") == "en")
+        ),
+        content_cols=["text"],
+        order_col="doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.sum("quality_milli").alias("sum_quality_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal column plumbing at driver scale: documents' text bytes
+# stand in for opaque media blobs (no media libs in this container —
+# the decode seam is stubbed, SURVEY X5); schema/partitioning/batch shape
+# of the mapInPandas feature extraction is the real, tested surface.
+# Python feature model in the plan → rows-only check.
+
+
+@register(
+    "q42_multimodal_features",
+    None,
+    survey_rows="X5 (binary columns, mapInPandas feature extraction, stubbed decode)",
+)
+def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feature_c0"),
+        "error",
+    )

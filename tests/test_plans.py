@@ -109,3 +109,30 @@ def test_pipeline_encoder_is_arrow_batched(spark, sf_dir):
         contains=["ArrowEvalPython"],
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_snowflake_join_all_dims_broadcast(spark, sf_dir):
+    # the fact table must reach the aggregate without a single pre-agg
+    # shuffle: every dim join is a BroadcastHashJoin
+    plan = assert_plan(
+        _q("q40_snowflake_join", spark, sf_dir),
+        contains=["BroadcastHashJoin"],
+        not_contains=["SortMergeJoin", "CartesianProduct"],
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ivf_probe_join_is_hash(spark, sf_dir):
+    assert_plan(
+        _q("q37_ivf_topk", spark, sf_dir),
+        contains=["BroadcastHashJoin"],
+        not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    # the inverted-index self-join must be an equi-join on shingle
+    assert_plan(
+        _q("q36_ngram_jaccard", spark, sf_dir),
+        not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )

@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY §5.4): mean-pool identity/linearity, top-k
+monotonicity in k, filter-then-rank ≡ rank-then-filter for the Q2 window,
+cosine self-similarity. Spark session is session-scoped; examples are
+capped to keep job counts sane."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.operators.pooling import mean_pool
+from pubmed_central_semantic_search_spark.operators.topk import (
+    grouped_top_k,
+    top_k,
+)
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(-100, 100, allow_nan=False, allow_infinity=False)
+vec = st.lists(finite, min_size=4, max_size=4)
+
+
+@PROP
+@given(v=vec)
+def test_mean_pool_singleton_identity(spark, v):
+    df = spark.createDataFrame([("g", v)], "g string, embedding array<double>")
+    [row] = mean_pool(df, ["g"], dim=4).collect()
+    assert row["embedding"] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+
+@PROP
+@given(vs=st.lists(vec, min_size=2, max_size=5))
+def test_mean_pool_matches_python_mean(spark, vs):
+    df = spark.createDataFrame(
+        [("g", v) for v in vs], "g string, embedding array<double>"
+    )
+    [row] = mean_pool(df, ["g"], dim=4).collect()
+    expected = [sum(col) / len(vs) for col in zip(*vs)]
+    assert row["embedding"] == pytest.approx(expected, rel=1e-9, abs=1e-9)
+    # flat (dim-agnostic) shape agrees with the wide-avg fast path
+    [flat] = mean_pool(df, ["g"], dim=None).collect()
+    assert flat["embedding"] == pytest.approx(row["embedding"], rel=1e-12)
+
+
+@PROP
+@given(scores=st.lists(finite, min_size=1, max_size=12), k=st.integers(1, 6))
+def test_topk_monotone_prefix(spark, scores, k):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "id int, score double"
+    )
+    small = [tuple(r) for r in top_k(df, "score", k, tiebreak=["id"]).collect()]
+    big = [tuple(r) for r in top_k(df, "score", k + 3, tiebreak=["id"]).collect()]
+    assert big[: len(small)] == small  # top-k is a prefix of top-(k+m)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), finite), min_size=1, max_size=15
+    ),
+    k=st.integers(1, 4),
+)
+def test_grouped_topk_commutes_with_group_filter(spark, rows, k):
+    """Q2's correctness core: restricting to one group BEFORE the ranking
+    window gives the same rows as ranking all groups then filtering —
+    i.e. the one-pass window legitimately replaces the reference's N+1
+    per-document queries."""
+    df = spark.createDataFrame(
+        [(g, i, s) for i, (g, s) in enumerate(rows)],
+        "g int, id int, score double",
+    )
+    ranked_then_filtered = grouped_top_k(
+        df, ["g"], "score", k, tiebreak=["id"]
+    ).filter(F.col("g") == 0)
+    filtered_then_ranked = grouped_top_k(
+        df.filter(F.col("g") == 0), ["g"], "score", k, tiebreak=["id"]
+    )
+    assert sorted(map(tuple, ranked_then_filtered.collect())) == sorted(
+        map(tuple, filtered_then_ranked.collect())
+    )
+
+
+def test_cosine_self_similarity(spark):
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    vs = [[1.0, 2.0, -3.0], [0.001, 0.0, 0.0], [5.0, 5.0, 5.0]]
+    df = spark.createDataFrame([(v,) for v in vs], "v array<double>")
+    for r in df.select(cosine_similarity("v", F.col("v")).alias("c")).collect():
+        assert math.isclose(r["c"], 1.0, rel_tol=1e-9)
