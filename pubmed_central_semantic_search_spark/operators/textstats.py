@@ -146,3 +146,37 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
         ).alias("fingerprint"),
     )
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """X4 — Gopher-style repetition signal: the fraction of n-gram
+    occurrences that are repeats of an earlier occurrence within the same
+    document (0 = no repetition, →1 = the text loops). Computed entirely
+    on the token ARRAY (narrow, no shuffle): total n-grams vs distinct
+    n-grams per row. Returns (id, n_grams, n_distinct, rep_milli) with the
+    ratio in integer milli-units for cross-engine determinism."""
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    ).withColumn(
+        "rep_milli",
+        F.when(
+            F.col("n_grams") > 0,
+            ((F.col("n_grams") - F.col("n_distinct")) * 1000)
+            .cast("bigint")
+            / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )

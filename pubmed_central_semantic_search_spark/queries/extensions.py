@@ -239,3 +239,42 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feature_c0"),
         "error",
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — repetition signal (Gopher-style): fraction of n-gram occurrences
+# that repeat an earlier one, per document. Narrow array math, no shuffle.
+
+
+@register(
+    "q43_repetition_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                  ELSE [] END AS gs
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(gs) > 0
+                THEN (len(gs) - len(list_distinct(gs))) * 1000 // len(gs)
+                ELSE 0 END AS rep_milli
+    FROM grams
+    """,
+    survey_rows="X4 (repetition ratio — Gopher quality signal)",
+)
+def q43_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_ratio
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_ratio(d, "doc_id", "text", n=3).select(
+        F.col("_id").alias("doc_id"), "n_grams", "n_distinct", "rep_milli"
+    )
