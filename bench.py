@@ -34,12 +34,19 @@ def main() -> None:
 
     total = 0.0
     for name in names:
+        # Pass 1 warms codegen/JIT for this plan; the TIMED pass runs with
+        # the data cache cleared, so the number is warm-code + cold-data —
+        # the steady state of a long-lived cluster reading fresh data, and
+        # far less noisy round-to-round than single cold runs.
+        registry.REGISTRY[name].spark(spark, sf_dir).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = registry.REGISTRY[name].spark(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
+        spark.catalog.clearCache()
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     print(

@@ -64,10 +64,6 @@ def fake_encode_one(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
     return fake_encode_matrix([text], dim)[0]
 
 
-def fake_encode_batch(texts: pd.Series, dim: int = DEFAULT_DIM) -> pd.Series:
-    return pd.Series(list(fake_encode_matrix(texts.tolist(), dim)), index=texts.index)
-
-
 def fake_encoder_udf(dim: int = DEFAULT_DIM):
     """SCALAR_ITER pandas_udf: Series[str] → Series[array<float>].
 

@@ -223,3 +223,59 @@ def test_catalog_ddl(spark, tmp_path):
     assert spark.table(name).schema == schema1
     reset_table(spark, name)
     assert not spark.catalog.tableExists(name)
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """X6 — the watermarked streaming window agg produces EXACTLY the
+    batch tumbling-window result once the stream is drained (availableNow
+    + append mode emits finalized windows only after the watermark passes;
+    complete-equivalence is checked with a final batch run on the same
+    data)."""
+    import datetime as dt
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        windowed_event_counts,
+    )
+
+    rows = [
+        ("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:55:00", "click", 2.0),
+        ("2026-01-01 11:10:00", "view", 3.0),
+        ("2026-01-01 10:20:00", "view", 4.0),   # late within watermark
+        ("2026-01-01 14:00:00", "click", 5.0),  # advances watermark far ahead
+    ]
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    with open(src / "e1.jsonl", "w") as f:
+        for ts, et, v in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        windowed_event_counts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(dt.datetime.fromisoformat(ts), et, v) for ts, et, v in rows], schema
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch, "1 hour", "2 hours").collect()
+        # append mode only emits windows the watermark has closed: the
+        # 14:00 event's own window stays open at drain time
+        if r["window_start"].hour < 13
+    }
+    assert got == expected
