@@ -206,3 +206,104 @@ def q40_snowflake_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation — the portable form of PIVOT): events
+# fanned out to one column per event_type. Single hash aggregate.
+
+
+@register(
+    "q44_pivot_events",
+    """
+    SELECT user_id % 100 AS user_bucket,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY user_id % 100
+    """,
+    survey_rows="§2.10 exposure: pivot via conditional aggregation",
+)
+def q44_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy((F.col("user_id") % 100).alias("user_bucket")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality sketch (HLL++): at 100 TB, exact count-distinct of a
+# high-cardinality key is a full shuffle; the sketch is a map-side-mergeable
+# fixed-size state. Spark's HLL++ and DuckDB's HLL give DIFFERENT estimates
+# (different implementations), so the oracle contract is the boolean
+# "estimate within 5% of exact" — which must hold in BOTH engines — plus
+# the exact count itself.
+
+
+@register(
+    "q45_cardinality_sketch",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_rows="§2.10 exposure: HLL cardinality sketch (map-side mergeable), A2",
+)
+def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles of the per-document token-count
+# distribution, per source — the corpus-profiling aggregate every
+# training-data pipeline reports.
+
+
+@register(
+    "q46_token_percentiles",
+    """
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           round(quantile_cont(n_tok, 0.5), 6)  AS p50,
+           round(quantile_cont(n_tok, 0.9), 6)  AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99
+    FROM t GROUP BY source
+    """,
+    survey_rows="§2.10 exposure: exact interpolated percentiles, X4 corpus profiling",
+)
+def q46_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("source", n_tok.alias("n_tok"))
+    return t.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
+    )
