@@ -270,7 +270,12 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            # rsd=0.02: Spark's default (0.05) can miss the 5% contract —
+            # HLL rsd is a standard deviation, not a bound
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_within_5pct"),
     )
