@@ -99,3 +99,29 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_ivf_partitioned_storage_prunes(spark, tmp_path, sf_dir):
+    """The IVF scale path end to end: inverted lists written as parquet
+    partitions → a probe query's scan shows PartitionFilters and reads
+    only the probed lists (partition pruning, not a full scan)."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seed_centroids(emb, 4)
+    path = str(tmp_path / "ivf_lists")
+    ivf_assign(emb, cents).write.partitionBy("cluster_id").parquet(path)
+
+    lists = spark.read.parquet(path)
+    probed = lists.filter(F.col("cluster_id").isin([0, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # pruning is real: only the probed partitions' rows come back
+    full = {r["cluster_id"] for r in lists.select("cluster_id").distinct().collect()}
+    got = {r["cluster_id"] for r in probed.select("cluster_id").distinct().collect()}
+    assert got == {0, 2} and got < full
