@@ -136,3 +136,52 @@ def q12_mean_pool_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_pool_flat(emb, group=["label"], vec_col="embedding").select(
         "label", "pos", F.round("mean_val", 6).alias("mean_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 storage tier — int8 symmetric quantization of the embedding
+# column (4× smaller vectors at 100 TB). The contract checked in BOTH
+# engines: per label, reconstruction cosine stays ≥ 0.999 on every vector
+# and the whole quantize→dequantize round trip is bit-deterministic.
+
+
+@register(
+    "q47_quantization_error",
+    """
+    WITH q AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS emb,
+             CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
+                  THEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    d AS (
+      SELECT label, emb,
+             list_transform(list_transform(emb, x -> round(x / scale)),
+                            v -> v * scale) AS deq
+      FROM q
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(list_cosine_similarity(emb, deq)), 4) AS avg_cos,
+           min(list_cosine_similarity(emb, deq)) >= 0.999 AS all_above_999
+    FROM d
+    GROUP BY label
+    """,
+    survey_rows="X2/X3 (int8 embedding quantization — the 4× storage tier)",
+)
+def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from ..operators.quantize import dequantize, with_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = with_quantized(emb).withColumn(
+        "deq", dequantize("q_vec", F.col("q_scale"))
+    )
+    cos = cosine_similarity("embedding", F.col("deq"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(cos), 4).alias("avg_cos"),
+        (F.min(cos) >= 0.999).alias("all_above_999"),
+    )

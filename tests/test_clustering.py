@@ -116,3 +116,40 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert full_got[(1, 2)] - got[(1, 2)] == 1
     # cross-group pair shares ONLY the capped shingle → disappears
     assert (1, 3) in full_got and (1, 3) not in got
+
+
+def test_quantize_round_trip_properties(spark):
+    """int8 quantization: values land in [-127,127], zero vectors stay
+    zero, reconstruction cosine ≥ 0.999 on a hostile (large-spread)
+    vector."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pubmed_central_semantic_search_spark.operators.quantize import (
+        dequantize,
+        with_quantized,
+    )
+
+    rows = [
+        (0, [0.001, -100.0, 50.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1e-6, 2e-6, -1e-6, 3e-6]),
+    ]
+    df = with_quantized(
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    ).withColumn("deq", dequantize("q_vec", F.col("q_scale")))
+    out = {r["vec_id"]: r for r in df.collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["q_vec"])
+    assert list(out[1]["q_vec"]) == [0, 0, 0, 0]  # zero vector intact
+    # reconstruction cosine on the nonzero vectors (ANSI div-by-zero guard:
+    # the zero vector has no defined cosine)
+    cos = {
+        r["vec_id"]: r["cos"]
+        for r in df.filter(F.col("vec_id") != 1)
+        .withColumn("cos", cosine_similarity("embedding", F.col("deq")))
+        .collect()
+    }
+    assert cos[0] >= 0.999 and cos[2] >= 0.999
