@@ -2,7 +2,6 @@
 (setup → bulk upload → incremental PMCID-style upload → re-upload
 overwrite → query with highlight + HTML), against parquet storage."""
 
-import json
 import os
 
 import pytest

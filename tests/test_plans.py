@@ -10,8 +10,8 @@ Each assertion encodes a scale property:
 - scoring stays in WholeStageCodegen (no Python in the hot path).
 """
 
-import pytest
-from pyspark.sql import functions as F
+
+
 
 from pubmed_central_semantic_search_spark.plans.planner import (
     assert_plan,

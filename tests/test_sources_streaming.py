@@ -5,7 +5,7 @@ import json
 import os
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from pubmed_central_semantic_search_spark.operators.multimodal import (
     extract_features,
