@@ -26,7 +26,7 @@ windows, which TakeOrderedAndProject-style heaps keep cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity
@@ -136,6 +136,69 @@ def expand_context(
     )
 
 
+def highlight_with_context(
+    chunks: DataFrame,
+    top_docs: DataFrame,
+    n_paragraphs: int = 1,
+    window: int = 1,
+) -> DataFrame:
+    """Q2+Q6 fused — top-n chunk highlight AND ±window context in ONE scan
+    of ``chunks`` and ONE shuffle.
+
+    The two-step shape (``highlight_chunks`` then ``expand_context``) scans
+    the chunk table twice — at 100 TB that is two full passes over the
+    engine's biggest table. Here instead:
+
+    1. chunks ⋈ broadcast(top_docs) on article_id prunes to candidate
+       articles and scores each chunk (one scan, no shuffle).
+    2. ``row_number`` window over (query_id, article_id) ranks chunks —
+       the plan's ONLY exchange, hash(query_id, article_id).
+    3. ``collect_list(paragraph)`` over (query_id, article_id,
+       section_name) ORDER BY paragraph_id RANGE BETWEEN -w AND w builds
+       the context array. RANGE frames give exactly the reference's
+       semantics (responses.py:81-104): neighbors by paragraph-id
+       *value*, clamped at section bounds (missing ids simply aren't in
+       the frame), the hit itself included once (set-union). Because
+       hash(query_id, article_id) already clusters the finer partition
+       key, this window needs NO second exchange — just a sort.
+    4. Filter rank ≤ n after the context frame, so non-top neighbors
+       still contribute context before being dropped.
+    """
+    hits = top_docs.select("query_id", "qvec", ARTICLE_ID, "doc_score")
+    joined = chunks.join(F.broadcast(hits), ARTICLE_ID).select(
+        "query_id",
+        ARTICLE_ID,
+        "doc_score",
+        "section_id",
+        "section_name",
+        "paragraph_id",
+        "paragraph",
+        cosine_similarity("embedding", F.col("qvec")).alias("chunk_score"),
+    )
+    w_rank = Window.partitionBy("query_id", ARTICLE_ID).orderBy(
+        F.desc("chunk_score"), F.asc("section_id"), F.asc("paragraph_id")
+    )
+    w_ctx = (
+        Window.partitionBy("query_id", ARTICLE_ID, "section_name")
+        .orderBy("paragraph_id")
+        .rangeBetween(-window, window)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("context_paragraphs", F.collect_list("paragraph").over(w_ctx))
+        .filter(F.col("_rn") <= n_paragraphs)
+        .select(
+            "query_id",
+            ARTICLE_ID,
+            "doc_score",
+            "section_name",
+            "paragraph_id",
+            "chunk_score",
+            "context_paragraphs",
+        )
+    )
+
+
 def semantic_search(
     doc_vectors: DataFrame,
     chunks: DataFrame,
@@ -155,5 +218,4 @@ def semantic_search(
     top_docs = score_documents(doc_vectors, queries, k_docs)
     if not highlight:
         return top_docs.select("query_id", ARTICLE_ID, "doc_score")
-    hits = highlight_chunks(chunks, top_docs, n_paragraphs)
-    return expand_context(hits, chunks, context_window)
+    return highlight_with_context(chunks, top_docs, n_paragraphs, context_window)

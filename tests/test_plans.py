@@ -79,6 +79,40 @@ def test_e2e_search_no_cartesian_blowup(spark, sf_dir):
     )
 
 
+def test_highlight_context_is_one_scan_one_shuffle(spark, sf_dir):
+    # Q2+Q6 fused: the highlight+context subtree must scan chunks ONCE and
+    # shuffle ONCE — the rank window's hash(query_id, article_id) exchange
+    # also serves the finer-keyed context window (subset-satisfies-
+    # clustering), which therefore appears as a Sort with no Exchange.
+    from pubmed_central_semantic_search_spark.operators.search import (
+        highlight_with_context,
+        score_documents,
+    )
+    from pubmed_central_semantic_search_spark.queries.pipeline import (
+        _synthetic_chunks,
+    )
+    from pubmed_central_semantic_search_spark.registry import QUERY_VEC
+
+    chunks = _synthetic_chunks(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(0, QUERY_VEC)], "query_id int, qvec array<double>"
+    )
+    top = score_documents(
+        chunks.select("article_id", "embedding"), queries, 5
+    )
+    out = highlight_with_context(chunks, top, n_paragraphs=1, window=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # subtract the top_docs subtree (computed once, broadcast): build it
+    # alone and diff the counts
+    top_plan = top._jdf.queryExecution().executedPlan().toString()
+    extra_scans = plan.count("Scan parquet") - top_plan.count("Scan parquet")
+    extra_shuffles = plan.count("Exchange hashpartitioning") - top_plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert extra_scans == 1, plan
+    assert extra_shuffles == 1, plan
+
+
 def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
     assert_plan(
         _q("q27_lsh_bucketed_topk", spark, sf_dir),
