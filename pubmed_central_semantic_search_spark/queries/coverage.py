@@ -115,45 +115,77 @@ def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # As-of join (absent in reference §2.10; a core time-series EXT): for each
-# order, the latest event of user o_custkey at-or-before the order date.
-# Spark shape: range-join + per-order argmax window. At scale: bucket both
-# sides by user, sort within bucket — or use the lag/merge pattern per
-# partition; here the window form is the declarative baseline.
+# purchase event, the latest click by the same user at-or-before the
+# purchase timestamp (the trades/quotes shape).
+#
+# Spark shape — union + carry-forward window, NOT an inequality join: tag
+# both sides, union, and take last(click, ignorenulls) over (user ORDER BY
+# ts) rows-unbounded-preceding. ONE shuffle on user_id, one sort, zero
+# join blowup — an inequality join materializes |purchases|×|clicks| per
+# user before pruning, which dies on hot users at 100 TB; this shape is
+# linear and AQE-skew-splittable.
 
 
 @register(
     "q35_asof_join",
     """
-    SELECT o_orderkey, o_custkey, o_orderdate, event_ts, event_value FROM (
-      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-             e.ts AS event_ts, e.value AS event_value,
+    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id, click_value
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             date_trunc('second', p.ts) AS purchase_ts,
+             date_trunc('second', c.ts) AS click_ts,
+             c.event_id AS click_id, c.value AS click_value,
              row_number() OVER (
-               PARTITION BY o.o_orderkey ORDER BY e.ts DESC, e.event_id
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
              ) AS rn
-      FROM orders o
-      JOIN events e
-        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-      WHERE o.o_orderkey < 3000
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
     ) WHERE rn = 1
     """,
-    survey_rows="§2.10 exposure: as-of join (latest event ≤ order date)",
+    survey_rows="§2.10 exposure: as-of join (latest click ≤ purchase ts)",
 )
 def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     e = load(spark, sf_dir, "events")
-    joined = o.join(
-        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate)
+    click_t = "struct<ts:timestamp,event_id:bigint,value:double>"
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct("ts", "event_id", "value").cast(click_t).alias("c"),
+        F.lit(0).alias("is_p"),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast(click_t).alias("c"),
+        F.lit(1).alias("is_p"),
+    )
+    # order: ts, then clicks-before-purchases at equal ts ("at-or-before"),
+    # then event_id so the carried row is the max-id click among ts ties —
+    # exactly the oracle's (ts DESC, event_id DESC) rn=1.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        clicks.unionByName(purchases)
+        .withColumn("last_c", F.last("c", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
         .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderdate",
-            F.col("ts").alias("event_ts"),
-            F.col("value").alias("event_value"),
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            # second-truncated for the oracle contract: the driver tables
+            # store ns timestamps, which Spark's parquet reader rounds to
+            # micros while DuckDB floors — raw ts values diverge by 1µs.
+            # (No event sits within 500 ns of a second boundary at any SF,
+            # verified against the fixed test data.)
+            F.date_trunc("second", "ts").alias("purchase_ts"),
+            F.date_trunc("second", "last_c.ts").alias("click_ts"),
+            F.col("last_c.event_id").alias("click_id"),
+            F.col("last_c.value").alias("click_value"),
         )
     )
 
