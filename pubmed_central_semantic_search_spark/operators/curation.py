@@ -1,0 +1,146 @@
+"""Training-data curation operators (BASELINE.json north star: the
+operations a large-scale LLM training pipeline needs beyond the
+reference's own surface).
+
+All pure Catalyst — deterministic, engine-portable, no UDF:
+
+- ``hash_split`` — stable train/val/test assignment from md5 of the
+  document key. Content-addressed (re-runs and re-shards never move a doc
+  between splits), exactly the property the reference gets from its
+  sha3-derived point ids (``qdrant.py:137-139``). Buckets come from the
+  first two hex chars (0..255), mapped to splits by cumulative share.
+  Narrow (per-row) — zero shuffles at any scale.
+
+- ``pack_sequences`` — LLM pretraining sequence packing: concatenate each
+  shard's documents in key order and cut at ``ctx_len``-token boundaries
+  (documents may straddle cuts, the standard GPT-style packing). A
+  running-total window per shard gives every doc its (sequence, offset)
+  coordinates. One shuffle+sort per shard partition; shards are the
+  parallelism unit at 100 TB (the global-order variant would serialize).
+
+- ``shingle_set`` / ``decontaminate`` — benchmark decontamination: flag
+  corpus docs sharing ≥ ``min_shared`` distinct n-gram shingles with any
+  benchmark doc. Shingling is a narrow ``transform`` over the token
+  array (no token-explode shuffle); the overlap test is an equi-join on
+  the shingle hash — the inverted-index shape that scales (never a doc ×
+  doc comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add ``bucket`` (0..255, md5-derived) and ``split`` columns.
+
+    ``shares`` maps split name → fraction; defaults to 80/10/10.
+    """
+    shares = shares or {"train": 0.80, "val": 0.10, "test": 0.10}
+    h = F.md5(F.col(key_col).cast("string"))
+    nibble = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = (nibble(1) * 16 + nibble(2)).alias("bucket")
+    expr = None
+    acc = 0.0
+    names = list(shares)
+    for name in names[:-1]:
+        acc += shares[name]
+        cond = F.col("bucket") < int(round(acc * 256))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its packed-sequence coordinates.
+
+    Returns the input keys plus ``n_tokens``, ``seq_id`` (sequence the doc
+    starts in), ``seq_offset`` (token offset within it), and ``seq_end``
+    (sequence the doc ends in — > seq_id when the doc straddles a cut).
+    Sequence ids are per-shard; (shard, seq_id) is the global key.
+    """
+    n_tok = F.size(_tokens(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(shard_col, order_col, n_tok.alias("n_tokens")).withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return out.select(
+        shard_col,
+        order_col,
+        "n_tokens",
+        F.floor(F.col("_before") / ctx_len).alias("seq_id"),
+        (F.col("_before") % ctx_len).alias("seq_offset"),
+        F.floor((F.col("_before") + F.col("n_tokens") - 1) / ctx_len).alias(
+            "seq_end"
+        ),
+    )
+
+
+def shingle_set(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, distinct n-gram shingle md5). Narrow until the
+    explode; no shuffle."""
+    toks = _tokens(text_col)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        id_col, F.explode(shingles).alias("_sh")
+    ).select(id_col, F.md5("_sh").alias("shingle_hash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contaminated (corpus_doc, benchmark_doc, n_shared_shingles) pairs.
+
+    Equi-join on shingle hash (inverted index), then a keyed count —
+    never a quadratic doc×doc scan. Benchmark shingle sets are typically
+    small enough to broadcast at any corpus scale.
+    """
+    c = shingle_set(corpus, n, id_col, text_col)
+    b = shingle_set(benchmark, n, id_col, text_col).select(
+        F.col(id_col).alias("bench_id"), "shingle_hash"
+    )
+    pairs = c.join(F.broadcast(b), "shingle_hash")
+    return (
+        pairs.groupBy(id_col, "bench_id")
+        .agg(F.count_distinct("shingle_hash").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1,0 +1,134 @@
+"""Lexical + hybrid retrieval (X4 text analysis / Q1 generalization).
+
+The reference is embedding-only (cosine over doc vectors,
+``/root/reference/src/backend/database/qdrant.py:201-205``). Production
+search over the same corpus pairs that with a lexical ranker and fuses the
+two rankings — the standard hybrid-retrieval upgrade. Both stages are pure
+Catalyst plans:
+
+- ``bm25_rank`` — Okapi BM25 (Lucene variant) as an inverted aggregation:
+  explode tokens once, keep only query terms (broadcast join), tf via one
+  hash aggregate on (doc, term), df + corpus stats as tiny broadcast
+  aggregates. No UDF, no driver loop; the token explode is narrow and the
+  only wide ops are two hash aggregates keyed by doc.
+
+- ``rrf_fuse`` — reciprocal-rank fusion of two rankings:
+  ``score = Σ 1/(k + rank_i)`` with the missing-list term dropped
+  (full-outer join + coalesce). Rank-based, so float noise in the
+  component scores can't leak in: integer ranks are exact in both
+  engines.
+
+At 100 TB: BM25's cost profile is identical to the exact-dedup pass (one
+explode + keyed aggregates); term df/idf stats are per-term rows (tiny);
+rankings to fuse are top-N (broadcastable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a bag of query ``terms``.
+
+    Returns (doc_id, bm25_score rounded to 6, bm25_rank). Ranking is by
+    the ROUNDED score with id tiebreak, so the order is reproducible
+    across engines despite summation-order float noise.
+    """
+    spark = docs.sparkSession
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, F.col("_toks"), F.size("_toks").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    tok = base.select(id_col, "dl", F.explode("_toks").alias("token")).join(
+        F.broadcast(term_df), F.col("token") == F.col("term"), "inner"
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    doc_scores = scored.groupBy(id_col).agg(
+        F.round(F.sum("_s"), 6).alias("bm25_score")
+    )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort), THEN a rank window over just k rows — a
+    # global row_number over all scored docs would funnel the corpus
+    # through one partition.
+    top = doc_scores.orderBy(F.desc("bm25_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25_score"), F.asc(id_col))
+    return top.withColumn("bm25_rank", F.row_number().over(w)).select(
+        id_col, "bm25_score", "bm25_rank"
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a: str = "bm25_rank",
+    rank_b: str = "cos_rank",
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-N lists.
+
+    ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))``, absent-from-list
+    contributes 0 (full outer join). Returns top-k by fused score
+    (id tiebreak): (doc_id, rrf_score rounded to 6, rank_a, rank_b).
+    """
+    a = ranked_a.select(F.col(id_col).alias("_ida"), rank_a)
+    bdf = ranked_b.select(F.col(id_col).alias("_idb"), rank_b)
+    fused = (
+        a.join(bdf, a["_ida"] == bdf["_idb"], "full_outer")
+        .select(
+            F.coalesce("_ida", "_idb").alias(id_col),
+            F.col(rank_a),
+            F.col(rank_b),
+            (
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col(rank_a)), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col(rank_b)), F.lit(0.0))
+            ).alias("_rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("_rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            id_col,
+            F.round("_rrf", 6).alias("rrf_score"),
+            "fused_rank",
+            rank_a,
+            rank_b,
+        )
+    )

@@ -131,10 +131,8 @@ def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT purchase_id, user_id, purchase_ts, click_ts, click_id, click_value
     FROM (
-      SELECT p.event_id AS purchase_id, p.user_id,
-             date_trunc('second', p.ts) AS purchase_ts,
-             date_trunc('second', c.ts) AS click_ts,
-             c.event_id AS click_id, c.value AS click_value,
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value,
              row_number() OVER (
                PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
              ) AS rn
@@ -177,13 +175,8 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
-            # second-truncated for the oracle contract: the driver tables
-            # store ns timestamps, which Spark's parquet reader rounds to
-            # micros while DuckDB floors — raw ts values diverge by 1µs.
-            # (No event sits within 500 ns of a second boundary at any SF,
-            # verified against the fixed test data.)
-            F.date_trunc("second", "ts").alias("purchase_ts"),
-            F.date_trunc("second", "last_c.ts").alias("click_ts"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_c.ts").alias("click_ts"),
             F.col("last_c.event_id").alias("click_id"),
             F.col("last_c.value").alias("click_value"),
         )

@@ -1,0 +1,212 @@
+"""Curation + hybrid-retrieval queries (north-star EXT pack): BM25
+lexical ranking, hybrid RRF fusion with the cosine ranking, stable hash
+splits, LLM sequence packing, benchmark decontamination. Every query is
+DuckDB-oracle-checked value for value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..operators.curation import decontaminate, hash_split, pack_sequences
+from ..operators.retrieval import bm25_rank, rrf_fuse
+from ..registry import QUERY_VEC, load, register, sql_vec
+
+BM25_TERMS = ("join", "hash", "window", "vector")
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+
+_BM25_CTE = f"""
+    base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token AS term, count(*) AS tf
+      FROM tok WHERE token IN {_TERMS_SQL}
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN base b USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT doc_id, round(sum(sc), 6) AS bm25_score,
+             row_number() OVER (ORDER BY round(sum(sc), 6) DESC, doc_id)
+               AS bm25_rank
+      FROM contrib GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q48_bm25_topk",
+    f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, bm25_score, bm25_rank FROM bm25 WHERE bm25_rank <= 20
+    """,
+    survey_rows="X4 (lexical ranking), Q1 analog, A4",
+)
+def q48_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(load(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
+@register(
+    "q49_hybrid_rrf",
+    f"""
+    WITH {_BM25_CTE},
+    bm25_top AS (SELECT * FROM bm25 WHERE bm25_rank <= 100),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          {sql_vec(QUERY_VEC)}), 6) AS cos_score
+      FROM embeddings
+    ),
+    cos_top AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_score DESC, doc_id) AS cos_rank
+      FROM cos
+      QUALIFY row_number() OVER (ORDER BY cos_score DESC, doc_id) <= 100
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             b.bm25_rank, c.cos_rank,
+             coalesce(1.0 / (60 + b.bm25_rank), 0)
+               + coalesce(1.0 / (60 + c.cos_rank), 0) AS rrf
+      FROM bm25_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
+           bm25_rank, cos_rank
+    FROM fused
+    QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20
+    """,
+    survey_rows="X4 + Q1 fusion (hybrid lexical+vector retrieval)",
+)
+def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bm25_top = bm25_rank(docs, BM25_TERMS, k=100)
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_similarity("embedding", F.array(*[F.lit(v) for v in QUERY_VEC])),
+            6,
+        ).alias("cos_score"),
+    )
+    cos_top = (
+        scored.orderBy(F.desc("cos_score"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "cos_rank")
+    )
+    return rrf_fuse(bm25_top, cos_top, k=20)
+
+
+@register(
+    "q50_hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey_rows="X1/H1 analog — content-addressed train/val/test split",
+)
+def q50_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(load(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+@register(
+    "q51_sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           cum_before // 512 AS seq_id,
+           cum_before % 512 AS seq_offset,
+           (cum_before + n_tokens - 1) // 512 AS seq_end
+    FROM c
+    """,
+    survey_rows="N5 (running totals) → LLM sequence packing",
+)
+def q51_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"), ctx_len=512)
+
+
+@register(
+    "q52_decontamination",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    dense AS (
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS dpos
+      FROM tok
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, md5(string_agg(token, ' ' ORDER BY dpos2)) AS h
+      FROM (
+        SELECT a.doc_id, a.dpos AS g0, b.dpos AS dpos2, b.token
+        FROM dense a JOIN dense b
+          ON a.doc_id = b.doc_id AND b.dpos BETWEEN a.dpos AND a.dpos + 7
+      )
+      GROUP BY doc_id, g0 HAVING count(*) = 8
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(DISTINCT c.h) AS n_shared
+    FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) c
+    JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b ON c.h = b.h
+    GROUP BY c.doc_id, b.doc_id
+    """,
+    survey_rows="X2 (n-gram overlap) → benchmark decontamination",
+)
+def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, benchmark, n=8, min_shared=1)

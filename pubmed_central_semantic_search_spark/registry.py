@@ -37,8 +37,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf — works in any session, including the driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Integer division: `/` would go through double, and 2024-epoch
+        # nanos (~1.7e18) exceed double's 2^53 integer range — the lost
+        # low bits showed up as ±1µs vs DuckDB's exact ns→µs floor.
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -88,7 +91,7 @@ def oracle_sql() -> dict[str, str]:
 # --- populate the registry -------------------------------------------------
 from .queries import pipeline, relational, similarity, text_pipeline  # noqa: E402,F401
 
-from .queries import clustering_pack, coverage, dedup_pack, extensions  # noqa: E402,F401
+from .queries import clustering_pack, coverage, curation, dedup_pack, extensions  # noqa: E402,F401
 
 # Re-export the flagship for __spark_entry__.entry().
 q1_topk_cosine = REGISTRY["q1_topk_cosine"].spark

@@ -1,0 +1,111 @@
+"""Unit tests for the curation + hybrid-retrieval operators (hand-computed
+fixtures; the registry oracle suite covers them at driver scale)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from pubmed_central_semantic_search_spark.operators.curation import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    shingle_set,
+)
+from pubmed_central_semantic_search_spark.operators.retrieval import (
+    bm25_rank,
+    rrf_fuse,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_bm25_hand_computed(spark):
+    # 3 docs, terms: 'a' appears in docs 1 (x2 of 4 tokens) and 2 (x1 of 2)
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "a b a c"),
+            (2, "s", "a d"),
+            (3, "s", "e f g h"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["bm25_score"]
+        for r in bm25_rank(docs, ["a"], k=10).collect()
+    }
+    n, df_t, avgdl, k1, b = 3, 2, 10 / 3, 1.2, 0.75
+
+    def score(tf, dl):
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out == {1: score(2, 4), 2: score(1, 2)}
+    assert 3 not in out  # no query term -> unranked
+
+
+def test_rrf_fusion_hand_computed(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, bm25_rank int")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "doc_id long, cos_rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)  # both lists
+    assert out[1]["rrf_score"] == round(1 / 61, 6)  # bm25 only
+    assert out[9]["rrf_score"] == round(1 / 62, 6)  # cosine only
+    assert out[2]["fused_rank"] == 1  # fusion promotes the doc both rankers like
+
+
+def test_hash_split_is_content_addressed(spark):
+    docs = _docs(spark, [(i, "s", "x") for i in range(200)])
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # same keys through a different (subset) frame -> same assignment
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") < 50)).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    assert set(full.values()) == {"train", "val", "test"}
+    buckets = [r["bucket"] for r in hash_split(docs).collect()]
+    assert all(0 <= x < 256 for x in buckets)
+
+
+def test_pack_sequences_coordinates(spark):
+    # ctx=4: doc 1 (3 tok) -> seq0 off0..2; doc 2 (3 tok) -> starts seq0
+    # off3, straddles into seq1; doc 3 (2 tok) -> seq1 off2..3
+    docs = _docs(
+        spark,
+        [(1, "s", "a b c"), (2, "s", "d e f"), (3, "s", "g h")],
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["seq_end"])
+        for r in pack_sequences(docs, ctx_len=4).collect()
+    }
+    assert out == {1: (0, 0, 0), 2: (0, 3, 1), 3: (1, 2, 1)}
+
+
+def test_pack_sequences_is_per_shard(spark):
+    docs = _docs(spark, [(1, "s1", "a b"), (2, "s2", "c d")])
+    out = {r["doc_id"]: r["seq_offset"] for r in pack_sequences(docs, 4).collect()}
+    assert out == {1: 0, 2: 0}  # independent streams per shard
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(12))  # 5 distinct 8-gram shingles
+    corpus = _docs(spark, [(1, "s", text), (2, "s", "only unrelated words here")])
+    bench = _docs(spark, [(100, "s", text)])
+    out = decontaminate(corpus, bench, n=8).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_id"], out[0]["bench_id"], out[0]["n_shared"]) == (1, 100, 5)
+    # shingle_set: n distinct shingles = tokens - n + 1 when all distinct
+    assert shingle_set(_docs(spark, [(7, "s", text)]), 8).count() == 5
+
+
+def test_decontaminate_join_is_equi_not_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
