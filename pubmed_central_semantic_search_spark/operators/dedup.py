@@ -283,6 +283,111 @@ def simhash32(
     return bit_sums.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """X1/X2 follow-through — resolve near-dup PAIRS into duplicate CLUSTERS.
+
+    Returns ``(id, component)`` for every node appearing in ``pairs``, where
+    ``component`` is the smallest id reachable through any chain of pairs.
+    This is the step a 100 TB dedup actually needs after pair generation:
+    near-duplication is transitive in practice (A≈B≈C with A,C below the
+    pair threshold), and survivors must be picked per CLUSTER — picking per
+    pair leaves chained duplicates alive.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds on ANY graph shape (naive min-label propagation needs
+    O(diameter) rounds, which a duplicate chain makes linear). Each round is
+    two self-equi-joins plus one aggregate — no driver-side graph, nothing
+    quadratic. ``localCheckpoint`` truncates the per-round lineage so the
+    plan doesn't grow with iterations; convergence is detected by a
+    (count, hash-sum) signature of the edge set — one cheap action per
+    round instead of a full set comparison.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # For each node u over its FULL neighborhood: attach every larger
+        # neighbor to m = min(N(u) ∪ {u}).
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # For each node u over its SMALLER neighbors N⁻(u): attach them and
+        # u itself to m = min(N⁻(u)). Input is canonically oriented u > v.
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        rooted = mins.select("u", F.col("m").alias("v"))
+        return moved.union(rooted).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # (count, xor-of-hashes): order-insensitive, overflow-free (unlike
+        # sum under ANSI mode), equal ⟺ same edge set up to 2^-64 collisions.
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # Fixpoint is a star forest (u → root); roots label themselves.
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(edges.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def assign_components(
+    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Label every row of ``df`` with its duplicate-cluster id: nodes absent
+    from ``pairs`` are their own singleton component. Adds ``component`` and
+    ``is_survivor`` (true for the cluster's minimum id — the deterministic
+    keeper, mirroring exact_dedup's min-winner rule)."""
+    labels = connected_components(pairs, src, dst)
+    return (
+        df.join(labels, df[id_col] == labels["id"], "left")
+        .select(
+            *df.columns,
+            F.coalesce("component", F.col(id_col).cast("bigint")).alias("component"),
+        )
+        .withColumn("is_survivor", F.col(id_col).cast("bigint") == F.col("component"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.ann import hyperplanes, lsh_topk, with_lsh_bucket
 from ..operators.dedup import (
+    assign_components,
     embedding_near_dup,
     minhash_signature_flat,
     near_dup_minhash,
@@ -348,3 +349,115 @@ def q27_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lsh_topk(emb, qdf, k=5, n_planes=8, dim=64, seed=7)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 follow-through — duplicate-CLUSTER resolution via distributed
+# connected components (alternating large-star/small-star). The corpus
+# plants a CHAIN per base doc: c1 keeps the first 2/3 of tokens, c2 the
+# first 2/3 of c1. Shingle sets are nested prefixes, so jaccard(base,c1) ≈
+# jaccard(c1,c2) ≈ 2/3 ≥ 0.55 but jaccard(base,c2) ≈ 4/9 < 0.55 — the
+# base↔c2 link exists ONLY transitively, which is exactly what pairwise
+# dedup misses and cluster resolution must recover. Oracle = recursive-CTE
+# transitive closure over the identical edge set.
+
+_C1_OFFSET = 100000
+
+
+def _chained_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < N_BASE).select(
+        "doc_id", "text"
+    )
+
+    def prefix_copy(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        keep = F.greatest(F.expr("(2 * size(filter(split(text, ' '), t -> t != ''))) div 3"), F.lit(1))
+        return df.select(
+            (F.col("doc_id") + _C1_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+        )
+
+    c1 = prefix_copy(base)
+    c2 = prefix_copy(c1)
+    return base.unionByName(c1).unionByName(c2)
+
+
+_SQL_CHAIN_CORPUS = f"""
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < {N_BASE}),
+    t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM base),
+    c1 AS (
+      SELECT doc_id + {_C1_OFFSET} AS doc_id,
+             array_to_string(toks[1:greatest((2 * len(toks)) // 3, 1)], ' ') AS text
+      FROM t0
+    ),
+    t1 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM c1),
+    c2 AS (
+      SELECT doc_id + {_C1_OFFSET} AS doc_id,
+             array_to_string(toks[1:greatest((2 * len(toks)) // 3, 1)], ' ') AS text
+      FROM t1
+    ),
+    corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    ),
+    tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM corpus
+      ) WHERE token <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE shingle IS NOT NULL
+    )
+"""
+
+
+@register(
+    "q53_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_SQL_CHAIN_CORPUS},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_intersect
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(n_intersect AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_intersect) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+      ) WHERE jaccard >= 0.55
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS component,
+           id = min(lbl) AS is_survivor
+    FROM reach GROUP BY id
+    """,
+    survey_rows="X1/X2 (duplicate-cluster resolution, large-star/small-star CC)",
+)
+def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _chained_text_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
+    ).select("id_a", "id_b")
+    return assign_components(corpus.select("doc_id"), "doc_id", pairs).select(
+        "doc_id", "component", "is_survivor"
+    )

@@ -1,0 +1,83 @@
+"""Connected-components cluster resolution (SURVEY §2.9 X1/X2 follow-through).
+
+The alternating large-star/small-star rounds must find the transitive
+closure of near-dup pairs — hand-built graphs with long chains (the shape
+that defeats naive O(diameter) min-propagation) plus a seeded-random graph
+cross-checked against a driver-side union-find.
+"""
+
+import random
+
+from pubmed_central_semantic_search_spark.operators.dedup import (
+    assign_components,
+    connected_components,
+)
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_chain_clique_and_pair(spark):
+    # 0-1-2-...-9 path (diameter 9), {100,101,102} triangle, {200,201} pair.
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100, 101), (101, 102), (100, 102), (200, 201)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _labels(connected_components(pairs))
+    want = {i: 0 for i in range(10)}
+    want |= {100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
+    assert got == want
+
+
+def test_orientation_and_self_loops_ignored(spark):
+    # Reversed / duplicated / self-loop pairs must not change the result.
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 5), (7, 7), (3, 9), (9, 3)], "id_a long, id_b long"
+    )
+    assert _labels(connected_components(pairs)) == {3: 3, 5: 3, 9: 3}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(55)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {}
+    for n in sorted(touched):
+        root = find(n)
+        want[n] = min(m for m in touched if find(m) == root)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert _labels(connected_components(pairs)) == want
+
+
+def test_assign_components_singletons_and_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 4), (4, 5)], "id_a long, id_b long")
+    rows = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in assign_components(docs, "doc_id", pairs).collect()
+    }
+    assert rows == {
+        1: (1, True),  # singleton
+        2: (2, True),  # cluster {2,4,5} survivor
+        3: (3, True),
+        4: (2, False),
+        5: (2, False),
+    }
