@@ -144,3 +144,41 @@ def decontaminate(
         .agg(F.count_distinct("shingle_hash").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every released training corpus runs
+# (C4/Dolma-style). Pure Catalyst regexp ops: narrow, zero-shuffle, scales
+# as a map over the corpus. Patterns deliberately use the Java-regex ∩ RE2
+# subset (char classes, bounded/unbounded repetition, \b, alternation-free;
+# NO lookaround) so the same pattern string is oracle-checkable in DuckDB
+# and portable to any RE2-based scanner at serving time.
+#
+# Replacement ORDER is part of the contract: email → SSN → IPv4 → phone.
+# Later patterns see the already-scrubbed text, so a phone-like digit run
+# inside an email local-part or an SSN can't be double-redacted
+# differently by engines applying rules in another order.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII in ``text_col`` → ``out_col`` plus one ``n_<kind>`` count
+    column per pattern (counted on the text as each rule sees it)."""
+    patterns = patterns or PII_PATTERNS
+    cur: Column = F.col(text_col)
+    counts = []
+    for kind, (pat, token) in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity
-from ..operators.curation import decontaminate, hash_split, pack_sequences
+from ..operators.curation import decontaminate, hash_split, pack_sequences, scrub_pii
 from ..operators.retrieval import bm25_rank, rrf_fuse
 from ..registry import QUERY_VEC, load, register, sql_vec
 
@@ -210,3 +210,89 @@ def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(corpus, benchmark, n=8, min_shared=1)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (q54): plant one deterministic PII artifact per document
+# (kind cycles with doc_id % 4), scrub with the staged regex pipeline, and
+# value-compare the FULL scrubbed string plus per-kind counts — the
+# strongest possible cross-engine contract on regex semantics. The planted
+# corpus is identical in both engines (pure doc_id arithmetic, no RNG).
+
+_PII_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN ' Contact user' || doc_id || '@example.org now.'
+        WHEN 1 THEN ' Logged in from 10.2.' || (doc_id % 256) || '.7 at night.'
+        WHEN 2 THEN ' Reach me at +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 2345.'
+        ELSE ' Record 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' closed.'
+      END AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM p
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+             regexp_replace(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_ssn,
+             len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+             regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t
+      FROM s2
+    )
+    SELECT doc_id, n_email, n_ssn, n_ipv4,
+           len(regexp_extract_all(t, '\\+[0-9][0-9 -]{7,}[0-9]')) AS n_phone,
+           regexp_replace(t, '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+    FROM s3
+"""
+
+
+@register(
+    "q54_pii_scrub",
+    _PII_ORACLE,
+    survey_rows="X4 (PII redaction — staged regex scrub, narrow/zero-shuffle)",
+)
+def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" Contact user"), F.col("doc_id").cast("string"), F.lit("@example.org now.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" Logged in from 10.2."), (F.col("doc_id") % 256).cast("string"), F.lit(".7 at night.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" Reach me at +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit(" 2345."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" Record 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" closed."),
+            )
+        ),
+    )
+    planted = docs.select("doc_id", plant.alias("text"))
+    return scrub_pii(planted, "text", "clean_text").select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        "clean_text",
+    )

@@ -109,3 +109,27 @@ def test_decontaminate_join_is_equi_not_cartesian(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scrub_pii_counts_and_order(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import scrub_pii
+
+    rows = [
+        # email local part has digits; must be scrubbed as EMAIL, not PHONE
+        (1, "mail me at john.doe99@uni-test.org or +1 555-123 4567 ok"),
+        # SSN must win over IPv4/phone on the same digits; IP separate
+        (2, "ssn 123-45-6789 and host 192.168.0.1 end"),
+        (3, "nothing sensitive here"),
+        # two emails in one doc
+        (4, "a@b.io c@d.edu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df, "text").collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["clean_text"] == "mail me at <EMAIL> or <PHONE> ok"
+    assert got[2]["n_ssn"] == 1 and got[2]["n_ipv4"] == 1 and got[2]["n_phone"] == 0
+    assert got[2]["clean_text"] == "ssn <SSN> and host <IP> end"
+    assert got[3]["clean_text"] == "nothing sensitive here"
+    assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+    assert got[4]["n_email"] == 2 and got[4]["clean_text"] == "<EMAIL> <EMAIL>"
