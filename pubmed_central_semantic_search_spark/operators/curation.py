@@ -182,3 +182,34 @@ def scrub_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+def select_token_budget(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 100_000,
+) -> DataFrame:
+    """Corpus selection under a per-group token budget: within each group
+    (source/domain), keep documents in preference order (longer first,
+    id-tiebroken — swap in any quality ordering) until the cumulative
+    whitespace-token count would exceed ``budget_tokens``.
+
+    This is the data-mixing step of a training pipeline ("x billion tokens
+    per domain"). One shuffle on the group key; the running total is a
+    bounded-frame window per group — groups are the parallelism unit, so
+    the plan holds at any corpus size as long as no single group's doc
+    LIST outgrows a partition (salt pathological mega-domains upstream).
+    """
+    n_tok = F.size(_tokens(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("n_tokens"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(group_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

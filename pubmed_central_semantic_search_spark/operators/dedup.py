@@ -313,7 +313,7 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -348,7 +348,9 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the signature aggregate below is the action that
+        # materializes it — one job per round, not two.
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         # (count, xor-of-hashes): order-insensitive, overflow-free (unlike
         # sum under ANSI mode), equal ⟺ same edge set up to 2^-64 collisions.
         sig = tuple(

@@ -9,7 +9,7 @@ shuffle (the aggregations over them do, once, on low-cardinality keys).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword profiles for the n-gram/stopword language-ID
@@ -179,4 +179,73 @@ def repetition_ratio(
         )
         .otherwise(F.lit(0))
         .cast("bigint"),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Tokenizer-training prep: corpus vocabulary ``(token, n_occurrences,
+    n_docs, vocab_id)`` with ids dense-ranked by (count desc, token asc).
+
+    One shuffle (token groupBy with map-side partial counts — the token
+    stream never crosses the wire raw, only per-partition partials). The
+    id-assignment window is a global sort over the VOCABULARY, not the
+    corpus — vocab size grows ~log-ish with corpus size (Heaps' law), so
+    the single-partition ranking stays driver-safe even when the corpus is
+    100 TB; the corpus-sized stages are all partial-aggregated."""
+    # n_docs needs a per-(doc,token) distinct: carry the doc id through the
+    # explode so the distinct is an equi-agg, not a second corpus pass.
+    tok = df.select(
+        F.col(id_col).alias("_rid"),
+        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("_rid").alias("n_docs"),
+    )
+    kept = counts.filter(F.col("n_occurrences") >= min_count)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return kept.withColumn("vocab_id", F.row_number().over(w))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Per-document top-``top_n`` TF-IDF terms (the lexical twin of the
+    embedding pipeline — a quality/relevance signal and a cheap sparse
+    "embedding" for blocking).
+
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed); score = tf · idf. Shapes:
+    tf is one corpus-sized groupBy with partial aggregation; df is a
+    vocab-sized aggregate of tf (NOT a second corpus pass); N is a scalar
+    broadcast into the projection; ranking is a per-doc window — all
+    partitionable, nothing global."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("token"),
+    )
+    tf = tok.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n")).first()["n"]
+    scored = tf.join(dfreq, "token").select(
+        F.col("_id").alias(id_col),
+        "token",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1)
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
     )

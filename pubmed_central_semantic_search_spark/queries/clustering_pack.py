@@ -88,7 +88,9 @@ def _sql_means(out: str, assigned: str) -> str:
     survey_rows="X2/X3 (IVF-flat ANN — the partition-pruned scale tier)",
 )
 def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # persist: seed collect + list-assignment both scan the vectors; one
+    # parquet decode instead of two (bench/driver clear the cache after).
+    emb = load(spark, sf_dir, "embeddings").persist()
     centroids = seed_centroids(emb, K)
     queries = spark.createDataFrame(
         [(qid, vec) for qid, vec in QUERY_VECS.items()],
@@ -117,7 +119,10 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="X7 (k-means topics — iterative algorithm, oracle-unrolled)",
 )
 def q38_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # persist: seeds + 2 Lloyd iterations + final assignment = 4 scans of
+    # the same vectors; cache them once (exactly the operator's documented
+    # caller contract for cold storage).
+    emb = load(spark, sf_dir, "embeddings").persist()
     assigned, centroids = lloyd_kmeans(emb, k=K, n_iter=2, dim=DIM)
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")

@@ -10,8 +10,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity
-from ..operators.curation import decontaminate, hash_split, pack_sequences, scrub_pii
+from ..operators.curation import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    scrub_pii,
+    select_token_budget,
+)
 from ..operators.retrieval import bm25_rank, rrf_fuse
+from ..operators.textstats import build_vocab, tfidf_top_terms
 from ..registry import QUERY_VEC, load, register, sql_vec
 
 BM25_TERMS = ("join", "hash", "window", "vector")
@@ -296,3 +303,99 @@ def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("bigint").alias("n_phone"),
         "clean_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (q55), TF-IDF top terms (q56), token-budget selection
+# (q57) — the tokenizer-prep / lexical-signal / data-mixing trio.
+
+@register(
+    "q55_vocab_build",
+    """
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences, n_docs,
+           row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id
+    FROM counts WHERE n_occurrences >= 5
+    """,
+    survey_rows="X4 (vocabulary build — tokenizer-training prep)",
+)
+def q55_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = build_vocab(docs, "doc_id", "text", min_count=5)
+    return out.select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        F.col("vocab_id").cast("bigint").alias("vocab_id"),
+    )
+
+
+@register(
+    "q56_tfidf_terms",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+      ) WHERE token <> ''
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM corpus)
+    SELECT doc_id, token, tf, df, tfidf, term_rank FROM (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1) DESC, t.token
+             ) AS term_rank
+      FROM tf t JOIN dfreq d ON d.token = t.token CROSS JOIN n
+    ) WHERE term_rank <= 5
+    """,
+    survey_rows="X4 (TF-IDF — lexical relevance / sparse blocking signal)",
+)
+def q56_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = tfidf_top_terms(docs, "doc_id", "text", top_n=5)
+    return out.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("term_rank").cast("bigint").alias("term_rank"),
+    )
+
+
+@register(
+    "q57_token_budget",
+    """
+    WITH sized AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens FROM (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM sized
+    ) WHERE cum_tokens <= 2000
+    """,
+    survey_rows="X4/X1 (token-budget corpus selection — data mixing)",
+)
+def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return select_token_budget(
+        docs, "source", "doc_id", "text", budget_tokens=2000
+    ).select("source", "doc_id", "n_tokens", "cum_tokens")
