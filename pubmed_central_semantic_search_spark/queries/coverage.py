@@ -337,3 +337,60 @@ def q46_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based sessionization) — the canonical large-scale
+# event-log operator. Spark's F.session_window merges events closer than
+# the gap into one window per user (and is the SAME operator that runs
+# under Structured Streaming with a watermark — X6); the oracle is the
+# classic gaps-and-islands rewrite: flag new sessions where the per-user
+# delta ≥ gap, running-sum the flags into session ids, aggregate.
+# Scale shape: one shuffle on user_id; sessions never cross users, so the
+# operator partitions perfectly at any event volume.
+
+
+@register(
+    "q58_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 8 HOUR AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    survey_rows="§2.10 exposure — session windows (streaming-capable sessionization)",
+)
+def q58_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "8 hours").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -147,3 +147,32 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionized_events(
+    events_stream: DataFrame,
+    gap: str = "8 hours",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """X6 — watermarked gap-sessionization (session_window) per user.
+
+    The streaming twin of q58: sessions close when the watermark passes
+    last_event + gap, so state per user is bounded by the open session +
+    watermark horizon. Works unchanged on a batch DataFrame (the watermark
+    is a no-op there) — the parity test drains a file stream and checks
+    equality with the batch run."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

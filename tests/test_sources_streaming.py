@@ -279,3 +279,59 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         if r["window_start"].hour < 13
     }
     assert got == expected
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """X6 — streaming session_window (watermarked) equals the batch run
+    for every session the watermark has closed at drain time."""
+    import datetime as dt
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        sessionized_events,
+    )
+
+    rows = [  # user 1: two events 20min apart (one session), then a far one
+        (1, "2026-01-01 10:00:00", 1.0),
+        (1, "2026-01-01 10:20:00", 2.0),
+        (1, "2026-01-01 15:00:00", 4.0),  # advances watermark to 14:30
+        (2, "2026-01-01 10:05:00", 8.0),
+    ]
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    with open(src / "e1.jsonl", "w") as f:
+        for uid, ts, v in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts, "value": v}) + "\n")
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        sessionized_events(stream, gap="1 hour", watermark_delay="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(uid, dt.datetime.fromisoformat(ts), v) for uid, ts, v in rows], schema
+    )
+    watermark_final = dt.datetime.fromisoformat("2026-01-01 14:30:00")
+    expected = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionized_events(batch, gap="1 hour").collect()
+        if r["session_end"] < watermark_final  # only closed sessions emit
+    }
+    assert len(expected) == 2  # user1 first session + user2's session
+    assert got == expected
