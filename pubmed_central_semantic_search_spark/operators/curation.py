@@ -213,3 +213,37 @@ def select_token_budget(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic content-addressed stratified sampling: keep a row iff
+    its 16-bit md5 bucket falls below ``fraction × 65536`` for its group.
+
+    The pipeline-grade replacement for ``df.sample()``: re-runs, re-shards
+    and cluster-size changes NEVER change the sample (no RNG, no
+    partition-dependent seed) — the same property the content-keyed
+    hash_split gives train/val/test. Narrow (per-row), zero shuffles.
+    Adds ``bucket16``; rows in groups absent from ``fractions`` are kept
+    at ``default_fraction``."""
+    h = F.md5(F.col(key_col).cast("string"))
+    nib = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket16 = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    thresh = None
+    for grp, frac in fractions.items():
+        cut = int(round(frac * 65536))
+        cond = F.col(group_col) == grp
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = (
+        F.lit(int(round(default_fraction * 65536)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_fraction * 65536)))
+    )
+    return df.withColumn("bucket16", bucket16.cast("int")).filter(
+        F.col("bucket16") < thresh
+    )

@@ -16,6 +16,7 @@ from ..operators.curation import (
     pack_sequences,
     scrub_pii,
     select_token_budget,
+    stratified_sample,
 )
 from ..operators.retrieval import bm25_rank, rrf_fuse
 from ..operators.textstats import build_vocab, tfidf_top_terms
@@ -399,3 +400,32 @@ def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(
         docs, "source", "doc_id", "text", budget_tokens=2000
     ).select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (q59): language rebalancing — downsample
+# the dominant language, keep the tail. Content-addressed buckets mean the
+# sample is invariant to re-runs, re-sharding, and cluster size.
+
+@register(
+    "q59_stratified_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             (((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+             AS bucket16
+      FROM documents
+    )
+    SELECT doc_id, lang, source, bucket16 FROM b
+    WHERE bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END
+    """,
+    survey_rows="X1/X4 (deterministic stratified sampling — data rebalancing)",
+)
+def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, {"en": 0.25}, group_col="lang", key_col="doc_id", default_fraction=0.6
+    ).select("doc_id", "lang", "source", "bucket16")

@@ -1,0 +1,78 @@
+"""SQL-facing surface: temp views + SQL scalar UDFs (Spark 4 `CREATE
+TEMPORARY FUNCTION ... RETURN <expr>`).
+
+The reference exposes its capabilities only through Python calls
+(`QdrantDatabase.query`, `app.py`); a Spark engine can additionally hand
+users a pure-SQL entry point. Every function below is a SQL *expression*
+UDF — parsed into Catalyst and codegen'd exactly like the DataFrame
+helpers in ``functions/`` (NO Python round-trip, NO slow path) — so
+`spark.sql()` users get the same plans the DataFrame API builds.
+
+Example end-to-end (after ``register_sql_surface(spark, sf_dir)``)::
+
+    SELECT vec_id, round(cos_sim(embedding_d(embedding), q), 6) AS score
+    FROM embeddings, (SELECT array(...) AS q)
+    ORDER BY score DESC LIMIT 5
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .registry import TABLES, load
+
+# name -> (signature, body). Bodies are pure Catalyst expressions — the
+# SQL twins of functions/vector.py and functions/text.py.
+SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    "vec_dot": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)",
+    ),
+    "vec_norm": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "sqrt(aggregate(a, 0D, (s, x) -> s + x * x))",
+    ),
+    "cos_sim": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))",
+    ),
+    "embedding_d": (
+        "(a ARRAY<FLOAT>) RETURNS ARRAY<DOUBLE>",
+        "transform(a, x -> CAST(x AS DOUBLE))",
+    ),
+    "token_count": (
+        "(t STRING) RETURNS INT",
+        "size(filter(split(t, ' '), x -> x != ''))",
+    ),
+    "doc_key": (
+        "(s STRING) RETURNS BIGINT",
+        "xxhash64(s)",
+    ),
+    "h32": (
+        "(s STRING, seed INT) RETURNS BIGINT",
+        "CAST(conv(substring(md5(concat(s, '#', CAST(seed AS STRING))), 1, 8), 16, 10) AS BIGINT)",
+    ),
+    "pmc_link": (
+        "(article_id STRING) RETURNS STRING",
+        "concat('https://pmc.ncbi.nlm.nih.gov/articles/', article_id, '/')",
+    ),
+}
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Idempotently (re)create the SQL expression UDFs."""
+    for name, (sig, body) in SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """One temp view per test-data table (parquet-backed, lazily scanned —
+    filters/projections still push down to the files; ``load`` handles the
+    events table's nanosecond-timestamp normalization)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir)
+    register_sql_functions(spark)
