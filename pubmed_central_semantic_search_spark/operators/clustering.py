@@ -97,10 +97,15 @@ def recompute_centroids(
     """Per-cluster element-wise mean (one wide-avg hash aggregate — the
     k-row shuffle that IS the Lloyd iteration), collected to the driver.
     Clusters that lost all members disappear."""
-    vec = as_double(vec_col)
+    # Pre-project the double cast ONCE: putting `as_double(vec)[i]` inside
+    # each of the `dim` aggregates re-evaluates the array transform per
+    # aggregate (Catalyst doesn't CSE across agg expressions) — dim× more
+    # per-row work and a dim× bigger expression tree to analyze per
+    # iteration.
     rows = (
-        assigned.groupBy("cluster_id")
-        .agg(*[F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)])
+        assigned.select("cluster_id", as_double(vec_col).alias("_v"))
+        .groupBy("cluster_id")
+        .agg(*[F.avg(F.col("_v")[i]).alias(f"_m{i}") for i in range(dim)])
         .collect()
     )
     return sorted(
