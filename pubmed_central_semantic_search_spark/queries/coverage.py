@@ -394,3 +394,39 @@ def q58_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-dimensional data-layout
+# primitive behind `zorder_write` (plans/layout.py; pruning demonstrated
+# file-for-file in tests/test_layout.py). The oracle recomputes the bit
+# interleave with DuckDB integer arithmetic.
+
+
+@register(
+    "q60_zorder_key",
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 256 AS BIGINT) AS x,
+             CAST(o_custkey % 256 AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y,
+           (SELECT sum((((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1)))
+            FROM generate_series(0, 7) gs(b)) AS zval
+    FROM d
+    """,
+    survey_rows="§2.10 exposure — Z-order clustering key (multi-dim layout/pruning)",
+)
+def q60_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import zvalue
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).cast("bigint").alias("x"),
+        (F.col("o_custkey") % 256).cast("bigint").alias("y"),
+    )
+    return o.select(
+        "o_orderkey", "x", "y", zvalue(["x", "y"], bits=8).alias("zval")
+    )

@@ -170,3 +170,39 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
         _q("q36_ngram_jaccard", spark, sf_dir),
         not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
+
+
+def test_pii_scrub_is_narrow_no_exchange(spark, sf_dir):
+    """q54 PII scrub is a pure per-row map: scan → project. Any Exchange
+    here would mean the redaction pass shuffles the corpus at 100 TB."""
+    plan = assert_plan(
+        _q("q54_pii_scrub", spark, sf_dir),
+        not_contains=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    assert "* Project" in plan  # whole-stage codegen'd projection
+
+
+def test_stratified_sample_is_narrow_no_exchange(spark, sf_dir):
+    """q59: content-addressed sampling = scan → filter, zero shuffles."""
+    assert_plan(
+        _q("q59_stratified_sample", spark, sf_dir),
+        not_contains=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+
+def test_token_budget_single_shuffle(spark, sf_dir):
+    """q57: one hash Exchange on the group key feeds the running-total
+    window; a second corpus shuffle would be a scale bug."""
+    plan = _q("q57_token_budget", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_vocab_corpus_stages_are_partial_aggregated(spark, sf_dir):
+    """q55: the corpus-sized token count must partial-aggregate map-side
+    (HashAggregate appears as partial+final pair), and the only
+    single-partition stage is the vocab-sized ranking window."""
+    plan = _q("q55_vocab_build", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # the global window exchange exists, but must sit above the aggregate
+    # (vocab-sized input), not above the raw token explode
+    assert plan.index("Window") < plan.index("Generate")
