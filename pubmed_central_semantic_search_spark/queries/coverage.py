@@ -430,3 +430,55 @@ def q60_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "x", "y", zvalue(["x", "y"], bits=8).alias("zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalized as-of join (operators/asof.py), forward direction with a
+# tolerance: the first click within 1 hour AFTER each purchase. Same
+# union-and-carry single-shuffle shape as q35; the oracle is the
+# inequality-join + rn=1 rewrite with the tolerance folded into the ON.
+
+
+@register(
+    "q61_asof_forward",
+    """
+    SELECT purchase_id, user_id, purchase_ts, asof_ts, asof_event_id, asof_value
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+           AND c.ts <= p.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    survey_rows="§2.10 exposure — generalized as-of join (forward + tolerance)",
+)
+def q61_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_ts",
+        "asof_event_id",
+        "asof_value",
+    )
