@@ -95,3 +95,62 @@ def test_cosine_self_similarity(spark):
     df = spark.createDataFrame([(v,) for v in vs], "v array<double>")
     for r in df.select(cosine_similarity("v", F.col("v")).alias("c")).collect():
         assert math.isclose(r["c"], 1.0, rel_tol=1e-9)
+
+
+def test_scrub_pii_is_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op: replacement tokens must
+    not re-match any pattern (the guarantee that makes the pass safe to
+    re-run over partially-processed corpora)."""
+    from pubmed_central_semantic_search_spark.operators.curation import scrub_pii
+
+    rows = [
+        (1, "a@b.io and 123-45-6789 and 10.0.0.1 and +1 555-123 4567"),
+        (2, "no pii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = scrub_pii(df, "text").select("doc_id", F.col("clean_text").alias("text"))
+    twice = scrub_pii(once, "text")
+    for r in twice.collect():
+        assert r["clean_text"] == r["text"]
+        assert all(r[f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+
+
+def test_stratified_sample_is_nested_in_fraction(spark):
+    """Content-addressed sampling: a 10% sample is a SUBSET of the 30%
+    sample of the same data (thresholds nest). Plain df.sample() has no
+    such property — this is what makes reruns reproducible."""
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.range(2000).selectExpr("id AS doc_id", "'en' AS lang")
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.1}, "lang", "doc_id").collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.3}, "lang", "doc_id").collect()
+    }
+    assert small and small <= big
+    assert 0.05 < len(small) / 2000 < 0.15 and 0.25 < len(big) / 2000 < 0.35
+
+
+def test_connected_components_is_idempotent(spark):
+    """Re-clustering the (id, component) star edges returns the same
+    labeling — the fixpoint really is a fixpoint."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(10, 12), (12, 14)],
+        "id_a long, id_b long",
+    )
+    first = connected_components(pairs)
+    again = connected_components(
+        first.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("id_a"), F.col("component").alias("id_b")
+        )
+    )
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, again.collect()))
