@@ -11,6 +11,8 @@ which is the 100 TB-safe idempotent ingest)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -75,3 +77,45 @@ def upsert_parquet(
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     fs.delete(hpath, True)
     fs.rename(hstaging, hpath)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction — the housekeeping job every long-lived
+    parquet table needs: streaming micro-batches, per-partition upserts
+    and fine-grained partitionBy all accrete files far below the
+    scan-efficient size, and at 100 TB the per-file open/footer/seek
+    overhead (plus the driver's listing memory) comes to dominate the
+    scan. Rewrites the directory to ``ceil(bytes / target_file_bytes)``
+    files (optionally re-sorted to restore clustering, e.g. a z-order
+    key), atomically via write-to-staging + directory swap. Returns
+    {files_before, files_after, bytes}.
+    """
+    import math
+    import shutil
+
+    jvm_path = os.path.abspath(path)
+    sizes = [
+        os.path.getsize(os.path.join(jvm_path, f))
+        for f in os.listdir(jvm_path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(jvm_path)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
+    staging = jvm_path + ".compact.staging"
+    df.write.mode("overwrite").parquet(staging)
+    backup = jvm_path + ".compact.old"
+    os.rename(jvm_path, backup)
+    os.rename(staging, jvm_path)
+    shutil.rmtree(backup)
+    after = len([f for f in os.listdir(jvm_path) if f.endswith(".parquet")])
+    return {"files_before": len(sizes), "files_after": after, "bytes": total}

@@ -335,3 +335,40 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(expected) == 2  # user1 first session + user2's session
     assert got == expected
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction: many tiny files → the computed target count, same rows,
+    original directory name preserved (atomic swap)."""
+    from pubmed_central_semantic_search_spark.sources.catalog import compact_parquet
+
+    path = str(tmp_path / "shards")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(40).write.parquet(
+        path
+    )
+    import os as _os
+
+    n_before = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 40
+    total = sum(
+        _os.path.getsize(_os.path.join(path, f))
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_parquet(spark, path, target_file_bytes=total // 4 + 1)
+    assert stats["files_before"] == 40 and stats["files_after"] <= 4
+    df = spark.read.parquet(path)
+    assert df.count() == 10_000
+    assert df.agg({"v": "sum"}).first()[0] == 2 * sum(range(10_000))
+
+
+def test_compact_parquet_preserves_sort_clustering(spark, tmp_path):
+    from pubmed_central_semantic_search_spark.sources.catalog import compact_parquet
+
+    path = str(tmp_path / "sorted_shards")
+    spark.range(4_000).selectExpr("CAST(id % 97 AS INT) AS k", "id").repartition(
+        20
+    ).write.parquet(path)
+    compact_parquet(spark, path, target_file_bytes=1 << 40, sort_cols=["k"])
+    part = spark.read.parquet(path).select("k").toPandas()["k"].tolist()
+    assert part == sorted(part)  # single output file, globally k-sorted
