@@ -41,6 +41,18 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    # Internal working columns and asof_-prefixed outputs must not collide
+    # with the left frame's columns — select('*', alias('_t'), ...) would
+    # create duplicate names and later F.col references would resolve
+    # ambiguously (silent wrong answers, not errors).
+    reserved = {"_t", "_p", "_is_left", "_m", "asof_ts"}
+    reserved.update(f"asof_{c}" for c in right_cols)
+    clashes = reserved.intersection(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clashes)} collide with "
+            "reserved internal/output names — rename them before the join"
+        )
     payload_fields = [F.col(right_ts).alias("ts"), *[F.col(c) for c in right_cols]]
     r = right.select(
         *on,

@@ -75,6 +75,10 @@ def pack_sequences(
     starts in), ``seq_offset`` (token offset within it), and ``seq_end``
     (sequence the doc ends in — > seq_id when the doc straddles a cut).
     Sequence ids are per-shard; (shard, seq_id) is the global key.
+
+    Zero-token documents (empty/whitespace-only text) contribute nothing to
+    the stream; their ``seq_end`` is clamped to ``seq_id`` so coordinates
+    stay monotone (the raw floor((before-1)/ctx) would be seq_id-1).
     """
     n_tok = F.size(_tokens(text_col))
     w = (
@@ -91,9 +95,10 @@ def pack_sequences(
         "n_tokens",
         F.floor(F.col("_before") / ctx_len).alias("seq_id"),
         (F.col("_before") % ctx_len).alias("seq_offset"),
-        F.floor((F.col("_before") + F.col("n_tokens") - 1) / ctx_len).alias(
-            "seq_end"
-        ),
+        F.greatest(
+            F.floor(F.col("_before") / ctx_len),
+            F.floor((F.col("_before") + F.col("n_tokens") - 1) / ctx_len),
+        ).alias("seq_end"),
     )
 
 

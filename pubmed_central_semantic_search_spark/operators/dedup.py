@@ -147,15 +147,15 @@ def minhash_candidate_pairs(
             ).alias("band_key")
         )
     )
-    a = band_keys.select(
-        F.col("_id").alias("id_a"), "band", F.col("band_key").alias("k_a")
-    )
-    b = band_keys.select(
-        F.col("_id").alias("id_b"), "band", F.col("band_key").alias("k_b")
-    )
+    a = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
+    b = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
+    # (band, band_key) is the EXPLICIT join key: only docs agreeing on a
+    # band's full signature slice meet. (Catalyst would promote an
+    # equality filter into the key anyway, but making it explicit means a
+    # refactor can't silently degrade this to a hot single-key join.)
     return (
-        a.join(b, ["band"])
-        .filter((F.col("id_a") < F.col("id_b")) & (F.col("k_a") == F.col("k_b")))
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )

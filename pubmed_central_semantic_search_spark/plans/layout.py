@@ -27,6 +27,15 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     ``[0, 2^bits)`` — compute ranks or buckets upstream (quantile bucketing
     for skewed doubles, dictionary ranks for strings)."""
     ncols = len(cols)
+    if ncols * bits > 63:
+        # The top interleaved bit would land on (or past) the bigint sign
+        # bit: 4 cols × 16 bits puts bit 63 in play (negative z-values that
+        # misorder repartitionByRange); 5+ cols wrap shiftleft (mod 64) and
+        # silently corrupt keys. Fail loudly; callers lower `bits`.
+        raise ValueError(
+            f"zvalue: {ncols} cols × {bits} bits = {ncols * bits} interleaved "
+            "bits > 63 (bigint sign bit) — lower `bits` so ncols*bits <= 63"
+        )
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     z = F.lit(0).cast("bigint")
     for b in range(bits):

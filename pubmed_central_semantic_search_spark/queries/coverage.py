@@ -413,8 +413,8 @@ def q58_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderkey, x, y,
-           (SELECT sum((((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1)))
-            FROM generate_series(0, 7) gs(b)) AS zval
+           CAST((SELECT sum((((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1)))
+            FROM generate_series(0, 7) gs(b)) AS BIGINT) AS zval
     FROM d
     """,
     survey_rows="§2.10 exposure — Z-order clustering key (multi-dim layout/pruning)",

@@ -163,16 +163,16 @@ def q50_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT source, doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS cum_before
+             ), 0) AS BIGINT) AS cum_before
       FROM t
     )
     SELECT source, doc_id, n_tokens,
            cum_before // 512 AS seq_id,
            cum_before % 512 AS seq_offset,
-           (cum_before + n_tokens - 1) // 512 AS seq_end
+           greatest(cum_before // 512, (cum_before + n_tokens - 1) // 512) AS seq_end
     FROM c
     """,
     survey_rows="N5 (running totals) → LLM sequence packing",
@@ -386,10 +386,10 @@ def q56_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, doc_id, n_tokens, cum_tokens FROM (
       SELECT source, doc_id, n_tokens,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY source ORDER BY n_tokens DESC, doc_id
                ROWS UNBOUNDED PRECEDING
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM sized
     ) WHERE cum_tokens <= 2000
     """,

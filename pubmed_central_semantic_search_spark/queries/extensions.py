@@ -183,8 +183,8 @@ def q31_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS total_bpe_tokens,
-           sum(quality_milli) AS sum_quality_milli
+           CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli
     FROM kept
     GROUP BY source
     """,

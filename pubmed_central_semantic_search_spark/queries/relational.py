@@ -236,19 +236,19 @@ def q9_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_events_rollup",
     """
     SELECT event_type,
-           date_trunc('day', ts) AS day,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY event_type, date_trunc('day', ts)
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
     """,
     survey_rows="S1 (JSON), A1, date functions (§2.10 exposure)",
 )
 def q10_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),

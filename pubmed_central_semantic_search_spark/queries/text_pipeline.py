@@ -94,8 +94,8 @@ def q14_doc_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens), 6) AS stopword_ratio
     FROM tok GROUP BY lang
     """,

@@ -79,6 +79,31 @@ def upsert_parquet(
     fs.rename(hstaging, hpath)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _list_parquet_sizes(fs, hpath, jvm) -> tuple[list[int], bool]:
+    """Recursive (sizes, has_subdir_files) over a table directory via the
+    Hadoop FS API — works on any supported filesystem, not just local."""
+    sizes: list[int] = []
+    nested = False
+    it = fs.listFiles(hpath, True)  # recursive
+    base = hpath.toUri().getPath().rstrip("/")
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        sizes.append(st.getLen())
+        if p.getParent().toUri().getPath().rstrip("/") != base:
+            nested = True
+    return sizes, nested
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -92,30 +117,50 @@ def compact_parquet(
     overhead (plus the driver's listing memory) comes to dominate the
     scan. Rewrites the directory to ``ceil(bytes / target_file_bytes)``
     files (optionally re-sorted to restore clustering, e.g. a z-order
-    key), atomically via write-to-staging + directory swap. Returns
-    {files_before, files_after, bytes}.
+    key) via write-to-staging + directory swap. The swap is two renames,
+    not atomic: a crash between them is recovered on the NEXT call (the
+    ``.compact.old`` backup is restored on entry if the live path is
+    missing, and deleted once the live path exists again). All file ops
+    go through the Hadoop FileSystem API (HDFS/S3A/local alike).
+
+    Hive-partitioned layouts (files under ``key=value`` subdirectories)
+    are rejected explicitly: flat recompaction would collapse partitions
+    and drop the partition columns from the layout — compact each leaf
+    partition directory instead. Returns {files_before, files_after,
+    bytes}.
     """
     import math
-    import shutil
 
-    jvm_path = os.path.abspath(path)
-    sizes = [
-        os.path.getsize(os.path.join(jvm_path, f))
-        for f in os.listdir(jvm_path)
-        if f.endswith(".parquet")
-    ]
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.old")
+    staging_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.staging")
+    # Crash recovery: a previous run that died between its two renames left
+    # the data stranded in .compact.old — restore it before anything else.
+    if fs.exists(backup):
+        if not fs.exists(hpath):
+            fs.rename(backup, hpath)
+        else:
+            fs.delete(backup, True)
+    if fs.exists(staging_p):  # stale staging from an aborted write
+        fs.delete(staging_p, True)
+
+    sizes, nested = _list_parquet_sizes(fs, hpath, jvm)
+    if nested:
+        raise ValueError(
+            f"compact_parquet: {path} is hive-partitioned (parquet files in "
+            "subdirectories); flat compaction would drop partition columns — "
+            "compact each leaf partition directory instead"
+        )
     total = sum(sizes)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(jvm_path)
+    df = spark.read.parquet(path)
     if sort_cols:
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(n_out)
-    staging = jvm_path + ".compact.staging"
-    df.write.mode("overwrite").parquet(staging)
-    backup = jvm_path + ".compact.old"
-    os.rename(jvm_path, backup)
-    os.rename(staging, jvm_path)
-    shutil.rmtree(backup)
-    after = len([f for f in os.listdir(jvm_path) if f.endswith(".parquet")])
-    return {"files_before": len(sizes), "files_after": after, "bytes": total}
+    df.write.mode("overwrite").parquet(staging_p.toString())
+    fs.rename(hpath, backup)
+    fs.rename(staging_p, hpath)
+    fs.delete(backup, True)
+    after, _ = _list_parquet_sizes(fs, hpath, jvm)
+    return {"files_before": len(sizes), "files_after": len(after), "bytes": total}

@@ -46,6 +46,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str 
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Driver-hash emulation: the driver's value-hash is type-sensitive,
+        # so an int column on one side vs float on the other (the DuckDB
+        # sum(BIGINT) → HUGEINT → float64 trap) must FAIL here even though
+        # the values compare equal — cast the oracle with
+        # CAST(sum(...) AS BIGINT) instead.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_f = pd.api.types.is_float_dtype(sv)
+        o_f = pd.api.types.is_float_dtype(ov)
+        assert not (s_int and o_f) and not (s_f and o_int), (
+            f"{name}: column {c} numeric-class mismatch "
+            f"(spark {sv.dtype} vs oracle {ov.dtype}) — would hash-mismatch "
+            "on the driver; add explicit casts on both sides"
+        )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sa = sv.astype(float).to_numpy()
             oa = ov.astype(float).to_numpy()
