@@ -75,6 +75,20 @@ def brute_force_topk(
     return grouped_top_k(scored, ["query_id"], "score", k, tiebreak=[id_col])
 
 
+def probe_buckets(bucket: Column, n_planes: int, multi_probe: int = 0) -> Column:
+    """The ordered array of buckets a query probes: its own bucket, then —
+    with ``multi_probe >= 1`` — every 1-bit-xor neighbor (the buckets whose
+    vectors sit just across ONE hyperplane; near-boundary neighbors land
+    there, which is exactly what single-bucket probing loses). All bucket
+    values are distinct by construction (xor of distinct one-bit masks)."""
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe: 0 (exact bucket) or 1 (1-bit neighbors)")
+    probes = [bucket]
+    if multi_probe:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    return F.array(*probes)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -84,14 +98,29 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose bucket matches the
-    query's bucket. At scale the vectors side is written bucket-partitioned
-    (partitionBy(bucket) parquet), so a query touches 1/2^planes of the
-    data — partition pruning does the rest."""
+    """Approximate top-k: score only vectors whose bucket matches one of
+    the query's probe buckets. ``multi_probe=1`` probes the query's bucket
+    plus all ``n_planes`` 1-bit-xor neighbors (n_planes+1 of 2^n_planes
+    buckets) — the standard recall fix for sign-bit LSH, where a query near
+    one hyperplane has ~half its true neighbors on the other side of it.
+
+    At scale the vectors side is written bucket-partitioned
+    (partitionBy(bucket) parquet) and the probe set prunes partitions:
+    single-probe touches 1/2^planes of the data, multi-probe
+    (planes+1)/2^planes — still a vanishing fraction, for a recall jump
+    (contract-tested ≥0.9 on the fixture corpus vs brute force). The probe
+    explode happens on the QUERY side (tiny, broadcast); the vectors side
+    is never replicated."""
     planes = hyperplanes(n_planes, dim, seed)
     v = vectors.withColumn("bucket", bucket_signature(vec_col, planes))
-    q = queries.withColumn("bucket", bucket_signature("qvec", planes))
+    q = queries.withColumn(
+        "bucket",
+        F.explode(
+            probe_buckets(bucket_signature("qvec", planes), n_planes, multi_probe)
+        ),
+    )
     scored = v.join(F.broadcast(q), "bucket").select(
         "query_id",
         F.col(id_col),

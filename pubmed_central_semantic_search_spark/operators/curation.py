@@ -220,6 +220,15 @@ def select_token_budget(
     )
 
 
+def content_bucket16(key_col: str) -> Column:
+    """16-bit content-addressed bucket of a key column (md5 nibbles 1-4) —
+    the shared primitive behind stratified_sample and any other
+    deterministic-fraction selection. Pure per-row arithmetic."""
+    h = F.md5(F.col(key_col).cast("string"))
+    nib = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return ((((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16) + nib(4)).cast("int")
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],
@@ -236,9 +245,7 @@ def stratified_sample(
     hash_split gives train/val/test. Narrow (per-row), zero shuffles.
     Adds ``bucket16``; rows in groups absent from ``fractions`` are kept
     at ``default_fraction``."""
-    h = F.md5(F.col(key_col).cast("string"))
-    nib = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
-    bucket16 = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    bucket16 = content_bucket16(key_col)
     thresh = None
     for grp, frac in fractions.items():
         cut = int(round(frac * 65536))

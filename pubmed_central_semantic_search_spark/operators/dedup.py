@@ -283,6 +283,72 @@ def simhash32(
     return bit_sums.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """X2 — SimHash near-dup: candidate pairs by byte-band blocking, exact
+    Hamming verify on the full 32-bit fingerprint.
+
+    Blocking: the fingerprint splits into ``n_bands`` contiguous bit bands
+    (8 bits each at the default 4); docs agreeing on ANY band's value become
+    candidates — an equi-join on (band, band_val), never all-pairs. By
+    pigeonhole, every pair with hamming < n_bands shares at least one
+    intact band, so recall is EXACT for ``max_hamming <= n_bands - 1``;
+    larger thresholds trade recall like MinHash banding does.
+
+    Verify: ``bit_count(xor)`` on the two fingerprints — one codegen'd
+    integer op per surviving pair. Returns
+    (id_a, id_b, simhash_a, simhash_b, hamming <= max_hamming).
+
+    At 100 TB: fingerprints are one partial-agg groupBy (simhash32); the
+    band explode is ×n_bands on a table of (id, int64) rows — tiny next to
+    the corpus; hot band values (e.g. all-zero bands from short docs) are
+    the skew risk, handled the same way as MinHash's boilerplate bands
+    (AQE skew-join or a band-value frequency cap upstream).
+    """
+    band_w = 32 // n_bands
+    sig = simhash32(df, id_col, text_col)
+    banded = sig.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_w).bitwiseAND(
+                        F.lit((1 << band_w) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("simhash_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("simhash_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash_a", "simhash_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "simhash_a",
+        "simhash_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        .cast("bigint")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

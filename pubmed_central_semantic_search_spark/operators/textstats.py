@@ -155,8 +155,10 @@ def repetition_ratio(
     occurrences that are repeats of an earlier occurrence within the same
     document (0 = no repetition, →1 = the text loops). Computed entirely
     on the token ARRAY (narrow, no shuffle): total n-grams vs distinct
-    n-grams per row. Returns (id, n_grams, n_distinct, rep_milli) with the
-    ratio in integer milli-units for cross-engine determinism."""
+    n-grams per row. APPENDS ``n_grams``, ``n_distinct``, ``rep_milli``
+    (integer milli-units for cross-engine determinism) to the input
+    columns, so it composes with the other per-row quality signals in one
+    projection — no self-join needed to reattach them."""
     toks = _tokens(text_col)
     grams = F.when(
         F.size(toks) >= n,
@@ -165,11 +167,13 @@ def repetition_ratio(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.size(grams).cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
-    ).withColumn(
+    out = df.withColumns(
+        {
+            "n_grams": F.size(grams).cast("bigint"),
+            "n_distinct": F.size(F.array_distinct(grams)).cast("bigint"),
+        }
+    )
+    return out.withColumn(
         "rep_milli",
         F.when(
             F.col("n_grams") > 0,

@@ -114,25 +114,29 @@ def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# As-of join (absent in reference §2.10; a core time-series EXT): for each
-# purchase event, the latest click by the same user at-or-before the
-# purchase timestamp (the trades/quotes shape).
+# As-of join (absent in reference §2.10; a core time-series EXT), BOTH
+# directions in one tagged query: backward = for each purchase, the latest
+# click by the same user at-or-before the purchase timestamp (the
+# trades/quotes shape); forward = the first click within 1 hour AFTER it
+# (tolerance folded in).
 #
-# Spark shape — union + carry-forward window, NOT an inequality join: tag
-# both sides, union, and take last(click, ignorenulls) over (user ORDER BY
-# ts) rows-unbounded-preceding. ONE shuffle on user_id, one sort, zero
-# join blowup — an inequality join materializes |purchases|×|clicks| per
-# user before pruning, which dies on hot users at 100 TB; this shape is
-# linear and AQE-skew-splittable.
+# Spark shape (operators/asof.py) — union + carry-forward window, NOT an
+# inequality join: tag both sides, union, and take last(payload,
+# ignorenulls) over (user ORDER BY ts) rows-unbounded-preceding. ONE
+# shuffle on user_id per direction, one sort, zero join blowup — an
+# inequality join materializes |purchases|×|clicks| per user before
+# pruning, which dies on hot users at 100 TB; this shape is linear and
+# AQE-skew-splittable. The oracle is the inequality-join + rn=1 rewrite.
 
 
 @register(
     "q35_asof_join",
     """
-    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id, click_value
+    SELECT 'backward' AS direction,
+           purchase_id, user_id, purchase_ts, asof_ts, asof_event_id, asof_value
     FROM (
       SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-             c.ts AS click_ts, c.event_id AS click_id, c.value AS click_value,
+             c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
              row_number() OVER (
                PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
              ) AS rn
@@ -140,46 +144,51 @@ def q34_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON c.user_id = p.user_id AND c.ts <= p.ts
     ) WHERE rn = 1
+    UNION ALL
+    SELECT 'forward' AS direction,
+           purchase_id, user_id, purchase_ts, asof_ts, asof_event_id, asof_value
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+           AND c.ts <= p.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
     """,
-    survey_rows="§2.10 exposure: as-of join (latest click ≤ purchase ts)",
+    survey_rows="§2.10 exposure: generalized as-of join (backward + forward"
+    " with tolerance, single-shuffle union-and-carry)",
 )
 def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
     e = load(spark, sf_dir, "events")
-    click_t = "struct<ts:timestamp,event_id:bigint,value:double>"
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.struct("ts", "event_id", "value").cast(click_t).alias("c"),
-        F.lit(0).alias("is_p"),
-    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast(click_t).alias("c"),
-        F.lit(1).alias("is_p"),
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
-    # order: ts, then clicks-before-purchases at equal ts ("at-or-before"),
-    # then event_id so the carried row is the max-id click among ts ties —
-    # exactly the oracle's (ts DESC, event_id DESC) rn=1.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_p", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
     )
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("last_c", F.last("c", ignorenulls=True).over(w))
-        .filter(F.col("is_p") == 1)
-        .select(
-            F.col("event_id").alias("purchase_id"),
+
+    def one(direction: str, tolerance) -> DataFrame:
+        out = asof_join(
+            purchases, clicks, ["user_id"], direction=direction, tolerance=tolerance
+        )
+        return out.select(
+            F.lit(direction).alias("direction"),
+            "purchase_id",
             "user_id",
             F.col("ts").alias("purchase_ts"),
-            F.col("last_c.ts").alias("click_ts"),
-            F.col("last_c.event_id").alias("click_id"),
-            F.col("last_c.value").alias("click_value"),
+            "asof_ts",
+            "asof_event_id",
+            "asof_value",
         )
+
+    return one("backward", None).unionByName(
+        one("forward", F.expr("INTERVAL 1 HOUR"))
     )
 
 
@@ -432,53 +441,3 @@ def q60_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Generalized as-of join (operators/asof.py), forward direction with a
-# tolerance: the first click within 1 hour AFTER each purchase. Same
-# union-and-carry single-shuffle shape as q35; the oracle is the
-# inequality-join + rn=1 rewrite with the tolerance folded into the ON.
-
-
-@register(
-    "q61_asof_forward",
-    """
-    SELECT purchase_id, user_id, purchase_ts, asof_ts, asof_event_id, asof_value
-    FROM (
-      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-             c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
-             row_number() OVER (
-               PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC
-             ) AS rn
-      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        ON c.user_id = p.user_id AND c.ts >= p.ts
-           AND c.ts <= p.ts + INTERVAL 1 HOUR
-    ) WHERE rn = 1
-    """,
-    survey_rows="§2.10 exposure — generalized as-of join (forward + tolerance)",
-)
-def q61_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.asof import asof_join
-
-    e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    out = asof_join(
-        purchases,
-        clicks,
-        ["user_id"],
-        direction="forward",
-        tolerance=F.expr("INTERVAL 1 HOUR"),
-    )
-    return out.select(
-        "purchase_id",
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        "asof_ts",
-        "asof_event_id",
-        "asof_value",
-    )

@@ -60,16 +60,10 @@ _BM25_CTE = f"""
 """
 
 
-@register(
-    "q48_bm25_topk",
-    f"""
-    WITH {_BM25_CTE}
-    SELECT doc_id, bm25_score, bm25_rank FROM bm25 WHERE bm25_rank <= 20
-    """,
-    survey_rows="X4 (lexical ranking), Q1 analog, A4",
-)
-def q48_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_rank(load(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+# Hybrid retrieval in ONE driver row: the BM25 lexical ranking (scores
+# exposed — the oracle's bm25 CTE is the full Okapi contract), the cosine
+# ranking, and their reciprocal-rank fusion. A value match certifies the
+# lexical ranker AND the fusion.
 
 
 @register(
@@ -92,17 +86,19 @@ def q48_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused AS (
       SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
              b.bm25_rank, c.cos_rank,
+             coalesce(b.bm25_score, -1.0) AS bm25_score,
              coalesce(1.0 / (60 + b.bm25_rank), 0)
                + coalesce(1.0 / (60 + c.cos_rank), 0) AS rrf
       FROM bm25_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
     )
     SELECT doc_id, round(rrf, 6) AS rrf_score,
            row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
-           bm25_rank, cos_rank
+           bm25_rank, cos_rank, bm25_score
     FROM fused
     QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20
     """,
-    survey_rows="X4 + Q1 fusion (hybrid lexical+vector retrieval)",
+    survey_rows="X4 (BM25 lexical ranking, scores exposed) + Q1 fusion "
+    "(hybrid lexical+vector retrieval), A4",
 )
 def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -126,35 +122,81 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "cos_rank")
     )
-    return rrf_fuse(bm25_top, cos_top, k=20)
+    fused = rrf_fuse(bm25_top, cos_top, k=20)
+    # expose the BM25 scores themselves (the lexical-ranker value contract,
+    # not just its ordering); -1.0 marks cos-only docs on both sides.
+    return fused.join(
+        F.broadcast(bm25_top.select("doc_id", "bm25_score")), "doc_id", "left"
+    ).withColumn("bm25_score", F.coalesce("bm25_score", F.lit(-1.0)))
+
+
+# Content-addressed sampling pack in ONE per-doc frame: the md5-bucket
+# train/val/test split AND the deterministic stratified language sample
+# (en downsampled to 25%, tail kept at 60%). Both are narrow per-row
+# bucket computations — zero shuffles at any corpus size; re-runs,
+# re-shards, and cluster-size changes never move a document.
 
 
 @register(
-    "q50_hash_split",
+    "q50_split_and_sample",
     """
     WITH b AS (
-      SELECT doc_id,
+      SELECT doc_id, lang, source,
              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-             AS bucket
+             AS bucket,
+             (((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+             AS bucket16
       FROM documents
     )
-    SELECT doc_id, bucket,
+    SELECT doc_id, lang, source, bucket, bucket16,
            CASE WHEN bucket < 205 THEN 'train'
                 WHEN bucket < 230 THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END AS in_sample
     FROM b
     """,
-    survey_rows="X1/H1 analog — content-addressed train/val/test split",
+    survey_rows="X1/H1 analog — content-addressed train/val/test split + "
+    "deterministic stratified sampling (language rebalancing)",
 )
-def q50_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hash_split(load(spark, sf_dir, "documents")).select(
-        "doc_id", "bucket", "split"
+def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import content_bucket16
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    split = hash_split(docs)
+    sampled = stratified_sample(
+        docs, {"en": 0.25}, group_col="lang", key_col="doc_id", default_fraction=0.6
+    ).select("doc_id", F.lit(True).alias("in_sample"))
+    return (
+        # bucket16 is a pure function of doc_id — recompute for ALL rows
+        # (the sample operator only emits kept rows); the left join against
+        # the operator's kept set certifies its filter exactly.
+        split.withColumn("bucket16", content_bucket16("doc_id"))
+        .join(F.broadcast(sampled), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "bucket",
+            "bucket16",
+            "split",
+            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+        )
     )
+
+
+# LLM data-mixing pack in ONE per-doc frame: GPT-style sequence-packing
+# coordinates (docs concatenated per source in id order, cut every 512
+# tokens) AND the per-source token-budget selection (longest-first greedy
+# under 2000 tokens). Each is a single running-total window per source —
+# two orderings, so two window sorts over the same shuffle key.
 
 
 @register(
-    "q51_sequence_packing",
+    "q51_packing_and_budget",
     """
     WITH t AS (
       SELECT source, doc_id,
@@ -166,19 +208,43 @@ def q50_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS BIGINT) AS cum_before
+             ), 0) AS BIGINT) AS cum_before,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT source, doc_id, n_tokens,
            cum_before // 512 AS seq_id,
            cum_before % 512 AS seq_offset,
-           greatest(cum_before // 512, (cum_before + n_tokens - 1) // 512) AS seq_end
+           greatest(cum_before // 512, (cum_before + n_tokens - 1) // 512) AS seq_end,
+           CASE WHEN cum_tokens <= 2000 THEN cum_tokens ELSE -1 END AS cum_tokens,
+           cum_tokens <= 2000 AS in_budget
     FROM c
     """,
-    survey_rows="N5 (running totals) → LLM sequence packing",
+    survey_rows="N5 (running totals) → LLM sequence packing + "
+    "X4/X1 token-budget corpus selection (data mixing)",
 )
-def q51_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_sequences(load(spark, sf_dir, "documents"), ctx_len=512)
+def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, ctx_len=512)
+    budget = select_token_budget(
+        docs, "source", "doc_id", "text", budget_tokens=2000
+    ).select("doc_id", "cum_tokens", F.lit(True).alias("in_budget"))
+    return (
+        packed.join(F.broadcast(budget), "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "seq_id",
+            "seq_offset",
+            "seq_end",
+            F.coalesce("cum_tokens", F.lit(-1)).alias("cum_tokens"),
+            F.coalesce("in_budget", F.lit(False)).alias("in_budget"),
+        )
+    )
 
 
 @register(
@@ -376,56 +442,3 @@ def q56_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q57_token_budget",
-    """
-    WITH sized AS (
-      SELECT source, doc_id,
-             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
-      FROM documents
-    )
-    SELECT source, doc_id, n_tokens, cum_tokens FROM (
-      SELECT source, doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (
-               PARTITION BY source ORDER BY n_tokens DESC, doc_id
-               ROWS UNBOUNDED PRECEDING
-             ) AS BIGINT) AS cum_tokens
-      FROM sized
-    ) WHERE cum_tokens <= 2000
-    """,
-    survey_rows="X4/X1 (token-budget corpus selection — data mixing)",
-)
-def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return select_token_budget(
-        docs, "source", "doc_id", "text", budget_tokens=2000
-    ).select("source", "doc_id", "n_tokens", "cum_tokens")
-
-
-# ---------------------------------------------------------------------------
-# Deterministic stratified sampling (q59): language rebalancing — downsample
-# the dominant language, keep the tail. Content-addressed buckets mean the
-# sample is invariant to re-runs, re-sharding, and cluster size.
-
-@register(
-    "q59_stratified_sample",
-    """
-    WITH b AS (
-      SELECT doc_id, lang, source,
-             (((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
-              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
-              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-             AS bucket16
-      FROM documents
-    )
-    SELECT doc_id, lang, source, bucket16 FROM b
-    WHERE bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END
-    """,
-    survey_rows="X1/X4 (deterministic stratified sampling — data rebalancing)",
-)
-def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return stratified_sample(
-        docs, {"en": 0.25}, group_col="lang", key_col="doc_id", default_fraction=0.6
-    ).select("doc_id", "lang", "source", "bucket16")

@@ -12,14 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ann import hyperplanes, lsh_topk, with_lsh_bucket
+from ..operators.ann import hyperplanes, lsh_topk
 from ..operators.dedup import (
     assign_components,
     embedding_near_dup,
-    minhash_signature_flat,
     near_dup_minhash,
     ngram_jaccard_pairs,
-    simhash32,
+    simhash_near_dup,
 )
 from ..registry import QUERY_VECS, load, register, sql_vec
 
@@ -76,33 +75,10 @@ _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
-# X2 — MinHash signatures (flat: one row per (doc, hash function)).
-
-
-@register(
-    "q22_minhash_signatures",
-    f"""
-    WITH
-    {_SQL_TEXT_CORPUS}
-    SELECT doc_id AS id, seeds.hash_idx,
-           min({_H32.format(expr="shingle || '#' || hash_idx")}) AS min_hash
-    FROM sh CROSS JOIN generate_series(0, 7) seeds(hash_idx)
-    GROUP BY doc_id, seeds.hash_idx
-    """,
-    survey_rows="X2 (MinHash), H1, N2",
-)
-def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _planted_text_corpus(spark, sf_dir)
-    return minhash_signature_flat(corpus, "doc_id", "text", n_hashes=8).select(
-        F.col("_id").alias("id"),
-        F.col("hash_idx").cast("bigint").alias("hash_idx"),
-        "min_hash",
-    )
-
-
-# ---------------------------------------------------------------------------
-# X2 — MinHash-LSH near-dup end to end: banding → candidates → true-Jaccard
-# verify. Must recover the planted (doc, doc+offset) pairs.
+# X2 — MinHash-LSH near-dup end to end: signatures → banding → candidates →
+# true-Jaccard verify. Must recover the planted (doc, doc+offset) pairs.
+# (The oracle's `sig` CTE is the flat signature contract — a match here
+# certifies the per-(doc, hash) min-hash values, not just the final pairs.)
 
 
 @register(
@@ -143,7 +119,7 @@ def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cnt cb ON cb.doc_id = id_b
     ) WHERE jaccard >= 0.3
     """,
-    survey_rows="X2 (MinHash-LSH end to end), §2.8 joins",
+    survey_rows="X2 (MinHash signatures + LSH banding end to end), H1, N2, §2.8 joins",
 )
 def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_text_corpus(spark, sf_dir)
@@ -186,7 +162,13 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2 — SimHash fingerprints (32-bit, majority-bit over distinct tokens).
+# X2 — SimHash near-dup end to end: 32-bit majority-bit fingerprints →
+# byte-band candidate blocking → exact hamming verify (bit_count(xor)).
+# With max_hamming=3 < 4 bands, recall is EXACT by pigeonhole (any pair
+# within 3 bit flips shares an intact 8-bit band), and the planted
+# truncated copies must surface (their hamming concentrates at 0-3).
+# Fingerprint values are exposed in the output, so a match certifies the
+# fingerprint computation AND the matcher.
 
 _SIMHASH_BITS_SQL = ",\n             ".join(
     f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
@@ -198,31 +180,44 @@ _SIMHASH_VAL_SQL = " + ".join(
 
 
 @register(
-    "q24_simhash",
+    "q24_simhash_near_dup",
     f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-      ) WHERE token <> ''
-    ),
+    WITH
+    {_SQL_TEXT_CORPUS},
+    stok AS (SELECT DISTINCT doc_id, token FROM tok),
     hashed AS (
-      SELECT doc_id, {_H32.format(expr="token || '#0'")} AS h FROM tok
+      SELECT doc_id, {_H32.format(expr="token || '#0'")} AS h FROM stok
     ),
     bits AS (
       SELECT doc_id,
              {_SIMHASH_BITS_SQL}
       FROM hashed GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bits
+    ),
+    banded AS (
+      SELECT doc_id, simhash, gs.band,
+             (simhash >> (8 * gs.band)) & 255 AS band_val
+      FROM sim CROSS JOIN generate_series(0, 3) gs(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS simhash_a, b.simhash AS simhash_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
     )
-    SELECT doc_id AS id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash
-    FROM bits
+    SELECT id_a, id_b, simhash_a, simhash_b,
+           CAST(bit_count(xor(simhash_a, simhash_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
     """,
-    survey_rows="X2 (SimHash)",
+    survey_rows="X2 (SimHash fingerprints + hamming-band near-dup)",
 )
-def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return simhash32(docs, "doc_id", "text").select(
-        F.col("_id").alias("id"), "simhash"
-    )
+def q24_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_text_corpus(spark, sf_dir)
+    return simhash_near_dup(corpus, "doc_id", "text", max_hamming=3, n_bands=4)
 
 
 # ---------------------------------------------------------------------------
@@ -282,29 +277,19 @@ def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2/X3 scale path — random-hyperplane LSH buckets + bucketed approximate
-# top-k. Hyperplanes are deterministic literals (operators/ann.py).
+# X2/X3 scale path — random-hyperplane LSH bucketing + MULTI-PROBE
+# approximate top-k: each query probes its own bucket plus every 1-bit-xor
+# neighbor (the standard recall fix for sign-bit LSH — near-boundary
+# neighbors sit just across one hyperplane). Hyperplanes are deterministic
+# literals (operators/ann.py); the oracle's `v` CTE recomputes every
+# vector's bucket, so a match certifies the bucketing AND the probe set.
+# The recall contract vs brute force lives in tests/test_scale_patterns.py.
 
 _PLANES = hyperplanes(n_planes=8, dim=64, seed=7)
 _BUCKET_SQL = " + ".join(
     f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(p)}) > 0 THEN {1 << i} ELSE 0 END"
     for i, p in enumerate(_PLANES)
 )
-
-
-@register(
-    "q26_lsh_buckets",
-    f"""
-    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-    FROM embeddings
-    """,
-    survey_rows="X2 (hyperplane LSH bucketing — the ANN scale path)",
-)
-def q26_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    return with_lsh_bucket(emb, "embedding", n_planes=8, dim=64, seed=7).select(
-        "vec_id", "bucket"
-    )
 
 
 def _query_bucket(vec: list[float]) -> int:
@@ -315,15 +300,20 @@ def _query_bucket(vec: list[float]) -> int:
     return b
 
 
+def _probe_list(vec: list[float]) -> list[int]:
+    qb = _query_bucket(vec)
+    return [qb] + [qb ^ (1 << p) for p in range(len(_PLANES))]
+
+
 _Q27_QUERIES_SQL = ",\n      ".join(
-    f"({qid}, {sql_vec(v)}, {_query_bucket(v)})" for qid, v in QUERY_VECS.items()
+    f"({qid}, {sql_vec(v)}, {_probe_list(v)})" for qid, v in QUERY_VECS.items()
 )
 
 
 @register(
-    "q27_lsh_bucketed_topk",
+    "q27_lsh_multiprobe_topk",
     f"""
-    WITH q(query_id, qvec, qbucket) AS (VALUES
+    WITH q(query_id, qvec, probes) AS (VALUES
       {_Q27_QUERIES_SQL}
     ),
     v AS (
@@ -334,20 +324,20 @@ _Q27_QUERIES_SQL = ",\n      ".join(
     scored AS (
       SELECT q.query_id, v.vec_id,
              list_cosine_similarity(v.emb, q.qvec) AS raw
-      FROM v JOIN q ON v.bucket = q.qbucket
+      FROM v JOIN q ON list_contains(q.probes, v.bucket)
     )
     SELECT query_id, vec_id, round(raw, 6) AS score
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id) <= 5
     """,
-    survey_rows="X2/X3 (LSH-bucketed approximate top-k)",
+    survey_rows="X2/X3 (hyperplane-LSH bucketing + multi-probe approximate top-k)",
 )
-def q27_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qdf = spark.createDataFrame(
         [(qid, v) for qid, v in QUERY_VECS.items()], "query_id int, qvec array<double>"
     )
-    out = lsh_topk(emb, qdf, k=5, n_planes=8, dim=64, seed=7)
+    out = lsh_topk(emb, qdf, k=5, n_planes=8, dim=64, seed=7, multi_probe=1)
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
 
 

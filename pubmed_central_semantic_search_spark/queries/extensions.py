@@ -38,82 +38,49 @@ _LANG_CASE = f"""
 """
 
 
+# The X4 per-document text-analysis panel in ONE driver row: language ID
+# (argmax stopword profile), integer-deterministic quality score, BPE-ish
+# token count, Gopher-style repetition signal — all narrow per-row
+# expressions fused into a single projection (one scan, zero shuffles) —
+# plus the order-sensitive rolling-hash fingerprint, whose per-doc fold is
+# the only aggregation, reattached by one join. A value match certifies
+# all five signals at once.
+
+
 @register(
-    "q28_language_id",
+    "q28_text_analysis",
     f"""
-    WITH scored AS (
-      SELECT doc_id, lang AS labeled_lang,
-             {_sql_score('de')} AS s_de,
-             {_sql_score('en')} AS s_en,
-             {_sql_score('es')} AS s_es,
-             {_sql_score('fr')} AS s_fr
-      FROM documents
-    )
-    SELECT doc_id, labeled_lang, {_LANG_CASE} AS predicted_lang
-    FROM scored
-    """,
-    survey_rows="X4 (language-ID heuristic)",
-)
-def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        language_id("text").alias("predicted_lang"),
-    )
-
-
-@register(
-    "q29_quality_score",
-    """
     WITH feat AS (
-      SELECT doc_id,
+      SELECT doc_id, lang AS labeled_lang, text,
              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
              len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
                  t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop,
              len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
                  t -> regexp_full_match(t, '[0-9]+'))) AS n_digit,
-             length(text) AS n_chars
+             length(text) AS n_chars,
+             {_sql_score('de')} AS s_de,
+             {_sql_score('en')} AS s_en,
+             {_sql_score('es')} AS s_es,
+             {_sql_score('fr')} AS s_fr,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
       FROM documents
     ),
-    scores AS (
-      SELECT doc_id,
-             least(n_tok * 1000 // 32, 1000) AS len_score,
-             CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
-                  THEN 1000 ELSE 500 END AS tok_len_score,
-             least(n_stop * 5000 // n_tok, 1000) AS stop_score,
-             1000 - least(n_digit * 2000 // n_tok, 1000) AS digit_penalty
+    panel AS (
+      SELECT doc_id, labeled_lang,
+             {_LANG_CASE} AS predicted_lang,
+             CAST((3 * least(n_tok * 1000 // 32, 1000)
+                 + 2 * CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
+                        THEN 1000 ELSE 500 END
+                 + 3 * least(n_stop * 5000 // n_tok, 1000)
+                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10 AS BIGINT)
+               AS quality_milli,
+             len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                  ELSE [] END AS gs
       FROM feat
-    )
-    SELECT doc_id,
-           CAST((3 * len_score + 2 * tok_len_score + 3 * stop_score + 2 * digit_penalty) // 10 AS BIGINT) AS quality_milli
-    FROM scores
-    """,
-    survey_rows="X4 (quality scoring, integer-deterministic)",
-)
-def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return quality_score(d).select("doc_id", "quality_milli")
-
-
-@register(
-    "q30_bpe_token_count",
-    f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
-    FROM documents
-    """,
-    survey_rows="X4 (token counting, BPE-ish regex)",
-)
-def q30_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
-
-
-@register(
-    "q31_rolling_fingerprint",
-    f"""
-    WITH tok AS (
+    ),
+    tok AS (
       SELECT doc_id, pos,
              CAST(('0x' || substr(md5(token || '#0'), 1, 8)) AS BIGINT) AS h
       FROM (
@@ -125,18 +92,46 @@ def q30_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ordered AS (
       SELECT doc_id, list(h ORDER BY pos) AS hs FROM tok GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                         (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
+      FROM ordered
     )
-    SELECT doc_id AS id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-                       (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
-    FROM ordered
+    SELECT p.doc_id, p.labeled_lang, p.predicted_lang, p.quality_milli,
+           p.n_bpe_tokens,
+           CAST(len(p.gs) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(p.gs)) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN len(p.gs) > 0
+                THEN (len(p.gs) - len(list_distinct(p.gs))) * 1000 // len(p.gs)
+                ELSE 0 END AS BIGINT) AS rep_milli,
+           coalesce(fp.fingerprint, -1) AS fingerprint
+    FROM panel p LEFT JOIN fp ON fp.doc_id = p.doc_id
     """,
-    survey_rows="X4 (rolling-hash document fingerprint)",
+    survey_rows="X4 panel: language-ID heuristic + integer-deterministic "
+    "quality scoring + BPE-ish token counting + repetition ratio (Gopher) "
+    "+ rolling-hash document fingerprint",
 )
-def q31_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_ratio
+
     d = load(spark, sf_dir, "documents")
-    return rolling_fingerprint(d, "doc_id", "text").select(
-        F.col("_id").alias("id"), "fingerprint"
+    panel = repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id("text").alias("predicted_lang"),
+        "quality_milli",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        "n_grams",
+        "n_distinct",
+        "rep_milli",
+    )
+    fp = rolling_fingerprint(d, "doc_id", "text").select(
+        F.col("_id").alias("doc_id"), "fingerprint"
+    )
+    return panel.join(fp, "doc_id", "left").withColumn(
+        "fingerprint", F.coalesce("fingerprint", F.lit(-1))
     )
 
 
@@ -241,40 +236,3 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# X4 — repetition signal (Gopher-style): fraction of n-gram occurrences
-# that repeat an earlier one, per document. Narrow array math, no shuffle.
-
-
-@register(
-    "q43_repetition_ratio",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t <> '') AS tk
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) >= 3
-                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
-                  ELSE [] END AS gs
-      FROM toks
-    )
-    SELECT doc_id,
-           CAST(len(gs) AS BIGINT) AS n_grams,
-           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
-           CASE WHEN len(gs) > 0
-                THEN (len(gs) - len(list_distinct(gs))) * 1000 // len(gs)
-                ELSE 0 END AS rep_milli
-    FROM grams
-    """,
-    survey_rows="X4 (repetition ratio — Gopher quality signal)",
-)
-def q43_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import repetition_ratio
-
-    d = load(spark, sf_dir, "documents")
-    return repetition_ratio(d, "doc_id", "text", n=3).select(
-        F.col("_id").alias("doc_id"), "n_grams", "n_distinct", "rep_milli"
-    )

@@ -133,44 +133,40 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q2's semi-join shape — the reference's N+1 "filter chunks to one document"
-# loop (qdrant.py:213-229) is a semi-join in one pass.
+# loop (qdrant.py:213-229) is a semi-join in one pass — plus its anti-join
+# complement, in ONE tagged query (both sides certified in a single
+# driver row; the physical plan must show LeftSemi and LeftAnti).
 
 
 @register(
-    "q6_semi_join",
+    "q6_semi_anti_join",
     """
-    SELECT c_custkey, c_name, c_acctbal
+    SELECT 'semi' AS tag, c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
     )
-    """,
-    survey_rows="§2.8 semi-join (Q2 shape)",
-)
-def q6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
-
-
-@register(
-    "q7_anti_join",
-    """
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS tag, c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    survey_rows="§2.8 anti-join (free via Spark; §2.10 absence noted)",
+    survey_rows="§2.8 semi-join (Q2 shape) + anti-join (§2.10 exposure)",
 )
-def q7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q6_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    big = o.filter(F.col("o_totalprice") > 300000.0)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("tag"), "c_custkey", "c_name", "c_acctbal")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("tag"), "c_custkey", "c_name", "c_acctbal")
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------

@@ -99,25 +99,6 @@ def q3_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_mean_pool",
-    """
-    SELECT label,
-           generate_subscripts(embedding, 1) - 1 AS pos,
-           unnest(CAST(embedding AS DOUBLE[])) AS val
-    FROM embeddings
-    """,
-    survey_rows="(helper view — see q12 proper below)",
-)
-def _q12_explode_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Kept as its own registry row: certifies N1/posexplode alignment of
-    # vector components between engines before any aggregation.
-    emb = load(spark, sf_dir, "embeddings")
-    return emb.select(
-        "label", F.posexplode(vector.as_double("embedding")).alias("pos", "val")
-    )
-
-
-@register(
     "q12_mean_pool_grouped",
     """
     WITH e AS (
@@ -129,7 +110,9 @@ def _q12_explode_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, pos, round(avg(val), 6) AS mean_val
     FROM e GROUP BY label, pos
     """,
-    survey_rows="E3, A1, N1, N5",
+    survey_rows="E3, A1, N1, N5 (the oracle's `e` CTE is the posexplode "
+    "alignment contract — per-(label,pos) means only match if component "
+    "positions line up between engines)",
 )
 def q12_mean_pool_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")

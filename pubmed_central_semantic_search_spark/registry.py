@@ -91,7 +91,7 @@ def oracle_sql() -> dict[str, str]:
 # --- populate the registry -------------------------------------------------
 from .queries import pipeline, relational, similarity, text_pipeline  # noqa: E402,F401
 
-from .queries import clustering_pack, coverage, curation, dedup_pack, extensions  # noqa: E402,F401
+from .queries import clustering_pack, coverage, curation, dedup_pack, extensions, write_path  # noqa: E402,F401
 
 # Re-export the flagship for __spark_entry__.entry().
 q1_topk_cosine = REGISTRY["q1_topk_cosine"].spark

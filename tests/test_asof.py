@@ -87,7 +87,10 @@ def test_asof_matches_q35_inline_shape(spark, sf_dir):
         for r in asof_join(purchases, clicks, ["user_id"]).collect()
     }
     want = {
-        r["purchase_id"]: (r["click_ts"], r["click_id"], r["click_value"])
-        for r in REGISTRY["q35_asof_join"].spark(spark, sf_dir).collect()
+        r["purchase_id"]: (r["asof_ts"], r["asof_event_id"], r["asof_value"])
+        for r in REGISTRY["q35_asof_join"]
+        .spark(spark, sf_dir)
+        .filter(F.col("direction") == "backward")
+        .collect()
     }
     assert got == want

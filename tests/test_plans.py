@@ -53,10 +53,10 @@ def test_small_dims_broadcast(spark, sf_dir):
     )
 
 
-def test_semi_join_physical(spark, sf_dir):
+def test_semi_anti_join_physical(spark, sf_dir):
     assert_plan(
-        _q("q6_semi_join", spark, sf_dir),
-        contains=["LeftSemi"],
+        _q("q6_semi_anti_join", spark, sf_dir),
+        contains=["LeftSemi", "LeftAnti"],
     )
 
 
@@ -114,8 +114,10 @@ def test_highlight_context_is_one_scan_one_shuffle(spark, sf_dir):
 
 
 def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
+    # multi-probe explodes the QUERY side only; the vectors side must still
+    # hash-join against the broadcast probe set, never nested-loop.
     assert_plan(
-        _q("q27_lsh_bucketed_topk", spark, sf_dir),
+        _q("q27_lsh_multiprobe_topk", spark, sf_dir),
         contains=["BroadcastHashJoin"],
         not_contains=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
@@ -182,19 +184,22 @@ def test_pii_scrub_is_narrow_no_exchange(spark, sf_dir):
     assert "* Project" in plan  # whole-stage codegen'd projection
 
 
-def test_stratified_sample_is_narrow_no_exchange(spark, sf_dir):
-    """q59: content-addressed sampling = scan → filter, zero shuffles."""
-    assert_plan(
-        _q("q59_stratified_sample", spark, sf_dir),
-        not_contains=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
-    )
+def test_split_and_sample_no_hash_shuffle(spark, sf_dir):
+    """q50: both bucket computations are per-row; the only exchange allowed
+    is the broadcast of the (small) kept-sample side — a hash repartition
+    of the corpus would be a scale bug."""
+    plan = _q("q50_split_and_sample", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_token_budget_single_shuffle(spark, sf_dir):
-    """q57: one hash Exchange on the group key feeds the running-total
-    window; a second corpus shuffle would be a scale bug."""
-    plan = _q("q57_token_budget", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+def test_packing_and_budget_two_window_shuffles(spark, sf_dir):
+    """q51: each running-total window shuffles the corpus ONCE on the shard
+    key (two orderings → two exchanges); the budget side reattaches by
+    broadcast, so no third corpus shuffle may appear."""
+    plan = _q("q51_packing_and_budget", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_vocab_corpus_stages_are_partial_aggregated(spark, sf_dir):

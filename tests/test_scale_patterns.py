@@ -125,3 +125,78 @@ def test_ivf_partitioned_storage_prunes(spark, tmp_path, sf_dir):
     full = {r["cluster_id"] for r in lists.select("cluster_id").distinct().collect()}
     got = {r["cluster_id"] for r in probed.select("cluster_id").distinct().collect()}
     assert got == {0, 2} and got < full
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH recall contract — stated on the task LSH actually
+# guarantees: R-NEAR-NEIGHBOR retrieval. Queries are perturbed corpus
+# vectors (cosine ≈ 0.999 to their twin — the embedding-near-dup search
+# task); brute force confirms the twin IS the true top-1, and multi-probe
+# LSH must retrieve it for ≥ 0.9 of queries while scoring only
+# (planes+1)/2^planes of the corpus. On ISOTROPIC data, arbitrary-angle
+# top-k (neighbors at ~65°) is hostile to every LSH family — sign-bit
+# agreement is ~p=0.65/plane, so no plane count is simultaneously
+# selective and high-recall; that regime needs OR-amplification (more
+# tables) or IVF (operators/clustering.py), not more probes. Real
+# embedding corpora cluster, which is the geometry this contract models.
+
+
+def test_lsh_multiprobe_recall_contract(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from pubmed_central_semantic_search_spark.operators.ann import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(SF.col("vec_id") < 40).select(
+        SF.col("vec_id").alias("query_id"),
+        SF.transform(
+            SF.col("embedding").cast("array<double>"),
+            lambda x, i: SF.when(i == 0, x + 0.05).otherwise(x),
+        ).alias("qvec"),
+    )
+    twin = {
+        r["query_id"]: r["vec_id"]
+        for r in brute_force_topk(emb, queries, 1).collect()
+    }
+    assert all(q == v for q, v in twin.items())  # twin really is the top-1
+
+    def top1_recall(multi_probe: int) -> float:
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in lsh_topk(emb, queries, 1, multi_probe=multi_probe).collect()
+        }
+        return sum(1 for q, v in twin.items() if got.get(q) == v) / len(twin)
+
+    r_single, r_multi = top1_recall(0), top1_recall(1)
+    assert r_multi >= 0.9, f"multi-probe recall {r_multi} < 0.9 (single {r_single})"
+    assert r_multi >= r_single  # the extra probes can only add candidates
+
+
+def test_simhash_band_join_is_equi_not_cartesian(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.operators.dedup import simhash_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = simhash_near_dup(docs, "doc_id", "text", max_hamming=3, n_bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band" in plan  # the (band, band_val) equi-key is really in the join
+
+
+def test_simhash_near_dup_recovers_planted_truncations(spark, sf_dir):
+    """Planted copies (last-5-tokens-dropped twins, the q24 corpus) must
+    surface as (id, id+offset) pairs; hamming must be symmetric-bounded."""
+    from pubmed_central_semantic_search_spark.queries.dedup_pack import (
+        COPY_OFFSET,
+        _planted_text_corpus,
+    )
+    from pubmed_central_semantic_search_spark.operators.dedup import simhash_near_dup
+
+    corpus = _planted_text_corpus(spark, sf_dir)
+    pairs = simhash_near_dup(corpus, "doc_id", "text", max_hamming=3, n_bands=4)
+    rows = pairs.collect()
+    planted = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] == r["id_a"] + COPY_OFFSET}
+    assert len(planted) >= 10  # a healthy share of twins is within 3 bits
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
