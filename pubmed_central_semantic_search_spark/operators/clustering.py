@@ -6,10 +6,12 @@ HNSW index (``qdrant.py:71-89``), whose Spark-side analogs are:
 
 - **Lloyd k-means** over document vectors (X7): the MLlib execution shape
   re-expressed in plain DataFrame ops — centroids are TINY (k × dim), so
-  each iteration collects them to the driver and re-broadcasts them as
-  literals. Assignment is then a pure projection (rank over k literal
-  cosine expressions): NO shuffle, whole-stage codegen, one scan per
-  iteration. The only shuffle per iteration is the k-row centroid
+  each iteration collects them to the driver and re-broadcasts them as a
+  PACKED ``array<array<double>>`` literal. Assignment is then a pure
+  projection (a ``zip_with`` loop over the centroid matrix): NO shuffle,
+  O(1)-size codegen at any k × dim (proven at dim=768 — the unrolled
+  per-centroid-literal form fell back to interpreted eval there, 80×
+  slower). The only shuffle per iteration is the k·dim-row centroid
   re-aggregation. Deterministic end to end: seeds are the k lowest-id
   vectors, ties break to the lowest cluster id — so the whole algorithm
   (any fixed iteration count) has a DuckDB oracle via unrolled CTEs.
@@ -50,16 +52,22 @@ def _ranked_centroids(vec_col: Column | str, centroids: Centroids) -> Column:
     Ranking trick: argsort by cosine(v, c) over FIXED centroids equals
     argsort by dot(v, c/|c|) — |v| is a positive per-row constant and
     |c| is folded into the literal driver-side. Saves two norm folds per
-    centroid per row and shrinks the codegen tree ~3×."""
+    centroid per row.
+
+    PACKED literals: the centroid matrix rides as ONE
+    ``array<array<double>>`` literal and the k dot products run as a
+    ``zip_with`` loop — the expression tree is O(1) in k × dim. The
+    earlier unrolled form (k separate dot expressions, each against its
+    own k·dim-leaf literal array) blew past codegen limits at dim=768
+    (interpreted fallback, 80× slower assignment); this form computes the
+    identical fold in the identical order, bit-for-bit, at loop speed."""
+    cvecs = F.lit([_unit(list(vec)) for _, vec in centroids])
+    cids = F.lit([int(cid) for cid, _ in centroids])
     return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-dot(vec_col, F.lit(_unit(vec)))).alias("nsim"),
-                    F.lit(cid).alias("c"),
-                )
-                for cid, vec in centroids
-            ]
+        F.zip_with(
+            cvecs,
+            cids,
+            lambda c, i: F.struct((-dot(vec_col, c)).alias("nsim"), i.alias("c")),
         )
     )
 
@@ -74,6 +82,45 @@ def top_centroids(
 ) -> Column:
     """array<int> of the ``nprobe`` nearest centroid ids, best first."""
     return F.slice(_ranked_centroids(vec_col, centroids), 1, nprobe).getField("c")
+
+
+def nearest_centroid_join(
+    vectors: DataFrame,
+    centroids: Centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-join assignment fallback for VERY large k: the centroid
+    table rides a broadcast crossJoin instead of a plan literal.
+
+    The packed-literal path (``nearest_centroid``) is a pure projection —
+    the right default at any dim and k into the thousands — but the
+    centroid matrix still serializes into every task's plan; when k × dim
+    doubles outgrow what a plan should carry (say k in the 10^5 range —
+    IVF codebooks), a broadcast relation is the right transport. This
+    shape stays flat: k rows broadcast, per-partition partial
+    ``min(struct)`` argmax, ONE row per vector on the shuffle — never the
+    k× pre-agg stream. Returns (id, cluster_id); bit-identical to the
+    literal path (same dot fold, same tie-break) — proven in
+    tests/test_dim768.py."""
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, _unit(list(v))) for cid, v in centroids],
+        "cluster_id int, _cvec array<double>",
+    )
+    best = F.min(
+        F.struct(
+            (-dot(vec_col, F.col("_cvec"))).alias("nsim"),
+            F.col("cluster_id").alias("c"),
+        )
+    )
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(best.alias("_best"))
+        .select(id_col, F.col("_best.c").alias("cluster_id"))
+    )
 
 
 def seed_centroids(
@@ -94,22 +141,29 @@ def seed_centroids(
 def recompute_centroids(
     assigned: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> Centroids:
-    """Per-cluster element-wise mean (one wide-avg hash aggregate — the
-    k-row shuffle that IS the Lloyd iteration), collected to the driver.
-    Clusters that lost all members disappear."""
-    # Pre-project the double cast ONCE: putting `as_double(vec)[i]` inside
-    # each of the `dim` aggregates re-evaluates the array transform per
-    # aggregate (Catalyst doesn't CSE across agg expressions) — dim× more
-    # per-row work and a dim× bigger expression tree to analyze per
-    # iteration.
+    """Per-cluster element-wise mean, collected to the driver (k × dim
+    rows — never data-sized). Clusters that lost all members disappear.
+
+    Shape: posexplode → groupBy (cluster, pos) — the mean-pool flat shape.
+    The explode is narrow and the aggregate partial-combines map-side, so
+    the shuffle carries k·dim partials per partition. The earlier wide
+    form (dim separate avg aggregates in one HashAggregate) tripped
+    Spark's codegen field limit at dim=768 and fell back to interpreted
+    per-row evaluation of dim element_at calls — 20× slower; this form
+    stays inside whole-stage codegen at any dimensionality."""
     rows = (
-        assigned.select("cluster_id", as_double(vec_col).alias("_v"))
-        .groupBy("cluster_id")
-        .agg(*[F.avg(F.col("_v")[i]).alias(f"_m{i}") for i in range(dim)])
+        assigned.select(
+            "cluster_id", F.posexplode(as_double(vec_col)).alias("_pos", "_val")
+        )
+        .groupBy("cluster_id", "_pos")
+        .agg(F.avg("_val").alias("_m"))
         .collect()
     )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["_pos"])] = r["_m"]
     return sorted(
-        (int(r["cluster_id"]), [r[f"_m{i}"] for i in range(dim)]) for r in rows
+        (cid, [comps[i] for i in range(dim)]) for cid, comps in by_cluster.items()
     )
 
 
