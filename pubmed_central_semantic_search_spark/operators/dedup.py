@@ -10,15 +10,15 @@ Scale design notes (the point of each shape at 100 TB):
 - exact dedup: one shuffle on the content hash; keep-min-id via
   ``row_number`` or min-aggregate. Never collects; never compares texts
   pairwise.
-- MinHash: shingle explode is narrow; the signature is k min-aggregates in
-  ONE groupBy pass (partial aggregation map-side → the shuffle carries k
-  mins per doc, not the shingle stream). LSH banding turns the quadratic
-  candidate problem into an equi-join on (band, band_key) — only documents
-  sharing a band key ever meet. Hash functions are md5-derived 32-bit ints
+- MinHash: the signature is a pure per-row expression (k ``array_min``
+  folds over the per-row shingle array) and so are the LSH band keys —
+  ZERO shuffles until the candidate equi-join on (band, band_key), which
+  is therefore the first wide op in the pipeline. Only documents sharing
+  a band key ever meet. Hash functions are md5-derived 32-bit ints
   (identical in DuckDB → oracle-checkable end to end).
-- SimHash: 32 per-bit signed sums in one groupBy (again partial-agg
-  friendly); near-dup = hamming distance on a 64.. 32-bit fingerprint,
-  blocked by byte bands.
+- SimHash: 32 integer folds over the per-row distinct-token hash array —
+  fully narrow; near-dup = hamming distance on the 32-bit fingerprint,
+  blocked by byte bands (the band equi-join is the only shuffle).
 - Embedding near-dup: cosine self-join is quadratic unless blocked — block
   on a cheap key (label, length bucket) or the hyperplane-LSH buckets from
   ``operators/ann.py``.
@@ -63,31 +63,36 @@ def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+def shingle_array(text_col: Column | str, n: int = 3) -> Column:
+    """DISTINCT n-gram token shingles of a text column as an array —
+    a pure per-row expression (``transform(sequence(...))``): the narrow
+    primitive under every shingle consumer. (An earlier lead-window
+    version shuffled the whole token stream on doc id just to line up
+    neighbors that were already adjacent in the array — at 100 TB that
+    shuffle is the corpus itself.)"""
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    # guard: sequence(1, 0) would run DESCENDING for docs shorter than n
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct n-gram token shingles per document: (id, shingle).
-
-    Built from the token ARRAY with ``transform(sequence(...))`` — a pure
-    projection followed by one explode: fully NARROW, no shuffle. (An
-    earlier lead-window version shuffled the whole token stream on doc id
-    just to line up neighbors that were already adjacent in the array —
-    at 100 TB that shuffle is the corpus itself.) The distinct dedups
-    repeated shingles (set semantics, as MinHash needs)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    # guard: sequence(1, 0) would run DESCENDING for docs shorter than n
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(grams)).alias("shingle"),
-        )
+    """Distinct n-gram token shingles per document, exploded: (id, shingle)
+    — the inverted-index feed for the Jaccard joins. Narrow until the
+    explode; no shuffle."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -104,22 +109,38 @@ def hash32(col: Column | str, seed: int) -> Column:
     ).cast("bigint")
 
 
+def minhash_signature_array(
+    text_col: Column | str, n_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """k-permutation MinHash signature as an array<bigint> — a pure
+    per-row expression: k ``array_min`` folds over the shingle array.
+    NULL-element signature for shingle-less docs (callers filter).
+
+    This is ZERO-shuffle (the earlier shape exploded shingles and took k
+    mins in a groupBy — one corpus-wide shuffle just to compute a value
+    that is a pure function of the row). Same mins, any order: min over a
+    set is order-free, so the flat/oracle values are unchanged."""
+    grams = shingle_array(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda s: hash32(s, i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def minhash_signature_flat(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, hash_idx, min_hash) — k-permutation MinHash, flat shape.
-
-    ONE groupBy pass computing all k mins as separate aggregates, then an
-    explode of the k-array — the shuffle carries k values per doc."""
-    sh = shingles(df, id_col, text_col, shingle_n)
-    mins = sh.groupBy("_id").agg(
-        *[F.min(hash32("shingle", i)).alias(f"h{i}") for i in range(n_hashes)]
-    )
-    return mins.select(
-        "_id",
-        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(n_hashes)])).alias(
-            "hash_idx", "min_hash"
-        ),
+    """(id, hash_idx, min_hash) — the flat signature view (narrow: one
+    projection + one posexplode). Docs with no shingles drop out, matching
+    the set semantics of the oracle's groupBy."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_array(text_col, n_hashes, shingle_n).alias("_sig"),
+    ).filter(F.col("_sig")[0].isNotNull())
+    return base.select(
+        "_id", F.posexplode("_sig").alias("hash_idx", "min_hash")
     )
 
 
@@ -132,27 +153,35 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """X2 — LSH banding: docs sharing any band's full signature slice become
-    candidate pairs (id_a < id_b, distinct). Equi-join on (band, key) —
-    never quadratic."""
+    candidate pairs (id_a < id_b, distinct). Equi-join on (band, band_key)
+    — never quadratic; the EXPLICIT two-part key means a refactor can't
+    silently degrade it to a hot single-key join.
+
+    Everything before the join is narrow: signature and band keys are
+    per-row expressions (slice + join of the signature array), so the
+    candidate equi-join is the FIRST shuffle in the whole pipeline."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature_flat(df, id_col, text_col, n_hashes, shingle_n)
-    band_keys = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("_id", "band")
-        .agg(
-            F.concat_ws(
-                "_", F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash")))
-                .getField("min_hash")
-                .cast("array<string>"),
-            ).alias("band_key")
-        )
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_array(text_col, n_hashes, shingle_n).alias("_sig"),
+    ).filter(F.col("_sig")[0].isNotNull())
+    band_keys = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        lambda h: h.cast("string"),
+                    ),
+                    "_",
+                ),
+            )
+        ).alias("band", "band_key"),
     )
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
-    # (band, band_key) is the EXPLICIT join key: only docs agreeing on a
-    # band's full signature slice meet. (Catalyst would promote an
-    # equality filter into the key anyway, but making it explicit means a
-    # refactor can't silently degrade this to a hot single-key join.)
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -265,22 +294,39 @@ def simhash32(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """X2 — 32-bit SimHash fingerprint per document: per-bit signed sums of
-    distinct-token hashes, majority → bit. (id, simhash)."""
-    tok = tokenize(df, id_col, text_col).select("_id", "token").distinct()
-    hashed = tok.select("_id", hash32("token", 0).alias("h"))
-    bit_sums = hashed.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(32)
-        ]
+    distinct-token hashes, majority → bit. (id, simhash); token-less docs
+    drop out (set semantics).
+
+    FULLY NARROW: distinct tokens via ``array_distinct`` (per-row), token
+    hashes materialized once per row in a pipelined projection, then 32
+    integer folds over that array. The earlier shape exploded tokens,
+    ``distinct()``-ed (corpus shuffle #1) and bit-summed in a groupBy
+    (corpus shuffle #2) — two shuffles to compute a pure row function.
+    Integer sums are order-free, so values are unchanged."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(
+            F.size(toks) > 0, F.transform(toks, lambda t: hash32(t, 0))
+        ).alias("_hs"),
+    ).filter(F.col("_hs").isNotNull())
+    def bit_sum(mask: int):
+        # closure factory: pyspark infers lambda arity by signature, so the
+        # usual `i=i` default-arg capture would read as a 3-arg lambda
+        return F.aggregate(
+            "_hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
     sim = None
     for i in range(32):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(bit_sum(1 << i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bit_sums.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
+    return hashed.select("_id", sim.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dup(

@@ -120,32 +120,36 @@ FP_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
 FP_BASE = 31
 
 
-def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Polynomial rolling-hash fingerprint of the ordered token-hash stream:
+def rolling_fingerprint_col(text_col: Column | str) -> Column:
+    """Polynomial rolling-hash fingerprint of the ordered token-hash
+    stream as a pure per-row expression:
     ``h = fold(tokens, (acc, t) -> (acc*31 + h32(t)) mod (2^31-1))``.
 
     Order-sensitive (unlike the set-based MinHash) — detects exact
-    sequence duplicates cheaply. The fold runs over an ordered in-group
-    array (docs are bounded); all arithmetic stays in int64 (31 * 2^31 <<
-    2^63, no overflow)."""
-    from .dedup import hash32, tokenize
+    sequence duplicates cheaply. The token array is already in document
+    order, so the fold is a narrow ``aggregate`` — ZERO shuffle (the
+    earlier shape exploded tokens and re-collected them sorted in a
+    groupBy: a corpus-wide shuffle to rebuild an order the array already
+    had). All arithmetic stays in int64 (31 * 2^31 << 2^63, no overflow).
+    NULL for token-less docs."""
+    from .dedup import hash32
 
-    tok = tokenize(df, id_col, text_col).select(
-        "_id", "pos", hash32("token", 0).alias("h")
+    toks = _tokens(text_col)
+    fold = F.aggregate(
+        F.transform(toks, lambda t: hash32(t, 0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
     )
-    per_doc = tok.groupBy("_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "h"))), lambda s: s["h"]
-        ).alias("hs")
-    )
-    return per_doc.select(
-        "_id",
-        F.aggregate(
-            "hs",
-            F.lit(0).cast("bigint"),
-            lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
-        ).alias("fingerprint"),
-    )
+    return F.when(F.size(toks) > 0, fold)
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc frame view of ``rolling_fingerprint_col``: (id, fingerprint),
+    token-less docs dropped (matching the explode-based set semantics)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        rolling_fingerprint_col(text_col).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
 
 
 def repetition_ratio(

@@ -16,7 +16,6 @@ from ..operators.textstats import (
     bpe_token_count,
     language_id,
     quality_score,
-    rolling_fingerprint,
 )
 from ..registry import load, register
 
@@ -40,11 +39,11 @@ _LANG_CASE = f"""
 
 # The X4 per-document text-analysis panel in ONE driver row: language ID
 # (argmax stopword profile), integer-deterministic quality score, BPE-ish
-# token count, Gopher-style repetition signal — all narrow per-row
-# expressions fused into a single projection (one scan, zero shuffles) —
-# plus the order-sensitive rolling-hash fingerprint, whose per-doc fold is
-# the only aggregation, reattached by one join. A value match certifies
-# all five signals at once.
+# token count, Gopher-style repetition signal, AND the order-sensitive
+# rolling-hash fingerprint — all five are pure per-row expressions fused
+# into a single projection: one scan, ZERO shuffles, zero joins (the
+# fingerprint's fold runs over the in-order token array; plan-asserted in
+# tests/test_plans.py). A value match certifies all five signals at once.
 
 
 @register(
@@ -114,10 +113,10 @@ _LANG_CASE = f"""
     "+ rolling-hash document fingerprint",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import repetition_ratio
+    from ..operators.textstats import repetition_ratio, rolling_fingerprint_col
 
     d = load(spark, sf_dir, "documents")
-    panel = repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
+    return repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         language_id("text").alias("predicted_lang"),
@@ -126,12 +125,7 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_distinct",
         "rep_milli",
-    )
-    fp = rolling_fingerprint(d, "doc_id", "text").select(
-        F.col("_id").alias("doc_id"), "fingerprint"
-    )
-    return panel.join(fp, "doc_id", "left").withColumn(
-        "fingerprint", F.coalesce("fingerprint", F.lit(-1))
+        F.coalesce(rolling_fingerprint_col("text"), F.lit(-1)).alias("fingerprint"),
     )
 
 

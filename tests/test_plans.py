@@ -211,3 +211,43 @@ def test_vocab_corpus_stages_are_partial_aggregated(spark, sf_dir):
     # the global window exchange exists, but must sit above the aggregate
     # (vocab-sized input), not above the raw token explode
     assert plan.index("Window") < plan.index("Generate")
+
+
+def test_text_analysis_panel_is_one_narrow_projection(spark, sf_dir):
+    """q28: all five text signals (lang-ID, quality, BPE count, repetition,
+    rolling fingerprint) are pure row functions — the plan must be a
+    single scan with NO exchange and NO join."""
+    plan = _q("q28_text_analysis", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_minhash_first_shuffle_is_the_candidate_join(spark, sf_dir):
+    """q23: signatures and band keys are per-row expressions; the ONLY
+    wide ops are the candidate equi-join, the distinct, and the verify
+    joins/aggregates — no groupBy may appear upstream of banding (the old
+    signature groupBy shuffled the corpus). Proxy assertion: the pair
+    pipeline up to candidates carries exactly the join+distinct
+    exchanges."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=8, bands=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # two join inputs + one distinct = at most 3 hash exchanges; the old
+    # shape had 5 (signature groupBy + band groupBy upstream)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "HashAggregate" in plan  # the distinct
+
+
+def test_simhash_fingerprint_is_narrow(spark, sf_dir):
+    """simhash32: a pure projection — no exchange, no aggregate."""
+    from pubmed_central_semantic_search_spark.operators.dedup import simhash32
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = simhash32(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
