@@ -1,0 +1,205 @@
+"""Product quantization (PQ) — the compressed-ANN tier (SURVEY §2.9 X2/X3
+scale path, alongside hyperplane-LSH and IVF-flat).
+
+Public method: Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011). The reference's HNSW index keeps full
+768-float vectors hot (``/root/reference/src/backend/database/qdrant.py``);
+at 100 TB that is the dominant storage/IO cost. PQ splits each vector into
+``m`` subspaces, k-means-quantizes each subspace to ``ksub`` codes, and
+stores ``m`` small ints per vector — 32× smaller at (dim=64, m=8,
+ksub=16) — while queries score the CODES via per-subspace lookup tables
+(ADC: asymmetric distance computation) and only a tiny re-rank candidate
+set ever touches full vectors.
+
+Spark-first shapes (everything deterministic → unit-testable end to end):
+
+- **Train** (`train_pq`): seeds = the ksub lowest-id vectors' subvectors
+  (one TakeOrdered job); each Lloyd iteration is ONE job for ALL m
+  subspaces jointly — posexplode the vector, derive (subspace, subpos)
+  from the component index, look up the row's code for that subspace from
+  the narrow `pq_encode` column, and wide-agg means per
+  (subspace, code, subpos). Empty codes keep their previous centroid, so
+  codebooks stay DENSE (codes are always 0..ksub-1).
+- **Encode** (`pq_encode`): array<int> of m codes as a pure per-row
+  expression — m packed ``zip_with`` argmin-L2 folds against the
+  codebook literals (the packed-literal pattern from
+  operators/clustering.py). Zero shuffle.
+- **Score** (`pq_adc_score`): dot(query, vector) ≈ Σ_s lut[s][code_s],
+  with the m×ksub LUT computed driver-side from the query and folded in
+  as literals — the scan does m integer lookups + adds per row, no
+  vector math, no join.
+- **Search** (`pq_topk`): ADC top-R (TakeOrderedAndProject) → broadcast
+  re-rank join back to full vectors → exact cosine top-k. Only R rows
+  (not the corpus) ever load full vectors at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine_similarity
+from .topk import top_k
+
+# codebooks: books[s] = list of ksub sub-centroids (each dsub floats)
+Codebooks = list[list[list[float]]]
+
+
+def _sub(vec_col: Column | str, s: int, dsub: int) -> Column:
+    return F.slice(as_double(vec_col), s * dsub + 1, dsub)
+
+
+def _argmin_l2(sub: Column, book: list[list[float]]) -> Column:
+    """Index (0-based) of the L2-nearest sub-centroid — packed literals.
+
+    ||c||² − 2·v·c preserves the L2 argmin (||v||² is constant per row);
+    the fold computes both terms in one pass over the components. Ties
+    break to the lowest code id via the struct sort."""
+    cvecs = F.lit([list(c) for c in book])
+    cids = F.lit(list(range(len(book))))
+    ranked = F.array_sort(
+        F.zip_with(
+            cvecs,
+            cids,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda x, y: y * y - 2.0 * x * y),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("d"),
+                i.alias("c"),
+            ),
+        )
+    )
+    return F.element_at(ranked, 1).getField("c")
+
+
+def pq_encode(vec_col: Column | str, books: Codebooks) -> Column:
+    """m-code PQ encoding as array<int> — narrow, zero shuffle."""
+    dsub = len(books[0][0])
+    return F.array(
+        *[_argmin_l2(_sub(vec_col, s, dsub), book) for s, book in enumerate(books)]
+    )
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Deterministic PQ codebooks: ksub lowest-id seeds, ``n_iter`` joint
+    Lloyd rounds (ONE job per round for all m subspaces). Driver traffic
+    is m × ksub × dsub doubles per round — never data-sized. Train on a
+    sample at scale (pass ``vectors.filter(...)``); encoding the full
+    corpus is the narrow part."""
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    seed_rows = (
+        vectors.select(F.col(id_col).alias("_i"), as_double(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed, got {len(seed_rows)}")
+    books: Codebooks = [
+        [list(r["_v"])[s * dsub : (s + 1) * dsub] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        codes = pq_encode(vec_col, books)
+        # two-step select: a generator (posexplode) in the same projection
+        # as the lambda-struct codes expression makes the analyzer drop the
+        # struct field names (FIELD_NOT_FOUND on `c`) — materialize the
+        # codes column first, then explode.
+        comp = vectors.select(
+            codes.alias("_codes"), as_double(vec_col).alias("_v")
+        ).select(
+            "_codes",
+            F.posexplode("_v").alias("_pos", "_val"),
+        ).select(
+            (F.col("_pos") / dsub).cast("int").alias("_s"),
+            F.element_at("_codes", (F.col("_pos") / dsub).cast("int") + 1).alias(
+                "_c"
+            ),
+            (F.col("_pos") % dsub).alias("_sp"),
+            "_val",
+        )
+        rows = (
+            comp.groupBy("_s", "_c", "_sp").agg(F.avg("_val").alias("_m")).collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((int(r["_s"]), int(r["_c"])), {})[int(r["_sp"])] = r["_m"]
+        books = [
+            [
+                [means[(s, c)][i] for i in range(dsub)]
+                if (s, c) in means
+                else books[s][c]  # empty code keeps its previous centroid
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def adc_lut(query: list[float], books: Codebooks) -> list[list[float]]:
+    """Per-subspace dot-product lookup tables: lut[s][c] = q_s · books[s][c]."""
+    dsub = len(books[0][0])
+    return [
+        [
+            sum(q * c for q, c in zip(query[s * dsub : (s + 1) * dsub], cent))
+            for cent in book
+        ]
+        for s, book in enumerate(books)
+    ]
+
+
+def pq_adc_score(codes_col: Column | str, query: list[float], books: Codebooks) -> Column:
+    """Approximate dot(query, vector) from the codes alone: m lookups + m
+    adds per row. Pure projection — the 100 TB scan never touches floats."""
+    codes_col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    score = None
+    for s, lut in enumerate(adc_lut(query, books)):
+        term = F.element_at(F.lit([float(x) for x in lut]), codes_col[s] + 1)
+        score = term if score is None else score + term
+    return score
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    books: Codebooks,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC top-``rerank`` over the codes (per-
+    partition heaps, no shuffle of the corpus), then exact cosine over
+    just those candidates (broadcast semi-join back to full vectors),
+    final top-k. Returns (id, adc_score, score).
+
+    At scale, codes live in their own skinny table/column — the ADC scan
+    reads m bytes per vector; only ``rerank`` full vectors are fetched."""
+    codes = vectors.select(
+        F.col(id_col), pq_encode(vec_col, books).alias("_codes")
+    )
+    cand = (
+        codes.select(
+            id_col, pq_adc_score("_codes", query, books).alias("adc_score")
+        )
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(rerank)
+    )
+    exact = vectors.join(F.broadcast(cand), id_col).select(
+        id_col,
+        "adc_score",
+        cosine_similarity(vec_col, F.lit([float(x) for x in query])).alias("score"),
+    )
+    return top_k(exact, "score", k, tiebreak=[id_col])

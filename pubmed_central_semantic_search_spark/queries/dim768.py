@@ -107,9 +107,51 @@ def x768_kmeans_join_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+def x768_encode_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 at dim=768: Arrow-batched encode of the documents corpus at the
+    reference's real output width (768 floats/row over the Arrow channel),
+    then a full-width cosine top-5 against an encoded query — the
+    ingest+query flagship at true dimensionality."""
+    from ..encoder import fake_encode_one, fake_encoder_udf
+    from ..functions.vector import cosine_similarity
+    from ..operators.topk import top_k
+
+    encode = fake_encoder_udf(dim=DIM)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", encode("text").alias("embedding")
+    )
+    qvec = [float(x) for x in fake_encode_one("neural document retrieval", dim=DIM)]
+    scored = docs.select(
+        "doc_id",
+        cosine_similarity("embedding", F.lit(qvec)).alias("score"),
+    )
+    return top_k(scored, "score", 5, tiebreak=["doc_id"]).withColumn(
+        "score", F.round("score", 6)
+    )
+
+
+def x_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train codebooks on an
+    id-prefix sample (one Lloyd round — training is sample-sized at any
+    corpus scale), narrow-encode the corpus to m=8 codes (32× smaller
+    than the float vectors), ADC top-100 from the codes alone, exact
+    re-rank to top-10."""
+    from ..operators.pq import pq_topk, train_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq(
+        emb.filter(F.col("vec_id") < 1000), m=8, ksub=16, dim=64, n_iter=1
+    )
+    return pq_topk(emb, QUERY_VEC, books, k=10, rerank=100).withColumn(
+        "score", F.round("score", 6)
+    )
+
+
 BENCH_EXTRAS = {
     "x768_topk_cosine": x768_topk_cosine,
     "x768_mean_pool": x768_mean_pool,
     "x768_kmeans": x768_kmeans,
     "x768_kmeans_join_assign": x768_kmeans_join_assign,
+    "x768_encode_search": x768_encode_search,
+    "x_pq_search": x_pq_search,
 }

@@ -118,3 +118,13 @@ def test_sbert_seam_builds_when_library_present(spark):
     )
     row = df.first()
     assert len(row["emb"]) > 0
+
+
+def test_encode_search_768_runs_arrow_batched(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.queries.dim768 import x768_encode_search
+
+    df = x768_encode_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 5 and all(-1.0 <= r["score"] <= 1.0 for r in rows)
