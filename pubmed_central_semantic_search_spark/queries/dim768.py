@@ -90,10 +90,10 @@ def x768_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = corpus_768(spark, sf_dir).persist()
     assigned, _ = lloyd_kmeans(emb, k=8, n_iter=2, dim=DIM)
-    out = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
-    out.count()
-    emb.unpersist()
-    return out
+    # training already ran eagerly (seed + per-round collects); the caller's
+    # action executes the final assignment — no extra count here (it would
+    # run the last pass twice per bench execution)
+    return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
 
 def x768_kmeans_join_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

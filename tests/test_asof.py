@@ -94,3 +94,18 @@ def test_asof_matches_q35_inline_shape(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_asof_rejects_reserved_column_collisions(spark):
+    """Left-frame columns named like the internal working columns or the
+    asof_-prefixed outputs must raise up front — silently ambiguous
+    resolution was the round-1 advice finding."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 9)], "sym long, ts long, _p long")
+    right = spark.createDataFrame([(1, 1, 2.0)], "sym long, ts long, px double")
+    with pytest.raises(ValueError, match="_p"):
+        asof_join(left, right, ["sym"])
+    left2 = spark.createDataFrame([(1, 1, 9.0)], "sym long, ts long, asof_px double")
+    with pytest.raises(ValueError, match="asof_px"):
+        asof_join(left2, right, ["sym"])

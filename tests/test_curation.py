@@ -133,3 +133,16 @@ def test_scrub_pii_counts_and_order(spark):
     assert got[3]["clean_text"] == "nothing sensitive here"
     assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
     assert got[4]["n_email"] == 2 and got[4]["clean_text"] == "<EMAIL> <EMAIL>"
+
+
+def test_pack_sequences_zero_token_docs_clamped(spark):
+    """Empty/whitespace docs contribute nothing to the packed stream; their
+    seq_end must equal seq_id (the raw floor((before-1)/ctx) underflows to
+    seq_id-1 — the round-1 advice finding)."""
+    rows = [("s", 0, "a " * 10), ("s", 1, "   "), ("s", 2, "b " * 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, ctx_len=4).collect()}
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["seq_end"] == out[1]["seq_id"]
+    # the empty doc sits exactly where doc 0 ended
+    assert out[1]["seq_id"] == out[2]["seq_id"]

@@ -66,3 +66,42 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
     # And the x dimension still prunes under z-order.
     assert _files_intersecting(zorded, "x", 0, 15) <= 4
+
+
+def test_zvalue_rejects_sign_bit_overflow(spark):
+    """4 cols x 16 bits puts the top interleaved bit on the bigint sign bit
+    (negative z-values misorder repartitionByRange); 5+ cols wrap shiftleft
+    — both must fail loudly, not silently mis-cluster."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.plans.layout import zvalue
+
+    with pytest.raises(ValueError, match="bigint sign bit"):
+        zvalue(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError):
+        zvalue(["a", "b", "c", "d", "e"], bits=16)
+    # boundary: 63 interleaved bits is fine
+    zvalue(["a", "b", "c"], bits=21)
+
+
+def test_zvalue_three_columns_matches_python(spark):
+    """3-dim Morton interleave (the case the round-1 advice flagged as
+    untested) — cross-checked against a bit-twiddling python model."""
+    from pubmed_central_semantic_search_spark.plans.layout import zvalue
+
+    rows = [(x, y, z) for x in (0, 1, 5, 7) for y in (0, 3, 6) for z in (0, 2, 7)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = {
+        (r["x"], r["y"], r["z"]): r["zv"]
+        for r in df.select("x", "y", "z", zvalue(["x", "y", "z"], bits=3).alias("zv")).collect()
+    }
+
+    def morton3(x, y, z, bits=3):
+        v = 0
+        for b in range(bits):
+            v |= ((x >> b) & 1) << (3 * b)
+            v |= ((y >> b) & 1) << (3 * b + 1)
+            v |= ((z >> b) & 1) << (3 * b + 2)
+        return v
+
+    assert got == {(x, y, z): morton3(x, y, z) for x, y, z in rows}

@@ -372,3 +372,35 @@ def test_compact_parquet_preserves_sort_clustering(spark, tmp_path):
     compact_parquet(spark, path, target_file_bytes=1 << 40, sort_cols=["k"])
     part = spark.read.parquet(path).select("k").toPandas()["k"].tolist()
     assert part == sorted(part)  # single output file, globally k-sorted
+
+
+def test_compact_parquet_recovers_stranded_backup(spark, tmp_path):
+    """Crash-recovery contract: if a previous compaction died between its
+    two renames (live dir missing, data stranded in .compact.old), the next
+    call must restore and proceed."""
+    import os
+
+    from pubmed_central_semantic_search_spark.sources.catalog import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).write.parquet(path)
+    os.rename(path, path + ".compact.old")  # simulate the torn swap
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] >= 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + ".compact.old")
+
+
+def test_compact_parquet_rejects_hive_partitioned(spark, tmp_path):
+    import pytest
+
+    from pubmed_central_semantic_search_spark.sources.catalog import compact_parquet
+
+    from pyspark.sql import functions as SF
+
+    path = str(tmp_path / "p")
+    spark.range(0, 100).withColumn("k", (SF.col("id") % 2)).write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
