@@ -87,12 +87,22 @@ def shingle_array(text_col: Column | str, n: int = 3) -> Column:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct n-gram token shingles per document, exploded: (id, shingle)
-    — the inverted-index feed for the Jaccard joins. Narrow until the
-    explode; no shuffle."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_array(text_col, n)).alias("shingle"),
+    """Distinct n-gram token shingles per document, exploded:
+    (id, n_sh, shingle) — the inverted-index feed for the Jaccard joins.
+    Narrow until the explode; no shuffle. ``n_sh`` (the doc's distinct-
+    shingle count) rides along from the same projection, so Jaccard
+    consumers never need a separate per-doc count aggregate + reattach
+    join."""
+    # Two-step select on purpose: expressions that share a projection with
+    # a generator are re-evaluated PER OUTPUT ROW (Spark evaluates the
+    # non-generator columns after the explode) — inlining `grams` twice
+    # here cost ~10× on the Jaccard queries. Materializing the array once
+    # makes the per-output-row work a column reference.
+    grams = shingle_array(text_col, n)
+    return df.select(F.col(id_col).alias("_id"), grams.alias("_g")).select(
+        "_id",
+        F.size("_g").alias("n_sh"),
+        F.explode("_g").alias("shingle"),
     )
 
 
@@ -201,32 +211,37 @@ def near_dup_minhash(
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → true-Jaccard verify → threshold.
 
-    Returns (id_a, id_b, n_intersect, n_union, jaccard)."""
+    Returns (id_a, id_b, n_intersect, n_union, jaccard). The per-doc
+    shingle counts ride the exploded shingle rows (narrow — see
+    ``shingles``) and come out of the intersection aggregate as
+    ``first()``s, so the verify stage is ONE aggregate after the
+    inverted-index joins — no count-reattach joins re-deriving the corpus.
+    At 100 TB, materialize ``shingles(df)`` once (parquet/persist) and
+    feed both join sides from it."""
     sh = shingles(df, id_col, text_col, shingle_n)
     pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
-    sh_a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    sh_a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    sh_b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_intersect"))
-    )
-    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    out = (
-        inter.join(counts.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(counts.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "n_intersect",
-            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
-            F.round(
-                F.col("n_intersect")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_intersect"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        "n_intersect",
+        (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+        F.round(
+            F.col("n_intersect")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
+            6,
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
 
@@ -250,9 +265,11 @@ def ngram_jaccard_pairs(
     stay exact. Default ``None`` = exact Jaccard (the oracle-checked mode).
 
     Returns (id_a, id_b, n_intersect, n_union, jaccard ≥ threshold).
-    """
+    Per-doc counts ride the shingle rows (see ``shingles``) — union sizes
+    stay EXACT even under ``max_doc_freq`` (the cap undercounts only the
+    intersections of boilerplate-heavy pairs), with no count-reattach
+    joins."""
     sh = shingles(df, id_col, text_col, shingle_n)
-    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -260,32 +277,31 @@ def ngram_jaccard_pairs(
             freq.filter(F.col("_df") <= max_doc_freq).select("shingle"), "shingle"
         )
     inter = (
-        joinable.select(F.col("_id").alias("id_a"), "shingle")
-        .join(joinable.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        joinable.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+        .join(
+            joinable.select(
+                F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+            ),
+            "shingle",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_intersect"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intersect"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    out = (
-        inter.join(
-            counts.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            counts.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "n_intersect",
-            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
-            F.round(
-                F.col("n_intersect")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
-                6,
-            ).alias("jaccard"),
-        )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        "n_intersect",
+        (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+        F.round(
+            F.col("n_intersect")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")),
+            6,
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
 
