@@ -66,9 +66,12 @@ def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # S9 — collection DDL round-trip on the same schema (create-if-absent,
-    # exists-check, drop — the reference's collection lifecycle).
+    # exists-check, drop — the reference's collection lifecycle). Explicit
+    # path: the table data lands in OUR temp dir, never in a
+    # spark-warehouse under the caller's working directory (which may not
+    # be writable in the driver's environment).
     tname = "writepath_" + uuid.uuid4().hex[:8]
-    ensure_table(spark, tname, docs)
+    ensure_table(spark, tname, docs, path=os.path.join(base, "ddl_tbl"))
     if not spark.catalog.tableExists(tname):
         raise RuntimeError("ensure_table failed to create the collection")
     reset_table(spark, tname)
