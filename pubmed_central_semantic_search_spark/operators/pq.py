@@ -203,3 +203,56 @@ def pq_topk(
         cosine_similarity(vec_col, F.lit([float(x) for x in query])).alias("score"),
     )
     return top_k(exact, "score", k, tiebreak=[id_col])
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    centroids,
+    books: Codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production big-ANN composition (coarse quantizer routes
+    the query to ``nprobe`` inverted lists; ADC scores only those lists'
+    CODES; exact re-rank on the survivors). ``centroids`` is the coarse
+    quantizer (operators/clustering.py ``Centroids``); ``books`` the PQ
+    codebooks.
+
+    At 100 TB the code table is written ``partitionBy(cluster_id)`` so the
+    probe filter is partition pruning (same storage layout the IVF-flat
+    tier proves in tests/test_clustering.py) — the query touches
+    nprobe/k of an already-32×-compressed table, and only ``rerank`` full
+    vectors are ever read. The coarse probe is computed driver-side (the
+    query is one vector; k×dim dots)."""
+    from .clustering import _unit, nearest_centroid
+
+    # driver-side coarse probe: nprobe nearest coarse centroids by cosine
+    scored = sorted(
+        (
+            -sum(q * c for q, c in zip(query, _unit(list(vec)))),
+            cid,
+        )
+        for cid, vec in centroids
+    )
+    probed = [cid for _, cid in scored[:nprobe]]
+
+    lists = vectors.withColumn("cluster_id", nearest_centroid(vec_col, centroids))
+    codes = lists.select(
+        F.col(id_col), "cluster_id", pq_encode(vec_col, books).alias("_codes")
+    )
+    cand = (
+        codes.filter(F.col("cluster_id").isin(probed))
+        .select(id_col, pq_adc_score("_codes", query, books).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(rerank)
+    )
+    exact = vectors.join(F.broadcast(cand), id_col).select(
+        id_col,
+        "adc_score",
+        cosine_similarity(vec_col, F.lit([float(x) for x in query])).alias("score"),
+    )
+    return top_k(exact, "score", k, tiebreak=[id_col])

@@ -100,3 +100,57 @@ def test_adc_is_pure_projection_no_join(spark, sf_dir):
     scored = codes.select("vec_id", pq_adc_score("codes", q, books).alias("s"))
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_ivfpq_near_neighbor_recall_and_pruning(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: planted near-duplicate queries must surface
+    their twin as top-1 for >= 0.9 of queries with nprobe=2 of 8 lists;
+    and when the code table is written partitionBy(cluster_id), the probe
+    becomes partition pruning (PartitionFilters in the scan)."""
+    from pyspark.sql import functions as SF
+
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+    from pubmed_central_semantic_search_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    _, cents = lloyd_kmeans(emb, k=8, n_iter=2, dim=DIM)
+    books = train_pq(emb, m=M, ksub=KSUB, dim=DIM, n_iter=2)
+
+    qrows = (
+        emb.filter(SF.col("vec_id") < 30)
+        .select(
+            "vec_id",
+            SF.transform(
+                SF.col("embedding").cast("array<double>"),
+                lambda x, i: SF.when(i == 0, x + 0.05).otherwise(x),
+            ).alias("qvec"),
+        )
+        .collect()
+    )
+    hits = 0
+    for r in qrows:
+        got = ivfpq_topk(
+            emb, list(r["qvec"]), cents, books, k=1, nprobe=2, rerank=50
+        ).collect()
+        hits += bool(got and got[0]["vec_id"] == r["vec_id"])
+    assert hits / len(qrows) >= 0.9, f"IVF-PQ twin recall {hits / len(qrows)}"
+
+    # storage-layout proof: partitioned code table prunes to probed lists
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        nearest_centroid,
+    )
+
+    path = str(tmp_path / "codes")
+    emb.withColumn("cluster_id", nearest_centroid("embedding", cents)).select(
+        "vec_id", "cluster_id", pq_encode("embedding", books).alias("codes")
+    ).write.partitionBy("cluster_id").parquet(path)
+    probed_two = [cents[0][0], cents[1][0]]
+    scan = spark.read.parquet(path).filter(SF.col("cluster_id").isin(probed_two))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+    emb.unpersist()
