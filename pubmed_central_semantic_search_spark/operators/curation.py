@@ -229,6 +229,38 @@ def content_bucket16(key_col: str) -> Column:
     return ((((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16) + nib(4)).cast("int")
 
 
+def with_sample_flag(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    flag_col: str = "in_sample",
+) -> DataFrame:
+    """Deterministic stratified-sampling MEMBERSHIP as columns: adds
+    ``bucket16`` and boolean ``flag_col`` (true iff the row's 16-bit md5
+    bucket falls below ``fraction × 65536`` for its group). Pure per-row
+    expression — callers that need the flag next to every row (audit
+    frames, driver queries) use this directly instead of joining against
+    the filtered sample, which would put a corpus-proportional frame on a
+    join (a broadcast of ~fraction × corpus is a scale bug, not a
+    shuffle saving)."""
+    bucket16 = content_bucket16(key_col)
+    thresh = None
+    for grp, frac in fractions.items():
+        cut = int(round(frac * 65536))
+        cond = F.col(group_col) == grp
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = (
+        F.lit(int(round(default_fraction * 65536)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_fraction * 65536)))
+    )
+    return df.withColumn("bucket16", bucket16.cast("int")).withColumn(
+        flag_col, F.col("bucket16") < thresh
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],
@@ -245,17 +277,10 @@ def stratified_sample(
     hash_split gives train/val/test. Narrow (per-row), zero shuffles.
     Adds ``bucket16``; rows in groups absent from ``fractions`` are kept
     at ``default_fraction``."""
-    bucket16 = content_bucket16(key_col)
-    thresh = None
-    for grp, frac in fractions.items():
-        cut = int(round(frac * 65536))
-        cond = F.col(group_col) == grp
-        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
-    thresh = (
-        F.lit(int(round(default_fraction * 65536)))
-        if thresh is None
-        else thresh.otherwise(int(round(default_fraction * 65536)))
-    )
-    return df.withColumn("bucket16", bucket16.cast("int")).filter(
-        F.col("bucket16") < thresh
+    return (
+        with_sample_flag(
+            df, fractions, group_col, key_col, default_fraction, flag_col="_keep"
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
     )

@@ -163,29 +163,20 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic stratified sampling (language rebalancing)",
 )
 def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import content_bucket16
+    from ..operators.curation import with_sample_flag
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    split = hash_split(docs)
-    sampled = stratified_sample(
-        docs, {"en": 0.25}, group_col="lang", key_col="doc_id", default_fraction=0.6
-    ).select("doc_id", F.lit(True).alias("in_sample"))
-    return (
-        # bucket16 is a pure function of doc_id — recompute for ALL rows
-        # (the sample operator only emits kept rows); the left join against
-        # the operator's kept set certifies its filter exactly.
-        split.withColumn("bucket16", content_bucket16("doc_id"))
-        .join(F.broadcast(sampled), "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "bucket",
-            "bucket16",
-            "split",
-            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
-        )
-    )
+    # membership as a COLUMN (with_sample_flag — the expression
+    # stratified_sample filters on), never a join against the kept set:
+    # the sample is fraction × corpus, so joining/broadcasting it is a
+    # scale bug. The whole query is one narrow projection.
+    return with_sample_flag(
+        hash_split(docs),
+        {"en": 0.25},
+        group_col="lang",
+        key_col="doc_id",
+        default_fraction=0.6,
+    ).select("doc_id", "lang", "source", "bucket", "bucket16", "split", "in_sample")
 
 
 # LLM data-mixing pack in ONE per-doc frame: GPT-style sequence-packing
@@ -232,6 +223,9 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = select_token_budget(
         docs, "source", "doc_id", "text", budget_tokens=2000
     ).select("doc_id", "cum_tokens", F.lit(True).alias("in_budget"))
+    # broadcast is safe here BY CONSTRUCTION: the kept set is bounded by
+    # budget_tokens per source (a constant), not by corpus size — unlike a
+    # sampling fraction, which is why q50 computes membership as a column.
     return (
         packed.join(F.broadcast(budget), "doc_id", "left")
         .select(

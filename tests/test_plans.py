@@ -184,12 +184,13 @@ def test_pii_scrub_is_narrow_no_exchange(spark, sf_dir):
     assert "* Project" in plan  # whole-stage codegen'd projection
 
 
-def test_split_and_sample_no_hash_shuffle(spark, sf_dir):
-    """q50: both bucket computations are per-row; the only exchange allowed
-    is the broadcast of the (small) kept-sample side — a hash repartition
-    of the corpus would be a scale bug."""
+def test_split_and_sample_is_one_narrow_projection(spark, sf_dir):
+    """q50: split buckets AND sample membership are per-row expressions —
+    the plan must be a single scan with NO exchange and NO join (joining
+    the kept-sample set would put fraction × corpus on a join)."""
     plan = _q("q50_split_and_sample", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
