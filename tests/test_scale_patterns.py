@@ -200,3 +200,38 @@ def test_simhash_near_dup_recovers_planted_truncations(spark, sf_dir):
     planted = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] == r["id_a"] + COPY_OFFSET}
     assert len(planted) >= 10  # a healthy share of twins is within 3 bits
     assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_simhash_band_blocking_is_exhaustive_below_band_count(spark, sf_dir):
+    """Pigeonhole proof by example: with max_hamming=3 < 4 bands, the
+    band-blocked operator must return EXACTLY the pairs a brute-force
+    all-pairs hamming scan finds — blocking loses nothing below the band
+    count."""
+    from pyspark.sql import functions as SF
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        simhash32,
+        simhash_near_dup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    sig = simhash32(docs, "doc_id", "text")
+    a = sig.select(SF.col("_id").alias("id_a"), SF.col("simhash").alias("sa"))
+    b = sig.select(SF.col("_id").alias("id_b"), SF.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(SF.col("id_a") < SF.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            SF.bit_count(SF.col("sa").bitwiseXOR(SF.col("sb"))).cast("bigint").alias("h"),
+        )
+        .filter(SF.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=3, n_bands=4).collect()
+    }
+    assert blocked == brute
