@@ -5,10 +5,13 @@ filtered search). Ours are Python-level plan choices — deliberately NOT
 custom Catalyst rules (SURVEY §4: nothing in the surface needs one; a
 library-level rewrite is idiomatic and debuggable):
 
-- ``plan_topk_search``: exact brute-force vs. hyperplane-LSH approximate,
-  chosen by an explicit mode or a corpus-size threshold. The exact tier is
-  the correctness baseline; LSH is the opt-in scale tier (the analog of
-  the reference's HNSW, SURVEY §4 row 1).
+- ``plan_topk_search``: exact brute-force vs. hyperplane-LSH approximate
+  vs. IVF-flat (prebuilt coarse centroids → probed inverted lists),
+  chosen by an explicit mode or a corpus-size threshold. The exact tier
+  is the correctness baseline; LSH and IVF are the opt-in scale tiers
+  (the analog of the reference's HNSW, SURVEY §4 row 1). The PQ/IVF-PQ
+  compressed tiers (operators/pq.py) are per-query (driver-side LUTs) and
+  storage-coupled, so they're invoked directly, not through this router.
 - ``explain_str`` / ``assert_plan``: plan introspection used by the
   plan-regression tests — the ".explain and iterate until it's the plan
   you'd want" loop, automated.
@@ -27,17 +30,27 @@ def plan_topk_search(
     k: int,
     mode: str = "auto",
     approx_threshold_rows: int = 10_000_000,
+    centroids=None,
+    nprobe: int = 2,
     **lsh_kwargs,
 ) -> DataFrame:
     """Choose the physical strategy for vector top-k.
 
     ``auto`` stays exact until the vector side is known to be huge —
     statistics when available, else the caller's hint. (Counting to decide
-    would cost a scan; at 100 TB the caller KNOWS it's huge.)"""
+    would cost a scan; at 100 TB the caller KNOWS it's huge.)
+    ``ivf`` requires prebuilt coarse ``centroids`` (operators/clustering)
+    — with cluster-partitioned storage the probe is partition pruning."""
     if mode == "exact":
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)
+    if mode == "ivf":
+        if centroids is None:
+            raise ValueError("mode='ivf' needs prebuilt coarse centroids")
+        from ..operators.clustering import ivf_topk
+
+        return ivf_topk(vectors, queries, centroids, k, nprobe=nprobe)
     if mode == "auto":
         try:
             est_rows = (

@@ -136,6 +136,18 @@ def test_planner_modes(spark, sf_dir):
     assert approx.count() <= 9  # LSH may return < k per bucket
     assert auto.count() == 9  # small corpus → exact tier
 
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        seed_centroids,
+    )
+
+    ivf = plan_topk_search(
+        emb, qdf, k=3, mode="ivf", centroids=seed_centroids(emb, 4), nprobe=4
+    )
+    # nprobe = all lists → IVF degenerates to exact: same ids as brute force
+    assert sorted(map(tuple, ivf.select("query_id", "vec_id").collect())) == sorted(
+        map(tuple, exact.select("query_id", "vec_id").collect())
+    )
+
 
 def test_pipeline_encoder_is_arrow_batched(spark, sf_dir):
     # E1 must run as ArrowEvalPython (pandas_udf), never BatchEvalPython
