@@ -80,7 +80,7 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
 
 
 DECODED_SCHEMA = (
-    "media_id string, modality string, n_bytes bigint, "
+    "media_id string, modality string, n_bytes bigint, content_md5 string, "
     "feature array<float>, error string"
 )
 
@@ -121,14 +121,31 @@ def extract_features(df: DataFrame, dim: int = 16, real_decode: bool = False) ->
             ):
                 try:
                     blob = bytes(content) if content is not None else b""
+                    # content_md5 certifies the binary payload survived the
+                    # Spark -> Arrow -> pandas hop byte-for-byte: the driver
+                    # oracle recomputes it engine-side (DuckDB md5(text)).
                     out.append(
-                        (mid, modality, len(blob), _feature(blob), None)
+                        (
+                            mid,
+                            modality,
+                            len(blob),
+                            _hashlib.md5(blob).hexdigest(),
+                            _feature(blob),
+                            None,
+                        )
                     )
                 except Exception as ex:
-                    out.append((mid, modality, None, None, repr(ex)[:200]))
+                    out.append((mid, modality, None, None, None, repr(ex)[:200]))
             yield pd.DataFrame(
                 out,
-                columns=["media_id", "modality", "n_bytes", "feature", "error"],
+                columns=[
+                    "media_id",
+                    "modality",
+                    "n_bytes",
+                    "content_md5",
+                    "feature",
+                    "error",
+                ],
             )
 
     return df.mapInPandas(_extract, DECODED_SCHEMA)

@@ -203,12 +203,23 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stand in for opaque media blobs (no media libs in this container —
 # the decode seam is stubbed, SURVEY X5); schema/partitioning/batch shape
 # of the mapInPandas feature extraction is the real, tested surface.
-# Python feature model in the plan → rows-only check.
+# The Python stage emits n_bytes + an md5 of the blob, both recomputed
+# engine-side by the oracle — a value-level proof that the binary payload
+# rides the Spark -> Arrow -> pandas channel byte-for-byte. The fake
+# feature itself (hash-seeded model stub) still runs in the same stage;
+# its contracts live in tests/test_sources_streaming.py.
 
 
 @register(
     "q42_multimodal_features",
-    None,
+    """
+    SELECT concat('m', doc_id) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    """,
     survey_rows="X5 (binary columns, mapInPandas feature extraction, stubbed decode)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,12 +232,6 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     feats = extract_features(media, dim=16)
-    return feats.select(
-        "media_id",
-        "modality",
-        "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feature_c0"),
-        "error",
-    )
+    return feats.select("media_id", "modality", "n_bytes", "content_md5", "error")
 
 

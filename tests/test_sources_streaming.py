@@ -194,6 +194,9 @@ def test_multimodal_feature_extraction(spark):
     assert list(out["m1"].feature) == list(out["m2"].feature)
     assert list(out["m1"].feature) != list(out["m3"].feature)
     assert out["m3"].n_bytes == len(b"RIFF other bytes")
+    import hashlib
+
+    assert out["m3"].content_md5 == hashlib.md5(b"RIFF other bytes").hexdigest()
 
 
 def test_frame_sample_plan(spark):
