@@ -151,6 +151,59 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine decontamination: (corpus_id, bench_id, cosine) for
+    every corpus vector whose embedding sits within ``min_cosine`` of a
+    benchmark vector — the semantic complement of the n-gram pass above
+    (catches paraphrased/reworded benchmark leakage that shares no 8-gram).
+
+    Scale shape: a real benchmark is CONSTANT-sized (thousands of rows, not
+    corpus-proportional), so its side always broadcasts; the corpus side is
+    one narrow scan. ``block_col`` (a label, length bucket, or LSH bucket
+    from operators/ann.py) turns the broadcast nested-loop into a broadcast
+    equi-join when both sides carry a blocking key; ``None`` compares every
+    (corpus, bench) pair — still linear in the corpus because the bench
+    side is constant. Norms fold once per row on each side before the join
+    (same per-pair-cost argument as embedding_near_dup); the final
+    expression keeps the exact dot/(n_c*n_b) evaluation order of
+    ``cosine_similarity``.
+    """
+    from ..functions.vector import dot, l2_norm
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(vec_col).alias("_cn"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("_bv"),
+        l2_norm(vec_col).alias("_bn"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = (
+        c.join(F.broadcast(b), on="_blk") if block_col else c.crossJoin(F.broadcast(b))
+    )
+    return (
+        joined.select(
+            "corpus_id",
+            "bench_id",
+            F.round(dot("_cv", "_bv") / (F.col("_cn") * F.col("_bn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing — the redaction pass every released training corpus runs
 # (C4/Dolma-style). Pure Catalyst regexp ops: narrow, zero-shuffle, scales

@@ -16,6 +16,7 @@ from ..operators.curation import (
     pack_sequences,
     scrub_pii,
     select_token_budget,
+    semantic_decontaminate,
     stratified_sample,
 )
 from ..operators.retrieval import bm25_rank, rrf_fuse
@@ -241,6 +242,14 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two decontamination arms in one tagged union (one driver row carries both
+# contracts): 'ngram' = exact 8-gram overlap vs the benchmark split of the
+# documents table; 'semantic' = embedding-cosine leakage vs a benchmark
+# vector set (the planted-twin corpus from the dedup pack: perturbed copies
+# of the first 200 embeddings stand in for paraphrased benchmark rows that
+# share no 8-gram — exactly what the n-gram pass cannot catch).
+
+
 @register(
     "q52_decontamination",
     """
@@ -265,19 +274,65 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.doc_id = b.doc_id AND b.dpos BETWEEN a.dpos AND a.dpos + 7
       )
       GROUP BY doc_id, g0 HAVING count(*) = 8
+    ),
+    vbase AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 200
+    ),
+    vpert AS (
+      SELECT vec_id + 100000 AS vec_id, label,
+             list_transform(emb, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS emb
+      FROM vbase
     )
-    SELECT c.doc_id, b.doc_id AS bench_id, count(DISTINCT c.h) AS n_shared
+    SELECT 'ngram' AS kind, c.doc_id, b.doc_id AS bench_id,
+           CAST(count(DISTINCT c.h) AS DOUBLE) AS score
     FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) c
     JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b ON c.h = b.h
     GROUP BY c.doc_id, b.doc_id
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'semantic' AS kind, c.vec_id AS doc_id, b.vec_id AS bench_id,
+             round(list_cosine_similarity(c.emb, b.emb), 6) AS score
+      FROM vpert c JOIN vbase b USING (label)
+    ) WHERE score >= 0.99
     """,
-    survey_rows="X2 (n-gram overlap) → benchmark decontamination",
+    survey_rows=(
+        "X2 (n-gram overlap) + X2/X3 (embedding cosine) → benchmark "
+        "decontamination, lexical + semantic arms"
+    ),
 )
 def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
-    return decontaminate(corpus, benchmark, n=8, min_shared=1)
+    ngram = decontaminate(corpus, benchmark, n=8, min_shared=1).select(
+        F.lit("ngram").alias("kind"),
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("double").alias("score"),
+    )
+
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("emb", lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)).alias(
+            "emb"
+        ),
+    )
+    semantic = semantic_decontaminate(
+        pert, base, min_cosine=0.99, id_col="vec_id", vec_col="emb", block_col="label"
+    ).select(
+        F.lit("semantic").alias("kind"),
+        F.col("corpus_id").alias("doc_id"),
+        "bench_id",
+        F.col("cosine").alias("score"),
+    )
+    return ngram.unionByName(semantic)
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,57 @@ def test_decontaminate_join_is_equi_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_decontaminate_hand_computed(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0]),   # exact copy of bench 10
+            (2, "a", [0.9, 0.1, 0.0]),   # near bench 10 (cos ~0.9939)
+            (3, "a", [0.0, 1.0, 0.0]),   # orthogonal — clean
+            (4, "b", [1.0, 0.0, 0.0]),   # would match bench 10, but other block
+        ],
+        "vec_id int, label string, emb array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a", [1.0, 0.0, 0.0])], "vec_id int, label string, emb array<double>"
+    )
+    out = {
+        (r["corpus_id"], r["bench_id"]): r["cosine"]
+        for r in semantic_decontaminate(
+            corpus, bench, min_cosine=0.99, vec_col="emb", block_col="label"
+        ).collect()
+    }
+    assert set(out) == {(1, 10), (2, 10)}
+    assert out[(1, 10)] == 1.0
+
+    # unblocked: the cross-block pair appears (bench side is constant-sized
+    # and broadcast, so this is still one linear corpus scan)
+    ub = semantic_decontaminate(corpus, bench, min_cosine=0.99, vec_col="emb")
+    assert {(r["corpus_id"], r["bench_id"]) for r in ub.collect()} == {
+        (1, 10),
+        (2, 10),
+        (4, 10),
+    }
+
+
+def test_semantic_decontaminate_bench_side_broadcast(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), min_cosine=0.99, block_col="label"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_scrub_pii_counts_and_order(spark):
     from pubmed_central_semantic_search_spark.operators.curation import scrub_pii
 
