@@ -32,17 +32,20 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert. Runtime
-        # conf — works in any session, including the driver's.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects without nanosAsLong, and then
+        # surfaces as int64 nanos) and plain TIMESTAMP(MICROS). Set the
+        # legacy conf so either file opens, then normalize on dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer division: `/` would go through double, and 2024-epoch
-        # nanos (~1.7e18) exceed double's 2^53 integer range — the lost
-        # low bits showed up as ±1µs vs DuckDB's exact ns→µs floor.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # Integer division: `/` would go through double, and 2024-epoch
+            # nanos (~1.7e18) exceed double's 2^53 integer range — the lost
+            # low bits showed up as ±1µs vs DuckDB's exact ns→µs floor.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
