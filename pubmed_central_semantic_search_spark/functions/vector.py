@@ -14,6 +14,10 @@ results are reproducible against the DuckDB oracle.
 
 from __future__ import annotations
 
+import json
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -22,6 +26,40 @@ def as_double(v: Column | str) -> Column:
     """Cast array<float> → array<double> element-wise."""
     v = F.col(v) if isinstance(v, str) else v
     return v.cast("array<double>")
+
+
+def _check_finite(flat: Sequence[float]) -> None:
+    if not all(math.isfinite(x) for x in flat):
+        raise ValueError("packed literal values must be finite (no NaN/inf)")
+
+
+def array_lit(vec: Sequence[float]) -> Column:
+    """A float-array literal as ONE plan leaf: ``from_json(lit(json))``.
+
+    ``F.lit([...])`` builds a CreateArray tree with one Literal node per
+    element; at dim=768 (or a k×dim centroid matrix) every analyzer /
+    optimizer pass re-walks thousands of leaves and each ACTION pays
+    seconds of driver-side plan work before a single row moves (measured:
+    a 13 s no-op assignment over 125 rows at k=8, dim=768). ``from_json``
+    of a literal string is constant-folded by Catalyst into a single
+    Literal during optimization, so the plan carries one leaf regardless
+    of dimensionality and per-row evaluation is identical.
+
+    Exactness: ``json.dumps`` emits ``repr(float)`` (shortest round-trip
+    decimal) and Spark's JSON parser returns the nearest double — the
+    original bit pattern. Values must be finite (JSON NaN/inf would be
+    dropped to null silently)."""
+    vals = [float(x) for x in vec]
+    _check_finite(vals)
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")
+
+
+def matrix_lit(mat: Sequence[Sequence[float]]) -> Column:
+    """A nested float-matrix literal as ONE plan leaf (see ``array_lit``)."""
+    vals = [[float(x) for x in row] for row in mat]
+    for row in vals:
+        _check_finite(row)
+    return F.from_json(F.lit(json.dumps(vals)), "array<array<double>>")
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

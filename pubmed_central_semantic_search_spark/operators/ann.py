@@ -24,7 +24,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot
+from ..functions.vector import cosine_similarity, dot, matrix_lit
 from .topk import grouped_top_k
 
 
@@ -39,12 +39,21 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
 
 def bucket_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p = 1 iff vec·plane_p > 0. Returns bigint."""
-    sig = None
-    for p, plane in enumerate(planes):
-        bit = F.when(dot(vec_col, F.lit(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("bigint")
+    """Sign-bit bucket id: bit p = 1 iff vec·plane_p > 0. Returns bigint.
+
+    The plane matrix rides as ONE folded plan leaf (``matrix_lit``) and
+    the bit tests run as a ``zip_with`` loop — the unrolled per-plane form
+    carried n_planes × dim literal leaves of driver-side plan work per
+    action. Same value: Σ over planes of (mask if dot>0 else 0)."""
+    masks = F.lit([1 << p for p in range(len(planes))])
+    bits = F.zip_with(
+        matrix_lit(planes),
+        masks,
+        lambda plane, mask: F.when(
+            dot(vec_col, plane) > 0, mask.cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
 
 
 def with_lsh_bucket(

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_similarity, dot
+from ..functions.vector import as_double, cosine_similarity, dot, matrix_lit
 from .topk import grouped_top_k
 
 Centroids = list[tuple[int, list[float]]]
@@ -60,8 +60,11 @@ def _ranked_centroids(vec_col: Column | str, centroids: Centroids) -> Column:
     earlier unrolled form (k separate dot expressions, each against its
     own k·dim-leaf literal array) blew past codegen limits at dim=768
     (interpreted fallback, 80× slower assignment); this form computes the
-    identical fold in the identical order, bit-for-bit, at loop speed."""
-    cvecs = F.lit([_unit(list(vec)) for _, vec in centroids])
+    identical fold in the identical order, bit-for-bit, at loop speed.
+    The matrix is a single folded leaf (``matrix_lit``) — a k·dim-leaf
+    CreateArray tree cost seconds of driver-side plan work PER ACTION at
+    dim=768 before any row moved."""
+    cvecs = matrix_lit([_unit(list(vec)) for _, vec in centroids])
     cids = F.lit([int(cid) for cid, _ in centroids])
     return F.array_sort(
         F.zip_with(

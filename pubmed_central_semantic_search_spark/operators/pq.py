@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_similarity
+from ..functions.vector import array_lit, as_double, cosine_similarity, matrix_lit
 from .topk import top_k
 
 # codebooks: books[s] = list of ksub sub-centroids (each dsub floats)
@@ -54,8 +54,11 @@ def _argmin_l2(sub: Column, book: list[list[float]]) -> Column:
 
     ||c||² − 2·v·c preserves the L2 argmin (||v||² is constant per row);
     the fold computes both terms in one pass over the components. Ties
-    break to the lowest code id via the struct sort."""
-    cvecs = F.lit([list(c) for c in book])
+    break to the lowest code id via the struct sort. The codebook rides
+    as a single folded leaf (``matrix_lit``) — ``pq_encode`` instantiates
+    this m times, so CreateArray trees multiplied into m·ksub·dsub plan
+    leaves and dominated query time as driver-side plan work."""
+    cvecs = matrix_lit([list(c) for c in book])
     cids = F.lit(list(range(len(book))))
     ranked = F.array_sort(
         F.zip_with(
@@ -166,7 +169,7 @@ def pq_adc_score(codes_col: Column | str, query: list[float], books: Codebooks) 
     codes_col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     score = None
     for s, lut in enumerate(adc_lut(query, books)):
-        term = F.element_at(F.lit([float(x) for x in lut]), codes_col[s] + 1)
+        term = F.element_at(array_lit(lut), codes_col[s] + 1)
         score = term if score is None else score + term
     return score
 
@@ -200,7 +203,7 @@ def pq_topk(
     exact = vectors.join(F.broadcast(cand), id_col).select(
         id_col,
         "adc_score",
-        cosine_similarity(vec_col, F.lit([float(x) for x in query])).alias("score"),
+        cosine_similarity(vec_col, array_lit(query)).alias("score"),
     )
     return top_k(exact, "score", k, tiebreak=[id_col])
 
@@ -253,6 +256,6 @@ def ivfpq_topk(
     exact = vectors.join(F.broadcast(cand), id_col).select(
         id_col,
         "adc_score",
-        cosine_similarity(vec_col, F.lit([float(x) for x in query])).alias("score"),
+        cosine_similarity(vec_col, array_lit(query)).alias("score"),
     )
     return top_k(exact, "score", k, tiebreak=[id_col])

@@ -27,7 +27,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double
+from ..functions.vector import array_lit, as_double
 from ..registry import QUERY_VEC, load
 
 DIM64 = 64
@@ -66,7 +66,7 @@ def x768_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = corpus_768(spark, sf_dir)
     scored = emb.select(
         "vec_id",
-        cosine_similarity("embedding", F.lit(widen_list(QUERY_VEC))).alias("score"),
+        cosine_similarity("embedding", array_lit(widen_list(QUERY_VEC))).alias("score"),
     )
     return top_k(scored, "score", 5, tiebreak=["vec_id"]).withColumn(
         "score", F.round("score", 6)
@@ -128,7 +128,7 @@ def x768_encode_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in fake_encode_one("neural document retrieval", dim=DIM)]
     scored = docs.select(
         "doc_id",
-        cosine_similarity("embedding", F.lit(qvec)).alias("score"),
+        cosine_similarity("embedding", array_lit(qvec)).alias("score"),
     )
     return top_k(scored, "score", 5, tiebreak=["doc_id"]).withColumn(
         "score", F.round("score", 6)

@@ -264,3 +264,47 @@ def test_simhash_fingerprint_is_narrow(spark, sf_dir):
     plan = simhash32(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_packed_literals_fold_to_one_leaf(spark):
+    """array_lit/matrix_lit: the from_json wrapper must constant-fold to a
+    plain Literal during optimization (one plan leaf regardless of k×dim),
+    and the folded values must be bit-exact vs the element-wise F.lit
+    tree. An unfolded from_json would re-parse per row; a CreateArray
+    tree costs seconds of driver-side plan work per ACTION at dim=768."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        array_lit,
+        matrix_lit,
+    )
+
+    vec = [math.sin(0.7 * i + 0.3) for i in range(768)]
+    mat = [[math.sin(0.31 * r + 0.13 * i) for i in range(64)] for r in range(8)]
+    df = spark.range(1).select(
+        array_lit(vec).alias("v"),
+        matrix_lit(mat).alias("m"),
+        F.lit(vec).alias("v_ref"),
+        F.lit(mat).alias("m_ref"),
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in optimized, optimized
+    row = df.collect()[0]
+    assert list(row["v"]) == list(row["v_ref"])  # exact, not approx
+    assert [list(r) for r in row["m"]] == [list(r) for r in row["m_ref"]]
+
+
+def test_packed_literals_reject_non_finite():
+    import pytest
+
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        array_lit,
+        matrix_lit,
+    )
+
+    with pytest.raises(ValueError):
+        array_lit([1.0, float("nan")])
+    with pytest.raises(ValueError):
+        matrix_lit([[1.0], [float("inf")]])
