@@ -476,6 +476,10 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iter):
+        # ONE round per signature action — batching 2 rounds per check
+        # halves driver round-trips but risks a full wasted round of
+        # corpus-sized shuffles after convergence; at scale the shuffle
+        # dwarfs the driver latency, so the per-round check wins.
         # Lazy checkpoint: the signature aggregate below is the action that
         # materializes it — one job per round, not two.
         edges = small_star(large_star(edges)).localCheckpoint(eager=False)

@@ -152,11 +152,37 @@ def x_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x768_topk_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS twin of x768_topk_cosine (operators/vectorized.py): same
+    result set, Arrow-batched numpy matmul instead of interpreted HOF
+    folds — the two entries bench the kernel crossover at dim=768."""
+    from ..operators.vectorized import brute_force_topk_np
+
+    emb = corpus_768(spark, sf_dir)
+    return brute_force_topk_np(emb, widen_list(QUERY_VEC), 5)
+
+
+def x768_assign_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS twin of x768_kmeans_join_assign: identical seeds and
+    cluster counts, full-corpus assignment via one Arrow round-trip
+    (no join, no shuffle before the count aggregate) — three strategies
+    for the same work sit side by side in the bench output."""
+    from ..operators.clustering import seed_centroids
+    from ..operators.vectorized import assign_clusters_np
+
+    emb = corpus_768(spark, sf_dir)
+    cents = seed_centroids(emb, k=8)
+    assigned = assign_clusters_np(emb, cents)
+    return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+
 BENCH_EXTRAS = {
     "x768_topk_cosine": x768_topk_cosine,
+    "x768_topk_cosine_np": x768_topk_cosine_np,
     "x768_mean_pool": x768_mean_pool,
     "x768_kmeans": x768_kmeans,
     "x768_kmeans_join_assign": x768_kmeans_join_assign,
+    "x768_assign_np": x768_assign_np,
     "x768_encode_search": x768_encode_search,
     "x_pq_search": x_pq_search,
 }
