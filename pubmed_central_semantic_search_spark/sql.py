@@ -67,8 +67,8 @@ def register_sql_functions(spark: SparkSession) -> None:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """One temp view per test-data table (parquet-backed, lazily scanned —
-    filters/projections still push down to the files; ``load`` handles the
-    events table's nanosecond-timestamp normalization)."""
+    filters/projections still push down to the files; ``load`` normalizes
+    the events table's timestamp encoding whichever way it shipped)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
