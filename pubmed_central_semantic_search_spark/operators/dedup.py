@@ -154,7 +154,7 @@ def minhash_signature_flat(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_band_keys(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -162,20 +162,19 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """X2 — LSH banding: docs sharing any band's full signature slice become
-    candidate pairs (id_a < id_b, distinct). Equi-join on (band, band_key)
-    — never quadratic; the EXPLICIT two-part key means a refactor can't
-    silently degrade it to a hot single-key join.
-
-    Everything before the join is narrow: signature and band keys are
-    per-row expressions (slice + join of the signature array), so the
-    candidate equi-join is the FIRST shuffle in the whole pipeline."""
+    """(_id, band, band_key) — the LSH blocking view of a corpus: one row
+    per (doc, band), band_key = that band's signature slice as a string.
+    FULLY NARROW (signature and slices are per-row expressions), so it
+    works unchanged on a STREAMING DataFrame, and at rest it is the table
+    to materialize (partitioned/bucketed by (band, band_key)) so both the
+    batch self-join and the stream-static probe read it instead of
+    re-shingling the corpus."""
     rows_per_band = n_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature_array(text_col, n_hashes, shingle_n).alias("_sig"),
     ).filter(F.col("_sig")[0].isNotNull())
-    band_keys = sig.select(
+    return sig.select(
         "_id",
         F.posexplode(
             F.transform(
@@ -190,6 +189,25 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 — LSH banding: docs sharing any band's full signature slice become
+    candidate pairs (id_a < id_b, distinct). Equi-join on (band, band_key)
+    — never quadratic; the EXPLICIT two-part key means a refactor can't
+    silently degrade it to a hot single-key join.
+
+    Everything before the join is narrow: signature and band keys are
+    per-row expressions (``minhash_band_keys``), so the candidate
+    equi-join is the FIRST shuffle in the whole pipeline."""
+    band_keys = minhash_band_keys(df, id_col, text_col, n_hashes, bands, shingle_n)
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (

@@ -125,6 +125,46 @@ def stream_first_seen_dedup(
     )
 
 
+def stream_near_dup_candidates(
+    doc_stream: DataFrame,
+    corpus_band_keys: DataFrame,
+    id_col: str = "article_id",
+    text_col: str = "abstract_text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2-on-a-stream — incoming documents checked for near-duplication
+    against a STATIC corpus via a stream-static equi-join (the Structured
+    Streaming join mode that needs no state: each micro-batch row probes
+    the static side and is done).
+
+    The stream side computes MinHash band keys as pure per-row
+    expressions (``minhash_band_keys`` is fully narrow, so it runs
+    unchanged on a streaming DataFrame); ``corpus_band_keys`` is the
+    SAME operator's output over the at-rest corpus, materialized once
+    (at 100 TB: parquet bucketed by (band, band_key), so the probe join
+    is co-located and the corpus is never re-shingled per batch).
+
+    Emits (incoming_id, corpus_id, band, band_key) — append-mode safe
+    (no aggregation; one row per matching band). Exact-Jaccard verify
+    and per-pair dedup belong in ``foreachBatch`` where the batch API's
+    aggregate (``near_dup_minhash``'s verify stage) is available —
+    candidates are a vanishing fraction of the stream, so the verify is
+    candidate-sized, not corpus-sized."""
+    from ..operators.dedup import minhash_band_keys
+
+    probe = minhash_band_keys(
+        doc_stream, id_col, text_col, n_hashes, bands, shingle_n
+    ).select(F.col("_id").alias("incoming_id"), "band", "band_key")
+    corpus = corpus_band_keys.select(
+        F.col("_id").alias("corpus_id"), "band", "band_key"
+    )
+    return probe.join(corpus, ["band", "band_key"]).select(
+        "incoming_id", "corpus_id", "band", "band_key"
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

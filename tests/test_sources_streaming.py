@@ -407,3 +407,73 @@ def test_compact_parquet_rejects_hive_partitioned(spark, tmp_path):
     ).parquet(path)
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, path)
+
+
+def test_stream_near_dup_candidates_matches_batch(spark, tmp_path):
+    """X2-on-a-stream — stream-static band-key join: incoming docs are
+    checked against a static corpus band-key table; draining the stream
+    yields exactly the batch join of the same frames, and the planted
+    near-duplicate is caught while the distinct doc matches nothing."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        minhash_band_keys,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        stream_near_dup_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the old stone bridge"
+    )
+    corpus_rows = [
+        ("C1", base),
+        ("C2", "completely different corpus text about spark query engines "
+               "and distributed columnar storage formats"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "article_id string, abstract_text string")
+    corpus_bands = minhash_band_keys(corpus, "article_id", "abstract_text")
+
+    incoming = [
+        # near-dup of C1: one word changed
+        {"article_id": "N1", "abstract_text": base.replace("lazy", "sleepy")},
+        # unrelated
+        {"article_id": "N2", "abstract_text": "unrelated incoming text with "
+         "no shared shingles at all in any window of three tokens"},
+    ]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    with open(src / "d1.jsonl", "w") as f:
+        for r in incoming:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "article_id string, abstract_text string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        stream_near_dup_candidates(stream, corpus_bands)
+        .writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["incoming_id"], r["corpus_id"], r["band"])
+        for r in spark.sql("SELECT * FROM nd_out").collect()
+    }
+
+    batch_docs = spark.createDataFrame(
+        [(r["article_id"], r["abstract_text"]) for r in incoming], schema
+    )
+    expected = {
+        (r["incoming_id"], r["corpus_id"], r["band"])
+        for r in stream_near_dup_candidates(batch_docs, corpus_bands).collect()
+    }
+    assert got == expected
+    matched = {i for i, _, _ in got}
+    assert "N1" in matched  # near-dup caught by >=1 intact band
+    assert "N2" not in matched
+    assert all(c == "C1" for i, c, _ in got if i == "N1")
