@@ -55,6 +55,81 @@ def exact_dedup(
     )
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """X1/X2 — repeated-SUBSTRING detection (the ExactSubstr pass of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): find every maximal token span whose ``window``-token windows
+    all occur verbatim in ≥ ``min_docs`` documents. Whole-doc exact dedup
+    misses boilerplate paragraphs shared across otherwise-distinct
+    documents; this pass marks them for surgical removal.
+
+    Returns (doc_id, span_start, span_end, n_windows) — token coordinates
+    [span_start, span_end) over the empties-dropped whitespace
+    tokenization; one row per maximal run of OVERLAPPING hot windows
+    (windows exactly ``window`` apart touch but don't overlap → separate
+    spans).
+
+    Scale shape: window hashes are a narrow per-row explode (never a
+    token-stream shuffle); "hot" windows are ONE partial-agg groupBy on
+    the window hash; hits are an equi-join of the window view against the
+    hot set (output-bounded); the island merge is a per-doc sort of HIT
+    windows only — candidate-sized, not corpus-sized. The suffix-array
+    construction of the paper is replaced by the hash-window blocking
+    because sorting a 100 TB suffix array is the one shape Spark should
+    not attempt; ``window`` plays the paper's min-match-length role.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    wins = base.select(
+        "doc_id",
+        F.col("_toks"),
+        F.explode(
+            F.when(
+                F.size("_toks") >= window,
+                F.sequence(F.lit(0), F.size("_toks") - window),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(
+            F.array_join(F.slice("_toks", F.col("pos") + 1, window), " ")
+        ).alias("h"),
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(hot, "h").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) < window, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_isl")
+    )
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, token) — literal whitespace split, empties dropped (F1/P5)."""
     return df.select(

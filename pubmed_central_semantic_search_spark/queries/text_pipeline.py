@@ -122,28 +122,96 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X1/H1 — exact dedup by content key (the reference's hash-keyed idempotent
-# upsert, qdrant.py:137-139, generalized). groupBy(md5) shuffles once on the
-# key; at 100 TB this is the standard exact-dedup pass.
+# X1/H1 — exact duplication, both granularities, as a tagged union:
+# kind='doc'  — whole-document content-key dedup (the reference's hash-keyed
+#               idempotent upsert, qdrant.py:137-139, generalized): one
+#               groupBy(md5) shuffle, the standard 100 TB exact-dedup pass.
+# kind='span' — repeated-SUBSTRING spans (ExactSubstr, Lee et al. ACL'22,
+#               operators/dedup.py repeated_ngram_spans): boilerplate
+#               passages shared verbatim across otherwise-distinct docs,
+#               which whole-doc dedup misses. Column mapping for the union:
+#               doc_id = keep_doc_id | span's doc; n = n_copies | n_windows;
+#               span_start/span_end only for spans; content_key only for
+#               docs.
 
 
 @register(
     "q16_exact_dedup",
     """
-    SELECT md5(text) AS content_key,
-           count(*) AS n_copies,
-           min(doc_id) AS keep_doc_id
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(toks) - 7, 0)),
+               i -> md5(array_to_string(toks[i + 1 : i + 8], ' '))
+             ) AS hs
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id, CAST(generate_subscripts(hs, 1) - 1 AS BIGINT) AS pos,
+             unnest(hs) AS h
+      FROM w0
+    ),
+    hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl
+    )
+    SELECT 'doc' AS kind,
+           md5(text) AS content_key,
+           min(doc_id) AS doc_id,
+           count(*) AS n,
+           CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end
     FROM documents
     GROUP BY md5(text)
+    UNION ALL
+    SELECT 'span' AS kind,
+           CAST(NULL AS VARCHAR) AS content_key,
+           doc_id,
+           count(*) AS n,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end
+    FROM isl2 GROUP BY doc_id, isl
     """,
-    survey_rows="X1, H1",
+    survey_rows="X1, H1, X2 (repeated-substring spans)",
 )
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_ngram_spans
+
     d = load(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("content_key")).agg(
-        F.count(F.lit(1)).alias("n_copies"),
-        F.min("doc_id").alias("keep_doc_id"),
+    docs = d.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("doc").alias("kind"),
+        "content_key",
+        "doc_id",
+        "n",
+        F.lit(None).cast("bigint").alias("span_start"),
+        F.lit(None).cast("bigint").alias("span_end"),
     )
+    spans = repeated_ngram_spans(d, "doc_id", "text", window=8, min_docs=2).select(
+        F.lit("span").alias("kind"),
+        F.lit(None).cast("string").alias("content_key"),
+        "doc_id",
+        F.col("n_windows").alias("n"),
+        "span_start",
+        "span_end",
+    )
+    return docs.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------

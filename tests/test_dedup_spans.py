@@ -1,0 +1,63 @@
+"""repeated_ngram_spans (ExactSubstr-style substring dedup): planted
+boilerplate detection, island-merge semantics, and coordinate contracts."""
+
+from pubmed_central_semantic_search_spark.operators.dedup import (
+    repeated_ngram_spans,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_boilerplate_span_found(spark):
+    boiler = "this license text is shared verbatim across both documents here"
+    rows = [
+        (1, f"unique opening words alpha beta {boiler} unique tail one"),
+        (2, f"different start gamma delta epsilon zeta {boiler} other end"),
+        (3, "entirely unrelated document with no overlap whatsoever in any window"),
+    ]
+    out = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    # doc 1: boiler starts at token 5 (0-based), 10 tokens long → windows
+    # at 5..7 (three 8-token windows fit in a 10-token shared run only if
+    # the run plus context repeats; here exactly the 10 boiler tokens
+    # repeat, so hot windows are those fully inside the boiler run)
+    (s1,) = by_doc[1]
+    (s2,) = by_doc[2]
+    # the span must cover the full boiler run in each doc
+    toks1 = [t for t in rows[0][1].split(" ") if t]
+    toks2 = [t for t in rows[1][1].split(" ") if t]
+    got1 = " ".join(toks1[s1["span_start"] : s1["span_end"]])
+    got2 = " ".join(toks2[s2["span_start"] : s2["span_end"]])
+    assert boiler in got1 or got1 in boiler
+    assert boiler in got2 or got2 in boiler
+    assert got1 == got2  # both spans recover the same shared text
+
+
+def test_overlapping_hot_windows_merge_into_one_span(spark):
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    rows = [(1, f"a b c {shared}"), (2, f"{shared} x y z")]
+    out = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8).collect()
+    assert len(out) == 2  # ONE merged span per doc, not one per window
+    for r in out:
+        assert r["span_end"] - r["span_start"] == 12
+        assert r["n_windows"] == 5  # 12 - 8 + 1 overlapping windows
+
+
+def test_short_docs_yield_no_windows(spark):
+    rows = [(1, "too short"), (2, "too short")]
+    out = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8).collect()
+    assert out == []
+
+
+def test_min_docs_threshold(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = [(1, text), (2, text), (3, "nothing in common with those two docs at all")]
+    got2 = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8, min_docs=2)
+    got3 = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8, min_docs=3)
+    assert {r["doc_id"] for r in got2.collect()} == {1, 2}
+    assert got3.collect() == []
