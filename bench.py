@@ -46,14 +46,20 @@ def main() -> None:
         # reading fresh data). min-of-2 filters the transient-VM-load spikes
         # that made single timed runs swing ±50% round to round.
         runnable[name](spark, sf_dir).count()
-        best, n = None, 0
-        for _ in range(2):
+        samples, n = [], 0
+        # min-of-2, plus a third pass only when the first two disagree by
+        # >30% — the shared-VM load spikes that survive min-of-2 show up
+        # exactly as that disagreement, and the extra pass is paid only on
+        # the noisy queries.
+        for attempt in range(3):
+            if attempt == 2 and min(samples) / max(samples) > 0.7:
+                break
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = runnable[name](spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
         timings[name] = round(best, 4)
         total += best
         spark.catalog.clearCache()

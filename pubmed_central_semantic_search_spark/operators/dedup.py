@@ -130,6 +130,73 @@ def repeated_ngram_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """ExactSubstr follow-through: REMOVE duplicated spans, keeping each
+    distinct span text in exactly one document (the lowest doc id that
+    contains it — deterministic, matching this package's survivor rule).
+
+    ``spans`` is ``repeated_ngram_spans`` output. Per doc the cut is a
+    pure array expression: tokens whose position falls inside any of the
+    doc's cut spans are filtered out and the rest re-joined. Docs with no
+    spans pass through untouched (left join).
+
+    Scale shape: span texts are recovered by slicing the token array
+    (span-sized work, not corpus-sized), the keeper election is one
+    groupBy on the span text hash (spans are a vanishing fraction of the
+    corpus), and the cut itself is a narrow projection after ONE
+    broadcast-or-shuffle join of docs to their own spans."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_toks = df.withColumn("_toks", toks)
+    located = spans.join(
+        with_toks.select(F.col(id_col).alias("doc_id"), "_toks"), "doc_id"
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("span_start").cast("int") + 1,
+                    (F.col("span_end") - F.col("span_start")).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("_span_key"),
+    )
+    keeper = located.groupBy("_span_key").agg(F.min("doc_id").alias("_keep_doc"))
+    cuts = (
+        located.join(keeper, "_span_key")
+        .filter(F.col("doc_id") != F.col("_keep_doc"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+        )
+    )
+    joined = with_toks.join(
+        cuts, with_toks[id_col] == cuts["doc_id"], "left"
+    ).drop(cuts["doc_id"])
+    kept = F.filter(
+        F.transform("_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce(
+                "_cuts",
+                F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+            ),
+            lambda c: (s["i"] >= c["span_start"]) & (s["i"] < c["span_end"]),
+        ),
+    )
+    return joined.withColumn(
+        out_col, F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    ).drop("_toks", "_cuts")
+
+
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, token) — literal whitespace split, empties dropped (F1/P5)."""
     return df.select(

@@ -61,3 +61,33 @@ def test_min_docs_threshold(spark):
     got3 = repeated_ngram_spans(_df(spark, rows), "doc_id", "text", window=8, min_docs=3)
     assert {r["doc_id"] for r in got2.collect()} == {1, 2}
     assert got3.collect() == []
+
+
+def test_cut_spans_removes_all_but_lowest_doc(spark):
+    from pubmed_central_semantic_search_spark.operators.dedup import cut_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta gamma {boiler} tail one here"),
+        (2, f"{boiler} another distinct document body follows now"),
+        (3, "no duplication in this one at all across any eight token window"),
+    ]
+    df = _df(spark, rows)
+    spans = repeated_ngram_spans(df, "doc_id", "text", window=8)
+    out = {r["doc_id"]: r["text_cut"] for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1] == rows[0][1]          # lowest doc keeps the span
+    assert boiler not in out[2]          # later doc loses it
+    assert "another distinct document body follows now" in out[2]
+    assert out[3] == rows[2][1]          # untouched doc passes through
+
+
+def test_cut_spans_no_spans_is_identity(spark):
+    from pubmed_central_semantic_search_spark.operators.dedup import cut_spans
+
+    rows = [(1, "some short text"), (2, "other short text")]
+    df = _df(spark, rows)
+    spans = repeated_ngram_spans(df, "doc_id", "text", window=8)
+    out = {r["doc_id"]: r["text_cut"] for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out == {1: "some short text", 2: "other short text"}
