@@ -65,12 +65,18 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Decompose the headline: driver-certified registry queries vs the
+    # bench-only proof pack (x768/PQ/BLAS extras) — round-over-round
+    # comparisons stay like-for-like as the extras pack grows.
+    registry_total = sum(t for q, t in timings.items() if q in registry.REGISTRY)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(total, 4),
                 "unit": "sec",
+                "registry_sec": round(registry_total, 4),
+                "extras_sec": round(total - registry_total, 4),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -337,3 +337,68 @@ def stratified_sample(
         .filter(F.col("_keep"))
         .drop("_keep")
     )
+
+
+def temperature_fractions(
+    token_counts: dict[str, int], alpha: float, target_tokens: int
+) -> dict[str, float]:
+    """Driver-side mixing recipe: per-source keep fractions so sampled
+    tokens per source ∝ tokens_s^alpha (the LLaMA/multilingual-LM
+    "temperature" reweighting — alpha=1 keeps natural proportions,
+    alpha=0 equalizes sources), scaled to ~``target_tokens`` total.
+
+    No upsampling: a source whose share exceeds its size caps at 1.0 and
+    the shortfall is water-filled over the uncapped sources (iteratively, at
+    most len(sources) rounds — k is the number of DOMAINS, driver-trivial).
+    Deterministic: pure arithmetic over the counts."""
+    if not token_counts or target_tokens <= 0:
+        return {s: 0.0 for s in token_counts}
+    capped: dict[str, float] = {}
+    remaining = dict(token_counts)
+    budget = float(target_tokens)
+    while remaining:
+        weights = {s: (n ** alpha if n > 0 else 0.0) for s, n in remaining.items()}
+        wsum = sum(weights.values())
+        if wsum <= 0:
+            capped.update({s: 0.0 for s in remaining})
+            break
+        newly_capped = {
+            s for s, w in weights.items()
+            if budget * w / wsum >= remaining[s]
+        }
+        if not newly_capped:
+            capped.update(
+                {s: (budget * weights[s] / wsum) / remaining[s] for s in remaining}
+            )
+            break
+        for s in newly_capped:
+            capped[s] = 1.0
+            budget -= remaining.pop(s)
+    return capped
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    target_tokens: int = 100_000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_col: str = "in_mix",
+) -> DataFrame:
+    """Temperature-based source mixing: ONE partial-agg groupBy collects
+    k per-source token totals to the driver (k = number of domains, never
+    data-sized), ``temperature_fractions`` turns them into keep rates,
+    and membership is the same narrow content-addressed per-row
+    expression as ``with_sample_flag`` — re-run/re-shard stable, zero
+    shuffles beyond the k-row count, no corpus-sized join or broadcast."""
+    counts = {
+        r[group_col]: r["_n"]
+        for r in df.groupBy(group_col)
+        .agg(F.sum(F.size(_tokens(text_col)).cast("bigint")).alias("_n"))
+        .collect()
+    }
+    fracs = temperature_fractions(counts, alpha, target_tokens)
+    return with_sample_flag(
+        df, fracs, group_col, id_col, default_fraction=0.0, flag_col=flag_col
+    )

@@ -197,3 +197,52 @@ def test_pack_sequences_zero_token_docs_clamped(spark):
     assert out[1]["seq_end"] == out[1]["seq_id"]
     # the empty doc sits exactly where doc 0 ended
     assert out[1]["seq_id"] == out[2]["seq_id"]
+
+
+def test_temperature_fractions_alpha_extremes():
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        temperature_fractions,
+    )
+
+    counts = {"big": 900_000, "small": 100_000}
+    # alpha=1: natural proportions -> every source keeps the same fraction
+    f1 = temperature_fractions(counts, alpha=1.0, target_tokens=100_000)
+    assert abs(f1["big"] - f1["small"]) < 1e-12
+    assert abs(f1["big"] - 0.1) < 1e-12
+    # alpha=0: equal token budgets per source -> 50k each
+    f0 = temperature_fractions(counts, alpha=0.0, target_tokens=100_000)
+    assert abs(f0["big"] * 900_000 - 50_000) < 1e-6
+    assert abs(f0["small"] * 100_000 - 50_000) < 1e-6
+    # intermediate alpha upweights the small source relative to natural
+    f7 = temperature_fractions(counts, alpha=0.7, target_tokens=100_000)
+    assert f7["small"] > f1["small"] and f7["big"] < 1.0
+
+
+def test_temperature_fractions_water_filling_cap():
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        temperature_fractions,
+    )
+
+    # alpha=0 wants 50k from each, but 'tiny' only has 10k -> caps at 1.0
+    # and the shortfall flows to the other source
+    counts = {"big": 500_000, "tiny": 10_000}
+    f = temperature_fractions(counts, alpha=0.0, target_tokens=100_000)
+    assert f["tiny"] == 1.0
+    assert abs(f["big"] * 500_000 - 90_000) < 1e-6
+    # total sampled tokens == target when attainable
+    total = sum(f[s] * counts[s] for s in counts)
+    assert abs(total - 100_000) < 1e-6
+
+
+def test_temperature_mix_flag_is_deterministic_and_plausible(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = temperature_mix(docs, alpha=0.5, target_tokens=20_000)
+    b = temperature_mix(docs, alpha=0.5, target_tokens=20_000)
+    kept_a = sorted(r["doc_id"] for r in a.filter("in_mix").select("doc_id").collect())
+    kept_b = sorted(r["doc_id"] for r in b.filter("in_mix").select("doc_id").collect())
+    assert kept_a == kept_b  # content-addressed: re-run identical
+    assert 0 < len(kept_a) < docs.count()

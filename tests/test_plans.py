@@ -308,3 +308,22 @@ def test_packed_literals_reject_non_finite():
         array_lit([1.0, float("nan")])
     with pytest.raises(ValueError):
         matrix_lit([[1.0], [float("inf")]])
+
+
+def test_repeated_spans_plan_shape(spark, sf_dir):
+    """repeated_ngram_spans: window generation is narrow (no shuffle
+    before the hot-window aggregate), the hot join is a hash equi-join
+    (never a cartesian), and the island merge sorts only HIT rows."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repeated_ngram_spans(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
