@@ -68,3 +68,33 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bloom_write(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Point-lookup layout: parquet BLOOM FILTERS on high-cardinality key
+    columns — the complement of min-max clustering. Z-order/sort stats
+    prune RANGE predicates, but an equality probe on a hash-like key
+    (content_key, doc hash, band_key) defeats min-max entirely: uniform
+    keys span every file's [min, max]. A per-row-group bloom filter
+    answers "definitely absent" in one footer read, so a point lookup
+    touches only the row groups that might hold the key — the dedup
+    incremental path (does this content_key already exist?) becomes
+    footer-bound instead of a corpus scan.
+
+    Plain Spark writer options (`parquet.bloom.filter.enabled#col`);
+    ``expected_ndv`` sizes the filter (~1.2 bytes/value at the default
+    1% false-positive rate). Readers that ignore bloom filters still read
+    the file normally — the layout is purely additive."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)
