@@ -40,23 +40,28 @@ from .topk import top_k
 Centroids = list[tuple[int, list[float]]]
 
 
-def _stack(series: pd.Series) -> np.ndarray:
-    """Arrow list column → (n, dim) float64 matrix."""
-    return np.array(series.tolist(), dtype=np.float64)
-
-
 def cosine_scores_udf(query: list[float]):
-    """Arrow-batched cosine against a fixed query: array<num> → double."""
-    q = np.asarray(query, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
+    """Arrow-batched cosine against a fixed query: array<num> → double.
+
+    SELF-CONTAINED closure (the package-wide UDF rule, see encoder.py):
+    the body references only stdlib/numpy/pandas and plain captured data,
+    so cloudpickle ships it by value and executors never need this
+    package importable — verified by ``test_np_kernels_are_self_contained``
+    running the kernel from a foreign working directory."""
+    q_list = [float(x) for x in query]
 
     @pandas_udf("double")
     def _score(vecs: pd.Series) -> pd.Series:
-        m = _stack(vecs)
-        norms = np.linalg.norm(m, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        import numpy as _np
+        import pandas as _pd
+
+        q = _np.asarray(q_list, dtype=_np.float64)
+        qn = float(_np.linalg.norm(q))
+        m = _np.array(vecs.tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(m, axis=1)
+        with _np.errstate(divide="ignore", invalid="ignore"):
             s = (m @ q) / (norms * qn)
-        return pd.Series(s)
+        return _pd.Series(s)
 
     return _score
 
@@ -65,21 +70,27 @@ def nearest_centroid_udf(centroids: Centroids):
     """Arrow-batched argmax-cosine assignment: array<num> → int cluster id.
 
     Same contract as ``clustering.nearest_centroid`` (ties → lowest
-    cluster id): centroid norms fold into the matrix once here, argmax
-    returns the first (lowest-index) maximum, and rows are sorted by id.
-    """
-    cents = sorted(centroids)
-    ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
-    c = np.asarray([vec for _, vec in cents], dtype=np.float64)
-    norms = np.linalg.norm(c, axis=1)
-    norms[norms == 0] = 1.0
-    cu = (c.T / norms).T  # unit rows: cosine argmax == dot argmax
+    cluster id): centroid norms fold into the matrix once, argmax returns
+    the first (lowest-index) maximum, and rows are sorted by id.
+    Self-contained closure — plain-list captures only (see
+    ``cosine_scores_udf``)."""
+    cents = sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+    id_list = [cid for cid, _ in cents]
+    c_list = [vec for _, vec in cents]
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        m = _stack(vecs)
+        import numpy as _np
+        import pandas as _pd
+
+        ids = _np.asarray(id_list, dtype=_np.int64)
+        c = _np.asarray(c_list, dtype=_np.float64)
+        norms = _np.linalg.norm(c, axis=1)
+        norms[norms == 0] = 1.0
+        cu = (c.T / norms).T  # unit rows: cosine argmax == dot argmax
+        m = _np.array(vecs.tolist(), dtype=_np.float64)
         best = (m @ cu.T).argmax(axis=1)
-        return pd.Series(ids[best])
+        return _pd.Series(ids[best])
 
     return _assign
 

@@ -91,3 +91,60 @@ def test_np_scores_zero_vector_yields_nan_like_hof(spark):
     by_id = {r["vec_id"]: r["s"] for r in rows}
     assert by_id[2] == 1.0
     assert by_id[1] is None or by_id[1] != by_id[1]  # null or NaN
+
+
+def test_np_kernels_are_self_contained(spark):
+    """The package-wide UDF rule (encoder.py): closures ship by VALUE.
+    If a UDF body references module-level helpers, cloudpickle serializes
+    it by reference to this package and executors without the package on
+    PYTHONPATH die with ModuleNotFoundError (exactly how the driver
+    harness runs bench from its own cwd). The pickled payload must not
+    mention the package name."""
+    import cloudpickle
+
+    from pubmed_central_semantic_search_spark.encoder import fake_encoder_udf
+    from pubmed_central_semantic_search_spark.operators.vectorized import (
+        cosine_scores_udf,
+        nearest_centroid_udf,
+    )
+
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    loader = (
+        "import sys, pickle, inspect\n"
+        "assert not any('pubmed_central' in p for p in sys.path)\n"
+        "with open(sys.argv[1], 'rb') as fh:\n"
+        "    f = pickle.load(fh)  # by-reference pickling dies HERE\n"
+        "import pandas as pd\n"
+        "if inspect.isgeneratorfunction(f):  # SCALAR_ITER (encoder)\n"
+        "    list(f(iter([pd.Series(['a', 'b'])])))\n"
+        "else:\n"
+        "    f(pd.Series([[1.0, 0.0], [0.5, 0.5]]))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    for udf in (
+        cosine_scores_udf([1.0, 0.0]),
+        nearest_centroid_udf([(0, [1.0, 0.0]), (1, [0.0, 1.0])]),
+        fake_encoder_udf(dim=8),
+    ):
+        fn = udf.func
+        if hasattr(fn, "__wrapped__"):
+            fn = fn.__wrapped__
+        with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as fh:
+            fh.write(cloudpickle.dumps(fn))
+            path = fh.name
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", loader, path],
+                cwd=tempfile.gettempdir(),
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=120,
+            )
+            assert r.returncode == 0, f"not self-contained:\n{r.stderr[-2000:]}"
+        finally:
+            os.unlink(path)
