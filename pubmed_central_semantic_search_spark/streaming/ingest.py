@@ -165,6 +165,44 @@ def stream_near_dup_candidates(
     )
 
 
+def stream_stream_click_attribution(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    max_lag: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """X6 — watermarked STREAM-STREAM interval join (the join mode with
+    two unbounded sides): attribute each purchase to the same user's
+    clicks in the preceding ``max_lag``. Both sides carry watermarks plus
+    the time-interval predicate, so Spark can bound the buffered state to
+    the watermark horizon — without them a stream-stream join must hold
+    every past row forever (the join-state analog of the unbounded-agg
+    OOM). Inner join: drained output equals the batch join exactly (the
+    watermark governs state eviction, not inner-join emission).
+
+    Input streams: (user_id, ts, value). Output: one row per qualifying
+    (purchase, click) pair."""
+    c = clicks_stream.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    p = purchases_stream.withWatermark("ts", watermark_delay).select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND click_ts >= purchase_ts - INTERVAL {max_lag} "
+            "AND click_ts <= purchase_ts"
+        ),
+    ).select(
+        "user_id", "purchase_ts", "purchase_value", "click_ts", "click_value"
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

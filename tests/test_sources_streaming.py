@@ -477,3 +477,65 @@ def test_stream_near_dup_candidates_matches_batch(spark, tmp_path):
     assert "N1" in matched  # near-dup caught by >=1 intact band
     assert "N2" not in matched
     assert all(c == "C1" for i, c, _ in got if i == "N1")
+
+
+def test_stream_stream_click_attribution_matches_batch(spark, tmp_path):
+    """X6 — watermarked stream-stream interval join: the drained inner
+    join equals the batch join of the same frames (watermarks bound
+    state, not inner-join emission), and out-of-window clicks never
+    attribute."""
+    import datetime as dt
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        stream_stream_click_attribution,
+    )
+
+    clicks = [
+        (1, "2026-01-01 09:30:00", 1.0),   # within 1h of u1 purchase
+        (1, "2026-01-01 08:00:00", 2.0),   # too early -> no attribution
+        (2, "2026-01-01 11:55:00", 3.0),   # within 1h of u2 purchase
+        (3, "2026-01-01 10:00:00", 4.0),   # user with no purchase
+    ]
+    purchases = [
+        (1, "2026-01-01 10:00:00", 50.0),
+        (2, "2026-01-01 12:30:00", 70.0),
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    for name, rows in (("clicks", clicks), ("purchases", purchases)):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "part.jsonl", "w") as f:
+            for uid, ts, v in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts, "value": v}) + "\n")
+
+    cs = spark.readStream.schema(schema).json(str(tmp_path / "clicks"))
+    ps = spark.readStream.schema(schema).json(str(tmp_path / "purchases"))
+    q = (
+        stream_stream_click_attribution(cs, ps, max_lag="1 hour")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["purchase_ts"], r["click_ts"], r["click_value"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+
+    to_rows = lambda rows: [  # noqa: E731
+        (u, dt.datetime.fromisoformat(ts), v) for u, ts, v in rows
+    ]
+    batch = stream_stream_click_attribution(
+        spark.createDataFrame(to_rows(clicks), schema),
+        spark.createDataFrame(to_rows(purchases), schema),
+        max_lag="1 hour",
+    )
+    expected = {
+        (r["user_id"], r["purchase_ts"], r["click_ts"], r["click_value"])
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert {(u, cv) for u, _, _, cv in got} == {(1, 1.0), (2, 3.0)}
