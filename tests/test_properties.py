@@ -154,3 +154,49 @@ def test_connected_components_is_idempotent(spark):
         )
     )
     assert sorted(map(tuple, first.collect())) == sorted(map(tuple, again.collect()))
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=14).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    window=st.integers(3, 5),
+)
+def test_repeated_span_invariants(spark, texts, window):
+    """repeated_ngram_spans structural laws on arbitrary small corpora:
+    spans lie inside their doc's token bounds, are at least window long,
+    are pairwise non-overlapping per doc, and every reported span's text
+    occurs in >= 2 documents (soundness of the hot-window blocking)."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_ngram_spans(df, "doc_id", "text", window=window).collect()
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        d, s, e = r["doc_id"], r["span_start"], r["span_end"]
+        assert 0 <= s < e <= len(toks[d])
+        assert e - s >= window
+        assert r["n_windows"] == e - s - window + 1
+        per_doc.setdefault(d, []).append((s, e))
+        # soundness: the span's FIRST window occurs in some other doc too
+        first_win = " ".join(toks[d][s : s + window])
+        holders = {
+            i
+            for i, ts in toks.items()
+            for j in range(len(ts) - window + 1)
+            if " ".join(ts[j : j + window]) == first_win
+        }
+        assert len(holders) >= 2
+    for d, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert e1 <= s2  # non-overlapping, merged islands
