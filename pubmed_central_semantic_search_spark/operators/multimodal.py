@@ -165,3 +165,72 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id string, width int, height int, n_bytes_in bigint, "
+    "n_bytes_out bigint, content binary, error string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    real_decode: bool = False,
+) -> DataFrame:
+    """X5 resize stage (mapInPandas, Arrow-batched) — the remaining stub
+    of the decode / feature-extract / RESIZE / frame-sample quartet.
+
+    ``real_decode=True`` is the PIL seam (decode → resize → re-encode),
+    unimplemented in this container. The default path emits a
+    deterministic fake: a content-addressed byte payload whose size
+    scales like a real thumbnail (proportional to width × height), so
+    everything AROUND the codec — binary-in/binary-out Arrow transfer,
+    per-row error isolation, output schema, downstream writes — runs and
+    is testable end to end. Rows that aren't images pass to the error
+    column rather than poisoning the batch."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image resizing requires PIL — not in this container. "
+            "The mapInPandas plumbing below is the production shape; plug "
+            "the codec into `_resize`."
+        )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def _resize(content: bytes) -> bytes:
+            # deterministic fake thumbnail: content-addressed bytes, size
+            # ~ 3 bytes/pixel like an uncompressed RGB thumbnail
+            n_out = max(1, width * height * 3)
+            return _hashlib.shake_128(
+                content + f"#{width}x{height}".encode()
+            ).digest(n_out)
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    if modality != "image":
+                        out.append((mid, width, height, None, None, None,
+                                    f"not an image: {modality}"))
+                        continue
+                    blob = bytes(content) if content is not None else b""
+                    resized = _resize(blob)
+                    out.append(
+                        (mid, width, height, len(blob), len(resized), resized, None)
+                    )
+                except Exception as ex:
+                    out.append((mid, width, height, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_bytes_in",
+                    "n_bytes_out", "content", "error",
+                ],
+            )
+
+    return df.mapInPandas(_run, RESIZED_SCHEMA)

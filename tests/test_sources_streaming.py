@@ -539,3 +539,39 @@ def test_stream_stream_click_attribution_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert {(u, cv) for u, _, _, cv in got} == {(1, 1.0), (2, 3.0)}
+
+
+def test_resize_images_stage(spark):
+    """X5 resize: binary-in/binary-out Arrow round-trip, deterministic
+    content-addressed output sized like a real thumbnail, non-images
+    isolated to the error column."""
+    from pubmed_central_semantic_search_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rows = [
+        ("img1", "image", bytearray(b"\x89PNG fake bytes one"), None),
+        ("img2", "image", bytearray(b"\x89PNG other payload"), None),
+        ("aud1", "audio", bytearray(b"RIFF fake"), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, width=8, height=4).collect()}
+    assert out["aud1"]["error"] is not None and out["aud1"]["content"] is None
+    for mid in ("img1", "img2"):
+        r = out[mid]
+        assert r["error"] is None
+        assert r["n_bytes_out"] == 8 * 4 * 3  # 3 bytes/pixel fake thumbnail
+        assert r["n_bytes_in"] == len(bytes({x[0]: x[2] for x in rows}[mid]))
+    # deterministic and content-addressed: re-run identical, distinct inputs differ
+    again = {r["media_id"]: r for r in resize_images(df, width=8, height=4).collect()}
+    assert bytes(again["img1"]["content"]) == bytes(out["img1"]["content"])
+    assert bytes(out["img1"]["content"]) != bytes(out["img2"]["content"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_images(df, real_decode=True)
