@@ -113,6 +113,60 @@ def brute_force_topk_np(
     )
 
 
+def multi_query_scores_udf(query_vecs: list[list[float]]):
+    """Arrow-batched cosine against a FIXED SET of queries in one pass:
+    array<num> → array<double> (one score per query, query order
+    preserved). One (batch × dim) @ (dim × n_queries) matmul per Arrow
+    batch — the multi-query analog of ``cosine_scores_udf``; n separate
+    scans become one. Self-contained closure (plain-list captures)."""
+    q_lists = [[float(x) for x in q] for q in query_vecs]
+
+    @pandas_udf("array<double>")
+    def _scores(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        q = _np.asarray(q_lists, dtype=_np.float64)  # (nq, dim)
+        qn = _np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        m = _np.array(vecs.tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(m, axis=1)
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            s = (m @ q.T) / _np.outer(norms, qn)
+        return _pd.Series(list(s))
+
+    return _scores
+
+
+def multi_query_topk_np(
+    vectors: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact multi-query top-k with the BLAS kernel (Q3 at scale): ONE
+    corpus scan scores every query (matrix-matrix, amortizing the Arrow
+    transfer across queries — the broadcast-crossJoin HOF shape re-reads
+    or re-scores the corpus per query), then posexplode + per-query
+    top-k window. Returns (query_id, id, score) like
+    ``ann.brute_force_topk``."""
+    from .topk import grouped_top_k
+
+    qids = [int(qid) for qid, _ in queries]
+    scored = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            multi_query_scores_udf([v for _, v in queries])(F.col(vec_col))
+        ).alias("_qpos", "score"),
+    ).select(
+        F.element_at(F.lit(qids), F.col("_qpos") + 1).alias("query_id"),
+        F.col(id_col),
+        "score",
+    )
+    return grouped_top_k(scored, ["query_id"], "score", k, tiebreak=[id_col])
+
+
 def assign_clusters_np(
     vectors: DataFrame,
     centroids: Centroids,

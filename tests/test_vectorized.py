@@ -105,6 +105,7 @@ def test_np_kernels_are_self_contained(spark):
     from pubmed_central_semantic_search_spark.encoder import fake_encoder_udf
     from pubmed_central_semantic_search_spark.operators.vectorized import (
         cosine_scores_udf,
+        multi_query_scores_udf,
         nearest_centroid_udf,
     )
 
@@ -127,6 +128,7 @@ def test_np_kernels_are_self_contained(spark):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     for udf in (
         cosine_scores_udf([1.0, 0.0]),
+        multi_query_scores_udf([[1.0, 0.0], [0.0, 1.0]]),
         nearest_centroid_udf([(0, [1.0, 0.0]), (1, [0.0, 1.0])]),
         fake_encoder_udf(dim=8),
     ):
@@ -148,3 +150,42 @@ def test_np_kernels_are_self_contained(spark):
             assert r.returncode == 0, f"not self-contained:\n{r.stderr[-2000:]}"
         finally:
             os.unlink(path)
+
+
+def test_multi_query_topk_matches_hof_brute_force(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.operators.ann import (
+        brute_force_topk,
+    )
+    from pubmed_central_semantic_search_spark.operators.vectorized import (
+        multi_query_topk_np,
+    )
+    from pubmed_central_semantic_search_spark.registry import QUERY_VECS, load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qlist = sorted(QUERY_VECS.items())
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qlist], "query_id int, qvec array<double>"
+    )
+    hof = {
+        (r["query_id"], r["vec_id"], round(r["score"], 6))
+        for r in brute_force_topk(emb, qdf, k=7).collect()
+    }
+    blas = {
+        (r["query_id"], r["vec_id"], round(r["score"], 6))
+        for r in multi_query_topk_np(emb, qlist, k=7).collect()
+    }
+    assert hof == blas
+
+
+def test_multi_query_scores_order_preserved(spark):
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.vectorized import (
+        multi_query_scores_udf,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    scores = df.select(
+        multi_query_scores_udf([[1.0, 0.0], [0.0, 1.0]])(F.col("v")).alias("s")
+    ).collect()[0]["s"]
+    assert round(scores[0], 9) == 1.0 and round(scores[1], 9) == 0.0
