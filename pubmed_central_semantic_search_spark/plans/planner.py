@@ -32,6 +32,7 @@ def plan_topk_search(
     approx_threshold_rows: int = 10_000_000,
     centroids=None,
     nprobe: int = 2,
+    kernel: str = "hof",
     **lsh_kwargs,
 ) -> DataFrame:
     """Choose the physical strategy for vector top-k.
@@ -40,8 +41,26 @@ def plan_topk_search(
     statistics when available, else the caller's hint. (Counting to decide
     would cost a scan; at 100 TB the caller KNOWS it's huge.)
     ``ivf`` requires prebuilt coarse ``centroids`` (operators/clustering)
-    — with cluster-partitioned storage the probe is partition pruning."""
+    — with cluster-partitioned storage the probe is partition pruning.
+
+    ``kernel`` picks the exact tier's scoring engine: ``hof`` (default)
+    is the bit-exact Catalyst sequential fold — the DuckDB-oracle
+    contract; ``blas`` is the Arrow-batched numpy matmul
+    (operators/vectorized.py — same rows at rounded scores, ~an order of
+    magnitude less CPU at dim ≳ 256). Explicit opt-in, never chosen by
+    ``auto``: a router shouldn't silently change float semantics."""
     if mode == "exact":
+        if kernel == "blas":
+            from ..operators.vectorized import multi_query_topk_np
+
+            # queries are a handful of rows by contract — driver-side list
+            qlist = [
+                (r["query_id"], [float(x) for x in r["qvec"]])
+                for r in queries.collect()
+            ]
+            return multi_query_topk_np(vectors, qlist, k)
+        if kernel != "hof":
+            raise ValueError(f"unknown kernel: {kernel}")
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)

@@ -148,6 +148,13 @@ def test_planner_modes(spark, sf_dir):
         map(tuple, exact.select("query_id", "vec_id").collect())
     )
 
+    # the BLAS kernel of the exact tier: same ids, Arrow-batched plan
+    blas = plan_topk_search(emb, qdf, k=3, mode="exact", kernel="blas")
+    assert sorted(map(tuple, blas.select("query_id", "vec_id").collect())) == sorted(
+        map(tuple, exact.select("query_id", "vec_id").collect())
+    )
+    assert "ArrowEvalPython" in blas._jdf.queryExecution().executedPlan().toString()
+
 
 def test_pipeline_encoder_is_arrow_batched(spark, sf_dir):
     # E1 must run as ArrowEvalPython (pandas_udf), never BatchEvalPython
