@@ -62,6 +62,16 @@ def matrix_lit(mat: Sequence[Sequence[float]]) -> Column:
     return F.from_json(F.lit(json.dumps(vals)), "array<array<double>>")
 
 
+def tensor_lit(tensor: Sequence[Sequence[Sequence[float]]]) -> Column:
+    """A 3-level float-tensor literal as ONE plan leaf (see ``array_lit``)
+    — e.g. a full PQ codebook set (m × ksub × dsub)."""
+    vals = [[[float(x) for x in row] for row in mat] for mat in tensor]
+    for mat in vals:
+        for row in mat:
+            _check_finite(row)
+    return F.from_json(F.lit(json.dumps(vals)), "array<array<array<double>>>")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two equal-length numeric arrays (double precision).
 

@@ -20,10 +20,10 @@ Spark-first shapes (everything deterministic → unit-testable end to end):
   the narrow `pq_encode` column, and wide-agg means per
   (subspace, code, subpos). Empty codes keep their previous centroid, so
   codebooks stay DENSE (codes are always 0..ksub-1).
-- **Encode** (`pq_encode`): array<int> of m codes as a pure per-row
-  expression — m packed ``zip_with`` argmin-L2 folds against the
-  codebook literals (the packed-literal pattern from
-  operators/clustering.py). Zero shuffle.
+- **Encode** (`pq_encode`): array<int> of m codes as ONE pure per-row
+  expression — a ``transform`` loop over the single folded codebook
+  tensor literal, argmin-L2 ``zip_with`` folds inside (the packed-literal
+  pattern from operators/clustering.py, one leaf at any m). Zero shuffle.
 - **Score** (`pq_adc_score`): dot(query, vector) ≈ Σ_s lut[s][code_s],
   with the m×ksub LUT computed driver-side from the query and folded in
   as literals — the scan does m integer lookups + adds per row, no
@@ -38,51 +38,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import array_lit, as_double, cosine_similarity, matrix_lit
+from ..functions.vector import array_lit, as_double, cosine_similarity, tensor_lit
 from .topk import top_k
 
 # codebooks: books[s] = list of ksub sub-centroids (each dsub floats)
 Codebooks = list[list[list[float]]]
 
 
-def _sub(vec_col: Column | str, s: int, dsub: int) -> Column:
-    return F.slice(as_double(vec_col), s * dsub + 1, dsub)
-
-
-def _argmin_l2(sub: Column, book: list[list[float]]) -> Column:
-    """Index (0-based) of the L2-nearest sub-centroid — packed literals.
-
-    ||c||² − 2·v·c preserves the L2 argmin (||v||² is constant per row);
-    the fold computes both terms in one pass over the components. Ties
-    break to the lowest code id via the struct sort. The codebook rides
-    as a single folded leaf (``matrix_lit``) — ``pq_encode`` instantiates
-    this m times, so CreateArray trees multiplied into m·ksub·dsub plan
-    leaves and dominated query time as driver-side plan work."""
-    cvecs = matrix_lit([list(c) for c in book])
-    cids = F.lit(list(range(len(book))))
-    ranked = F.array_sort(
-        F.zip_with(
-            cvecs,
-            cids,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(sub, c, lambda x, y: y * y - 2.0 * x * y),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                ).alias("d"),
-                i.alias("c"),
-            ),
-        )
-    )
-    return F.element_at(ranked, 1).getField("c")
-
-
 def pq_encode(vec_col: Column | str, books: Codebooks) -> Column:
-    """m-code PQ encoding as array<int> — narrow, zero shuffle."""
+    """m-code PQ encoding as array<int> — narrow, zero shuffle.
+
+    ONE expression regardless of m: the full codebook tensor rides as a
+    single folded 3-level literal and the per-subspace argmin runs inside
+    a ``transform`` loop — the earlier form instantiated m independent
+    ``_argmin_l2`` trees (m × ksub×dsub literal payloads through every
+    analyzer pass). Identical folds per subspace, bit-for-bit."""
     dsub = len(books[0][0])
-    return F.array(
-        *[_argmin_l2(_sub(vec_col, s, dsub), book) for s, book in enumerate(books)]
-    )
+    books3 = tensor_lit(books)
+    cids = F.lit(list(range(len(books[0]))))
+    v = as_double(vec_col)
+
+    def _code(book: Column, s: Column) -> Column:
+        sub = F.slice(v, s * dsub + 1, dsub)
+        ranked = F.array_sort(
+            F.zip_with(
+                book,
+                cids,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, c, lambda x, y: y * y - 2.0 * x * y),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1).getField("c")
+
+    return F.transform(books3, lambda book, s: _code(book, s))
 
 
 def train_pq(
