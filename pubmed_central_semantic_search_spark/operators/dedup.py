@@ -488,21 +488,29 @@ def simhash32(
             F.size(toks) > 0, F.transform(toks, lambda t: hash32(t, 0))
         ).alias("_hs"),
     ).filter(F.col("_hs").isNotNull())
-    def bit_sum(mask: int):
-        # closure factory: pyspark infers lambda arity by signature, so the
-        # usual `i=i` default-arg capture would read as a 3-arg lambda
-        return F.aggregate(
-            "_hs",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
-
-    sim = None
-    for i in range(32):
-        term = F.when(bit_sum(1 << i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return hashed.select("_id", sim.cast("bigint").alias("simhash"))
+    # ONE fold with a 32-slot accumulator instead of 32 independent folds
+    # over the token-hash array: identical per-bit integer sums (each slot
+    # is the same ±1 sequence the per-bit fold computed), but the analyzer
+    # carries one expression tree instead of 32. masks are array<bigint>
+    # (1<<31 overflows int32).
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+    counts = F.aggregate(
+        "_hs",
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts, masks, lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select("_id", sim.alias("simhash"))
 
 
 def simhash_near_dup(
