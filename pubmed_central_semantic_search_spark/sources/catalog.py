@@ -11,8 +11,6 @@ which is the 100 TB-safe idempotent ingest)."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
