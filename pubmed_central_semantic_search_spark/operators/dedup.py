@@ -71,9 +71,14 @@ def repeated_ngram_spans(
 
     Returns (doc_id, span_start, span_end, n_windows) — token coordinates
     [span_start, span_end) over the empties-dropped whitespace
-    tokenization; one row per maximal run of OVERLAPPING hot windows
-    (windows exactly ``window`` apart touch but don't overlap → separate
-    spans).
+    tokenization; one row per maximal run of CONSECUTIVE hot window
+    positions (a verbatim-duplicated substring has ALL of its windows
+    hot at step-1 positions, so only step-1 runs merge; hot windows with
+    a position gap — even an overlapping gap < ``window`` — start a new
+    span, because some interior window between them is NOT hot and the
+    merged span would contain never-duplicated windows). Spans from
+    gap-separated hot windows may overlap in token coordinates; each
+    individually satisfies the all-windows-hot contract.
 
     Scale shape: window hashes are a narrow per-row explode (never a
     token-stream shuffle); "hot" windows are ONE partial-agg groupBy on
@@ -112,7 +117,7 @@ def repeated_ngram_spans(
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "_brk",
-        F.when(F.col("pos") - F.lag("pos").over(w_ord) < window, F.lit(0)).otherwise(
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) == 1, F.lit(0)).otherwise(
             F.lit(1)
         ),
     ).withColumn(

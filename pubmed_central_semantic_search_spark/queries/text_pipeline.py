@@ -159,7 +159,7 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 8
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
                   THEN 0 ELSE 1 END AS brk
       FROM hits
     ),

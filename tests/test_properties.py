@@ -170,8 +170,11 @@ def test_connected_components_is_idempotent(spark):
 def test_repeated_span_invariants(spark, texts, window):
     """repeated_ngram_spans structural laws on arbitrary small corpora:
     spans lie inside their doc's token bounds, are at least window long,
-    are pairwise non-overlapping per doc, and every reported span's text
-    occurs in >= 2 documents (soundness of the hot-window blocking)."""
+    cover exactly a consecutive run of hot windows (n_windows ==
+    span_end - span_start - window + 1), EVERY window of a span occurs
+    in >= 2 documents (the full ExactSubstr soundness contract), and
+    per-doc islands' window-position sets are disjoint (spans may
+    overlap in token space by at most window-2 tokens)."""
     from pubmed_central_semantic_search_spark.operators.dedup import (
         repeated_ngram_spans,
     )
@@ -187,16 +190,19 @@ def test_repeated_span_invariants(spark, texts, window):
         assert e - s >= window
         assert r["n_windows"] == e - s - window + 1
         per_doc.setdefault(d, []).append((s, e))
-        # soundness: the span's FIRST window occurs in some other doc too
-        first_win = " ".join(toks[d][s : s + window])
-        holders = {
-            i
-            for i, ts in toks.items()
-            for j in range(len(ts) - window + 1)
-            if " ".join(ts[j : j + window]) == first_win
-        }
-        assert len(holders) >= 2
+        # soundness: EVERY window of the span occurs in >= 2 docs
+        for p in range(s, e - window + 1):
+            win = " ".join(toks[d][p : p + window])
+            holders = {
+                i
+                for i, ts in toks.items()
+                for j in range(len(ts) - window + 1)
+                if " ".join(ts[j : j + window]) == win
+            }
+            assert len(holders) >= 2, (d, p, win)
     for d, ss in per_doc.items():
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
-            assert e1 <= s2  # non-overlapping, merged islands
+            # islands partition hot positions: next island's first window
+            # starts >= 2 past this island's last window position
+            assert s2 >= (e1 - window) + 2
