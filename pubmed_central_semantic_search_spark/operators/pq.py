@@ -52,7 +52,16 @@ def pq_encode(vec_col: Column | str, books: Codebooks) -> Column:
     single folded 3-level literal and the per-subspace argmin runs inside
     a ``transform`` loop — the earlier form instantiated m independent
     ``_argmin_l2`` trees (m × ksub×dsub literal payloads through every
-    analyzer pass). Identical folds per subspace, bit-for-bit."""
+    analyzer pass). Identical folds per subspace, bit-for-bit.
+
+    Requires a rectangular codebook tensor (uniform ksub and dsub across
+    subspaces): the shared ``cids`` ramp is sized from ``books[0]`` and
+    ``zip_with`` null-pads ragged arrays, which would silently corrupt
+    codes — so ragged books are rejected loudly at entry."""
+    if any(len(b) != len(books[0]) for b in books):
+        raise ValueError("pq_encode: ragged codebooks (unequal ksub per subspace)")
+    if any(len(c) != len(books[0][0]) for b in books for c in b):
+        raise ValueError("pq_encode: ragged codebooks (unequal dsub)")
     dsub = len(books[0][0])
     books3 = tensor_lit(books)
     cids = F.lit(list(range(len(books[0]))))

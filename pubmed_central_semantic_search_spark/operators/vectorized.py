@@ -56,7 +56,11 @@ def cosine_scores_udf(query: list[float]):
         import pandas as _pd
 
         q = _np.asarray(q_list, dtype=_np.float64)
-        qn = float(_np.linalg.norm(q))
+        # zero-QUERY guard, matching multi_query_scores_udf: a zero query
+        # norm substitutes 1.0 so every score is 0.0 instead of NaN (NaN
+        # sorts ABOVE every double descending, hijacking top-k). Zero
+        # corpus ROWS keep the HOF semantics: 0/0 → NaN.
+        qn = float(_np.linalg.norm(q)) or 1.0
         m = _np.array(vecs.tolist(), dtype=_np.float64)
         norms = _np.linalg.norm(m, axis=1)
         with _np.errstate(divide="ignore", invalid="ignore"):

@@ -49,6 +49,12 @@ def plan_topk_search(
     (operators/vectorized.py — same rows at rounded scores, ~an order of
     magnitude less CPU at dim ≳ 256). Explicit opt-in, never chosen by
     ``auto``: a router shouldn't silently change float semantics."""
+    if kernel not in ("hof", "blas"):
+        raise ValueError(f"unknown kernel: {kernel}")
+    if kernel == "blas" and mode != "exact":
+        # validated up front so approx/ivf/auto can't silently ignore an
+        # explicitly requested scoring engine
+        raise ValueError(f"kernel='blas' requires mode='exact', got mode={mode!r}")
     if mode == "exact":
         if kernel == "blas":
             from ..operators.vectorized import multi_query_topk_np
@@ -59,8 +65,6 @@ def plan_topk_search(
                 for r in queries.collect()
             ]
             return multi_query_topk_np(vectors, qlist, k)
-        if kernel != "hof":
-            raise ValueError(f"unknown kernel: {kernel}")
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)

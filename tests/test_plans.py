@@ -334,3 +334,17 @@ def test_repeated_spans_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_planner_rejects_blas_kernel_outside_exact(spark, sf_dir):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with _pt.raises(ValueError, match="kernel='blas' requires mode='exact'"):
+        plan_topk_search(emb, qdf, k=3, mode="approx", kernel="blas", dim=64)
+    with _pt.raises(ValueError, match="unknown kernel"):
+        plan_topk_search(emb, qdf, k=3, mode="exact", kernel="avx")

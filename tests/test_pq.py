@@ -154,3 +154,13 @@ def test_ivfpq_near_neighbor_recall_and_pruning(spark, sf_dir, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan, plan
     emb.unpersist()
+
+
+def test_ragged_codebooks_rejected(spark):
+    from pubmed_central_semantic_search_spark.operators.pq import pq_encode
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ragged"):
+        pq_encode("v", [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0]]])  # unequal ksub
+    with _pt.raises(ValueError, match="ragged"):
+        pq_encode("v", [[[0.0, 0.0], [1.0]]])  # unequal dsub

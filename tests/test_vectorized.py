@@ -189,3 +189,16 @@ def test_multi_query_scores_order_preserved(spark):
         multi_query_scores_udf([[1.0, 0.0], [0.0, 1.0]])(F.col("v")).alias("s")
     ).collect()[0]["s"]
     assert round(scores[0], 9) == 1.0 and round(scores[1], 9) == 0.0
+
+
+def test_np_scores_zero_query_scores_zero_not_nan(spark):
+    # a zero QUERY vector must not NaN-flood the scores (NaN sorts above
+    # every double descending, so degenerate rows would win top-k);
+    # both BLAS kernels substitute query norm 1.0 → all scores 0.0
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    rows = df.select(
+        "vec_id", cosine_scores_udf([0.0, 0.0])(F.col("embedding")).alias("s")
+    ).collect()
+    assert all(r["s"] == 0.0 for r in rows)
