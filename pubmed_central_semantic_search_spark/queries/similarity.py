@@ -122,15 +122,66 @@ def q12_mean_pool_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2/X3 storage tier — int8 symmetric quantization of the embedding
-# column (4× smaller vectors at 100 TB). The contract checked in BOTH
-# engines: per label, reconstruction cosine stays ≥ 0.999 on every vector
-# and the whole quantize→dequantize round trip is bit-deterministic.
+# X2/X3 storage tier — BOTH compressed-vector tiers as a tagged union:
+# kind='int8' — symmetric int8 quantization (4× smaller, operators/
+#               quantize.py): per label, reconstruction cosine ≥ 0.999 on
+#               every vector, round trip bit-deterministic.
+# kind='pq'   — product quantization (32× smaller, operators/pq.py,
+#               Jégou et al. TPAMI'11): the ORACLE certifies the encode
+#               argmin (integer code checksum — any engine disagreement
+#               on a single code breaks the hash) and the ADC lookup sum
+#               (avg over the per-subspace LUT of QUERY_VEC) against a
+#               formula-derived codebook tensor inlined as the SAME
+#               literal in both engines. Training stays unit-pinned
+#               (deterministic seeds+Lloyd, tests/test_pq.py) — this row
+#               certifies the encode+score math the 100 TB scan runs.
+# Column mapping: avg_cos/all_above_999 are int8-only; code_checksum/
+# avg_adc are pq-only (NULL elsewhere).
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8
+
+
+def _pq_books() -> list[list[list[float]]]:
+    """Deterministic, data-independent codebooks — small exact rationals
+    (k/11) so both engines parse identical doubles from the same repr."""
+    return [
+        [
+            [((c * 31 + i * 17 + s * 7) % 23 - 11) / 11.0 for i in range(_PQ_DSUB)]
+            for c in range(_PQ_KSUB)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_books_sql() -> str:
+    books = _pq_books()
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(v) for v in c) + "]" for c in b) + "]"
+            for b in books
+        )
+        + "]"
+    )
+    return f"CAST({lit} AS DOUBLE[][][])"
+
+
+def _pq_lut_sql() -> str:
+    from ..operators.pq import adc_lut
+    from ..registry import QUERY_VEC
+
+    lut = adc_lut(QUERY_VEC, _pq_books())
+    lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in lut)
+        + "]"
+    )
+    return f"CAST({lit} AS DOUBLE[][])"
 
 
 @register(
     "q47_quantization_error",
-    """
+    f"""
     WITH q AS (
       SELECT label,
              CAST(embedding AS DOUBLE[]) AS emb,
@@ -144,27 +195,111 @@ def q12_mean_pool_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(list_transform(emb, x -> round(x / scale)),
                             v -> v * scale) AS deq
       FROM q
+    ),
+    pqv AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+             {_pq_books_sql()} AS books, {_pq_lut_sql()} AS lut
+      FROM embeddings
+    ),
+    enc AS (
+      SELECT label, lut,
+             list_transform(
+               list_transform(range(1, {_PQ_M} + 1), s ->
+                 list_transform(books[s], cent ->
+                   list_reduce(
+                     list_prepend(0.0e0,
+                       list_transform(range(1, {_PQ_DSUB} + 1), i ->
+                         cent[i] * cent[i] - 2.0e0 * v[(s - 1) * {_PQ_DSUB} + i] * cent[i])),
+                     (acc, t) -> acc + t))),
+               dists -> list_position(dists, list_min(dists)) - 1
+             ) AS codes
+      FROM pqv
+    ),
+    pqs AS (
+      SELECT label,
+             CAST(list_reduce(
+               list_transform(range(1, {_PQ_M} + 1), s -> CAST(codes[s] * s AS BIGINT)),
+               (acc, t) -> acc + t) AS BIGINT) AS cksum,
+             list_reduce(
+               list_prepend(0.0e0,
+                 list_transform(range(1, {_PQ_M} + 1), s -> lut[s][codes[s] + 1])),
+               (acc, t) -> acc + t) AS adc
+      FROM enc
     )
-    SELECT label,
+    SELECT 'int8' AS kind,
+           label,
            count(*) AS n_vecs,
            round(avg(list_cosine_similarity(emb, deq)), 4) AS avg_cos,
-           min(list_cosine_similarity(emb, deq)) >= 0.999 AS all_above_999
+           min(list_cosine_similarity(emb, deq)) >= 0.999 AS all_above_999,
+           CAST(NULL AS BIGINT) AS code_checksum,
+           CAST(NULL AS DOUBLE) AS avg_adc
     FROM d
     GROUP BY label
+    UNION ALL
+    SELECT 'pq' AS kind,
+           label,
+           count(*) AS n_vecs,
+           CAST(NULL AS DOUBLE) AS avg_cos,
+           CAST(NULL AS BOOLEAN) AS all_above_999,
+           CAST(sum(cksum) AS BIGINT) AS code_checksum,
+           round(avg(adc), 6) AS avg_adc
+    FROM pqs
+    GROUP BY label
     """,
-    survey_rows="X2/X3 (int8 embedding quantization — the 4× storage tier)",
+    survey_rows="X2/X3 (int8 embedding quantization — the 4× storage "
+    "tier; PQ encode argmin + ADC lookup scoring — the 32× tier)",
 )
 def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
+    from ..operators.pq import pq_adc_score, pq_encode
     from ..operators.quantize import dequantize, with_quantized
+    from ..registry import QUERY_VEC
 
     emb = load(spark, sf_dir, "embeddings")
     d = with_quantized(emb).withColumn(
         "deq", dequantize("q_vec", F.col("q_scale"))
     )
     cos = cosine_similarity("embedding", F.col("deq"))
-    return d.groupBy("label").agg(
+    int8 = d.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(cos), 4).alias("avg_cos"),
         (F.min(cos) >= 0.999).alias("all_above_999"),
+    ).select(
+        F.lit("int8").alias("kind"),
+        "label",
+        "n_vecs",
+        "avg_cos",
+        "all_above_999",
+        F.lit(None).cast("bigint").alias("code_checksum"),
+        F.lit(None).cast("double").alias("avg_adc"),
     )
+    books = _pq_books()
+    coded = emb.select(
+        "label", pq_encode("embedding", books).alias("_codes")
+    ).select(
+        "label",
+        F.aggregate(
+            F.zip_with(
+                "_codes",
+                F.lit(list(range(1, _PQ_M + 1))),
+                lambda c, w: (c * w).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ).alias("cksum"),
+        pq_adc_score("_codes", QUERY_VEC, books).alias("adc"),
+    )
+    pq = coded.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("cksum").alias("code_checksum"),
+        F.round(F.avg("adc"), 6).alias("avg_adc"),
+    ).select(
+        F.lit("pq").alias("kind"),
+        "label",
+        "n_vecs",
+        F.lit(None).cast("double").alias("avg_cos"),
+        F.lit(None).cast("boolean").alias("all_above_999"),
+        "code_checksum",
+        "avg_adc",
+    )
+    return int8.unionByName(pq)
