@@ -35,29 +35,38 @@ DEFAULT_DIM = 64  # tests/fixtures; the reference's real model is 768-dim
 def fake_encode_matrix(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
     """Deterministic unit vectors, one row per text (FIXTURES.md A5).
 
-    shake_128(text) → 8·dim digest bytes → uint32 pairs → Box-Muller
-    normals → L2-normalize. Fully numpy-vectorized over the batch (the
-    per-row hashing is the only Python-loop work, ~1 µs/row) — an earlier
-    per-row ``np.random.RandomState`` version cost ~300 µs/row and
-    dominated the whole document pipeline.
+    Construction chosen for BIT-EXACT reproducibility in ANSI SQL (the
+    q21 oracle recomputes it in DuckDB — every op below is an IEEE-754
+    correctly-rounded double op in a fixed sequential order):
+
+    - component pair 2j, 2j+1 ← md5(text ∥ 0x1f ∥ str(j)): little-endian
+      u64 of digest bytes [0:8] (DuckDB ``md5_number_upper``) and [8:16]
+      (``md5_number_lower``)
+    - u64 → double (round-nearest) / 2^63 − 1.0 → uniform in [−1, 1)
+    - L2 norm from a SEQUENTIAL left-fold of squares (np.cumsum here,
+      ``list_reduce`` there — np.sum's pairwise summation would diverge)
+    - divide in float64, then one rounding cast to float32.
 
     Properties: identical text → identical vector; distinct texts →
-    (near-orthogonal) distinct vectors; no wall-clock or global RNG.
+    distinct near-orthogonal vectors; no wall-clock or global RNG.
     """
-    nb = 8 * dim  # 2 uint32 per normal (Box-Muller pair)
-    buf = bytearray(len(texts) * nb)
+    n_h = (dim + 1) // 2  # one md5 per component PAIR
+    buf = bytearray(len(texts) * n_h * 16)
     for i, t in enumerate(texts):
-        buf[i * nb : (i + 1) * nb] = hashlib.shake_128(
-            (t if t is not None else "").encode("utf-8")
-        ).digest(nb)
-    m = np.frombuffer(bytes(buf), dtype="<u4").reshape(len(texts), 2 * dim)
-    u = (m.astype(np.float64) + 0.5) / 2.0**32
-    z = (np.sqrt(-2.0 * np.log(u[:, :dim])) * np.cos(2.0 * np.pi * u[:, dim:])).astype(
-        np.float32
-    )
-    norms = np.linalg.norm(z, axis=1, keepdims=True)
+        # md5(text ∥ 0x1f) absorbed ONCE, then copy()+update(j) per pair:
+        # identical digests to md5(text ∥ 0x1f ∥ j) at O(len + dim)
+        # instead of O(len · dim) — the text is only hashed once per row.
+        h0 = hashlib.md5((t if t is not None else "").encode("utf-8") + b"\x1f")
+        off = i * n_h * 16
+        for j in range(n_h):
+            h = h0.copy()
+            h.update(str(j).encode())
+            buf[off + j * 16 : off + (j + 1) * 16] = h.digest()
+    m = np.frombuffer(bytes(buf), dtype="<u8").reshape(len(texts), 2 * n_h)[:, :dim]
+    u = m.astype(np.float64) / 9223372036854775808.0 - 1.0
+    norms = np.sqrt(np.cumsum(u * u, axis=1)[:, -1:])
     norms[norms == 0.0] = 1.0
-    return z / norms
+    return (u / norms).astype(np.float32)
 
 
 def fake_encode_one(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
@@ -84,21 +93,24 @@ def fake_encoder_udf(dim: int = DEFAULT_DIM):
         import pandas as _pd
 
         def _matrix(texts):
-            nb = 8 * dim
-            buf = bytearray(len(texts) * nb)
+            n_h = (dim + 1) // 2
+            buf = bytearray(len(texts) * n_h * 16)
             for i, t in enumerate(texts):
-                buf[i * nb : (i + 1) * nb] = _hashlib.shake_128(
-                    (t if t is not None else "").encode("utf-8")
-                ).digest(nb)
-            m = _np.frombuffer(bytes(buf), dtype="<u4").reshape(len(texts), 2 * dim)
-            u = (m.astype(_np.float64) + 0.5) / 2.0**32
-            z = (
-                _np.sqrt(-2.0 * _np.log(u[:, :dim]))
-                * _np.cos(2.0 * _np.pi * u[:, dim:])
-            ).astype(_np.float32)
-            norms = _np.linalg.norm(z, axis=1, keepdims=True)
+                h0 = _hashlib.md5(
+                    (t if t is not None else "").encode("utf-8") + b"\x1f"
+                )
+                off = i * n_h * 16
+                for j in range(n_h):
+                    h = h0.copy()
+                    h.update(str(j).encode())
+                    buf[off + j * 16 : off + (j + 1) * 16] = h.digest()
+            m = _np.frombuffer(bytes(buf), dtype="<u8").reshape(
+                len(texts), 2 * n_h
+            )[:, :dim]
+            u = m.astype(_np.float64) / 9223372036854775808.0 - 1.0
+            norms = _np.sqrt(_np.cumsum(u * u, axis=1)[:, -1:])
             norms[norms == 0.0] = 1.0
-            return z / norms
+            return (u / norms).astype(_np.float32)
 
         for texts in batches:
             yield _pd.Series(list(_matrix(texts.tolist())), index=texts.index)

@@ -7,10 +7,11 @@
   Chunk structure is synthesized deterministically from the ``embeddings``
   table (article = vec_id mod 50, paragraph position = vec_id div 50).
 - ``q21_document_pipeline``: articles built from ``documents`` → chunk →
-  fake-encode (E1 pandas_udf) → mean-pool → semantic search with an
-  encoded text query. The encoder is a Python model → rows-only check
-  (SURVEY §5.2: E1 can't be oracle-checked; the fake keeps it
-  deterministic).
+  fake-encode (E1 pandas_udf) → mean-pool → semantic search with encoded
+  text queries. The fake encoder (encoder.py) is constructed from md5 +
+  IEEE-sequential float ops precisely so DuckDB recomputes the SAME
+  float32 vectors bit for bit — E1's batch-encode → pool → search path
+  is value-hash-checked end to end, not just rows-only.
 """
 
 from __future__ import annotations
@@ -114,10 +115,109 @@ def q20_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_fake_encode(src: str, text_col: str, dim: int = DEFAULT_DIM) -> str:
+    """CTE chain recomputing encoder.fake_encode_matrix in DuckDB, bit
+    for bit (see encoder.py docstring for why every op lines up): emits
+    CTEs ``{src}_u``/``{src}_enc``; ``{src}_enc`` = ``{src}`` + ``emb``
+    (DOUBLE[] of the float32-rounded components)."""
+    return f"""
+    {src}_u AS (
+      SELECT *,
+             list_transform(range(0, {dim}), k ->
+               CAST((CASE WHEN k % 2 = 0
+                     THEN CAST(md5_number_upper({text_col} || chr(31) || CAST(k // 2 AS VARCHAR)) AS DOUBLE)
+                     ELSE CAST(md5_number_lower({text_col} || chr(31) || CAST(k // 2 AS VARCHAR)) AS DOUBLE) END)
+                    / 9223372036854775808.0 - 1.0 AS DOUBLE)) AS _u
+      FROM {src}
+    ),
+    {src}_enc AS (
+      SELECT * EXCLUDE (_u, _n),
+             list_transform(_u, x -> CAST(CAST(x / (CASE WHEN _n = 0 THEN 1.0 ELSE _n END) AS FLOAT) AS DOUBLE)) AS emb
+      FROM (
+        SELECT *,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(_u, x -> x * x)), (a, b) -> a + b)) AS _n
+        FROM {src}_u
+      )
+    )"""
+
+
+_Q21_QUERIES = [(0, "spark query join"), (1, "stream window merge")]
+
+
+def _q21_oracle() -> str:
+    qvals = ", ".join(
+        f"({qid}, {sql_vec([float(x) for x in fake_encode_one(text)])})"
+        for qid, text in _Q21_QUERIES
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS article_id,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    paras AS (
+      SELECT article_id, 0 AS section_id, 'Abstract' AS section_name,
+             0 AS paragraph_id, array_to_string(toks[1:8], ' ') AS paragraph
+      FROM d
+      UNION ALL
+      SELECT article_id, 1, 'Body', CAST(i AS INT),
+             array_to_string(toks[i * 16 + 9 : i * 16 + 24], ' ')
+      FROM d, UNNEST(range(0,
+             CAST(floor(greatest((len(toks) - 9) / 16.0, 0)) AS BIGINT) + 1)) AS t(i)
+    ),
+    chunk AS (SELECT * FROM paras WHERE paragraph <> ''),
+    {_sql_fake_encode("chunk", "paragraph")},
+    comp AS (
+      SELECT article_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+      FROM chunk_enc
+    ),
+    docvec AS (
+      SELECT article_id, list(m ORDER BY pos) AS emb
+      FROM (SELECT article_id, pos, avg(val) AS m FROM comp GROUP BY article_id, pos)
+      GROUP BY article_id
+    ),
+    qs AS (SELECT * FROM (VALUES {qvals}) AS q(query_id, qvec)),
+    top_docs AS (
+      SELECT query_id, qvec, article_id,
+             list_cosine_similarity(emb, qvec) AS doc_score
+      FROM docvec, qs
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(emb, qvec) DESC, article_id
+      ) <= 5
+    ),
+    chunk_hits AS (
+      SELECT t.query_id, c.article_id, t.doc_score, c.section_name,
+             c.paragraph_id,
+             list_cosine_similarity(c.emb, t.qvec) AS chunk_score
+      FROM chunk_enc c JOIN top_docs t USING (article_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY t.query_id, c.article_id
+        ORDER BY list_cosine_similarity(c.emb, t.qvec) DESC,
+                 c.section_id, c.paragraph_id
+      ) <= 2
+    )
+    SELECT h.query_id, h.article_id,
+           round(h.doc_score, 6) AS doc_score,
+           h.section_name, h.paragraph_id,
+           round(h.chunk_score, 6) AS chunk_score,
+           string_agg(n.paragraph, '|' ORDER BY n.paragraph_id) AS context
+    FROM chunk_hits h
+    JOIN chunk n ON n.article_id = h.article_id
+               AND n.section_name = h.section_name
+               AND n.paragraph_id BETWEEN h.paragraph_id - 1 AND h.paragraph_id + 1
+    GROUP BY h.query_id, h.article_id, h.doc_score, h.section_name,
+             h.paragraph_id, h.chunk_score
+    """
+
+
 @register(
     "q21_document_pipeline",
-    None,  # E1 (python model) in the plan — rows-only check per SURVEY §5.2
-    survey_rows="E1, E3, F1, N2, Q1-Q7 — full §3.2 ingest + §3.1 query path",
+    _q21_oracle(),
+    survey_rows="E1 (value-checked: the md5 fake encoder is recomputed "
+    "bit-exactly in the oracle), E3, F1, N2, Q1-Q7 — full §3.2 ingest + "
+    "§3.1 query path",
 )
 def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -145,8 +245,12 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (mean-pool → doc vectors; chunk-highlight scoring) run
     # the encoder ONCE (SURVEY §4 physical-execution notes — at 100 TB this
     # materialization is the intermediate chunks parquet, not a cache).
+    # Repartition ahead of E1: the source parquet is a single small file
+    # locally (one scan partition → one python worker for the whole model
+    # stage); at 100 TB the scan is already thousands of partitions.
     chunks = (
         explode_chunks(articles)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("embedding", encode_column("paragraph"))
         .persist()
     )
@@ -160,7 +264,7 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         [
             (qid, [float(x) for x in fake_encode_one(text)])
-            for qid, text in [(0, "spark query join"), (1, "stream window merge")]
+            for qid, text in _Q21_QUERIES
         ],
         "query_id int, qvec array<double>",
     )
