@@ -381,10 +381,25 @@ def near_dup_minhash(
     ``shingles``) and come out of the intersection aggregate as
     ``first()``s, so the verify stage is ONE aggregate after the
     inverted-index joins — no count-reattach joins re-deriving the corpus.
-    At 100 TB, materialize ``shingles(df)`` once (parquet/persist) and
-    feed both join sides from it."""
-    sh = shingles(df, id_col, text_col, shingle_n)
-    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_n)
+
+    The two derived views that feed self-joins ARE materialized here
+    (``persist()``): the shingle view feeds both verify sides and the
+    band-key view feeds both candidate sides, so the corpus parquet is
+    scanned (and the md5 shingle/signature work computed) ONCE per view
+    instead of once per join side — at 100 TB these persists become the
+    intermediate parquet tables of the docstring's scale recipe."""
+    sh = shingles(df, id_col, text_col, shingle_n).persist()
+    band_keys = minhash_band_keys(
+        df, id_col, text_col, n_hashes, bands, shingle_n
+    ).persist()
+    a_keys = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
+    b_keys = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
+    pairs = (
+        a_keys.join(b_keys, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sh_a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     sh_b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
@@ -433,8 +448,10 @@ def ngram_jaccard_pairs(
     Per-doc counts ride the shingle rows (see ``shingles``) — union sizes
     stay EXACT even under ``max_doc_freq`` (the cap undercounts only the
     intersections of boilerplate-heavy pairs), with no count-reattach
-    joins."""
-    sh = shingles(df, id_col, text_col, shingle_n)
+    joins. The shingle view is persisted — it feeds both join sides (and
+    the doc-freq aggregate when capped), so the corpus is scanned and
+    shingled once."""
+    sh = shingles(df, id_col, text_col, shingle_n).persist()
     joinable = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -589,6 +606,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    check_every: int = 1,
 ) -> DataFrame:
     """X1/X2 follow-through — resolve near-dup PAIRS into duplicate CLUSTERS.
 
@@ -607,8 +625,18 @@ def connected_components(
     quadratic. ``localCheckpoint`` truncates the per-round lineage so the
     plan doesn't grow with iterations; convergence is detected by a
     (count, hash-sum) signature of the edge set — one cheap action per
-    round instead of a full set comparison.
+    check instead of a full set comparison.
+
+    ``check_every`` batches that many large+small-star rounds per
+    signature action (lazy checkpoints chain, so N rounds fold into ONE
+    job). The default 1 is the 100 TB profile: there a wasted
+    post-convergence round of corpus-sized shuffles costs far more than
+    a driver round-trip. On a latency-bound deployment (small data, many
+    rounds) ``check_every=2`` halves driver actions and wastes at most
+    one cheap round.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     edges = (
         pairs.select(F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -648,14 +676,11 @@ def connected_components(
         return moved.union(rooted).distinct()
 
     prev_sig = None
-    for _ in range(max_iter):
-        # ONE round per signature action — batching 2 rounds per check
-        # halves driver round-trips but risks a full wasted round of
-        # corpus-sized shuffles after convergence; at scale the shuffle
-        # dwarfs the driver latency, so the per-round check wins.
-        # Lazy checkpoint: the signature aggregate below is the action that
-        # materializes it — one job per round, not two.
-        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+    for _ in range(0, max_iter, check_every):
+        # Lazy checkpoints: the signature aggregate below is the ONE
+        # action that materializes all `check_every` rounds of this batch.
+        for _r in range(check_every):
+            edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         # (count, xor-of-hashes): order-insensitive, overflow-free (unlike
         # sum under ANSI mode), equal ⟺ same edge set up to 2^-64 collisions.
         sig = tuple(
@@ -678,13 +703,18 @@ def connected_components(
 
 
 def assign_components(
-    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    check_every: int = 1,
 ) -> DataFrame:
     """Label every row of ``df`` with its duplicate-cluster id: nodes absent
     from ``pairs`` are their own singleton component. Adds ``component`` and
     ``is_survivor`` (true for the cluster's minimum id — the deterministic
     keeper, mirroring exact_dedup's min-winner rule)."""
-    labels = connected_components(pairs, src, dst)
+    labels = connected_components(pairs, src, dst, check_every=check_every)
     return (
         df.join(labels, df[id_col] == labels["id"], "left")
         .select(
