@@ -5,12 +5,14 @@ source (S6). Design: media are opaque ``binary`` columns + typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-The actual codec work is STUBBED (image/audio libs are not in this
-container — each stub either raises ``NotImplementedError`` or, for
-pipeline testing, produces a deterministic fake). What IS real and tested:
-the schemas, the UDF signatures and batch shapes, the partitioning
-pattern, and the binaryFile reader plumbing — swapping a stub for
-PIL/ffmpeg is a one-function change, not an architecture change.
+The codec seam is IMPORT-GATED (like encoder.py's sbert seam): with
+``real_decode=True`` the PIL arms (``_extract_features_pil``,
+``_resize_images_pil``) go live the moment PIL is importable, and raise
+ImportError eagerly when it isn't (it isn't in this container; the gated
+tests skip). The default arms produce deterministic fakes so everything
+AROUND the codec — schemas, UDF signatures, Arrow batch shapes,
+partitioning, binaryFile reader plumbing, per-row error isolation — is
+real and tested end to end.
 
 Scale notes: binary payloads ride the same columnar path as everything
 else; keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` low for wide
@@ -88,17 +90,19 @@ DECODED_SCHEMA = (
 def extract_features(df: DataFrame, dim: int = 16, real_decode: bool = False) -> DataFrame:
     """X5 decode + feature-extract stage (mapInPandas, Arrow-batched).
 
-    ``real_decode=True`` is the seam for an actual codec (PIL/torchaudio)
-    — deliberately unimplemented here (no media libs in this container).
+    ``real_decode=True`` is the codec seam, import-gated like the sbert
+    encoder seam (encoder.py): if PIL is importable the IMAGE arm decodes
+    for real (grid-pooled RGB means as the feature; audio/video still
+    route to the error column — torchaudio/ffmpeg have no gate yet), and
+    if not it raises ImportError EAGERLY so callers can fall back — the
+    stub auto-upgrades the moment the codec lib lands in the container.
     The default path computes a deterministic fake feature (hash-seeded,
     like encoder.py) from the raw bytes, so downstream plumbing (ANN over
     media embeddings, dedup by feature) is testable end to end."""
     if real_decode:
-        raise NotImplementedError(
-            "real media decoding requires PIL/torchaudio/ffmpeg — not in "
-            "this container. The mapInPandas plumbing below is the "
-            "production shape; plug the codec into `_feature`."
-        )
+        import PIL.Image  # noqa: F401  (gate: raises if PIL absent)
+
+        return _extract_features_pil(df, dim)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -151,6 +155,58 @@ def extract_features(df: DataFrame, dim: int = 16, real_decode: bool = False) ->
     return df.mapInPandas(_extract, DECODED_SCHEMA)
 
 
+def _extract_features_pil(df: DataFrame, dim: int) -> DataFrame:
+    """The real-codec arm of ``extract_features`` (only reachable when
+    PIL imports): decode image bytes, pool pixels over a g×g grid
+    (g = ceil(sqrt(dim/3))), L2-normalize the flattened RGB cell means
+    truncated/padded to ``dim``. Same mapInPandas shape, schema, and
+    per-row error isolation as the fake arm."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import math as _math
+
+        import hashlib as _hashlib
+        import numpy as _np
+        from PIL import Image as _Image
+
+        g = max(1, _math.ceil(_math.sqrt(dim / 3.0)))
+
+        def _feature(content: bytes):
+            img = _Image.open(_io.BytesIO(content)).convert("RGB")
+            a = _np.asarray(img.resize((g, g)), dtype=_np.float64) / 255.0
+            v = a.reshape(-1)[:dim]
+            if v.size < dim:
+                v = _np.pad(v, (0, dim - v.size))
+            n = float(_np.linalg.norm(v))
+            return (v / n if n > 0 else v).astype(_np.float32)
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    if modality != "image":
+                        out.append((mid, modality, None, None, None,
+                                    f"real decode not implemented for: {modality}"))
+                        continue
+                    blob = bytes(content) if content is not None else b""
+                    out.append(
+                        (mid, modality, len(blob),
+                         _hashlib.md5(blob).hexdigest(), _feature(blob), None)
+                    )
+                except Exception as ex:
+                    out.append((mid, modality, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "modality", "n_bytes", "content_md5",
+                         "feature", "error"],
+            )
+
+    return df.mapInPandas(_extract, DECODED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """X5 video frame-sampling *plan*: one output row per planned frame
     timestamp (sequence over duration) — the explode happens JVM-side;
@@ -182,20 +238,20 @@ def resize_images(
     """X5 resize stage (mapInPandas, Arrow-batched) — the remaining stub
     of the decode / feature-extract / RESIZE / frame-sample quartet.
 
-    ``real_decode=True`` is the PIL seam (decode → resize → re-encode),
-    unimplemented in this container. The default path emits a
-    deterministic fake: a content-addressed byte payload whose size
-    scales like a real thumbnail (proportional to width × height), so
-    everything AROUND the codec — binary-in/binary-out Arrow transfer,
-    per-row error isolation, output schema, downstream writes — runs and
-    is testable end to end. Rows that aren't images pass to the error
-    column rather than poisoning the batch."""
+    ``real_decode=True`` is the PIL seam (decode → resize → re-encode as
+    PNG), import-gated like the sbert encoder seam: ImportError EAGERLY
+    when PIL is absent, live codec the moment it lands in the container.
+    The default path emits a deterministic fake: a content-addressed byte
+    payload whose size scales like a real thumbnail (proportional to
+    width × height), so everything AROUND the codec — binary-in/
+    binary-out Arrow transfer, per-row error isolation, output schema,
+    downstream writes — runs and is testable end to end. Rows that
+    aren't images pass to the error column rather than poisoning the
+    batch."""
     if real_decode:
-        raise NotImplementedError(
-            "real image resizing requires PIL — not in this container. "
-            "The mapInPandas plumbing below is the production shape; plug "
-            "the codec into `_resize`."
-        )
+        import PIL.Image  # noqa: F401  (gate: raises if PIL absent)
+
+        return _resize_images_pil(df, width, height)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -207,6 +263,50 @@ def resize_images(
             return _hashlib.shake_128(
                 content + f"#{width}x{height}".encode()
             ).digest(n_out)
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    if modality != "image":
+                        out.append((mid, width, height, None, None, None,
+                                    f"not an image: {modality}"))
+                        continue
+                    blob = bytes(content) if content is not None else b""
+                    resized = _resize(blob)
+                    out.append(
+                        (mid, width, height, len(blob), len(resized), resized, None)
+                    )
+                except Exception as ex:
+                    out.append((mid, width, height, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_bytes_in",
+                    "n_bytes_out", "content", "error",
+                ],
+            )
+
+    return df.mapInPandas(_run, RESIZED_SCHEMA)
+
+
+def _resize_images_pil(df: DataFrame, width: int, height: int) -> DataFrame:
+    """The real-codec arm of ``resize_images`` (only reachable when PIL
+    imports): decode -> resize -> re-encode PNG. Same schema and per-row
+    error isolation as the fake arm."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        from PIL import Image as _Image
+
+        def _resize(content: bytes) -> bytes:
+            img = _Image.open(_io.BytesIO(content)).convert("RGB")
+            buf = _io.BytesIO()
+            img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
 
         for pdf in batches:
             out = []
