@@ -133,8 +133,11 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The flagship LLM-training-data prep pipeline, ONE declarative plan
 # (north star: "the operations a large-scale training-data pipeline
 # would need"): quality gate → language gate → exact dedup (keep lowest
-# id) → per-source corpus stats. Every stage reuses an already-certified
-# operator; the whole composition is oracle-checked end to end.
+# id) → ExactSubstr span cut (repeated_ngram_spans + cut_spans — remove
+# boilerplate passages whole-doc dedup can't see, keeping each distinct
+# span in its lowest doc) → per-source corpus stats over the CUT text.
+# Every stage reuses an already-certified operator; the whole composition
+# is oracle-checked end to end.
 
 
 @register(
@@ -169,18 +172,83 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, source, quality_milli FROM scored
       WHERE quality_milli >= 600 AND predicted_lang = 'en'
       QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    span_d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM kept
+    ),
+    span_w0 AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(toks) - 7, 0)),
+               i -> md5(array_to_string(toks[i + 1 : i + 8], ' '))
+             ) AS hs
+      FROM span_d
+    ),
+    span_w AS (
+      SELECT doc_id, CAST(generate_subscripts(hs, 1) - 1 AS BIGINT) AS pos,
+             unnest(hs) AS h
+      FROM span_w0
+    ),
+    span_hot AS (
+      SELECT h FROM span_w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    span_hits AS (
+      SELECT doc_id, pos FROM span_w WHERE h IN (SELECT h FROM span_hot)
+    ),
+    span_brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM span_hits
+    ),
+    span_isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM span_brk
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+      FROM span_isl GROUP BY doc_id, isl
+    ),
+    located AS (
+      SELECT s.doc_id, s.span_start, s.span_end,
+             md5(array_to_string(d.toks[s.span_start + 1 : s.span_end], ' ')) AS span_key
+      FROM spans s JOIN span_d d USING (doc_id)
+    ),
+    keeper AS (SELECT span_key, min(doc_id) AS keep_doc FROM located GROUP BY span_key),
+    cuts AS (
+      SELECT l.doc_id,
+             list(struct_pack(s := l.span_start, e := l.span_end)) AS cut_list
+      FROM located l JOIN keeper k USING (span_key)
+      WHERE l.doc_id <> k.keep_doc
+      GROUP BY l.doc_id
+    ),
+    cutdocs AS (
+      SELECT d.doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(range(0, len(d.toks)), i ->
+                   len(list_filter(
+                     coalesce(c.cut_list, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                     cc -> i >= cc.s AND i < cc.e)) = 0),
+                 i -> d.toks[i + 1]),
+               ' ') AS text_cut
+      FROM span_d d LEFT JOIN cuts c USING (doc_id)
     )
-    SELECT source,
+    SELECT k.source,
            count(*) AS n_docs,
-           CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
-           CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli
-    FROM kept
-    GROUP BY source
+           CAST(sum(len(regexp_extract_all(cd.text_cut, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(k.quality_milli) AS BIGINT) AS sum_quality_milli
+    FROM kept k JOIN cutdocs cd USING (doc_id)
+    GROUP BY k.source
     """,
-    survey_rows="X1+X4 composition — full data-prep pipeline (quality → lang → dedup → stats), one plan",
+    survey_rows="X1+X4 composition — full data-prep pipeline (quality → "
+    "lang → doc-dedup → ExactSubstr span-cut → stats), one plan",
 )
 def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import exact_dedup
+    from ..operators.dedup import cut_spans, exact_dedup, repeated_ngram_spans
 
     d = load(spark, sf_dir, "documents")
     scored = quality_score(d).withColumn("predicted_lang", language_id("text"))
@@ -191,9 +259,11 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_cols=["text"],
         order_col="doc_id",
     )
-    return kept.groupBy("source").agg(
+    spans = repeated_ngram_spans(kept, "doc_id", "text", window=8, min_docs=2)
+    cut = cut_spans(kept, spans, "doc_id", "text")
+    return cut.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.sum(bpe_token_count("text_cut")).alias("total_bpe_tokens"),
         F.sum("quality_milli").alias("sum_quality_milli"),
     )
 
