@@ -122,7 +122,12 @@ def x768_encode_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k
 
     encode = fake_encoder_udf(dim=DIM)
-    docs = load(spark, sf_dir, "documents").select(
+    # the corpus parquet is one ~MB file locally → one scan partition →
+    # a single python worker would run the whole model stage; spread the
+    # expensive encode across cores first (at 100 TB the scan has
+    # thousands of partitions and this repartition is a no-op to remove)
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents").repartition(par).select(
         "doc_id", encode("text").alias("embedding")
     )
     qvec = [float(x) for x in fake_encode_one("neural document retrieval", dim=DIM)]
@@ -176,6 +181,46 @@ def x768_assign_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+N_MULTIQ = 8  # enough queries that per-query rescans would dominate
+
+
+def _multiq_768() -> list[tuple[int, list[float]]]:
+    """Deterministic 8-query set at dim 768 (QUERY_VEC phase-shifted —
+    same recipe as registry.QUERY_VECS, widened)."""
+    return [
+        (
+            qid,
+            widen_list(
+                [round(math.sin(0.7 * i + 0.3 + 1.3 * qid), 6) for i in range(64)]
+            ),
+        )
+        for qid in range(N_MULTIQ)
+    ]
+
+
+def x768_multiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query top-k, JVM/HOF shape: broadcast-crossJoin the 8-query
+    set against the corpus and fold cosine per (row, query) pair — ONE
+    corpus scan, but 8 interpreted 768-dim folds per row."""
+    from ..operators.ann import brute_force_topk
+
+    emb = corpus_768(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _multiq_768(), "query_id int, qvec array<double>"
+    )
+    return brute_force_topk(emb, qdf, k=5)
+
+
+def x768_multiq_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS twin of x768_multiq (the one-scan many-queries claim's
+    number): one (batch x 768) @ (768 x 8) matmul per Arrow batch scores
+    all 8 queries — same rows at rounded scores."""
+    from ..operators.vectorized import multi_query_topk_np
+
+    emb = corpus_768(spark, sf_dir)
+    return multi_query_topk_np(emb, _multiq_768(), k=5)
+
+
 BENCH_EXTRAS = {
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
@@ -183,6 +228,8 @@ BENCH_EXTRAS = {
     "x768_kmeans": x768_kmeans,
     "x768_kmeans_join_assign": x768_kmeans_join_assign,
     "x768_assign_np": x768_assign_np,
+    "x768_multiq": x768_multiq,
+    "x768_multiq_np": x768_multiq_np,
     "x768_encode_search": x768_encode_search,
     "x_pq_search": x_pq_search,
 }

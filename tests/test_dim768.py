@@ -128,3 +128,22 @@ def test_encode_search_768_runs_arrow_batched(spark, sf_dir):
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     rows = df.collect()
     assert len(rows) == 5 and all(-1.0 <= r["score"] <= 1.0 for r in rows)
+
+
+def test_multiq_twins_agree(spark, sf_dir):
+    """The bench twins x768_multiq (HOF crossJoin) and x768_multiq_np
+    (one matmul pass for all 8 queries) must return the same (query_id,
+    vec_id) result set — the perf comparison is only honest if the twins
+    compute the same thing."""
+    from pubmed_central_semantic_search_spark.queries.dim768 import (
+        x768_multiq,
+        x768_multiq_np,
+    )
+
+    hof = sorted(
+        map(tuple, x768_multiq(spark, sf_dir).select("query_id", "vec_id").collect())
+    )
+    blas = sorted(
+        map(tuple, x768_multiq_np(spark, sf_dir).select("query_id", "vec_id").collect())
+    )
+    assert hof == blas
