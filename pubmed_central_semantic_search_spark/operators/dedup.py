@@ -765,3 +765,63 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    keep: str = "min_id",
+) -> DataFrame:
+    """X2/X7 composition — SemDeDup (Abbas, Tirumala, Simig, Ganguli,
+    Morcos, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540, public method): k-means
+    partition the embedding space, find cosine near-duplicates WITHIN
+    clusters only, resolve them into components, keep one per component.
+
+    ``centroids`` are prebuilt (``clustering.seed_centroids`` /
+    ``lloyd_kmeans`` — sample-trained at scale). ``keep`` picks the
+    survivor rule: ``min_id`` (this package's deterministic default) or
+    ``far_from_centroid`` (the paper's rule — keep the member with the
+    LOWEST cosine to its cluster centroid, maximizing diversity of what
+    remains; ties → lowest id).
+
+    Returns ``df`` + (cluster_id, component, is_survivor).
+
+    Scale shape, stage by stage: assignment is a pure projection
+    (packed-literal argmax, no join); the near-dup self-join is blocked
+    on cluster_id (the SemDeDup insight — the quadratic pair space
+    shrinks to per-cluster blocks, and at 100 TB the corpus is stored
+    partitioned by cluster so the self-join is partition-local);
+    components run on candidate pairs only (O(log n) star rounds); the
+    survivor election is one window over components (vanishingly small
+    vs the corpus)."""
+    from .clustering import _ranked_centroids, nearest_centroid
+
+    # persisted: both near-dup join sides, the component labeling, and
+    # the survivor election all read the assigned view — at rest this is
+    # the corpus stored partitioned by cluster_id, computed once
+    assigned = df.withColumn(
+        "cluster_id", nearest_centroid(vec_col, centroids)
+    ).persist()
+    pairs = embedding_near_dup(
+        assigned, id_col, vec_col, block_col="cluster_id", min_cosine=min_cosine
+    ).select("id_a", "id_b")
+    labeled = assign_components(assigned, id_col, pairs)
+    if keep == "min_id":
+        return labeled
+    if keep != "far_from_centroid":
+        raise ValueError(f"unknown keep rule: {keep}")
+    best = F.element_at(_ranked_centroids(vec_col, centroids), 1)
+    cent_cos = (-best.getField("nsim")) / l2_norm(vec_col)
+    w = Window.partitionBy("component").orderBy(
+        F.asc("_cent_cos"), F.col(id_col).cast("bigint")
+    )
+    return (
+        labeled.drop("is_survivor")
+        .withColumn("_cent_cos", cent_cos)
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .drop("_cent_cos")
+    )

@@ -221,6 +221,26 @@ def x768_multiq_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_query_topk_np(emb, _multiq_768(), k=5)
 
 
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end (operators/dedup.semantic_dedup): seed
+    centroids -> blocked within-cluster near-dup -> components ->
+    diversity survivor election, per-cluster keep counts as the output.
+
+    k=32 keeps blocks at ~60 vectors here — the paper's own scaling rule
+    (cluster count grows with the corpus so the within-cluster pair space
+    stays bounded); the quadratic term is the whole cost of this query."""
+    from ..operators.clustering import seed_centroids
+    from ..operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").persist()
+    cents = seed_centroids(emb, k=32)
+    out = semantic_dedup(emb, cents, min_cosine=0.9, keep="far_from_centroid")
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("is_survivor").cast("bigint")).alias("n_survivors"),
+    )
+
+
 BENCH_EXTRAS = {
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
@@ -232,4 +252,5 @@ BENCH_EXTRAS = {
     "x768_multiq_np": x768_multiq_np,
     "x768_encode_search": x768_encode_search,
     "x_pq_search": x_pq_search,
+    "x_semdedup": x_semdedup,
 }

@@ -153,3 +153,61 @@ def test_quantize_round_trip_properties(spark):
         .collect()
     }
     assert cos[0] >= 0.999 and cos[2] >= 0.999
+
+
+def test_semantic_dedup_blocks_and_survivors(spark):
+    """SemDeDup: near-identical vectors in the SAME cluster collapse to
+    one survivor; a near-identical pair SPLIT across clusters is NOT
+    pruned (the paper's within-cluster blocking); keep rules differ
+    exactly on the diversity election."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # two well-separated cluster directions in R^4
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cluster A, on-centroid
+        (2, [0.999, 0.01, 0.0, 0.0]), # near-dup of 1, cluster A
+        (3, [0.9, 0.3, 0.0, 0.0]),    # cluster A, farther from centroid,
+                                       # near-dup of neither (cos<thr)
+        (4, [0.0, 0.0, 1.0, 0.0]),    # cluster B
+        (5, [0.0, 0.0, 0.999, 0.01]), # near-dup of 4, cluster B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, cents, min_cosine=0.99).collect()}
+    assert {i: out[i]["cluster_id"] for i in out} == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    # min_id rule: 1 survives its pair, 4 survives its pair, 3 singleton
+    assert [out[i]["is_survivor"] for i in (1, 2, 3, 4, 5)] == [
+        True, False, True, True, False
+    ]
+    assert out[1]["component"] == out[2]["component"]
+    assert out[4]["component"] == out[5]["component"]
+    assert out[3]["component"] != out[1]["component"]
+
+    # far_from_centroid rule: in component {1,2}, member 2 has LOWER
+    # cosine to centroid (0.01 off-axis) -> 2 survives instead of 1
+    far = {r["vec_id"]: r["is_survivor"] for r in
+           semantic_dedup(df, cents, min_cosine=0.99,
+                          keep="far_from_centroid").collect()}
+    assert far[2] and not far[1]
+    assert far[5] and not far[4]
+    assert far[3]
+
+    # cross-cluster near-dup is NOT pruned: rotate 5 into cluster A's
+    # neighborhood of 1? instead check: a pair straddling the boundary
+    v = [0.7072, 0.0, 0.7070, 0.0]   # argmax-cosine -> cluster 0 (tie-ish)
+    w = [0.7070, 0.0, 0.7072, 0.0]   # -> cluster 1
+    df2 = spark.createDataFrame(
+        [(10, v), (11, w)], "vec_id long, embedding array<double>"
+    )
+    out2 = {r["vec_id"]: r for r in
+            semantic_dedup(df2, cents, min_cosine=0.99).collect()}
+    assert out2[10]["cluster_id"] != out2[11]["cluster_id"]
+    assert out2[10]["is_survivor"] and out2[11]["is_survivor"]  # both kept
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown keep rule"):
+        semantic_dedup(df, cents, keep="random")
