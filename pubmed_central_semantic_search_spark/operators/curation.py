@@ -62,6 +62,44 @@ def hash_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Content-addressed global shuffle into training shards: adds
+    ``shard`` (0..n_shards-1) and ``shard_pos`` (0-based dense position
+    within the shard) from an md5-derived key — a reproducible
+    pseudo-random permutation of the corpus.
+
+    Training pipelines need the corpus de-correlated from ingest order
+    (source runs, crawl locality) but REPRODUCIBLY so: re-running the job,
+    or appending then re-sharding, must give every retained doc the same
+    coordinates. Hash-ordering by md5(id ∥ seed) does exactly that — no
+    RNG state, no collect, and changing ``seed`` is a fresh permutation.
+
+    Scale shape: the hash and shard are narrow projections; the only wide
+    op is ONE hash-partitioned sort per shard (the row_number window) —
+    at 100 TB shards map to output files/partitions, and writers consume
+    them with ``partitionBy(shard)`` + in-partition order preserved."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", F.col(id_col))
+    return (
+        out.withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     ctx_len: int = 512,

@@ -157,27 +157,40 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bucket < 205 THEN 'train'
                 WHEN bucket < 230 THEN 'val'
                 ELSE 'test' END AS split,
-           bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END AS in_sample
-    FROM b
+           bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END AS in_sample,
+           CAST(sh % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY sh % 8 ORDER BY sh, doc_id) - 1
+                AS BIGINT) AS shard_pos
+    FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8))
+                         AS BIGINT) AS sh
+          FROM b)
     """,
     survey_rows="X1/H1 analog — content-addressed train/val/test split + "
-    "deterministic stratified sampling (language rebalancing)",
+    "deterministic stratified sampling (language rebalancing) + "
+    "reproducible global shuffle into training shards "
+    "(deterministic_shuffle)",
 )
 def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import with_sample_flag
+    from ..operators.curation import deterministic_shuffle, with_sample_flag
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     # membership as a COLUMN (with_sample_flag — the expression
     # stratified_sample filters on), never a join against the kept set:
     # the sample is fraction × corpus, so joining/broadcasting it is a
-    # scale bug. The whole query is one narrow projection.
-    return with_sample_flag(
+    # scale bug. Split/sample stay one narrow projection; the fused
+    # deterministic_shuffle arm adds the ONE per-shard sort a training
+    # writer needs (shard, shard_pos — reproducible permutation).
+    flagged = with_sample_flag(
         hash_split(docs),
         {"en": 0.25},
         group_col="lang",
         key_col="doc_id",
         default_fraction=0.6,
-    ).select("doc_id", "lang", "source", "bucket", "bucket16", "split", "in_sample")
+    )
+    return deterministic_shuffle(flagged, "doc_id", n_shards=8, seed=7).select(
+        "doc_id", "lang", "source", "bucket", "bucket16", "split",
+        "in_sample", "shard", "shard_pos",
+    )
 
 
 # LLM data-mixing pack in ONE per-doc frame: GPT-style sequence-packing

@@ -246,3 +246,34 @@ def test_temperature_mix_flag_is_deterministic_and_plausible(spark, sf_dir):
     kept_b = sorted(r["doc_id"] for r in b.filter("in_mix").select("doc_id").collect())
     assert kept_a == kept_b  # content-addressed: re-run identical
     assert 0 < len(kept_a) < docs.count()
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = deterministic_shuffle(df, "doc_id", n_shards=4, seed=3).collect()
+    b = deterministic_shuffle(df, "doc_id", n_shards=4, seed=3).collect()
+    # reproducible: identical coordinates run to run
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in a}
+    # a permutation: within each shard, positions are dense 0..n-1
+    by_shard = {}
+    for _, (s, p) in rows.items():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # de-correlated from id order: the first shard-0 doc is not doc 0..3
+    # (md5 ordering) and a different seed permutes differently
+    c = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in deterministic_shuffle(df, "doc_id", n_shards=4, seed=4).collect()}
+    assert c != rows
+    # appending new docs never moves an existing doc ACROSS shards
+    # (content-addressed shard key)
+    df2 = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    d = {r["doc_id"]: r["shard"]
+         for r in deterministic_shuffle(df2, "doc_id", n_shards=4, seed=3).collect()}
+    assert all(d[i] == rows[i][0] for i in range(200))

@@ -348,3 +348,21 @@ def test_planner_rejects_blas_kernel_outside_exact(spark, sf_dir):
         plan_topk_search(emb, qdf, k=3, mode="approx", kernel="blas", dim=64)
     with _pt.raises(ValueError, match="unknown kernel"):
         plan_topk_search(emb, qdf, k=3, mode="exact", kernel="avx")
+
+
+def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
+    """semantic_dedup's pair stage must be the blocked equi-join
+    (cluster_id key), never a CartesianProduct — the SemDeDup scale
+    contract."""
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        seed_centroids,
+    )
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seed_centroids(emb, k=8)
+    out = semantic_dedup(emb, cents, min_cosine=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan

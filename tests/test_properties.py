@@ -206,3 +206,42 @@ def test_repeated_span_invariants(spark, texts, window):
             # islands partition hot positions: next island's first window
             # starts >= 2 past this island's last window position
             assert s2 >= (e1 - window) + 2
+
+
+@PROP
+@given(
+    seed=st.integers(0, 10_000),
+    thr=st.sampled_from([0.8, 0.95, 0.999]),
+)
+def test_semantic_dedup_invariants(spark, seed, thr):
+    """semantic_dedup structural laws on random small corpora: every row
+    keeps exactly one cluster; exactly one survivor per component under
+    BOTH keep rules (and the same component partition); a component never
+    spans clusters."""
+    import random
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(seed)
+    base = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(4)]
+    rows = []
+    for i in range(12):
+        src = base[rng.randrange(4)]
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in src])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(c, v) for c, v in enumerate(base)]
+    for keep in ("min_id", "far_from_centroid"):
+        out = semantic_dedup(df, cents, min_cosine=thr, keep=keep).collect()
+        assert len(out) == 12
+        comp_cluster: dict = {}
+        comp_survivors: dict = {}
+        for r in out:
+            comp_cluster.setdefault(r["component"], set()).add(r["cluster_id"])
+            comp_survivors.setdefault(r["component"], 0)
+            comp_survivors[r["component"]] += int(r["is_survivor"])
+        assert all(len(cs) == 1 for cs in comp_cluster.values())
+        assert all(n == 1 for n in comp_survivors.values())
