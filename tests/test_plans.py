@@ -203,12 +203,14 @@ def test_pii_scrub_is_narrow_no_exchange(spark, sf_dir):
     assert "* Project" in plan  # whole-stage codegen'd projection
 
 
-def test_split_and_sample_is_one_narrow_projection(spark, sf_dir):
-    """q50: split buckets AND sample membership are per-row expressions —
-    the plan must be a single scan with NO exchange and NO join (joining
-    the kept-sample set would put fraction × corpus on a join)."""
+def test_split_and_sample_one_shard_shuffle_no_join(spark, sf_dir):
+    """q50: split buckets AND sample membership stay per-row expressions
+    (joining the kept-sample set would put fraction × corpus on a join);
+    the fused deterministic_shuffle arm adds exactly ONE wide op — the
+    shard-keyed window sort that assigns reproducible shard positions."""
     plan = _q("q50_split_and_sample", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
