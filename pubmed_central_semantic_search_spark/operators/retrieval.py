@@ -18,9 +18,19 @@ Catalyst plans:
   component scores can't leak in: integer ranks are exact in both
   engines.
 
+- ``mmr_rerank`` — maximal-marginal-relevance diversification of a top-N
+  candidate list (Carbonell & Goldstein, SIGIR'98): greedily pick the item
+  maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)``. The reference
+  returns Qdrant's raw ranking, which for a near-duplicated corpus fills
+  the page with copies of one hit; MMR is the standard fix.
+
 At 100 TB: BM25's cost profile is identical to the exact-dedup pass (one
 explode + keyed aggregates); term df/idf stats are per-term rows (tiny);
-rankings to fuse are top-N (broadcastable).
+rankings to fuse are top-N (broadcastable). MMR's greedy loop is
+inherently sequential, so it runs driver-side over the COLLECTED candidate
+list — bounded at top-N rows by contract (the distributed part is the
+TakeOrderedAndProject that produced the candidates), the same k-sized
+driver round-trip rule as the PQ LUTs and planner probes.
 """
 
 from __future__ import annotations
@@ -131,4 +141,82 @@ def rrf_fuse(
             rank_a,
             rank_b,
         )
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of a top-N candidate list.
+
+    ``candidates`` must be a BOUNDED frame (top-N from ``top_k`` /
+    ``plan_topk_search`` — N small by contract); it is collected and the
+    greedy selection runs driver-side, because each pick depends on the
+    set selected so far (no distributed formulation avoids that chain).
+
+    Selection: seed with the most query-relevant item, then repeatedly add
+    ``argmax_d λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)``. ``λ=1`` degenerates
+    to relevance order (test-pinned against ``top_k``); smaller λ trades
+    relevance for diversity. Scores are rounded to 6 before comparison
+    with id-ascending tie-break, so the ordering is float-noise-proof and
+    reproducible across runs.
+
+    Returns (id_col, mmr_rank, relevance, redundancy, mmr_score) — one row
+    per selected item, in selection order.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    rows = candidates.select(id_col, vec_col).collect()
+    if not rows:
+        spark = candidates.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{id_col} bigint, mmr_rank int, relevance double, "
+            "redundancy double, mmr_score double",
+        )
+
+    def _unit(v: list[float]) -> list[float]:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    q = _unit([float(x) for x in query_vec])
+    ids = [r[id_col] for r in rows]
+    vecs = [_unit([float(x) for x in r[vec_col]]) for r in rows]
+    rel = [round(sum(a * b for a, b in zip(q, v)), 6) for v in vecs]
+
+    remaining = list(range(len(ids)))
+    selected: list[tuple[int, float, float]] = []  # (idx, redundancy, mmr)
+    while remaining and len(selected) < k:
+        best_i, best_red, best_score = None, 0.0, None
+        for i in remaining:
+            red = max(
+                (
+                    round(sum(a * b for a, b in zip(vecs[i], vecs[j])), 6)
+                    for j, _, _ in selected
+                ),
+                default=0.0,
+            )
+            score = round(lam * rel[i] - (1.0 - lam) * red, 6)
+            # higher score wins; on a tie the SMALLER id wins (id asc)
+            if best_i is None or score > best_score or (
+                score == best_score and ids[i] < ids[best_i]
+            ):
+                best_i, best_red, best_score = i, red, score
+        selected.append((best_i, best_red, best_score))
+        remaining.remove(best_i)
+
+    spark = candidates.sparkSession
+    out = [
+        (ids[i], rank + 1, rel[i], red, score)
+        for rank, (i, red, score) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out,
+        f"{id_col} bigint, mmr_rank int, relevance double, "
+        "redundancy double, mmr_score double",
     )

@@ -241,6 +241,26 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over a distributed top-N: TakeOrderedAndProject
+    produces 50 candidates (the only corpus-sized stage), then the greedy
+    λ-tradeoff re-rank runs driver-side over that bounded list — the
+    standard near-duplicate-corpus fix the reference's raw Qdrant ranking
+    lacks (qdrant.py:201-205 returns limit= order as-is)."""
+    from ..functions.vector import cosine_similarity
+    from ..operators.retrieval import mmr_rerank
+    from ..operators.topk import top_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        cosine_similarity("embedding", array_lit(QUERY_VEC)).alias("score"),
+    )
+    cands = top_k(scored, "score", 50, tiebreak=["vec_id"])
+    return mmr_rerank(cands, QUERY_VEC, k=10, lam=0.6, id_col="vec_id", vec_col="embedding")
+
+
 BENCH_EXTRAS = {
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
@@ -253,4 +273,5 @@ BENCH_EXTRAS = {
     "x768_encode_search": x768_encode_search,
     "x_pq_search": x_pq_search,
     "x_semdedup": x_semdedup,
+    "x_mmr_rerank": x_mmr_rerank,
 }

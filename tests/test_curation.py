@@ -13,6 +13,7 @@ from pubmed_central_semantic_search_spark.operators.curation import (
 )
 from pubmed_central_semantic_search_spark.operators.retrieval import (
     bm25_rank,
+    mmr_rerank,
     rrf_fuse,
 )
 
@@ -53,6 +54,48 @@ def test_rrf_fusion_hand_computed(spark):
     assert out[1]["rrf_score"] == round(1 / 61, 6)  # bm25 only
     assert out[9]["rrf_score"] == round(1 / 62, 6)  # cosine only
     assert out[2]["fused_rank"] == 1  # fusion promotes the doc both rankers like
+
+
+def _mmr_candidates(spark):
+    # docs 1 and 2 are near-identical and most query-relevant; doc 3 is
+    # diverse but less relevant. None is collinear with the query (if the
+    # seed WERE the query direction, relevance and redundancy would cancel
+    # for every remaining doc and MMR would degenerate to a tie).
+    return spark.createDataFrame(
+        [
+            (1, [0.98, 0.199, 0.0]),
+            (2, [0.96, 0.28, 0.0]),  # near-duplicate of doc 1
+            (3, [0.6, 0.0, 0.8]),  # diverse alternative
+        ],
+        "doc_id long, vec array<double>",
+    )
+
+
+def test_mmr_lambda1_is_relevance_order(spark):
+    out = mmr_rerank(_mmr_candidates(spark), [1.0, 0.0, 0.0], k=3, lam=1.0)
+    rows = out.orderBy("mmr_rank").collect()
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]  # pure cosine order
+    assert rows[0]["relevance"] > 0.97
+    # with lam=1 the mmr score IS the relevance
+    assert all(r["mmr_score"] == r["relevance"] for r in rows)
+
+
+def test_mmr_diversifies_past_near_duplicate(spark):
+    out = mmr_rerank(_mmr_candidates(spark), [1.0, 0.0, 0.0], k=2, lam=0.5)
+    rows = out.orderBy("mmr_rank").collect()
+    # pick 2 must skip the near-duplicate doc 2 (cos vs doc1 ≈ 0.997,
+    # mmr ≈ -0.018) in favor of diverse doc 3 (cos ≈ 0.588, mmr ≈ +0.006)
+    assert [r["doc_id"] for r in rows] == [1, 3]
+    assert rows[1]["redundancy"] < 0.6  # cos(doc3, doc1)
+    assert rows[0]["redundancy"] == 0.0  # seed has nothing selected yet
+
+
+def test_mmr_deterministic_and_bounded(spark):
+    cands = _mmr_candidates(spark)
+    a = [r["doc_id"] for r in mmr_rerank(cands, [1.0, 0.0, 0.0], k=10, lam=0.3).collect()]
+    b = [r["doc_id"] for r in mmr_rerank(cands, [1.0, 0.0, 0.0], k=10, lam=0.3).collect()]
+    assert a == b and len(a) == 3  # k beyond candidate count -> all, stable
+    assert mmr_rerank(cands.limit(0), [1.0, 0.0, 0.0], k=5).count() == 0
 
 
 def test_hash_split_is_content_addressed(spark):
