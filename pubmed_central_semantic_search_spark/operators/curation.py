@@ -311,6 +311,65 @@ def select_token_budget(
     )
 
 
+def wrs_key(
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> Column:
+    """Efraimidis–Spirakis A-ES key for weighted sampling WITHOUT
+    replacement: ``u^(1/w)`` with ``u`` a content-addressed uniform in
+    (0, 1) from md5 of the document key — the top-k rows by this key are
+    exactly a weight-proportional sample without replacement (ES 2006,
+    Inf. Proc. Letters). Content addressing replaces the RNG, so the
+    sample is a pure function of (key, weight, salt): re-runs, re-shards
+    and engine changes reproduce it bit for bit, the same property
+    ``hash_split``/``stratified_sample`` give unweighted selection.
+
+    ``u = (first 8 md5 hex chars + 0.5) / 2^32`` — never 0 or 1, so the
+    pow is total. Non-positive weights get key −1 (sorts below every real
+    key; ``weighted_sample`` drops them up front). Rounded to 6 so the
+    value is engine-portable despite pow ulp differences.
+
+    Per-row expression — zero shuffles; the selection that follows is one
+    TakeOrderedAndProject. At 100 TB this is THE sampling shape: no
+    global sort, no corpus-sized join, per-partition k-heaps only."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    return F.round(
+        F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0)), 6
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Top-k rows by the A-ES key — a deterministic weight-proportional
+    sample without replacement. Rows with non-positive weight are
+    excluded. Adds ``wrs_key``; ties (rare after rounding) break on the
+    document key ascending so the sample is exactly reproducible."""
+    from .topk import top_k
+
+    keyed = df.withColumn("wrs_key", wrs_key(weight_col, key_col, salt))
+    return top_k(
+        keyed.filter(F.col("wrs_key") >= 0), "wrs_key", k, tiebreak=[key_col]
+    )
+
+
 def content_bucket16(key_col: str) -> Column:
     """16-bit content-addressed bucket of a key column (md5 nibbles 1-4) —
     the shared primitive behind stratified_sample and any other

@@ -150,7 +150,8 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
               + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
               + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
               + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-             AS bucket16
+             AS bucket16,
+             GREATEST(length(text), 1) AS wlen
       FROM documents
     )
     SELECT doc_id, lang, source, bucket, bucket16,
@@ -160,7 +161,10 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END AS in_sample,
            CAST(sh % 8 AS INT) AS shard,
            CAST(row_number() OVER (PARTITION BY sh % 8 ORDER BY sh, doc_id) - 1
-                AS BIGINT) AS shard_pos
+                AS BIGINT) AS shard_pos,
+           ROUND(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'), 1, 8))
+                           AS BIGINT) + 0.5) / 4294967296.0,
+                     1.0 / wlen), 6) AS wrs_key
     FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8))
                          AS BIGINT) AS sh
           FROM b)
@@ -168,18 +172,30 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="X1/H1 analog — content-addressed train/val/test split + "
     "deterministic stratified sampling (language rebalancing) + "
     "reproducible global shuffle into training shards "
-    "(deterministic_shuffle)",
+    "(deterministic_shuffle) + A-ES weighted-sample key (wrs_key: top-k "
+    "by this column IS a length-proportional sample without replacement)",
 )
 def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import deterministic_shuffle, with_sample_flag
+    from ..operators.curation import (
+        deterministic_shuffle,
+        with_sample_flag,
+        wrs_key,
+    )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).alias("_wlen"),
+    )
     # membership as a COLUMN (with_sample_flag — the expression
     # stratified_sample filters on), never a join against the kept set:
     # the sample is fraction × corpus, so joining/broadcasting it is a
     # scale bug. Split/sample stay one narrow projection; the fused
     # deterministic_shuffle arm adds the ONE per-shard sort a training
-    # writer needs (shard, shard_pos — reproducible permutation).
+    # writer needs (shard, shard_pos — reproducible permutation), and the
+    # wrs_key arm certifies the A-ES weighted-sample key (u^(1/w), weight
+    # = text length) — top-k by that column is weighted_sample().
     flagged = with_sample_flag(
         hash_split(docs),
         {"en": 0.25},
@@ -190,6 +206,7 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(flagged, "doc_id", n_shards=8, seed=7).select(
         "doc_id", "lang", "source", "bucket", "bucket16", "split",
         "in_sample", "shard", "shard_pos",
+        wrs_key("_wlen").alias("wrs_key"),
     )
 
 

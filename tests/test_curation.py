@@ -320,3 +320,60 @@ def test_deterministic_shuffle_is_reproducible_permutation(spark):
     d = {r["doc_id"]: r["shard"]
          for r in deterministic_shuffle(df2, "doc_id", n_shards=4, seed=3).collect()}
     assert all(d[i] == rows[i][0] for i in range(200))
+
+
+def test_wrs_key_matches_python_recomputation(spark):
+    """The A-ES key is a pure function of (key, weight, salt) — recompute
+    it with hashlib/math in plain Python and match the rounded value."""
+    import hashlib
+    import math
+
+    from pubmed_central_semantic_search_spark.operators.curation import wrs_key
+
+    df = spark.createDataFrame(
+        [(1, 4.0), (2, 1.0), (7, 100.0), (9, 0.0), (11, -3.0)],
+        "doc_id long, w double",
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select("doc_id", wrs_key("w").alias("k")).collect()
+    }
+
+    def expect(doc_id, w):
+        if w <= 0:
+            return -1.0
+        v = int(hashlib.md5(f"{doc_id}#wrs".encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 2.0**32
+        return round(math.pow(u, 1.0 / w), 6)
+
+    assert got == {i: expect(i, w) for i, w in
+                   [(1, 4.0), (2, 1.0), (7, 100.0), (9, 0.0), (11, -3.0)]}
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    # 200 heavy (w=50) + 200 light (w=1) rows: a k=100 sample must skew
+    # hard toward the heavy half (uniform would give ~50/50).
+    rows = [(i, 50.0 if i < 200 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = [r["doc_id"] for r in weighted_sample(df, 100, "w").collect()]
+    assert len(picked) == 100 and len(set(picked)) == 100
+    heavy = sum(1 for i in picked if i < 200)
+    assert heavy > 80  # weight ratio 50:1 -> expect ~97, huge margin
+
+    # deterministic across runs, and keys are subset-stable: the same doc
+    # carries the same key through a filtered frame
+    again = [r["doc_id"] for r in weighted_sample(df, 100, "w").collect()]
+    assert picked == again
+    sub = weighted_sample(df.filter(F.col("doc_id") < 200), 100, "w")
+    full_keys = {r["doc_id"]: r["wrs_key"]
+                 for r in weighted_sample(df, 400, "w").collect()}
+    assert all(full_keys[r["doc_id"]] == r["wrs_key"] for r in sub.collect())
+
+    # zero/negative weights never appear
+    assert not any(i for i in picked if i >= 400)
+    df0 = spark.createDataFrame([(1, 0.0), (2, -1.0)], "doc_id long, w double")
+    assert weighted_sample(df0, 10, "w").count() == 0
