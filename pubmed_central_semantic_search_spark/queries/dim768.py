@@ -241,6 +241,27 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 768→32 + whitening at the reference's real width: one
+    distributed moment pass (mapInPandas partials → single combine), eigh
+    driver-side (768², corpus-independent), then the BLAS projection twin
+    (the Catalyst path is test-pinned equivalent; at 768 the HOF fold is
+    interpreted — kernel-tier rule). Output: per-component variance of the
+    projection (≈1.0 when whitened — the operator's own correctness
+    signal)."""
+    from ..operators.projection import pca_fit, pca_project_np
+
+    emb = corpus_768(spark, sf_dir).persist()
+    model = pca_fit(emb, "embedding", out_dim=32)
+    proj = pca_project_np(emb, model, "embedding", whiten=True)
+    return (
+        proj.select(F.posexplode("proj").alias("component", "value"))
+        .groupBy("component")
+        .agg(F.round(F.var_samp("value"), 4).alias("variance"))
+        .orderBy("component")
+    )
+
+
 def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification over a distributed top-N: TakeOrderedAndProject
     produces 50 candidates (the only corpus-sized stage), then the greedy
@@ -274,4 +295,5 @@ BENCH_EXTRAS = {
     "x_pq_search": x_pq_search,
     "x_semdedup": x_semdedup,
     "x_mmr_rerank": x_mmr_rerank,
+    "x768_pca_whiten": x768_pca_whiten,
 }
