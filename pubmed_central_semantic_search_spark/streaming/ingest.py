@@ -254,3 +254,47 @@ def sessionized_events(
             "sum_value",
         )
     )
+
+
+def stream_ivf_append(
+    vec_stream: DataFrame,
+    centroids,
+    index_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """X3×X6 — incremental ANN index maintenance: a stream of newly
+    embedded vectors is absorbed into the partition-pruned IVF layout.
+
+    Each incoming vector is tagged with its inverted-list id by
+    ``nearest_centroid`` — a pure narrow expression over a packed
+    centroid literal (no broadcast, no state, append-mode trivially) —
+    and written through the streaming parquet sink with
+    ``partitionBy(cluster_id)``. The sink's manifest log + checkpoint
+    give exactly-once file commits, so replays never duplicate vectors.
+
+    Query-time probing stays parquet partition pruning as the index
+    grows (``ivf_topk`` over the directory reads only the probed lists'
+    partitions — the same PartitionFilters contract the batch-built
+    index is tested for). Re-clustering cadence is an offline concern:
+    when drift accumulates, re-run ``lloyd_kmeans`` on a sample and
+    rewrite — the append path is unchanged because centroids ride by
+    value.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what exists, then stops; swap for a processingTime trigger in a
+    long-lived deployment)."""
+    from ..operators.clustering import nearest_centroid
+
+    tagged = vec_stream.withColumn(
+        "cluster_id", nearest_centroid(vec_col, centroids)
+    )
+    return (
+        tagged.writeStream.format("parquet")
+        .option("path", index_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cluster_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -614,3 +614,61 @@ def test_real_codec_seam_gated(spark):
              extract_features(df, dim=8, real_decode=True).collect()}
     assert feats["m1"]["error"] is None and len(feats["m1"]["feature"]) == 8
     assert feats["m2"]["error"] is not None
+
+
+def test_stream_ivf_append_matches_batch_build(spark, tmp_path):
+    """X3×X6 — streaming IVF maintenance: draining two vector tranches
+    through stream_ivf_append yields EXACTLY the batch ivf_assign table
+    (same rows, same list assignment), appends never disturb earlier
+    tranches, and probing the grown index is still partition pruning."""
+    import pyspark.sql.functions as SF
+
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        ivf_assign,
+        seed_centroids,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        stream_ivf_append,
+    )
+
+    def vec(i):
+        # three well-separated directions + small id-dependent wobble
+        base = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]][i % 3]
+        return [x + 0.01 * ((i * 7) % 5) for x in base]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    all_vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(all_vecs, 3)
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    idx = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    # tranche 1 → drain, tranche 2 → drain (same checkpoint: exactly-once)
+    for lo, hi, fname in [(0, 15, "t1.jsonl"), (15, 30, "t2.jsonl")]:
+        with open(src / fname, "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = stream_ivf_append(stream, cents, idx, ckpt)
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(idx)
+    want = ivf_assign(all_vecs, cents)
+    got_set = {(r["vec_id"], r["cluster_id"]) for r in got.collect()}
+    want_set = {(r["vec_id"], r["cluster_id"]) for r in want.collect()}
+    assert got_set == want_set and len(got_set) == 30  # no dupes, no drift
+
+    # re-draining with nothing new must be a no-op (manifest exactly-once)
+    q = stream_ivf_append(
+        spark.readStream.schema(schema).json(str(src)), cents, idx, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == 30
+
+    # probing the streamed index is partition pruning, as for batch builds
+    probe = spark.read.parquet(idx).filter(SF.col("cluster_id") == cents[0][0])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
