@@ -144,6 +144,54 @@ def rrf_fuse(
     )
 
 
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search over a positional inverted index — the query
+    class BM25's bag-of-words cannot express (term ORDER and adjacency).
+
+    Classic positional-index join, one Spark plan: posexplode tokens →
+    keep phrase terms (broadcast join on the tiny (term, offset) query
+    frame — a term repeated in the phrase contributes one row per
+    offset) → each hit votes for anchor = pos − offset → a phrase starts
+    at an anchor iff ALL ``len(phrase)`` offsets voted there
+    (count-distinct per (doc, anchor)). Returns (id_col, n_matches > 0).
+
+    At 100 TB the explode is narrow and the only wide ops are the two
+    keyed aggregates; the token→term join hits a broadcast list of
+    phrase length. With the positional index materialized at rest
+    (doc, pos, token, bucketed by token), the same query becomes a probe
+    of just the phrase's term rows — cost bounded by posting-list sizes,
+    never the corpus."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias(
+            "pos", "token"
+        ),
+    )
+    hits = toks.join(F.broadcast(qdf), F.col("token") == F.col("term")).select(
+        id_col, (F.col("pos") - F.col("off")).alias("anchor"), "off"
+    )
+    starts = (
+        hits.filter(F.col("anchor") >= 0)
+        .groupBy(id_col, "anchor")
+        .agg(F.countDistinct("off").alias("n_off"))
+        .filter(F.col("n_off") == len(phrase))
+    )
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     query_vec: Sequence[float],

@@ -262,6 +262,19 @@ def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search over the documents table:
+    posexplode → broadcast (term, offset) join → anchor vote →
+    all-offsets-present aggregate. DuckDB value parity is unit-pinned
+    (test_phrase_match_duckdb_parity)."""
+    from ..operators.retrieval import phrase_match_counts
+
+    docs = load(spark, sf_dir, "documents")
+    first = docs.orderBy("doc_id").first()
+    phrase = [t for t in first["text"].split(" ") if t][:3]
+    return phrase_match_counts(docs, phrase).orderBy("doc_id")
+
+
 def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification over a distributed top-N: TakeOrderedAndProject
     produces 50 candidates (the only corpus-sized stage), then the greedy
@@ -296,4 +309,5 @@ BENCH_EXTRAS = {
     "x_semdedup": x_semdedup,
     "x_mmr_rerank": x_mmr_rerank,
     "x768_pca_whiten": x768_pca_whiten,
+    "x_phrase_search": x_phrase_search,
 }

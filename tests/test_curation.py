@@ -377,3 +377,85 @@ def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
     assert not any(i for i in picked if i >= 400)
     df0 = spark.createDataFrame([(1, 0.0), (2, -1.0)], "doc_id long, w double")
     assert weighted_sample(df0, 10, "w").count() == 0
+
+
+def test_phrase_match_hand_computed(spark):
+    from pubmed_central_semantic_search_spark.operators.retrieval import (
+        phrase_match_counts,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "the cat sat on the cat mat"),   # "the cat" twice
+            (2, "s", "cat the on mat"),               # terms present, order wrong
+            (3, "s", "entirely different words"),
+            (4, "s", "the cat"),                      # exact doc == phrase
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(docs, ["the", "cat"]).collect()
+    }
+    assert out == {1: 2, 4: 1}  # doc 2: no adjacency; doc 3: no terms
+
+    # repeated term inside the phrase: every offset must be satisfied
+    rep = _docs(spark, [(1, "s", "a b a c a b a"), (2, "s", "a b c")])
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(rep, ["a", "b", "a"]).collect()
+    }
+    assert got == {1: 2}  # positions 0 and 4
+
+
+def test_phrase_match_duckdb_parity(spark, sf_dir):
+    """Value-level cross-engine check on the real documents table: the
+    positional-index join must agree with a DuckDB recomputation of the
+    same semantics (unit-level oracle — the registry is capped at 50)."""
+    import duckdb
+
+    from pubmed_central_semantic_search_spark.operators.retrieval import (
+        phrase_match_counts,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    # pick a phrase that actually occurs: grab the first two tokens of doc 0
+    first = docs.orderBy("doc_id").first()
+    phrase = [t for t in first["text"].split(" ") if t][:2]
+    got = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_counts(docs, phrase).collect()
+    }
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM read_parquet('{sf_dir}/documents.parquet')
+    ), q(term, off) AS (VALUES ('{phrase[0]}', 0), ('{phrase[1]}', 1)),
+    starts AS (
+      SELECT t.doc_id, t.pos - q.off AS anchor
+      FROM toks t JOIN q ON t.token = q.term
+      WHERE t.pos - q.off >= 0
+      GROUP BY t.doc_id, t.pos - q.off
+      HAVING COUNT(DISTINCT q.off) = 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM starts GROUP BY doc_id
+    """
+    want = {(r[0], r[1]) for r in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_phrase_match_plan_no_cartesian(spark, sf_dir):
+    from pubmed_central_semantic_search_spark.operators.retrieval import (
+        phrase_match_counts,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    out = phrase_match_counts(load(spark, sf_dir, "documents"), ["alpha", "beta"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny query frame broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
