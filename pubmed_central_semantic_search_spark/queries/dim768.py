@@ -262,6 +262,23 @@ def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training end to end: corpus → build_vocab (one
+    token-stream aggregate) → 12 merge iterations over the vocab table
+    (each: one partial-aggregated pair count + a 1-row argmax round-trip
+    + a narrow Catalyst fold). Output: the learned merge table."""
+    from ..operators.bpe import bpe_train
+    from ..operators.textstats import build_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs)
+    merges = bpe_train(vocab, 12, count_col="n_occurrences")
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    )
+
+
 def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted-index phrase search over the documents table:
     posexplode → broadcast (term, offset) join → anchor vote →
@@ -310,4 +327,5 @@ BENCH_EXTRAS = {
     "x_mmr_rerank": x_mmr_rerank,
     "x768_pca_whiten": x768_pca_whiten,
     "x_phrase_search": x_phrase_search,
+    "x_bpe_train": x_bpe_train,
 }
