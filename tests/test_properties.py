@@ -245,3 +245,97 @@ def test_semantic_dedup_invariants(spark, seed, thr):
             comp_survivors[r["component"]] += int(r["is_survivor"])
         assert all(len(cs) == 1 for cs in comp_cluster.values())
         assert all(n == 1 for n in comp_survivors.values())
+
+
+@PROP
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    counts=st.lists(st.integers(1, 9), min_size=8, max_size=8),
+    n_merges=st.integers(1, 5),
+)
+def test_bpe_matches_python_reference_on_random_vocabs(
+    spark, words, counts, n_merges
+):
+    """Merge-for-merge agreement with the plain-Python Sennrich reference
+    on arbitrary small vocabularies (same count-then-lexicographic
+    tie-break)."""
+    from pubmed_central_semantic_search_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _py_bpe
+
+    vocab = list(zip(words, counts))
+    want, _ = _py_bpe(vocab, n_merges)
+    df = spark.createDataFrame(vocab, "token string, count bigint")
+    assert bpe_train(df, n_merges) == want
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    ),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_phrase_match_equals_naive_scan(spark, docs, phrase):
+    """Positional-index join ≡ the obvious O(n·m) scan on random corpora
+    (includes repeated-term phrases and phrase == whole doc)."""
+    from pubmed_central_semantic_search_spark.operators.retrieval import (
+        phrase_match_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(df, phrase).collect()
+    }
+    want = {}
+    m = len(phrase)
+    for i, toks in enumerate(docs):
+        n = sum(
+            1
+            for p in range(len(toks) - m + 1)
+            if toks[p : p + m] == list(phrase)
+        )
+        if n:
+            want[i] = n
+    assert got == want
+
+
+@PROP
+@given(
+    weights=st.lists(
+        st.floats(0.1, 50, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=10,
+    ),
+    k=st.integers(1, 5),
+)
+def test_weighted_sample_matches_python_aes(spark, weights, k):
+    """The selected set is exactly the Python-recomputed top-k by
+    u^(1/w) (rounded keys, id-asc tie-break) — the A-ES contract."""
+    import hashlib
+    import math
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, k, "w").collect()]
+
+    def key(i, w):
+        v = int(hashlib.md5(f"{i}#wrs".encode()).hexdigest()[:8], 16)
+        return round(math.pow((v + 0.5) / 2.0**32, 1.0 / w), 6)
+
+    want = [i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:k]]
+    assert got == want
