@@ -298,3 +298,51 @@ def stream_ivf_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_stream_cms(
+    token_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+):
+    """X6 twin of the count–min sketch: per-micro-batch sketches merged
+    into a durable sketch table via ``foreachBatch`` — the mergeability
+    property IS the streaming story (sketch state never grows past
+    depth×width cells no matter how many distinct keys stream by,
+    exactly the case where an exact streaming groupBy's state explodes).
+
+    Each batch: build the batch's sparse sketch (one keyed aggregate over
+    the batch), union with the table on disk, sum cells, atomically
+    replace. Idempotent replays change nothing once a batch's counts are
+    folded in IF the engine replays whole batches (foreachBatch is
+    at-least-once across crashes mid-write; exact once-only folding needs
+    a transactional sink — documented tradeoff, same as every
+    foreachBatch aggregation).
+
+    Drain ≡ batch equality is test-pinned (the parity suite's rule)."""
+    from ..operators.sketch import cms_build, cms_merge
+
+    spark = token_stream.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = cms_build(batch_df, key_col, depth, width)
+        try:
+            prior = spark.read.parquet(sketch_dir)
+            merged = cms_merge(prior, batch_sketch)
+        except Exception:
+            merged = batch_sketch
+        # stage-then-swap: parquet overwrite of the tiny sketch table
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(sketch_dir)
+        merged.unpersist()
+
+    return (
+        token_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -672,3 +672,52 @@ def test_stream_ivf_append_matches_batch_build(spark, tmp_path):
     probe = spark.read.parquet(idx).filter(SF.col("cluster_id") == cents[0][0])
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+
+
+def test_stream_cms_drain_equals_batch_sketch(spark, tmp_path):
+    """X6×sketch — the streamed (per-batch merged) CMS equals the batch
+    sketch of the full token stream, cell for cell."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_cms,
+    )
+
+    src = tmp_path / "tok_stream"
+    src.mkdir()
+    batches = [
+        ["hot"] * 5 + ["warm"] * 2,
+        ["hot"] * 3 + ["cold"],
+    ]
+    for i, toks in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for t in toks:
+                f.write(json.dumps({"token": t}) + "\n")
+    sketch_dir = str(tmp_path / "sketch")
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .json(str(src))
+    )
+    q = start_stream_cms(stream, sketch_dir, str(tmp_path / "ckpt_cms"),
+                         depth=4, width=64)
+    q.awaitTermination(120)
+
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    all_toks = [t for b in batches for t in b]
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.createDataFrame([(t,) for t in all_toks], "token string"),
+            "token", 4, 64,
+        ).collect()
+    }
+    assert got == want
+    est = cms_estimate(spark.read.parquet(sketch_dir), ["hot", "warm", "cold"],
+                       4, 64)
+    assert est == {"hot": 8, "warm": 2, "cold": 1}
