@@ -825,3 +825,73 @@ def semantic_dedup(
         .withColumn("is_survivor", F.row_number().over(w) == 1)
         .drop("_cent_cos")
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    max_dist: int = 2,
+    q: int = 3,
+    gram_cap: int = 1000,
+) -> DataFrame:
+    """Edit-distance similarity join (entity resolution / near-identical
+    titles): pairs with ``levenshtein(a, b) <= max_dist``, found WITHOUT
+    an all-pairs comparison.
+
+    Blocking: the q-gram count filter — strings within edit distance d
+    share at least ``max(|a|,|b|) − q + 1 − q·d`` q-grams (each edit
+    destroys ≤ q grams), so every qualifying pair collides on ≥ 1 gram
+    whenever that bound is positive; strings too short for a q-gram
+    (len < q) block on an exact length-band key instead, and their
+    verify is still levenshtein (short bands are tiny). Shape: narrow
+    gram explode → hot-gram cap (boilerplate grams occurring in more
+    than ``gram_cap`` strings are dropped, the stop-shingle rule —
+    a dropped gram only loses a candidate that shares no rarer gram) →
+    self-equi-join on the gram (the inverted-index shape of
+    ``ngram_jaccard_pairs``, never a cross join) → distinct candidate
+    pairs → ``F.levenshtein`` verify, output-bounded.
+
+    Returns (id_a, id_b, dist) with id_a < id_b. The one caveat vs exact
+    recall: a pair needs ONE shared gram; for strings of length ≥
+    q·(max_dist+1) + max_dist this is guaranteed by pigeonhole (each of
+    the ≤ d edits kills ≤ q grams, and > q·d grams exist)."""
+    strs = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).cast("string").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    n = F.length("_s")
+    gram_arr = F.when(
+        n >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - q + 1),
+                lambda i: F.substring(F.col("_s"), i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array(F.concat(F.lit("#len:"), n.cast("string"))))
+    grams = strs.select("_id", "_s", F.explode(gram_arr).alias("gram"))
+    # stop-gram cap: one partial-aggregated count over the gram stream
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > gram_cap)
+        .select("gram")
+    )
+    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = kept.select(
+        F.col("gram"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
+    )
+    b = kept.select(
+        F.col("gram"), F.col("_id").alias("id_b"), F.col("_s").alias("_sb")
+    )
+    cands = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

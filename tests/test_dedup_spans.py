@@ -1,5 +1,8 @@
 """repeated_ngram_spans (ExactSubstr-style substring dedup): planted
-boilerplate detection, island-merge semantics, and coordinate contracts."""
+boilerplate detection, island-merge semantics, and coordinate contracts.
+Plus the q-gram-blocked edit-distance join (fuzzy_string_pairs)."""
+
+from pyspark.sql import functions as F
 
 from pubmed_central_semantic_search_spark.operators.dedup import (
     repeated_ngram_spans,
@@ -122,3 +125,77 @@ def test_cut_spans_with_overlapping_spans(spark):
            cut_spans(df, spans, "doc_id", "text").collect()}
     assert out[0] == "a a a b a"
     assert out[1] == ""
+
+
+def test_fuzzy_string_pairs_hand_computed(spark):
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    rows = [
+        (1, "distributed systems"),
+        (2, "distributed systems"),   # 1 deletion+insertion → dist 1? (swap of chars)
+        (3, "distributed system"),    # dist 1 (trailing s)
+        (4, "databases"),             # far from all
+        (5, "ab"),                    # short-string band
+        (6, "ac"),                    # dist 1 from 'ab', same length band
+        (7, "xy"),                    # dist 2 from 'ab'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_string_pairs(df, max_dist=2).collect()
+    }
+    assert (1, 3) in out and out[(1, 3)] == 1
+    assert (1, 2) in out and out[(1, 2)] <= 2
+    assert (2, 3) in out
+    assert (5, 6) in out and out[(5, 6)] == 1   # short-string block works
+    assert (5, 7) in out and out[(5, 7)] == 2
+    assert not any(4 in p for p in out)          # no false positives kept
+
+
+def test_fuzzy_string_pairs_matches_bruteforce_and_plan(spark, sf_dir):
+    """Blocked join ≡ brute-force levenshtein scan on real titles (prefix
+    slice of documents.text as a title surrogate), and the plan has no
+    cartesian product."""
+    import itertools
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.substring("text", 1, 24).alias("title"))
+        .filter(F.col("doc_id") < 120)
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_string_pairs(docs, max_dist=3).collect()
+    }
+    rows = [(r["doc_id"], r["title"]) for r in docs.collect()]
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(rows), 2):
+        d = lev(sa, sb)
+        if d <= 3:
+            want[(ia, ib)] = d
+    # pigeonhole holds here (len 24 ≥ q(d+1)+d = 3*4+3): exact recall
+    assert got == want
+
+    plan = (
+        fuzzy_string_pairs(docs, max_dist=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
