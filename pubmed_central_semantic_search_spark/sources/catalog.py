@@ -162,3 +162,124 @@ def compact_parquet(
     fs.delete(backup, True)
     after, _ = _list_parquet_sizes(fs, hpath, jvm)
     return {"files_before": len(sizes), "files_after": len(after), "bytes": total}
+
+
+# --- S8: manifest-versioned snapshots (time travel on plain parquet) -------
+#
+# The reference snapshots its whole Qdrant store
+# (scripts/setup_local_database.py:19-20 restores one); the lakehouse
+# analog is manifest commits: every snapshot writes its data under
+# data/v{n}/ and then publishes _manifests/v{n}/ listing the data
+# directories composing that version. The manifest RENAME is the commit
+# point — readers only ever see fully-written versions, a reader pinned
+# to version k is untouched by later writes (old data dirs are retained
+# until vacuum), and a writer crash before the rename leaves no visible
+# version. All file ops go through the Hadoop FS API; manifests are read/
+# written with Spark's own json reader/writer, so the scheme works on any
+# supported filesystem.
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + "/_manifests"
+
+
+def snapshot_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Committed versions, ascending. Staging dirs (crashed writers) and
+    foreign files are ignored."""
+    fs, hpath, jvm = _hadoop_fs(spark, _manifest_dir(table_dir))
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _manifest_paths(spark: SparkSession, table_dir: str, version: int) -> list[str]:
+    rows = spark.read.json(f"{_manifest_dir(table_dir)}/v{version}").collect()
+    return [r["path"] for r in sorted(rows, key=lambda r: r["path"])]
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Commit a new snapshot; returns its version (1-based).
+
+    ``append`` — the new version sees all prior data plus this frame;
+    ``overwrite`` — the new version sees only this frame. Either way the
+    data of earlier versions is untouched (time travel until vacuum)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = snapshot_versions(spark, table_dir)
+    latest = versions[-1] if versions else 0
+    version = latest + 1
+    data_path = f"{table_dir.rstrip('/')}/data/v{version}"
+    df.write.mode("errorifexists").parquet(data_path)
+    prior = _manifest_paths(spark, table_dir, latest) if (
+        mode == "append" and latest
+    ) else []
+    manifest = spark.createDataFrame(
+        [(version, p) for p in prior + [data_path]], "version int, path string"
+    )
+    mdir = _manifest_dir(table_dir)
+    staging = f"{mdir}/.v{version}.staging"
+    manifest.coalesce(1).write.mode("overwrite").json(staging)
+    fs, _, jvm = _hadoop_fs(spark, mdir)
+    committed = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{version}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), committed):
+        raise RuntimeError(
+            f"snapshot commit race: version {version} already exists"
+        )
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (default: latest). Time travel: any
+    retained version reads exactly what it read at commit time."""
+    versions = snapshot_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return spark.read.parquet(*_manifest_paths(spark, table_dir, version))
+
+
+def snapshot_vacuum(
+    spark: SparkSession, table_dir: str, keep_last: int = 1
+) -> dict[str, int]:
+    """Retire history: keep the newest ``keep_last`` versions, delete
+    manifests and any data directory no retained version references.
+    Returns {versions_removed, data_dirs_removed}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(spark, table_dir)
+    keep = set(versions[-keep_last:])
+    drop = [v for v in versions if v not in keep]
+    # manifests store paths exactly as snapshot_write built them
+    # ({table_dir}/data/v{n}), so the data-dir NAME identifies a dir
+    referenced = {
+        p.rstrip("/").rsplit("/", 1)[-1]
+        for v in keep
+        for p in _manifest_paths(spark, table_dir, v)
+    }
+    fs, _, jvm = _hadoop_fs(spark, table_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    removed_dirs = 0
+    data_root = P(table_dir.rstrip("/") + "/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            if st.getPath().getName() not in referenced:
+                fs.delete(st.getPath(), True)
+                removed_dirs += 1
+    for v in drop:
+        fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
+    return {"versions_removed": len(drop), "data_dirs_removed": removed_dirs}

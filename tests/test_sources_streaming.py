@@ -721,3 +721,54 @@ def test_stream_cms_drain_equals_batch_sketch(spark, tmp_path):
     est = cms_estimate(spark.read.parquet(sketch_dir), ["hot", "warm", "cold"],
                        4, 64)
     assert est == {"hot": 8, "warm": 2, "cold": 1}
+
+
+def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
+    """S8 — manifest commits on plain parquet: append/overwrite versions,
+    pinned reads are immutable (time travel), crashed staging is invisible,
+    vacuum retires unreferenced data."""
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "table")
+
+    def rows(df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    d3 = spark.createDataFrame([(9, "z")], "k long, v string")
+
+    assert snapshot_write(spark, d1, tdir) == 1
+    assert snapshot_write(spark, d2, tdir, mode="append") == 2
+    assert snapshot_write(spark, d3, tdir, mode="overwrite") == 3
+    assert snapshot_versions(spark, tdir) == [1, 2, 3]
+
+    assert rows(snapshot_read(spark, tdir)) == [(9, "z")]  # latest = v3
+    assert rows(snapshot_read(spark, tdir, 1)) == [(1, "a"), (2, "b")]
+    assert rows(snapshot_read(spark, tdir, 2)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # a crashed writer's staging manifest is not a version
+    stale = d1.limit(0)
+    stale.write.mode("overwrite").json(f"{tdir}/_manifests/.v99.staging")
+    assert snapshot_versions(spark, tdir) == [1, 2, 3]
+    assert snapshot_write(spark, d2, tdir, mode="append") == 4  # still works
+
+    with _pt.raises(ValueError):
+        snapshot_read(spark, tdir, 77)
+
+    # vacuum to the last version: v4 (append over v3) references v3+v4 data
+    out = snapshot_vacuum(spark, tdir, keep_last=1)
+    assert out["versions_removed"] == 3
+    assert snapshot_versions(spark, tdir) == [4]
+    assert rows(snapshot_read(spark, tdir)) == [(3, "c"), (9, "z")]
+    # v1/v2 data dirs are gone (only v3, v4 remain referenced)
+    import os
+    left = sorted(os.listdir(f"{tdir}/data"))
+    assert left == ["v3", "v4"]
