@@ -334,11 +334,14 @@ def start_stream_cms(
             merged = cms_merge(prior, batch_sketch)
         except Exception:
             merged = batch_sketch
-        # stage-then-swap: parquet overwrite of the tiny sketch table
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(sketch_dir)
-        merged.unpersist()
+        # The sketch is ≤ depth×width rows BY CONSTRUCTION, so materialize
+        # it driver-side before overwriting the directory it was read from
+        # (persist is NOT a guard — evicted blocks would recompute from
+        # deleted files, see upsert_parquet; a driver copy cannot).
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
 
     return (
         token_stream.writeStream.foreachBatch(_fold)
