@@ -839,28 +839,27 @@ def fuzzy_string_pairs(
     titles): pairs with ``levenshtein(a, b) <= max_dist``, found WITHOUT
     an all-pairs comparison.
 
-    Blocking: the q-gram count filter — strings within edit distance d
-    share at least ``max(|a|,|b|) − q + 1 − q·d`` q-grams (each edit
-    destroys ≤ q grams), so every qualifying pair collides on ≥ 1 gram
-    whenever that bound is positive; strings too short for a q-gram
-    (len < q) block on an exact length-band key instead, and their
-    verify is still levenshtein (short bands are tiny). Shape: narrow
-    gram explode → hot-gram cap (boilerplate grams occurring in more
-    than ``gram_cap`` strings are dropped, the stop-shingle rule —
-    a dropped gram only loses a candidate that shares no rarer gram) →
+    Blocking: the q-gram count filter — each edit destroys at most q
+    positional q-grams, so for strings of length ≥ q·(d+1)+d a pair
+    within d edits MUST share a q-gram (pigeonhole); strings below that
+    bound additionally join one shared ``#short`` band, and any
+    qualifying partner of such a string is itself below the bound
+    (|len(a) − len(b)| ≤ d), so recall is EXACT at every length
+    (property-pinned against brute force). Shape: narrow gram explode →
+    hot-gram cap (boilerplate grams occurring in more than ``gram_cap``
+    strings are dropped, the stop-shingle rule — the ``#short`` band is
+    exempt because dropping it would break the recall guarantee; corpora
+    dominated by short strings should raise q or pre-bucket) →
     self-equi-join on the gram (the inverted-index shape of
     ``ngram_jaccard_pairs``, never a cross join) → distinct candidate
     pairs → ``F.levenshtein`` verify, output-bounded.
 
-    Returns (id_a, id_b, dist) with id_a < id_b. The one caveat vs exact
-    recall: a pair needs ONE shared gram; for strings of length ≥
-    q·(max_dist+1) + max_dist this is guaranteed by pigeonhole (each of
-    the ≤ d edits kills ≤ q grams, and > q·d grams exist)."""
+    Returns (id_a, id_b, dist) with id_a < id_b."""
     strs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).cast("string").alias("_s")
     ).filter(F.col("_s").isNotNull())
     n = F.length("_s")
-    gram_arr = F.when(
+    qgrams = F.when(
         n >= q,
         F.array_distinct(
             F.transform(
@@ -868,13 +867,24 @@ def fuzzy_string_pairs(
                 lambda i: F.substring(F.col("_s"), i, F.lit(q)),
             )
         ),
-    ).otherwise(F.array(F.concat(F.lit("#len:"), n.cast("string"))))
+    ).otherwise(F.array())
+    # Below q(d+1)+d chars the pigeonhole bound is void (d edits can kill
+    # every shared gram), so short strings ALSO join one shared "#short"
+    # band: any qualifying partner of a string shorter than the bound is
+    # itself shorter than the bound (|len diff| ≤ d), so recall is exact
+    # at EVERY length; the band's verify cost is (#short strings)², which
+    # the length filter keeps to genuinely short rows.
+    min_guaranteed = q * (max_dist + 1) + max_dist
+    gram_arr = F.when(
+        n < min_guaranteed,
+        F.concat(qgrams, F.array(F.lit("#short"))),
+    ).otherwise(qgrams)
     grams = strs.select("_id", "_s", F.explode(gram_arr).alias("gram"))
     # stop-gram cap: one partial-aggregated count over the gram stream
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > gram_cap)
+        .filter((F.col("_n") > gram_cap) & (F.col("gram") != "#short"))
         .select("gram")
     )
     kept = grams.join(F.broadcast(hot), "gram", "left_anti")

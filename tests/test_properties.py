@@ -339,3 +339,48 @@ def test_weighted_sample_matches_python_aes(spark, weights, k):
 
     want = [i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:k]]
     assert got == want
+
+
+@PROP
+@given(
+    strs=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=9),
+        min_size=2,
+        max_size=7,
+        unique=True,
+    ),
+    d=st.integers(1, 2),
+)
+def test_fuzzy_pairs_exact_recall_all_lengths(spark, strs, d):
+    """Blocked edit-distance join ≡ brute force on random MIXED-LENGTH
+    strings — the regime where the q-gram pigeonhole alone is void and
+    the shared #short band must carry recall (a cross-length pair like
+    ('ab','abcd') has no shared 3-gram)."""
+    import itertools
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_string_pairs(df, max_dist=d).collect()
+    }
+    want = {
+        (ia, ib): lev(sa, sb)
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= d
+    }
+    assert got == want
