@@ -311,6 +311,26 @@ def select_token_budget(
     )
 
 
+def md5_prefix_long(key_col: Column | str, salt: str) -> Column:
+    """First 8 md5 hex chars of the salted key as a bigint in
+    [0, 2³²) — the shared content-addressed hash primitive behind
+    ``wrs_key`` and the count–min sketch buckets (``operators/
+    sketch.py``); each DuckDB oracle mirrors it verbatim."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def md5_prefix_uniform(key_col: Column | str, salt: str) -> Column:
+    """Content-addressed uniform in (0, 1): the 32-bit prefix +0.5,
+    / 2^32 — never exactly 0 or 1."""
+    v = md5_prefix_long(key_col, salt).cast("double")
+    return (v + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
 def wrs_key(
     weight_col: Column | str,
     key_col: str = "doc_id",
@@ -325,30 +345,46 @@ def wrs_key(
     and engine changes reproduce it bit for bit, the same property
     ``hash_split``/``stratified_sample`` give unweighted selection.
 
-    ``u = (first 8 md5 hex chars + 0.5) / 2^32`` — never 0 or 1, so the
-    pow is total. Non-positive weights get key −1 (sorts below every real
-    key; ``weighted_sample`` drops them up front). Rounded to 6 so the
-    value is engine-portable despite pow ulp differences.
+    Non-positive weights get key −1 (sorts below every real key;
+    ``weighted_sample`` drops them up front). Rounded to 6 so the value
+    is engine-portable despite pow ulp differences — which bounds this
+    FORM to moderate weights: for w ≫ 10⁴ the key saturates toward 1.0
+    and round-6 collapses distinct weights into tie groups. That is why
+    ``weighted_sample`` selects on the ordering-equivalent EXPONENTIAL
+    form (``wrs_exp_key``) instead; this rounded form exists for the
+    cross-engine value certification (q50's wrs_key arm, where the
+    weight is a text length ≤ ~10³ — comfortably inside the safe range).
 
     Per-row expression — zero shuffles; the selection that follows is one
     TakeOrderedAndProject. At 100 TB this is THE sampling shape: no
     global sort, no corpus-sized join, per-partition k-heaps only."""
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    u = md5_prefix_uniform(key_col, "#" + salt)
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
         "double"
     )
     return F.round(
         F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0)), 6
     )
+
+
+def wrs_exp_key(
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> Column:
+    """The numerically robust A-ES form: ``−ln(u)/w`` (an Exp(w) sample —
+    ES's own equivalent formulation; take the k SMALLEST). Strictly
+    decreasing in ``u^(1/w)``, so it selects the IDENTICAL sample as the
+    pow form at any weight — but the relative spacing of keys survives
+    arbitrarily large weights where ``u^(1/w)`` saturates toward 1.0.
+    Unrounded (selection only — the certified VALUE contract lives on
+    the rounded pow form in q50). Non-positive weights map to +∞-like
+    NULL (dropped by ``weighted_sample``)."""
+    u = md5_prefix_uniform(key_col, "#" + salt)
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    return F.when(w > 0, -F.log(u) / w)
 
 
 def weighted_sample(
@@ -358,16 +394,15 @@ def weighted_sample(
     key_col: str = "doc_id",
     salt: str = "wrs",
 ) -> DataFrame:
-    """Top-k rows by the A-ES key — a deterministic weight-proportional
-    sample without replacement. Rows with non-positive weight are
-    excluded. Adds ``wrs_key``; ties (rare after rounding) break on the
+    """k-smallest rows by the exponential A-ES key — a deterministic
+    weight-proportional sample without replacement, robust at any weight
+    scale. Rows with non-positive weight are excluded. Adds ``wrs_key``
+    (the exponential form); ties (measure-zero unrounded) break on the
     document key ascending so the sample is exactly reproducible."""
-    from .topk import top_k
-
-    keyed = df.withColumn("wrs_key", wrs_key(weight_col, key_col, salt))
-    return top_k(
-        keyed.filter(F.col("wrs_key") >= 0), "wrs_key", k, tiebreak=[key_col]
-    )
+    keyed = df.withColumn(
+        "wrs_key", wrs_exp_key(weight_col, key_col, salt)
+    ).filter(F.col("wrs_key").isNotNull())
+    return keyed.orderBy(F.asc("wrs_key"), F.asc(key_col)).limit(k)
 
 
 def content_bucket16(key_col: str) -> Column:

@@ -137,7 +137,9 @@ def pca_project(
     the plan is identical either way."""
     comps = model.components
     if whiten:
-        scales = [1.0 / (lam + eps) ** 0.5 for lam in model.eigvals]
+        # clamp: eigh returns tiny NEGATIVE eigenvalues for rank-
+        # deficient covariance; (lam+eps)**0.5 would go complex
+        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
         comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
     centered = F.zip_with(
         as_double(vec_col), array_lit(model.mean), lambda a, b: a - b
@@ -163,7 +165,9 @@ def pca_project_udf(model: PCAModel, whiten: bool = False, eps: float = 1e-9):
 
     comps = model.components
     if whiten:
-        scales = [1.0 / (lam + eps) ** 0.5 for lam in model.eigvals]
+        # clamp: eigh returns tiny NEGATIVE eigenvalues for rank-
+        # deficient covariance; (lam+eps)**0.5 would go complex
+        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
         comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
     mean_l = [float(x) for x in model.mean]
     comps_l = [[float(x) for x in row] for row in comps]

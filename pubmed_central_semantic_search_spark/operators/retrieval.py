@@ -219,14 +219,14 @@ def mmr_rerank(
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, mmr_rank int, relevance double, "
+        "redundancy double, mmr_score double"
+    )
     rows = candidates.select(id_col, vec_col).collect()
     if not rows:
-        spark = candidates.sparkSession
-        return spark.createDataFrame(
-            [],
-            f"{id_col} bigint, mmr_rank int, relevance double, "
-            "redundancy double, mmr_score double",
-        )
+        return candidates.sparkSession.createDataFrame([], out_schema)
 
     def _unit(v: list[float]) -> list[float]:
         n = sum(x * x for x in v) ** 0.5 or 1.0
@@ -258,13 +258,8 @@ def mmr_rerank(
         selected.append((best_i, best_red, best_score))
         remaining.remove(best_i)
 
-    spark = candidates.sparkSession
     out = [
         (ids[i], rank + 1, rel[i], red, score)
         for rank, (i, red, score) in enumerate(selected)
     ]
-    return spark.createDataFrame(
-        out,
-        f"{id_col} bigint, mmr_rank int, relevance double, "
-        "redundancy double, mmr_score double",
-    )
+    return candidates.sparkSession.createDataFrame(out, out_schema)

@@ -29,15 +29,11 @@ from pyspark.sql import functions as F
 
 
 def cms_bucket(key_col: Column | str, row: int, width: int) -> Column:
-    """Bucket of ``key`` in hash row ``row`` — first 8 md5 hex chars of
-    the salted key, mod width. Pure per-row expression."""
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#cms{row}"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % width).cast("int")
+    """Bucket of ``key`` in hash row ``row`` — the shared md5-prefix
+    primitive (``curation.md5_prefix_long``) mod width. Pure per-row."""
+    from .curation import md5_prefix_long
+
+    return (md5_prefix_long(key_col, f"#cms{row}") % width).cast("int")
 
 
 def cms_build(

@@ -254,12 +254,17 @@ def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = corpus_768(spark, sf_dir).persist()
     model = pca_fit(emb, "embedding", out_dim=32)
     proj = pca_project_np(emb, model, "embedding", whiten=True)
-    return (
+    # materialize the 32-row result eagerly so the widened-corpus cache
+    # can be released before returning (no pinned RDD outlives the entry)
+    out = (
         proj.select(F.posexplode("proj").alias("component", "value"))
         .groupBy("component")
         .agg(F.round(F.var_samp("value"), 4).alias("variance"))
         .orderBy("component")
+        .collect()
     )
+    emb.unpersist()
+    return spark.createDataFrame(out, "component int, variance double")
 
 
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,8 +292,12 @@ def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import phrase_match_counts
 
     docs = load(spark, sf_dir, "documents")
-    first = docs.orderBy("doc_id").first()
-    phrase = [t for t in first["text"].split(" ") if t][:3]
+    first = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .orderBy("doc_id")
+        .first()
+    )
+    phrase = [t for t in first["text"].split(" ") if t][:3] if first else ["∅"]
     return phrase_match_counts(docs, phrase).orderBy("doc_id")
 
 

@@ -212,13 +212,25 @@ def snapshot_write(
 
     ``append`` — the new version sees all prior data plus this frame;
     ``overwrite`` — the new version sees only this frame. Either way the
-    data of earlier versions is untouched (time travel until vacuum)."""
+    data of earlier versions is untouched (time travel until vacuum).
+
+    SINGLE-WRITER protocol (like bare Delta without a lock service):
+    concurrent writers race on the manifest rename — one wins, the loser
+    raises. A writer crash between data write and manifest rename leaves
+    an ORPHAN data/v{n} dir; since version numbers only exist once their
+    manifest commits, the next writer reclaims that number and deletes
+    the orphan before rewriting (crash recovery, same entry-time rule as
+    ``compact_parquet``). ``snapshot_vacuum`` likewise assumes no writer
+    is mid-commit while it runs."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     versions = snapshot_versions(spark, table_dir)
     latest = versions[-1] if versions else 0
     version = latest + 1
     data_path = f"{table_dir.rstrip('/')}/data/v{version}"
+    fs0, dpath0, _ = _hadoop_fs(spark, data_path)
+    if fs0.exists(dpath0):  # orphan of a crashed writer — no manifest ⇒ dead
+        fs0.delete(dpath0, True)
     df.write.mode("errorifexists").parquet(data_path)
     prior = _manifest_paths(spark, table_dir, latest) if (
         mode == "append" and latest

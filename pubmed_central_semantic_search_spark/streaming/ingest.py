@@ -328,11 +328,18 @@ def start_stream_cms(
     spark = token_stream.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.catalog import _hadoop_fs
+
         batch_sketch = cms_build(batch_df, key_col, depth, width)
-        try:
-            prior = spark.read.parquet(sketch_dir)
-            merged = cms_merge(prior, batch_sketch)
-        except Exception:
+        # explicit existence check — a bare try/except here would turn a
+        # TRANSIENT read failure (storage hiccup mid-stream) into a silent
+        # reset of the accumulated sketch; only a genuinely absent table
+        # may start fresh, every other error must surface and fail the
+        # batch so the trigger retries it
+        fs, hpath, _ = _hadoop_fs(spark, sketch_dir)
+        if fs.exists(hpath):
+            merged = cms_merge(spark.read.parquet(sketch_dir), batch_sketch)
+        else:
             merged = batch_sketch
         # The sketch is ≤ depth×width rows BY CONSTRUCTION, so materialize
         # it driver-side before overwriting the directory it was read from

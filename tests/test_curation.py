@@ -459,3 +459,12 @@ def test_phrase_match_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # tiny query frame broadcast
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mmr_supports_string_ids(spark):
+    cands = spark.createDataFrame(
+        [("PMC1", [1.0, 0.0]), ("PMC2", [0.0, 1.0])],
+        "doc_id string, vec array<double>",
+    )
+    rows = mmr_rerank(cands, [1.0, 0.0], k=2, lam=0.7).orderBy("mmr_rank").collect()
+    assert [r["doc_id"] for r in rows] == ["PMC1", "PMC2"]

@@ -320,8 +320,9 @@ def test_phrase_match_equals_naive_scan(spark, docs, phrase):
     k=st.integers(1, 5),
 )
 def test_weighted_sample_matches_python_aes(spark, weights, k):
-    """The selected set is exactly the Python-recomputed top-k by
-    u^(1/w) (rounded keys, id-asc tie-break) — the A-ES contract."""
+    """The selected set is exactly the Python-recomputed k-smallest by
+    the exponential A-ES key −ln(u)/w (id-asc tie-break) — and identical
+    to what the pow form u^(1/w) would select (ordering equivalence)."""
     import hashlib
     import math
 
@@ -333,12 +334,18 @@ def test_weighted_sample_matches_python_aes(spark, weights, k):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = [r["doc_id"] for r in weighted_sample(df, k, "w").collect()]
 
-    def key(i, w):
+    def ekey(i, w):
         v = int(hashlib.md5(f"{i}#wrs".encode()).hexdigest()[:8], 16)
-        return round(math.pow((v + 0.5) / 2.0**32, 1.0 / w), 6)
+        return -math.log((v + 0.5) / 2.0**32) / w
 
-    want = [i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:k]]
+    want = [i for i, _ in sorted(rows, key=lambda t: (ekey(*t), t[0]))[:k]]
     assert got == want
+    # ordering equivalence with the (unrounded) pow form
+    pow_want = sorted(
+        rows,
+        key=lambda t: (-math.exp(-ekey(*t)), t[0]),
+    )[:k]
+    assert [i for i, _ in pow_want] == want
 
 
 @PROP

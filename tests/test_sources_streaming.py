@@ -772,3 +772,25 @@ def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
     import os
     left = sorted(os.listdir(f"{tdir}/data"))
     assert left == ["v3", "v4"]
+
+
+def test_snapshot_write_recovers_from_crashed_writer_orphan(spark, tmp_path):
+    """A writer that died between data write and manifest rename leaves an
+    orphan data/v{n}; the next writer must reclaim the version, not wedge
+    on errorifexists."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "table")
+    d1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert snapshot_write(spark, d1, tdir) == 1
+    # simulate the crash: data for v2 exists, no manifest
+    spark.createDataFrame([(666, "junk")], "k long, v string").write.parquet(
+        f"{tdir}/data/v2"
+    )
+    d2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    assert snapshot_write(spark, d2, tdir, mode="append") == 2  # reclaimed
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tdir).collect())
+    assert got == [(1, "a"), (2, "b")]  # the junk orphan is gone
