@@ -147,8 +147,13 @@ def cut_spans(
     contains it — deterministic, matching this package's survivor rule).
 
     ``spans`` is ``repeated_ngram_spans`` output. Per doc the cut is a
-    pure array expression: tokens whose position falls inside any of the
-    doc's cut spans are filtered out and the rest re-joined. Docs with no
+    pure array expression over token POSITIONS: a token is removed iff it
+    lies inside a span this doc must cut AND inside no span this doc
+    keeps. The keep-guard matters because gap-separated islands may
+    OVERLAP by up to window−1 tokens — without it, cutting an overlapping
+    neighbor span would truncate the very copy this doc was elected to
+    keep (and a span text could survive in NO document). With it, every
+    distinct span text survives verbatim in its keeper. Docs with no
     spans pass through untouched (left join).
 
     Scale shape: span texts are recovered by slicing the token array
@@ -176,30 +181,39 @@ def cut_spans(
         ).alias("_span_key"),
     )
     keeper = located.groupBy("_span_key").agg(F.min("doc_id").alias("_keep_doc"))
+    owned = located.join(keeper, "_span_key")
     cuts = (
-        located.join(keeper, "_span_key")
-        .filter(F.col("doc_id") != F.col("_keep_doc"))
+        owned.filter(F.col("doc_id") != F.col("_keep_doc"))
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
         )
     )
-    joined = with_toks.join(
-        cuts, with_toks[id_col] == cuts["doc_id"], "left"
-    ).drop(cuts["doc_id"])
+    keeps = (
+        owned.filter(F.col("doc_id") == F.col("_keep_doc"))
+        .groupBy(F.col("doc_id").alias("_kdoc"))
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_keeps")
+        )
+    )
+    joined = (
+        with_toks.join(cuts, with_toks[id_col] == cuts["doc_id"], "left")
+        .drop(cuts["doc_id"])
+        .join(keeps, F.col(id_col) == F.col("_kdoc"), "left")
+        .drop("_kdoc")
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    in_range = lambda s: (  # noqa: E731
+        lambda c: (s["i"] >= c["span_start"]) & (s["i"] < c["span_end"])
+    )
     kept = F.filter(
         F.transform("_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda s: ~F.exists(
-            F.coalesce(
-                "_cuts",
-                F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
-            ),
-            lambda c: (s["i"] >= c["span_start"]) & (s["i"] < c["span_end"]),
-        ),
+        lambda s: ~F.exists(F.coalesce("_cuts", empty), in_range(s))
+        | F.exists(F.coalesce("_keeps", empty), in_range(s)),
     )
     return joined.withColumn(
         out_col, F.array_join(F.transform(kept, lambda s: s["t"]), " ")
-    ).drop("_toks", "_cuts")
+    ).drop("_toks", "_cuts", "_keeps")
 
 
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

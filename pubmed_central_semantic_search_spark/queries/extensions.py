@@ -225,6 +225,16 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l.doc_id <> k.keep_doc
       GROUP BY l.doc_id
     ),
+    keeps AS (
+      SELECT l.doc_id,
+             list(struct_pack(s := l.span_start, e := l.span_end)) AS keep_list
+      FROM located l JOIN keeper k USING (span_key)
+      WHERE l.doc_id = k.keep_doc
+      GROUP BY l.doc_id
+    ),
+    -- a token goes iff inside a cut span AND inside no kept span (the
+    -- keep-guard: gap-separated islands may overlap; the keeper's copy
+    -- must survive verbatim) — mirrors operators/dedup.py cut_spans
     cutdocs AS (
       SELECT d.doc_id,
              array_to_string(
@@ -232,10 +242,13 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_filter(range(0, len(d.toks)), i ->
                    len(list_filter(
                      coalesce(c.cut_list, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
-                     cc -> i >= cc.s AND i < cc.e)) = 0),
+                     cc -> i >= cc.s AND i < cc.e)) = 0
+                   OR len(list_filter(
+                     coalesce(kp.keep_list, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                     kk -> i >= kk.s AND i < kk.e)) > 0),
                  i -> d.toks[i + 1]),
                ' ') AS text_cut
-      FROM span_d d LEFT JOIN cuts c USING (doc_id)
+      FROM span_d d LEFT JOIN cuts c USING (doc_id) LEFT JOIN keeps kp USING (doc_id)
     )
     SELECT k.source,
            count(*) AS n_docs,
