@@ -324,6 +324,16 @@ def md5_prefix_long(key_col: Column | str, salt: str) -> Column:
     ).cast("bigint")
 
 
+def md5_prefix_long_py(key: str, salt: str) -> int:
+    """Driver-side twin of ``md5_prefix_long`` — the ONE place the
+    salt/prefix convention exists in Python, so consumers that must hash
+    on the driver (``sketch.cms_estimate`` point queries) cannot drift
+    from the Catalyst expression. Equality is unit-pinned across both."""
+    import hashlib
+
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+
+
 def md5_prefix_uniform(key_col: Column | str, salt: str) -> Column:
     """Content-addressed uniform in (0, 1): the 32-bit prefix +0.5,
     / 2^32 — never exactly 0 or 1."""

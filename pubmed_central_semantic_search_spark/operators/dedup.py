@@ -868,6 +868,21 @@ def fuzzy_string_pairs(
     ``ngram_jaccard_pairs``, never a cross join) → distinct candidate
     pairs → ``F.levenshtein`` verify, output-bounded.
 
+    Recall stays EXACT even when the cap fires: within d edits at most
+    q·d of a string's DISTINCT grams can be absent from its partner
+    (each absent distinct gram needs a destroyed occurrence at a
+    distinct position, and d edits destroy at most q·d positions), so a
+    string that keeps at least q·d + 1 non-hot grams meets every
+    qualifying partner through a kept gram (hotness is global — a shared
+    non-hot gram is kept on BOTH sides). Strings left with q·d or fewer
+    non-hot grams — only possible when the cap dropped their grams, since
+    length at the pigeonhole bound already yields q·d + d + 1 distinct
+    grams — are routed into the shared ``#short`` band: risky–risky and
+    risky–short pairs meet there, safe–risky pairs meet via the safe
+    side's kept gram. The band's quadratic verify grows only by the
+    (rare) all-boilerplate strings; cap-fired exactness is test-pinned
+    with a cap small enough to trigger the path.
+
     Returns (id_a, id_b, dist) with id_a < id_b."""
     strs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).cast("string").alias("_s")
@@ -902,6 +917,24 @@ def fuzzy_string_pairs(
         .select("gram")
     )
     kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # Cap-exactness fallback (see docstring): a string whose kept-gram
+    # count fell to <= q*d can no longer rely on the pigeonhole — route
+    # it into the shared #short band. Without the cap firing this set is
+    # EMPTY (length >= bound alone gives q*d + d + 1 distinct grams), so
+    # the fallback costs one id-keyed partial aggregate and adds rows
+    # only for genuinely all-boilerplate strings.
+    kept_counts = (
+        kept.filter(F.col("gram") != "#short")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_kept"))
+    )
+    risky = (
+        strs.filter(n >= min_guaranteed)
+        .join(kept_counts, "_id", "left")
+        .filter(F.coalesce(F.col("_kept"), F.lit(0)) <= q * max_dist)
+        .select(F.lit("#short").alias("gram"), "_id", "_s")
+    )
+    kept = kept.unionByName(risky)
     a = kept.select(
         F.col("gram"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
     )

@@ -74,12 +74,13 @@ def cms_estimate(
     """Point queries: est(key) = min over rows of the key's cell. Always
     ≥ the true count; over by at most ~2N/width w.h.p. The sketch is
     depth×width cells — a driver round-trip by construction."""
-    import hashlib
+    from .curation import md5_prefix_long_py
 
     cells = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
 
     def bucket(key: str, i: int) -> int:
-        return int(hashlib.md5(f"{key}#cms{i}".encode()).hexdigest()[:8], 16) % width
+        # same helper family as cms_bucket — one shared salt convention
+        return md5_prefix_long_py(key, f"#cms{i}") % width
 
     return {
         k: min(cells.get((i, bucket(k, i)), 0) for i in range(depth)) for k in keys

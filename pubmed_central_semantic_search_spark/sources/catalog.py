@@ -47,12 +47,19 @@ def upsert_parquet(
     partitions rewrite; task retries stay safe because the final write is
     atomic-per-partition."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    # First-write is decided by an EXPLICIT existence check, never by
+    # catching the read error: a bare try/except would turn a TRANSIENT
+    # read failure (storage hiccup, permission blip, corrupt footer) into
+    # "nothing to merge" and the staging swap below would then replace the
+    # whole table with new-rows-only — silent data loss. Same rule as the
+    # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
         existing = spark.read.parquet(path)
         tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
             df.withColumn("_is_new", F.lit(1))
         )
-    except Exception:  # first write — nothing to merge
+    else:  # first write — nothing to merge
         tagged = df.withColumn("_is_new", F.lit(1))
     order = [F.col("_is_new").desc()] + (
         [F.col(version_col).desc()] if version_col else []
@@ -270,10 +277,18 @@ def snapshot_vacuum(
 ) -> dict[str, int]:
     """Retire history: keep the newest ``keep_last`` versions, delete
     manifests and any data directory no retained version references.
-    Returns {versions_removed, data_dirs_removed}."""
+    Returns {versions_removed, data_dirs_removed}.
+
+    Safe against a writer mid-commit BY CONSTRUCTION, not by convention:
+    a data dir ``v{n}`` with ``n`` greater than the newest committed
+    manifest is either an in-flight commit (data written, manifest rename
+    pending) or a crashed-writer orphan that the next ``snapshot_write``
+    reclaims anyway — vacuum never touches those, so it cannot delete an
+    in-flight version out from under its writer."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(spark, table_dir)
+    latest = versions[-1] if versions else 0
     keep = set(versions[-keep_last:])
     drop = [v for v in versions if v not in keep]
     # manifests store paths exactly as snapshot_write built them
@@ -289,9 +304,17 @@ def snapshot_vacuum(
     data_root = P(table_dir.rstrip("/") + "/data")
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
-            if st.getPath().getName() not in referenced:
-                fs.delete(st.getPath(), True)
-                removed_dirs += 1
+            name = st.getPath().getName()
+            if name in referenced:
+                continue
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and int(name[1:]) > latest
+            ):
+                continue  # in-flight writer or reclaimable orphan — skip
+            fs.delete(st.getPath(), True)
+            removed_dirs += 1
     for v in drop:
         fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
     return {"versions_removed": len(drop), "data_dirs_removed": removed_dirs}

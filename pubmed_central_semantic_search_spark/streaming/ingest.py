@@ -331,12 +331,26 @@ def start_stream_cms(
         from ..sources.catalog import _hadoop_fs
 
         batch_sketch = cms_build(batch_df, key_col, depth, width)
+        # Crash recovery FIRST (before the existence check below): a
+        # previous fold that died between its commit renames left the live
+        # dir absent with the prior sketch in .cms.old — restore it, or
+        # the check below would read "absent" and reset the counts.
+        fs, hpath, jvm = _hadoop_fs(spark, sketch_dir)
+        P = jvm.org.apache.hadoop.fs.Path
+        base = sketch_dir.rstrip("/")
+        staging_p, old_p = P(base + ".cms.staging"), P(base + ".cms.old")
+        if fs.exists(old_p):
+            if not fs.exists(hpath):
+                fs.rename(old_p, hpath)
+            else:
+                fs.delete(old_p, True)
+        if fs.exists(staging_p):  # stale staging from an aborted write
+            fs.delete(staging_p, True)
         # explicit existence check — a bare try/except here would turn a
         # TRANSIENT read failure (storage hiccup mid-stream) into a silent
         # reset of the accumulated sketch; only a genuinely absent table
         # may start fresh, every other error must surface and fail the
         # batch so the trigger retries it
-        fs, hpath, _ = _hadoop_fs(spark, sketch_dir)
         if fs.exists(hpath):
             merged = cms_merge(spark.read.parquet(sketch_dir), batch_sketch)
         else:
@@ -346,9 +360,20 @@ def start_stream_cms(
         # (persist is NOT a guard — evicted blocks would recompute from
         # deleted files, see upsert_parquet; a driver copy cannot).
         rows = merged.collect()
+        # Commit via staging + rename, never mode('overwrite') on the live
+        # dir: overwrite deletes-then-writes, so a crash in between leaves
+        # the dir absent/partial and the RETRIED batch's existence check
+        # would treat it as a fresh table — silently resetting every
+        # accumulated count. With rename-as-commit the prior sketch
+        # survives any mid-write crash (recovery on entry above, like
+        # compact_parquet: restore .old if the live dir vanished).
         spark.createDataFrame(rows, merged.schema).write.mode(
             "overwrite"
-        ).parquet(sketch_dir)
+        ).parquet(staging_p.toString())
+        if fs.exists(hpath):
+            fs.rename(hpath, old_p)
+        fs.rename(staging_p, hpath)
+        fs.delete(old_p, True)
 
     return (
         token_stream.writeStream.foreachBatch(_fold)

@@ -199,3 +199,44 @@ def test_fuzzy_string_pairs_matches_bruteforce_and_plan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_string_pairs_exact_when_gram_cap_fires(spark):
+    """Regression for the hot-gram recall hole: with gram_cap low enough
+    that boilerplate grams are dropped, a pair whose ONLY shared grams
+    are hot must still be found — strings left with <= q*d non-hot grams
+    fall back to the shared #short band (see operator docstring)."""
+    import itertools
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        fuzzy_string_pairs,
+    )
+
+    base = "distributed database systems survey"
+    rows = [(i, f"{base}{i}") for i in range(10)]  # all base-grams hot
+    rows += [(20, "unrelated quantum chromodynamics paper"),
+             (21, "unrelated quantum chromodynamics papers"),
+             (22, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_string_pairs(df, max_dist=2, gram_cap=2).collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(rows), 2):
+        d = lev(sa, sb)
+        if d <= 2:
+            want[(ia, ib)] = d
+    assert (0, 1) in want  # the planted hot-gram pairs really qualify
+    assert got == want

@@ -91,3 +91,26 @@ def test_cms_plan_is_one_partial_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan  # one shuffle
     assert "partial_count" in plan, plan  # map-side combine before it
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_estimate_bucket_matches_catalyst_cms_bucket(spark):
+    """The driver-side bucket function (md5_prefix_long_py) and the
+    Catalyst cms_bucket expression must agree key-for-key across rows —
+    any drift in the salt/prefix convention would silently zero every
+    estimate."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        md5_prefix_long_py,
+    )
+    from pubmed_central_semantic_search_spark.operators.sketch import cms_bucket
+
+    keys = ["alpha", "beta", "γ-unicode", "", "12345", "a b c"]
+    width, depth = 64, 4
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    cols = [cms_bucket("k", i, width).alias(f"b{i}") for i in range(depth)]
+    got = {r["k"]: [r[f"b{i}"] for i in range(depth)]
+           for r in df.select("k", *cols).collect()}
+    for k in keys:
+        want = [md5_prefix_long_py(k, f"#cms{i}") % width for i in range(depth)]
+        assert got[k] == want, k
