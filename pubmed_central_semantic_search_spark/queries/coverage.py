@@ -279,29 +279,59 @@ def q44_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Cardinality sketch (HLL++): at 100 TB, exact count-distinct of a
-# high-cardinality key is a full shuffle; the sketch is a map-side-mergeable
-# fixed-size state. Spark's HLL++ and DuckDB's HLL give DIFFERENT estimates
-# (different implementations), so the oracle contract is the boolean
-# "estimate within 5% of exact" — which must hold in BOTH engines — plus
-# the exact count itself.
+# Sketch tier in ONE tagged union: the HLL++ cardinality sketch and the
+# count–min frequency sketch.
+#
+# HLL arm: at 100 TB, exact count-distinct of a high-cardinality key is a
+# full shuffle; the sketch is a map-side-mergeable fixed-size state.
+# Spark's HLL++ and DuckDB's HLL give DIFFERENT estimates (different
+# implementations), so the oracle contract is the boolean "estimate within
+# 5% of exact" — which must hold in BOTH engines — plus the exact count.
+#
+# CMS arm: the count–min sketch (operators/sketch.py) is content-addressed
+# (md5-derived bucket hashes), so the two engines build BIT-IDENTICAL
+# depth×width tables — the oracle recomputes every cell of the sketch of
+# the events.user_id stream. A value match certifies the bucket hash, the
+# explode/partial-aggregate build, and the cell counts.
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
 
 
 @register(
     "q45_cardinality_sketch",
-    """
-    SELECT event_type,
+    f"""
+    SELECT 'hll' AS kind,
+           event_type,
            count(DISTINCT user_id) AS n_exact,
            abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-             <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct
+             <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct,
+           CAST(NULL AS INT) AS cms_row,
+           CAST(NULL AS INT) AS cms_bucket,
+           CAST(NULL AS BIGINT) AS cms_cnt
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'cms' AS kind,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+           r AS cms_row,
+           CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cms'
+                                     || CAST(r AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {_CMS_WIDTH} AS INT) AS cms_bucket,
+           CAST(COUNT(*) AS BIGINT) AS cms_cnt
+    FROM events, (VALUES (0), (1), (2), (3)) hashrows(r)
+    GROUP BY 1, 2, 3, 4, 5, 6
     """,
-    survey_rows="§2.10 exposure: HLL cardinality sketch (map-side mergeable), A2",
+    survey_rows="§2.10 exposure: HLL cardinality sketch (map-side "
+    "mergeable), A2 + X4/X6 count–min frequency sketch (bit-identical "
+    "cross-engine cells, streaming-foldable)",
 )
 def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build
+
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    hll = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
         (
             # rsd=0.02: Spark's default (0.05) can miss the 5% contract —
@@ -312,7 +342,25 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_within_5pct"),
+    ).select(
+        F.lit("hll").alias("kind"),
+        "event_type",
+        "n_exact",
+        "approx_within_5pct",
+        F.lit(None).cast("int").alias("cms_row"),
+        F.lit(None).cast("int").alias("cms_bucket"),
+        F.lit(None).cast("bigint").alias("cms_cnt"),
     )
+    cms = cms_build(e, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH).select(
+        F.lit("cms").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        F.col("row").alias("cms_row"),
+        F.col("bucket").alias("cms_bucket"),
+        F.col("cnt").alias("cms_cnt"),
+    )
+    return hll.unionByName(cms)
 
 
 # ---------------------------------------------------------------------------

@@ -61,10 +61,17 @@ _BM25_CTE = f"""
 """
 
 
-# Hybrid retrieval in ONE driver row: the BM25 lexical ranking (scores
-# exposed — the oracle's bm25 CTE is the full Okapi contract), the cosine
-# ranking, and their reciprocal-rank fusion. A value match certifies the
-# lexical ranker AND the fusion.
+# Hybrid retrieval in ONE driver row, tagged union of TWO lexical query
+# classes: 'rrf' — the BM25 lexical ranking (scores exposed — the
+# oracle's bm25 CTE is the full Okapi contract), the cosine ranking, and
+# their reciprocal-rank fusion (a value match certifies the lexical
+# ranker AND the fusion); 'phrase' — exact-phrase search over the
+# positional inverted index (operators/retrieval.py phrase_match_counts —
+# term ORDER and adjacency, the query class BM25's bag-of-words cannot
+# express; the oracle recomputes anchors + all-offsets-present from the
+# same token stream).
+
+PHRASE = ("hash", "join")
 
 
 @register(
@@ -91,17 +98,48 @@ _BM25_CTE = f"""
              coalesce(1.0 / (60 + b.bm25_rank), 0)
                + coalesce(1.0 / (60 + c.cos_rank), 0) AS rrf
       FROM bm25_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    ),
+    ptoks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    pq(term, off) AS (VALUES ('{PHRASE[0]}', 0), ('{PHRASE[1]}', 1)),
+    pstarts AS (
+      SELECT t.doc_id, t.pos - pq.off AS anchor
+      FROM ptoks t JOIN pq ON t.token = pq.term
+      WHERE t.pos - pq.off >= 0
+      GROUP BY t.doc_id, t.pos - pq.off
+      HAVING COUNT(DISTINCT pq.off) = {len(PHRASE)}
     )
-    SELECT doc_id, round(rrf, 6) AS rrf_score,
-           row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
-           bm25_rank, cos_rank, bm25_score
-    FROM fused
-    QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20
+    SELECT 'rrf' AS kind, doc_id, rrf_score, fused_rank,
+           bm25_rank, cos_rank, bm25_score,
+           CAST(NULL AS BIGINT) AS n_matches
+    FROM (
+      SELECT doc_id, round(rrf, 6) AS rrf_score,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
+             bm25_rank, cos_rank, bm25_score
+      FROM fused
+      QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20
+    )
+    UNION ALL
+    SELECT 'phrase' AS kind, doc_id,
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS BIGINT) AS fused_rank,
+           CAST(NULL AS BIGINT) AS bm25_rank,
+           CAST(NULL AS BIGINT) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS bm25_score,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pstarts GROUP BY doc_id
     """,
     survey_rows="X4 (BM25 lexical ranking, scores exposed) + Q1 fusion "
-    "(hybrid lexical+vector retrieval), A4",
+    "(hybrid lexical+vector retrieval), A4 + exact-phrase search over a "
+    "positional inverted index (term order + adjacency)",
 )
 def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import phrase_match_counts
+
     docs = load(spark, sf_dir, "documents")
     bm25_top = bm25_rank(docs, BM25_TERMS, k=100)
     emb = load(spark, sf_dir, "embeddings")
@@ -126,9 +164,25 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = rrf_fuse(bm25_top, cos_top, k=20)
     # expose the BM25 scores themselves (the lexical-ranker value contract,
     # not just its ordering); -1.0 marks cos-only docs on both sides.
-    return fused.join(
+    rrf = fused.join(
         F.broadcast(bm25_top.select("doc_id", "bm25_score")), "doc_id", "left"
     ).withColumn("bm25_score", F.coalesce("bm25_score", F.lit(-1.0)))
+    rrf = rrf.select(
+        F.lit("rrf").alias("kind"),
+        *[F.col(c) for c in rrf.columns],
+        F.lit(None).cast("bigint").alias("n_matches"),
+    )
+    phrase = phrase_match_counts(docs, list(PHRASE)).select(
+        F.lit("phrase").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("double").alias("rrf_score"),
+        F.lit(None).cast("bigint").alias("fused_rank"),
+        F.lit(None).cast("bigint").alias("bm25_rank"),
+        F.lit(None).cast("bigint").alias("cos_rank"),
+        F.lit(None).cast("double").alias("bm25_score"),
+        F.col("n_matches"),
+    )
+    return rrf.unionByName(phrase)
 
 
 # Content-addressed sampling pack in ONE per-doc frame: the md5-bucket

@@ -129,9 +129,20 @@ def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2 — EXACT n-gram Jaccard (no MinHash): inverted-index self-join, only
-# docs sharing a shingle ever meet. The planted copies must surface with
-# jaccard ≥ 0.5; unrelated docs share almost no 3-gram.
+# X2 — two exact similarity joins in ONE tagged union.
+#
+# 'jaccard' arm: EXACT n-gram Jaccard (no MinHash): inverted-index
+# self-join, only docs sharing a shingle ever meet. The planted copies
+# must surface with jaccard ≥ 0.5; unrelated docs share almost no 3-gram.
+#
+# 'fuzzy' arm: the q-gram-blocked edit-distance join
+# (operators/dedup.py fuzzy_string_pairs — entity resolution over title
+# surrogates). The ORACLE is the brute-force definition — every pair with
+# levenshtein <= 3 — so a value match certifies the blocking math
+# (pigeonhole + #short band + hot-gram fallback) recovers EXACTLY the
+# semantic answer, not merely a plausible candidate set.
+
+_FUZZY_N, _FUZZY_LEN, _FUZZY_D = 120, 24, 3
 
 
 @register(
@@ -144,8 +155,14 @@ def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-    SELECT * FROM (
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    titles AS (
+      SELECT doc_id, substr(text, 1, {_FUZZY_LEN}) AS t
+      FROM documents WHERE doc_id < {_FUZZY_N}
+    )
+    SELECT 'jaccard' AS kind, id_a, id_b, n_intersect, n_union, jaccard,
+           CAST(NULL AS INT) AS dist
+    FROM (
       SELECT id_a, id_b, n_intersect,
              ca.n_sh + cb.n_sh - n_intersect AS n_union,
              round(CAST(n_intersect AS DOUBLE) / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
@@ -153,12 +170,46 @@ def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cnt ca ON ca.doc_id = id_a
       JOIN cnt cb ON cb.doc_id = id_b
     ) WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'fuzzy' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(NULL AS BIGINT) AS n_intersect,
+           CAST(NULL AS BIGINT) AS n_union,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+    FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= {_FUZZY_D}
     """,
-    survey_rows="X2 (exact n-gram Jaccard, inverted-index join)",
+    survey_rows="X2 (exact n-gram Jaccard, inverted-index join; q-gram-"
+    "blocked edit-distance similarity join vs the brute-force oracle)",
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fuzzy_string_pairs
+
     corpus = _planted_text_corpus(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5)
+    jac = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5
+    ).select(
+        F.lit("jaccard").alias("kind"),
+        "id_a",
+        "id_b",
+        "n_intersect",
+        "n_union",
+        "jaccard",
+        F.lit(None).cast("int").alias("dist"),
+    )
+    titles = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _FUZZY_N
+    ).select("doc_id", F.substring("text", 1, _FUZZY_LEN).alias("title"))
+    fuzzy = fuzzy_string_pairs(titles, "doc_id", "title", max_dist=_FUZZY_D).select(
+        F.lit("fuzzy").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("bigint").alias("n_intersect"),
+        F.lit(None).cast("bigint").alias("n_union"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+    return jac.unionByName(fuzzy)
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +458,64 @@ _SQL_CHAIN_CORPUS = f"""
 """
 
 
+# The 'semantic' arm absorbs SemDeDup (operators/dedup.py semantic_dedup,
+# arXiv:2303.09540): k-means-blocked within-cluster cosine pairs on the
+# planted vector corpus, component resolution, and the paper's
+# keep-farthest-from-centroid survivor rule. Centroids are the
+# deterministic seed set (k lowest-id vectors), so the oracle recomputes
+# the unit-normalized centroid matrix, the argmax-dot assignment (ties →
+# lowest cluster id — the operator's struct-sort order), the blocked
+# pair set, the transitive closure, and the survivor election value for
+# value.
+
+_SEM_K = 4
+
+_SQL_SEM_ARM = f"""
+    vcents AS (
+      SELECT vec_id AS cid,
+             list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0e0,
+               list_transform(emb, y -> y * y)), (acc, t) -> acc + t))) AS cvec
+      FROM vcorpus WHERE vec_id < {_SEM_K}
+    ),
+    sassign AS (
+      SELECT vec_id, emb, cid AS cluster_id FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.emb, c.cvec) DESC, c.cid
+               ) AS rn
+        FROM vcorpus v CROSS JOIN vcents c
+      ) WHERE rn = 1
+    ),
+    spairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sassign a JOIN sassign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.99
+    ),
+    sedges AS (
+      SELECT id_a AS u, id_b AS v FROM spairs
+      UNION SELECT id_b, id_a FROM spairs
+    ),
+    sreach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM sassign
+      UNION
+      SELECT e.v, r.lbl FROM sreach r JOIN sedges e ON e.u = r.id
+    ),
+    scomp AS (SELECT id, min(lbl) AS component FROM sreach GROUP BY id),
+    ssurv AS (
+      SELECT sc.id AS doc_id, sa.cluster_id, sc.component,
+             row_number() OVER (
+               PARTITION BY sc.component
+               ORDER BY list_cosine_similarity(sa.emb, c.cvec) ASC, sc.id
+             ) = 1 AS is_survivor
+      FROM scomp sc
+      JOIN sassign sa ON sa.vec_id = sc.id
+      JOIN vcents c ON c.cid = sa.cluster_id
+    )
+"""
+
+
 @register(
     "q53_dup_clusters",
     f"""
@@ -436,14 +545,28 @@ _SQL_CHAIN_CORPUS = f"""
       SELECT doc_id, doc_id FROM corpus
       UNION
       SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
-    )
-    SELECT id AS doc_id, min(lbl) AS component,
+    ),
+    {_SQL_VEC_CORPUS},
+    {_SQL_SEM_ARM}
+    SELECT 'lexical' AS kind, id AS doc_id,
+           CAST(NULL AS INT) AS cluster_id,
+           min(lbl) AS component,
            id = min(lbl) AS is_survivor
     FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'semantic' AS kind, doc_id,
+           CAST(cluster_id AS INT) AS cluster_id,
+           component, is_survivor
+    FROM ssurv
     """,
-    survey_rows="X1/X2 (duplicate-cluster resolution, large-star/small-star CC)",
+    survey_rows="X1/X2 (duplicate-cluster resolution, large-star/small-"
+    "star CC) + X2/X7 SemDeDup (k-means-blocked semantic dedup, "
+    "far-from-centroid survivor rule)",
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import seed_centroids
+    from ..operators.dedup import semantic_dedup
+
     corpus = _chained_text_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
@@ -452,6 +575,29 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r2 audit: slowest registry entry, 3.8 s) — two star rounds per
     # signature action halve the round-trips; at 100 TB callers keep the
     # default per-round check (see connected_components docstring).
-    return assign_components(
+    lexical = assign_components(
         corpus.select("doc_id"), "doc_id", pairs, check_every=2
-    ).select("doc_id", "component", "is_survivor")
+    ).select(
+        F.lit("lexical").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("int").alias("cluster_id"),
+        "component",
+        "is_survivor",
+    )
+    vec = _planted_vec_corpus(spark, sf_dir)
+    cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
+    sem = semantic_dedup(
+        vec,
+        cents,
+        id_col="vec_id",
+        vec_col="emb",
+        min_cosine=0.99,
+        keep="far_from_centroid",
+    ).select(
+        F.lit("semantic").alias("kind"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "component",
+        "is_survivor",
+    )
+    return lexical.unionByName(sem)
