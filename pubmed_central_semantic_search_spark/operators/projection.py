@@ -203,6 +203,25 @@ def pca_project_np(
     )
 
 
+def project_vec(
+    model: PCAModel,
+    vec: list[float],
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> list[float]:
+    """Driver-side twin of ``pca_project`` for a SINGLE vector — the query
+    side of projected retrieval (the corpus is projected once at rest;
+    each query projects in O(dim·out_dim) on the driver and rides into the
+    plan as a literal). Same centering/whitening math as the column
+    expression."""
+    comps = model.components
+    if whiten:
+        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
+        comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
+    centered = [float(x) - m for x, m in zip(vec, model.mean)]
+    return [sum(w * c for w, c in zip(row, centered)) for row in comps]
+
+
 def explained_variance_ratio(model: PCAModel, total_variance: float) -> list[float]:
     """Per-component share of ``total_variance`` (pass trace(cov) or the
     sum over a FULL-rank fit's eigvals)."""

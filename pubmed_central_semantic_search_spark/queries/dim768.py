@@ -267,6 +267,86 @@ def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "component int, variance double")
 
 
+def x768_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ON the PCA projection — the storage/latency claim of
+    operators/projection.py made concrete and paired with
+    ``x768_topk_cosine`` (same query, full width): fit 768→64 once,
+    project corpus (BLAS twin) and query (driver-side ``project_vec``),
+    then the certified top-k cosine runs in the 64-dim space — 12× fewer
+    flops per score and a 12× smaller vector column at rest. The ranking
+    contract vs full-dim (projection preserves centered cosine exactly at
+    full rank; recall@k bound when lossy) is pinned in
+    tests/test_projection.py."""
+    from ..functions.vector import cosine_similarity
+    from ..operators.projection import pca_fit, pca_project_np, project_vec
+    from ..operators.topk import top_k
+
+    emb = corpus_768(spark, sf_dir).persist()
+    model = pca_fit(emb, "embedding", out_dim=64)
+    proj = pca_project_np(emb, model, "embedding", out_col="proj")
+    pq_vec = project_vec(model, widen_list(QUERY_VEC))
+    scored = proj.select(
+        "vec_id",
+        cosine_similarity("proj", array_lit(pq_vec)).alias("score"),
+    )
+    out = top_k(scored, "score", 5, tiebreak=["vec_id"]).withColumn(
+        "score", F.round("score", 6)
+    )
+    rows = out.collect()
+    emb.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def x768_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern retrieval tier in ONE composition — what q41 is for
+    curation, this is for serving: PCA-whiten 768→64 (storage/flops cut,
+    variance-equalized space) → sample-trained coarse quantizer (IVF
+    routing) → PQ codebooks on the projected space → IVF-PQ search (probe
+    nprobe lists, ADC over codes, exact re-rank) → MMR diversification of
+    the final page. Every stage's individual contract is certified
+    elsewhere (x768_pca_whiten / q37 / q47 'pq' / x_mmr_rerank); this
+    entry prices the composition end to end at the reference's real
+    width."""
+    from ..operators.clustering import lloyd_kmeans
+    from ..operators.pq import ivfpq_topk, train_pq
+    from ..operators.projection import pca_fit, pca_project_np, project_vec
+    from ..operators.retrieval import mmr_rerank
+
+    emb = corpus_768(spark, sf_dir).persist()
+    model = pca_fit(emb, "embedding", out_dim=64)
+    proj = pca_project_np(emb, model, "embedding", out_col="pvec", whiten=True)
+    proj = proj.select("vec_id", "pvec").persist()
+    qvec = project_vec(model, widen_list(QUERY_VEC), whiten=True)
+    # sample-trained coarse quantizer + PQ codebooks (training cost is
+    # sample-sized at any corpus scale — the x768_kmeans rule)
+    train = proj.filter(F.col("vec_id") % 16 == 0)
+    _, cents = lloyd_kmeans(
+        train, k=8, n_iter=1, id_col="vec_id", vec_col="pvec", dim=64
+    )
+    books = train_pq(
+        proj.filter(F.col("vec_id") < 1000),
+        m=8,
+        ksub=16,
+        dim=64,
+        n_iter=1,
+        vec_col="pvec",
+    )
+    cands = ivfpq_topk(
+        proj, qvec, cents, books, k=30, nprobe=4, rerank=100, vec_col="pvec"
+    )
+    # broadcast the k-sized candidate list, never the corpus side
+    with_vecs = proj.join(F.broadcast(cands), "vec_id").select(
+        "vec_id", "score", "pvec"
+    )
+    out = mmr_rerank(
+        with_vecs, qvec, k=10, lam=0.6, id_col="vec_id", vec_col="pvec"
+    )
+    rows = out.collect()
+    emb.unpersist()
+    proj.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training end to end: corpus → build_vocab (one
     token-stream aggregate) → 12 merge iterations over the vocab table
@@ -335,6 +415,8 @@ BENCH_EXTRAS = {
     "x_semdedup": x_semdedup,
     "x_mmr_rerank": x_mmr_rerank,
     "x768_pca_whiten": x768_pca_whiten,
+    "x768_pca_search": x768_pca_search,
+    "x768_serving_stack": x768_serving_stack,
     "x_phrase_search": x_phrase_search,
     "x_bpe_train": x_bpe_train,
 }

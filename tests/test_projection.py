@@ -233,3 +233,112 @@ def test_np_projection_closure_is_self_contained():
         assert r.returncode == 0, f"not self-contained:\n{r.stderr[-2000:]}"
     finally:
         os.unlink(path)
+
+
+def _topk_ids(df, vec_col, qvec, k):
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        array_lit,
+        cosine_similarity,
+    )
+
+    return [
+        r["vec_id"]
+        for r in df.select(
+            "vec_id",
+            F.round(cosine_similarity(vec_col, array_lit(qvec)), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_pca_search_full_rank_preserves_centered_ranking(spark, sf_dir):
+    """The retrieval contract behind x768_pca_search: projecting onto a
+    FULL-rank component set preserves the centered-cosine ranking exactly
+    (P is orthonormal over the data subspace, so centered inner products
+    and norms survive) — at the bench's 768→64 the tiled corpus has rank
+    <= 64, making the 12× compression lossless for retrieval."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.functions.vector import array_lit
+    from pubmed_central_semantic_search_spark.operators.projection import (
+        project_vec,
+    )
+    from pubmed_central_semantic_search_spark.registry import QUERY_VEC, load
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", out_dim=64)
+    proj = pca_project(emb, model, "embedding", out_col="p")
+    got = _topk_ids(proj, "p", project_vec(model, QUERY_VEC), 20)
+    centered = emb.withColumn(
+        "cvec",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            array_lit(model.mean),
+            lambda a, b: a - b,
+        ),
+    )
+    qc = [q - m for q, m in zip(QUERY_VEC, model.mean)]
+    want = _topk_ids(centered, "cvec", qc, 20)
+    assert got == want
+
+
+def test_pca_search_low_rank_recall_contract(spark):
+    """The lossy tier's recall claim: on a corpus with genuine low-rank
+    structure (8-dim latent mixed up to 64 observed dims + small noise —
+    the shape real embedding corpora have, unlike the isotropic test
+    table), retrieval on the 8-dim projection recovers >= 90% of the
+    full-dim top-10."""
+    import math
+
+    from pubmed_central_semantic_search_spark.operators.projection import (
+        project_vec,
+    )
+
+    latent_dim, obs_dim, n = 8, 64, 300
+    # deterministic mixing matrix + latent factors (trig lattice, no RNG)
+    mix = [
+        [math.sin(0.7 * i + 1.3 * j + 0.4) for j in range(latent_dim)]
+        for i in range(obs_dim)
+    ]
+
+    def vec(i):
+        z = [math.sin(1.1 * i + 2.0 * k) for k in range(latent_dim)]
+        return [
+            sum(m * zz for m, zz in zip(row, z))
+            + 0.01 * math.sin(3.1 * i + 7 * d)
+            for d, row in enumerate(mix)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    q = vec(99991)
+    full = _topk_ids(df, "embedding", q, 10)
+    model = pca_fit(df, "embedding", out_dim=latent_dim)
+    proj = pca_project(df, model, "embedding", out_col="p")
+    got = _topk_ids(proj, "p", project_vec(model, q), 10)
+    recall = len(set(got) & set(full)) / 10
+    assert recall >= 0.9, (recall, got, full)
+
+
+def test_project_vec_matches_column_expression(spark):
+    """project_vec (the query-side driver twin) must agree with the
+    pca_project column expression on the same vectors — whitened and
+    plain."""
+    df = _df(spark)
+    model = pca_fit(df, out_dim=4)
+    for whiten in (False, True):
+        proj = pca_project(df, model, out_col="p", whiten=whiten)
+        rows = proj.select("vec_id", "embedding", "p").orderBy("vec_id").limit(5).collect()
+        from pubmed_central_semantic_search_spark.operators.projection import (
+            project_vec,
+        )
+
+        for r in rows:
+            want = project_vec(model, list(r["embedding"]), whiten=whiten)
+            got = list(r["p"])
+            assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), whiten
