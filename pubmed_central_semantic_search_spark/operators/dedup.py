@@ -788,6 +788,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     keep: str = "min_id",
+    check_every: int = 1,
 ) -> DataFrame:
     """X2/X7 composition — SemDeDup (Abbas, Tirumala, Simig, Ganguli,
     Morcos, "SemDeDup: Data-efficient learning at web-scale through
@@ -823,7 +824,9 @@ def semantic_dedup(
     pairs = embedding_near_dup(
         assigned, id_col, vec_col, block_col="cluster_id", min_cosine=min_cosine
     ).select("id_a", "id_b")
-    labeled = assign_components(assigned, id_col, pairs)
+    labeled = assign_components(
+        assigned, id_col, pairs, check_every=check_every
+    )
     if keep == "min_id":
         return labeled
     if keep != "far_from_centroid":

@@ -564,40 +564,71 @@ _SQL_SEM_ARM = f"""
     "far-from-centroid survivor rule)",
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
     from ..operators.clustering import seed_centroids
     from ..operators.dedup import semantic_dedup
 
-    corpus = _chained_text_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
-    ).select("id_a", "id_b")
-    # check_every=2: locally this query is driver-action bound (the judge's
-    # r2 audit: slowest registry entry, 3.8 s) — two star rounds per
-    # signature action halve the round-trips; at 100 TB callers keep the
-    # default per-round check (see connected_components docstring).
-    lexical = assign_components(
-        corpus.select("doc_id"), "doc_id", pairs, check_every=2
-    ).select(
-        F.lit("lexical").alias("kind"),
-        "doc_id",
-        F.lit(None).cast("int").alias("cluster_id"),
-        "component",
-        "is_survivor",
-    )
-    vec = _planted_vec_corpus(spark, sf_dir)
-    cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
-    sem = semantic_dedup(
-        vec,
-        cents,
-        id_col="vec_id",
-        vec_col="emb",
-        min_cosine=0.99,
-        keep="far_from_centroid",
-    ).select(
-        F.lit("semantic").alias("kind"),
-        F.col("vec_id").alias("doc_id"),
-        F.col("cluster_id").cast("int").alias("cluster_id"),
-        "component",
-        "is_survivor",
-    )
-    return lexical.unionByName(sem)
+    # Both arms run iterative connected components, whose cost HERE is
+    # driver-action latency, not data (the star rounds shuffle hundreds of
+    # edges). check_every=2 halves the round-trips per arm (at 100 TB
+    # callers keep the default per-round check — see connected_components
+    # docstring), and the two INDEPENDENT arms build on separate threads
+    # so their alternating driver round-trips interleave on the shared
+    # scheduler instead of serializing — plan construction is thread-safe
+    # and Spark accepts concurrent job submission on one session.
+    out: dict[str, DataFrame] = {}
+
+    def build_lexical() -> None:
+        corpus = _chained_text_corpus(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(
+            corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
+        ).select("id_a", "id_b")
+        out["lexical"] = assign_components(
+            corpus.select("doc_id"), "doc_id", pairs, check_every=2
+        ).select(
+            F.lit("lexical").alias("kind"),
+            "doc_id",
+            F.lit(None).cast("int").alias("cluster_id"),
+            "component",
+            "is_survivor",
+        )
+
+    def build_semantic() -> None:
+        vec = _planted_vec_corpus(spark, sf_dir)
+        cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
+        out["semantic"] = semantic_dedup(
+            vec,
+            cents,
+            id_col="vec_id",
+            vec_col="emb",
+            min_cosine=0.99,
+            keep="far_from_centroid",
+            check_every=2,
+        ).select(
+            F.lit("semantic").alias("kind"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "component",
+            "is_survivor",
+        )
+
+    errors: list[BaseException] = []
+
+    def run(fn) -> None:
+        try:
+            fn()
+        except BaseException as exc:  # propagate to the caller's thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(build_lexical,)),
+        threading.Thread(target=run, args=(build_semantic,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return out["lexical"].unionByName(out["semantic"])
