@@ -44,6 +44,13 @@ _LANG_CASE = f"""
 # into a single projection: one scan, ZERO shuffles, zero joins (the
 # fingerprint's fold runs over the in-order token array; plan-asserted in
 # tests/test_plans.py). A value match certifies all five signals at once.
+#
+# Plus the SIXTH signal with real aggregation shape: per-document
+# perplexity under a corpus-trained add-one-smoothed bigram LM
+# (operators/lm.py — the CCNet-style quality filter). The oracle
+# recomputes the whole chain (bigram/unigram counts, vocabulary size,
+# smoothed log-probabilities, exp(-avg)), so a match certifies training
+# AND scoring value for value.
 
 
 @register(
@@ -97,6 +104,29 @@ _LANG_CASE = f"""
              list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
                          (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
       FROM ordered
+    ),
+    lm_tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    lm_big AS (
+      SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      FROM lm_tok WHERE len(tk) >= 2
+    ),
+    lm_cb AS (SELECT w1, w2, count(*) AS c12 FROM lm_big GROUP BY 1, 2),
+    lm_cu AS (SELECT w1, count(*) AS c1 FROM lm_big GROUP BY 1),
+    lm_v AS (
+      SELECT count(DISTINCT t) AS vsz FROM (SELECT unnest(tk) AS t FROM lm_tok)
+    ),
+    lm_ppl AS (
+      SELECT b.doc_id,
+             round(exp(-avg(ln((cb.c12 + 1.0) / (cu.c1 + 1.0 * v.vsz)))), 6)
+               AS ppl
+      FROM lm_big b
+      JOIN lm_cb cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN lm_cu cu ON cu.w1 = b.w1
+      CROSS JOIN lm_v v
+      GROUP BY b.doc_id
     )
     SELECT p.doc_id, p.labeled_lang, p.predicted_lang, p.quality_milli,
            p.n_bpe_tokens,
@@ -105,18 +135,23 @@ _LANG_CASE = f"""
            CAST(CASE WHEN len(p.gs) > 0
                 THEN (len(p.gs) - len(list_distinct(p.gs))) * 1000 // len(p.gs)
                 ELSE 0 END AS BIGINT) AS rep_milli,
-           coalesce(fp.fingerprint, -1) AS fingerprint
-    FROM panel p LEFT JOIN fp ON fp.doc_id = p.doc_id
+           coalesce(fp.fingerprint, -1) AS fingerprint,
+           coalesce(lm.ppl, -1.0) AS ppl
+    FROM panel p
+    LEFT JOIN fp ON fp.doc_id = p.doc_id
+    LEFT JOIN lm_ppl lm ON lm.doc_id = p.doc_id
     """,
     survey_rows="X4 panel: language-ID heuristic + integer-deterministic "
     "quality scoring + BPE-ish token counting + repetition ratio (Gopher) "
-    "+ rolling-hash document fingerprint",
+    "+ rolling-hash document fingerprint + bigram-LM perplexity "
+    "(CCNet-style quality filter, train+score certified)",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_perplexity, train_bigram_lm
     from ..operators.textstats import repetition_ratio, rolling_fingerprint_col
 
     d = load(spark, sf_dir, "documents")
-    return repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
+    panel = repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         language_id("text").alias("predicted_lang"),
@@ -126,6 +161,13 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "rep_milli",
         F.coalesce(rolling_fingerprint_col("text"), F.lit(-1)).alias("fingerprint"),
+    )
+    c_big, c_uni, vsz = train_bigram_lm(d)
+    ppl = bigram_perplexity(d, c_big, c_uni, vsz).select(
+        "doc_id", F.round("ppl", 6).alias("ppl")
+    )
+    return panel.join(ppl, "doc_id", "left").withColumn(
+        "ppl", F.coalesce("ppl", F.lit(-1.0))
     )
 
 

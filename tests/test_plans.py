@@ -236,13 +236,43 @@ def test_vocab_corpus_stages_are_partial_aggregated(spark, sf_dir):
 
 
 def test_text_analysis_panel_is_one_narrow_projection(spark, sf_dir):
-    """q28: all five text signals (lang-ID, quality, BPE count, repetition,
-    rolling fingerprint) are pure row functions — the plan must be a
-    single scan with NO exchange and NO join."""
-    plan = _q("q28_text_analysis", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    """The five per-row text signals (lang-ID, quality, BPE count,
+    repetition, rolling fingerprint) are pure row functions — their
+    sub-plan must be a single scan with NO exchange and NO join. (q28
+    additionally LEFT-joins the bigram-LM perplexity aggregate onto this
+    panel — covered by the next assertion set.)"""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        bpe_token_count,
+        language_id,
+        quality_score,
+        repetition_ratio,
+        rolling_fingerprint_col,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    panel = repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
+        "doc_id",
+        language_id("text").alias("predicted_lang"),
+        "quality_milli",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        "rep_milli",
+        F.coalesce(rolling_fingerprint_col("text"), F.lit(-1)).alias("fingerprint"),
+    )
+    plan = panel._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_text_analysis_fused_ppl_joins_are_disciplined(spark, sf_dir):
+    """Fused q28: the perplexity arm's model joins ride broadcast, there
+    is no cartesian product, and no Python stage enters the plan."""
+    plan = _q("q28_text_analysis", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_minhash_first_shuffle_is_the_candidate_join(spark, sf_dir):
