@@ -1,0 +1,208 @@
+"""Hashed linear text classifier (EXT X4 — the fastText-style quality
+gate) with DISTRIBUTED full-batch training.
+
+LLM curation pipelines gate documents with a small supervised linear
+classifier over hashed bag-of-words features (the fastText-classifier
+pattern: quality/domain filters trained on a labeled sample). The
+reference has no filtering at all (``/root/reference/src/backend/
+data_fetching/data_fetcher.py:48-57`` ingests everything); this module
+supplies the tier Spark-first, with the same execution discipline as the
+package's other trainers (Lloyd k-means, PCA, BPE): per-iteration work is
+ONE aggregate pass over the data, the model state is a driver-sized
+vector that rides back into the plan as a packed literal.
+
+Stages:
+
+- **Featurize** (`hashed_features`, pure Catalyst, narrow): token →
+  content-addressed bucket (``md5_prefix_long`` — the package-wide hash
+  primitive, so features are identical cross-engine/cross-run) →
+  normalized per-bucket counts as a dense ``array<double>`` of length
+  ``n_buckets``. No shuffle.
+- **Train** (`train_logreg`): full-batch gradient descent for logistic
+  regression. Each iteration: per-row residual ``sigmoid(w·x + b) − y``
+  is a narrow expression against the CURRENT weights (packed literal);
+  the gradient is ONE posexplode + groupBy(pos) aggregate — the
+  mean-pool/recompute_centroids shape that partial-combines map-side and
+  shuffles ``n_buckets`` partials per partition. The driver applies the
+  update (O(n_buckets), corpus-independent) and re-broadcasts. Lineage is
+  flat because each iteration reads the (persisted) feature frame, not
+  the previous iteration's plan.
+- **Score** (`logreg_score`): ``sigmoid(w·x + b)`` as a pure projection —
+  the 100 TB inference pass is a narrow scan, exactly like the k-means
+  assignment.
+
+Deterministic end to end (zero-init weights, fixed lr/iterations, no
+RNG); training is pinned against a plain-numpy full-batch reference in
+tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import array_lit
+from .curation import md5_prefix_long
+
+
+@dataclass(frozen=True)
+class LogRegModel:
+    weights: list[float]  # n_buckets
+    bias: float
+    n_buckets: int
+
+
+def token_bucket(token_col: Column | str, n_buckets: int) -> Column:
+    """Content-addressed feature bucket of a token (shared md5 primitive,
+    ``#feat`` salt) — identical across engines and runs."""
+    return (md5_prefix_long(token_col, "#feat") % n_buckets).cast("int")
+
+
+def hashed_features(
+    text_col: Column | str, n_buckets: int = 64, out_dtype: str = "array<double>"
+) -> Column:
+    """Dense normalized hashed-BoW vector: feat[d] = (#tokens in bucket d)
+    / n_tokens. Pure Catalyst, narrow (no explode, no shuffle); empty
+    texts yield the zero vector.
+
+    Shape note: each token hashes ONCE (the bucket array is materialized
+    before the fold); the fold then updates the ``n_buckets``-slot
+    accumulator per token. The per-row cost is O(n_tokens × n_buckets)
+    slot copies — fine at feature dims in the tens-to-hundreds this
+    classifier tier uses; for larger dims switch the featurizer to the
+    Arrow kernel tier (operators/vectorized.py pattern)."""
+    tk = F.filter(F.split(text_col, " "), lambda t: t != "")
+    tkb = F.transform(tk, lambda t: token_bucket(t, n_buckets))
+    zero = F.array_repeat(F.lit(0.0), n_buckets)
+    counts = F.aggregate(
+        tkb,
+        zero,
+        lambda acc, bkt: F.transform(
+            acc, lambda c, i: F.when(bkt == i, c + 1.0).otherwise(c)
+        ),
+    )
+    n = F.size(tk)
+    return F.when(n > 0, F.transform(counts, lambda c: c / n)).otherwise(
+        counts
+    ).cast(out_dtype)
+
+
+def hashed_features_np(text_col: Column | str, n_buckets: int = 64) -> Column:
+    """Arrow-kernel twin of ``hashed_features`` (equivalence test-pinned):
+    one pandas_udf batch hashes tokens with the SAME md5 primitive
+    (hashlib twin of ``md5_prefix_long``) and bincounts per row — the
+    production featurizer for wide feature spaces or heavy corpora, where
+    the Catalyst fold's O(n_tokens × n_buckets) interpreted slot copies
+    dominate. Closure ships by value (imports in body, int capture)."""
+    from pyspark.sql.functions import pandas_udf
+
+    nb = int(n_buckets)
+
+    @pandas_udf("array<double>")
+    def _feat(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+
+        def bucket(tok: str) -> int:
+            b = cache.get(tok)
+            if b is None:
+                b = int(hashlib.md5(f"{tok}#feat".encode()).hexdigest()[:8], 16) % nb
+                cache[tok] = b
+            return b
+
+        out = []
+        for text in texts:
+            toks = [t for t in (text or "").split(" ") if t]
+            if not toks:
+                out.append([0.0] * nb)
+                continue
+            counts = np.bincount([bucket(t) for t in toks], minlength=nb)
+            out.append((counts / len(toks)).tolist())
+        return pd.Series(out)
+
+    return _feat(text_col if isinstance(text_col, Column) else F.col(text_col))
+
+
+def _dot_lit(vec_col: Column | str, weights: list[float]) -> Column:
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.zip_with(vec, array_lit(weights), lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_logreg(
+    feats: DataFrame,
+    label_col: str = "label",
+    feat_col: str = "feat",
+    n_buckets: int = 64,
+    lr: float = 1.0,
+    n_iter: int = 10,
+) -> LogRegModel:
+    """Full-batch logistic-regression GD over a featurized frame
+    (label ∈ {0, 1}). Per iteration: one aggregate pass (posexplode +
+    groupBy(pos), plus the scalar bias-gradient/count in the same job via
+    a grouping on pos = −1 for the residual itself). Weights start at
+    zero — deterministic. Callers should persist ``feats`` (n_iter scans).
+    """
+    import numpy as np
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    for _ in range(n_iter):
+        resid = (
+            _sigmoid(_dot_lit(feat_col, w.tolist()) + F.lit(b))
+            - F.col(label_col).cast("double")
+        ).alias("_r")
+        # gradient rows: pos ∈ [0, n_buckets) carry Σ r·x_d; pos = −1
+        # carries Σ r (bias gradient); n rides along for the mean
+        g = (
+            feats.select(resid, F.col(feat_col).alias("_x"))
+            .select(
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).alias("pos"), F.col("_r").alias("gv")
+                            )
+                        ),
+                        F.zip_with(
+                            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                            F.transform("_x", lambda x: x * F.col("_r")),
+                            lambda i, v: F.struct(
+                                i.alias("pos"), v.alias("gv")
+                            ),
+                        ),
+                    )
+                ).alias("_g")
+            )
+            .groupBy(F.col("_g.pos").alias("pos"))
+            .agg(F.sum("_g.gv").alias("gsum"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        grad = {int(r["pos"]): float(r["gsum"]) for r in g}
+        n_rows = next(int(r["n"]) for r in g)
+        w -= (lr / n_rows) * np.array(
+            [grad.get(d, 0.0) for d in range(n_buckets)]
+        )
+        b -= (lr / n_rows) * grad.get(-1, 0.0)
+    return LogRegModel(weights=w.tolist(), bias=float(b), n_buckets=n_buckets)
+
+
+def logreg_score(
+    model: LogRegModel, feat_col: Column | str = "feat"
+) -> Column:
+    """Inference as a pure projection: sigmoid(w·x + b) with the weights
+    as ONE packed literal — the narrow 100 TB scoring scan."""
+    return _sigmoid(_dot_lit(feat_col, model.weights) + F.lit(model.bias))

@@ -347,6 +347,56 @@ def x768_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality gate end to end (operators/classifier.py):
+    hashed-BoW featurize (narrow, content-addressed buckets) → full-batch
+    logistic-regression GD on a deterministic 1/4 training sample (one
+    aggregate pass per iteration, weights ride as packed literals) →
+    score the FULL corpus as a pure projection. Output: per-source mean
+    score + accuracy on a token-derived label (does the doc mention
+    'vector') — learnable from hashed BoW, so the accuracy column is the
+    training sanity signal (contract-tested in test_classifier.py on a
+    separable corpus)."""
+    from ..operators.classifier import (
+        hashed_features_np,
+        logreg_score,
+        train_logreg,
+    )
+
+    # Arrow-kernel featurizer (hashed_features_np — ≡ the certified
+    # Catalyst fold, test-pinned), featurized ONCE and persisted: the GD
+    # iterations and the final scoring pass all read the cached features.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(
+            "doc_id",
+            "source",
+            F.array_contains(F.split("text", " "), "vector").cast("int").alias("label"),
+            hashed_features_np("text", 64).alias("feat"),
+        )
+        .persist()
+    )
+    train = docs.filter(F.col("doc_id") % 4 == 0)
+    model = train_logreg(train, n_buckets=64, lr=8.0, n_iter=6)
+    scored = docs.select(
+        "source",
+        "label",
+        logreg_score(model, "feat").alias("p"),
+    )
+    out = scored.groupBy("source").agg(
+        F.round(F.avg("p"), 6).alias("mean_score"),
+        F.round(
+            F.avg(((F.col("p") > 0.5).cast("int") == F.col("label")).cast("double")),
+            6,
+        ).alias("accuracy"),
+    )
+    rows = out.collect()
+    docs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training end to end: corpus → build_vocab (one
     token-stream aggregate) → 12 merge iterations over the vocab table
@@ -419,4 +469,5 @@ BENCH_EXTRAS = {
     "x768_serving_stack": x768_serving_stack,
     "x_phrase_search": x_phrase_search,
     "x_bpe_train": x_bpe_train,
+    "x_quality_classifier": x_quality_classifier,
 }

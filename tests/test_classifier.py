@@ -1,0 +1,163 @@
+"""Hashed linear classifier (operators/classifier.py) — featurizer pinned
+against the shared hash primitive, full-batch GD training pinned against
+an identical plain-numpy loop, inference plan pinned narrow."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.operators.classifier import (
+    hashed_features,
+    logreg_score,
+    token_bucket,
+    train_logreg,
+)
+from pubmed_central_semantic_search_spark.operators.curation import (
+    md5_prefix_long_py,
+)
+
+D = 16
+
+# Two separable "languages": stopword-ish tokens vs digit-ish tokens.
+DOCS = [
+    (0, "the of and the is of", 1),
+    (1, "the and and of is", 1),
+    (2, "of the is is and the of", 1),
+    (3, "12 99 7 303 5", 0),
+    (4, "7 7 12 99", 0),
+    (5, "303 5 5 99 12 7", 0),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, label int")
+
+
+def _py_feat(text: str) -> list[float]:
+    toks = [t for t in text.split(" ") if t]
+    v = [0.0] * D
+    for t in toks:
+        v[md5_prefix_long_py(t, "#feat") % D] += 1.0
+    return [x / len(toks) for x in v] if toks else v
+
+
+def test_hashed_features_match_python_twin(spark):
+    rows = (
+        _df(spark)
+        .select("doc_id", "text", hashed_features("text", D).alias("feat"))
+        .collect()
+    )
+    for r in rows:
+        want = _py_feat(r["text"])
+        assert list(r["feat"]) == pytest.approx(want, abs=1e-12), r["doc_id"]
+
+
+def test_empty_text_yields_zero_vector(spark):
+    row = (
+        spark.createDataFrame([("",)], "text string")
+        .select(hashed_features("text", D).alias("feat"))
+        .first()
+    )
+    assert list(row["feat"]) == [0.0] * D
+
+
+def _py_train(feats, labels, lr=1.0, n_iter=10):
+    x = np.array(feats, dtype=np.float64)
+    y = np.array(labels, dtype=np.float64)
+    w = np.zeros(D)
+    b = 0.0
+    for _ in range(n_iter):
+        r = 1.0 / (1.0 + np.exp(-(x @ w + b))) - y
+        w -= (lr / len(y)) * (x.T @ r)
+        b -= (lr / len(y)) * r.sum()
+    return w, b
+
+
+def test_training_matches_numpy_reference(spark):
+    df = _df(spark).select(
+        "doc_id", "label", hashed_features("text", D).alias("feat")
+    )
+    model = train_logreg(df, n_buckets=D, lr=1.0, n_iter=10)
+    rows = df.orderBy("doc_id").collect()
+    w, b = _py_train([list(r["feat"]) for r in rows], [r["label"] for r in rows])
+    assert model.weights == pytest.approx(w.tolist(), abs=1e-9)
+    assert model.bias == pytest.approx(b, abs=1e-9)
+
+
+def test_trained_model_separates_and_scores_match(spark):
+    df = _df(spark).select(
+        "doc_id", "text", "label", hashed_features("text", D).alias("feat")
+    ).persist()
+    model = train_logreg(df, n_buckets=D, lr=2.0, n_iter=50)
+    scored = df.select(
+        "doc_id", "label", logreg_score(model, "feat").alias("p")
+    ).collect()
+    # separable classes: every prediction lands on the right side of 0.5
+    for r in scored:
+        assert (r["p"] > 0.5) == (r["label"] == 1), (r["doc_id"], r["p"])
+    # score expression matches driver-side sigmoid(w·x + b)
+    feats = {
+        r["doc_id"]: _py_feat(dict(DOCS_BY_ID)[r["doc_id"]]) for r in scored
+    }
+    for r in scored:
+        z = sum(a * b for a, b in zip(model.weights, feats[r["doc_id"]]))
+        want = 1.0 / (1.0 + math.exp(-(z + model.bias)))
+        assert r["p"] == pytest.approx(want, abs=1e-12)
+    df.unpersist()
+
+
+DOCS_BY_ID = [(i, t) for i, t, _ in DOCS]
+
+
+def test_inference_plan_is_narrow(spark, sf_dir):
+    """The 100 TB scoring pass: featurize + sigmoid(w·x+b) must be one
+    scan — no exchange, no join, no Python stage."""
+    from pubmed_central_semantic_search_spark.operators.classifier import (
+        LogRegModel,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = LogRegModel(weights=[0.1] * D, bias=0.0, n_buckets=D)
+    out = docs.select(
+        "doc_id",
+        logreg_score(model, hashed_features("text", D)).alias("p"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_bucket_matches_shared_primitive(spark):
+    keys = ["alpha", "beta", "", "γ"]
+    df = spark.createDataFrame([(k,) for k in keys], "t string")
+    got = {
+        r["t"]: r["b"]
+        for r in df.select("t", token_bucket("t", D).alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == md5_prefix_long_py(k, "#feat") % D
+
+
+def test_np_featurizer_matches_catalyst_path(spark, sf_dir):
+    """The Arrow kernel twin must produce the exact same feature vectors
+    as the certified Catalyst fold on real text."""
+    from pubmed_central_semantic_search_spark.operators.classifier import (
+        hashed_features_np,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            hashed_features("text", D).alias("a"),
+            hashed_features_np("text", D).alias("b"),
+        )
+    )
+    for r in docs.collect():
+        assert list(r["a"]) == pytest.approx(list(r["b"]), abs=1e-12), r["doc_id"]
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
