@@ -9,6 +9,7 @@ shuffle (the aggregations over them do, once, on low-cardinality keys).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -256,4 +257,357 @@ def tfidf_top_terms(
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition / quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1) — the standard document-level filter set
+# for LLM pretraining corpora. Every signal is a pure per-row expression
+# over the token / line / n-gram arrays: narrow, codegen'd, ZERO shuffle,
+# so the panel scales linearly and composes with the other X4 signals in
+# one projection. Fractions are integer milli-units (x*1000 div y) for
+# bit-identical cross-engine replay.
+
+# Gopher's "required stop words" list (≥2 must appear).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of the token array (joined by ' ');
+    empty when the doc has fewer than ``n`` tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Expression-shape rule for the helpers below: Catalyst expressions are
+# TREES, not DAGs — a subexpression referenced inside a higher-order
+# lambda is re-evaluated PER ELEMENT. `element_at(array_sort(grams), i)`
+# inside a transform over i therefore re-sorts the gram array G times
+# (O(G^3 log G) per row on exactly the repetitive documents these rules
+# exist to catch — observed as a wall-clock hang). So: neighbor tests are
+# phrased as whole-array zips against shifted copies (slice+concat), and
+# per-element lambdas only ever touch their own element — every heavy
+# array is referenced a small CONSTANT number of times per row.
+
+
+def _shift_prev(s: Column, g: Column) -> Column:
+    """[null, s[0], ..., s[G-2]] — each element's left neighbor."""
+    return F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(s, 1, F.greatest(g - 1, F.lit(0))),
+    )
+
+
+def _shift_next(s: Column, g: Column) -> Column:
+    """[s[1], ..., s[G-1], null] — each element's right neighbor."""
+    return F.concat(
+        F.slice(s, 2, F.greatest(g - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+
+
+def _top_gram_chars(s: Column) -> Column:
+    """Characters covered by the MOST FREQUENT value of the SORTED array
+    ``s``: count(top) * length(top). Top value = max by (count desc,
+    value asc) — the deterministic tie-break both engines replay.
+
+    Near-linear per row: mark run starts by zipping against the
+    shifted-by-one copy, derive run lengths by zipping start positions
+    with their successors — no per-gram rescan of the array (that would
+    be O(G·distinct): quadratic on repetitive docs, the exact docs this
+    rule exists to catch). ``s`` must be an ATTRIBUTE (a materialized
+    column), not an inline expression — it is referenced several times."""
+    g = F.size(s)
+    idx = F.sequence(F.lit(1), g)  # only evaluated under the g > 0 guard
+    zs = F.zip_with(s, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    starts = F.filter(
+        F.zip_with(
+            zs,
+            _shift_prev(s, g),
+            lambda z, p: F.struct(
+                z["t"].alias("t"),
+                z["i"].alias("i"),
+                (p.isNull() | (z["t"] != p)).alias("st"),
+            ),
+        ),
+        lambda e: e["st"],
+    )
+    start_pos = F.transform(starts, lambda e: e["i"])
+    # Run k spans [starts[k].i, starts[k+1].i) — the last run ends at G+1.
+    ends = F.concat(
+        F.slice(start_pos, 2, F.greatest(F.size(start_pos) - 1, F.lit(0))),
+        F.array(g + 1),
+    )
+    runs = F.zip_with(
+        starts, ends, lambda e, b: F.struct((b - e["i"]).alias("c"), e["t"].alias("t"))
+    )
+    best = F.aggregate(
+        runs,
+        F.struct(F.lit(0).cast("int").alias("c"), F.lit("").alias("t")),
+        lambda acc, x: F.when(
+            (x["c"] > acc["c"]) | ((x["c"] == acc["c"]) & (x["t"] < acc["t"])), x
+        ).otherwise(acc),
+    )
+    return F.when(g > 0, best["c"].cast("bigint") * F.length(best["t"])).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
+def _dup_sorted_chars(s: Column) -> Column:
+    """Characters covered by values occurring MORE THAN ONCE in the
+    SORTED array ``s`` (every occurrence counted — Gopher's 'duplicate
+    n-gram character fraction'). ``s`` must be a materialized column."""
+    g = F.size(s)
+    pairs = F.zip_with(
+        s, _shift_prev(s, g), lambda x, p: F.struct(x.alias("x"), p.alias("p"))
+    )
+    trip = F.zip_with(
+        pairs,
+        _shift_next(s, g),
+        lambda sp, nx: F.when(
+            (sp["x"] == sp["p"]) | (sp["x"] == nx),
+            F.length(sp["x"]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.coalesce(
+        F.aggregate(trip, F.lit(0).cast("bigint"), lambda a, x: a + x),
+        F.lit(0).cast("bigint"),
+    )
+
+
+GRAM_NS = (2, 3, 4, 5, 10)
+_GRAM_STATS_SCHEMA = (
+    "top2_chars long, top3_chars long, top4_chars long, "
+    "dup5_chars long, dup10_chars long"
+)
+
+
+def _gram_stats_udf():
+    """Arrow-batched twin of the Catalyst gram-char metrics: one scalar
+    pandas_udf returning all five signals as a struct. Higher-order
+    functions are CodegenFallback in Spark — every lambda element is
+    interpreted — so the pure-Catalyst formulation above, while
+    shuffle-free and correct, costs ~5 ms/row; the vectorized Python loop
+    (C-backed str.split + Counter) is ~50× cheaper and rides one Arrow
+    batch channel. Equivalence with the Catalyst twin is pinned in
+    tests/test_gopher.py. Ship-by-value: no module globals captured."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GRAM_STATS_SCHEMA)
+    def gram_stats(text: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in text:
+            toks = [w for w in (t or "").split(" ") if w]
+            out = []
+            for n in (2, 3, 4):
+                cnt = Counter(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                if cnt:
+                    g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                    out.append(c * len(g))
+                else:
+                    out.append(0)
+            for n in (5, 10):
+                cnt = Counter(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                out.append(sum(c * len(g) for g, c in cnt.items() if c >= 2))
+            rows.append(out)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "top2_chars",
+                "top3_chars",
+                "top4_chars",
+                "dup5_chars",
+                "dup10_chars",
+            ],
+            dtype="int64",
+        )
+
+    return gram_stats
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def gopher_panel(
+    df: DataFrame, text_col: str = "text", gram_engine: str = "arrow"
+) -> DataFrame:
+    """Append the Gopher rule panel to ``df`` (all per-row, zero shuffle):
+
+    word rules — ``n_words``, ``mean_word_chars_milli`` (mean word length
+    ×1000), ``alpha_word_milli`` (fraction of words containing a letter),
+    ``symbol_word_milli`` (#/ellipsis symbols per word), ``stop_hits``
+    (how many of the 8 Gopher stop words appear);
+
+    line rules (lines = newline-split, trimmed, non-empty) —
+    ``n_lines``, ``dup_line_milli`` (fraction of lines that are repeats),
+    ``dup_line_char_milli`` (fraction of line characters inside lines
+    occurring ≥2×), ``bullet_line_milli``, ``ellipsis_line_milli``;
+
+    n-gram rules — ``top{2,3,4}_char_milli`` (fraction of characters
+    covered by the most frequent n-gram), ``dup{5,10}_char_milli``
+    (fraction covered by n-grams occurring ≥2×); character denominator =
+    length of the single-space-joined token text;
+
+    and ``gopher_pass`` — Gopher's Table-A1 thresholds (adapted min word
+    count 20 for this short-doc corpus): word count bounds, mean word
+    length in [3, 10], symbol ratio < 0.1, ≥80% alphabetic words, ≥2 stop
+    words, dup-line < 30%, top-2-gram < 20%, dup-5-gram < 15%.
+
+    Two projection stages: the first MATERIALIZES the heavy per-row
+    arrays (token list, trimmed lines, sorted gram arrays) so each is
+    computed exactly once per row; the second computes every signal from
+    those attributes. Collapsing them into one projection would re-inline
+    each array expression at every reference site (trees, not DAGs) —
+    Catalyst's CollapseProject keeps the boundary because the aliases are
+    expensive and multiply referenced.
+
+    ``gram_engine``: ``'arrow'`` (default) computes the five gram-char
+    metrics in one Arrow-batched pandas_udf (HOFs are CodegenFallback —
+    interpreted per element — so the hot loop is ~50× cheaper in
+    vectorized Python); ``'catalyst'`` uses the pure-expression twin
+    (zero Python, zero shuffle) — equivalence is test-pinned, so either
+    engine is safe anywhere.
+    """
+    text = F.col(text_col)
+    toks = F.col("_gp_toks")
+    lines = F.col("_gp_lines")
+    cols = {
+        "_gp_toks": _tokens(text_col),
+        "_gp_lines": F.filter(
+            F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+            lambda ln: ln != "",
+        ),
+        "_gp_sl": F.array_sort(
+            F.filter(
+                F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+                lambda ln: ln != "",
+            )
+        ),
+    }
+    if gram_engine == "arrow":
+        cols["_gp_gs"] = _gram_stats_udf()(text)
+    else:
+        cols.update(
+            {
+                f"_gp_s{n}": F.array_sort(_ngrams(_tokens(text_col), n))
+                for n in GRAM_NS
+            }
+        )
+    staged = df.withColumns(cols)
+    if gram_engine == "arrow":
+        gram_chars = {
+            "top2": F.col("_gp_gs.top2_chars"),
+            "top3": F.col("_gp_gs.top3_chars"),
+            "top4": F.col("_gp_gs.top4_chars"),
+            "dup5": F.col("_gp_gs.dup5_chars"),
+            "dup10": F.col("_gp_gs.dup10_chars"),
+        }
+        gram_tmp_cols = ["_gp_gs"]
+    else:
+        gram_chars = {
+            "top2": _top_gram_chars(F.col("_gp_s2")),
+            "top3": _top_gram_chars(F.col("_gp_s3")),
+            "top4": _top_gram_chars(F.col("_gp_s4")),
+            "dup5": _dup_sorted_chars(F.col("_gp_s5")),
+            "dup10": _dup_sorted_chars(F.col("_gp_s10")),
+        }
+        gram_tmp_cols = [f"_gp_s{n}" for n in GRAM_NS]
+    n_words = F.size(toks).cast("bigint")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    # Joined-token text length: word chars + single separators.
+    char_total = word_chars + F.greatest(n_words - 1, F.lit(0).cast("bigint"))
+
+    n_lines = F.size(lines).cast("bigint")
+    dup_line_chars = _dup_sorted_chars(F.col("_gp_sl"))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, ln: a + F.length(ln)
+    )
+
+    def int_milli(num: Column, den: Column) -> Column:
+        # Integer floor-div milli for bit-identical cross-engine values.
+        return F.when(
+            den > 0, F.floor((num.cast("bigint") * 1000) / den).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    n_sym = (
+        _count_occurrences(text, "#")
+        + _count_occurrences(text, "...")
+        + _count_occurrences(text, "…")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("bigint")
+
+    out = staged.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_chars_milli": int_milli(word_chars, n_words),
+            "alpha_word_milli": int_milli(n_alpha, n_words),
+            "symbol_word_milli": int_milli(n_sym, n_words),
+            "stop_hits": stop_hits,
+            "n_lines": n_lines,
+            "dup_line_milli": int_milli(
+                n_lines - F.size(F.array_distinct(lines)).cast("bigint"), n_lines
+            ),
+            "dup_line_char_milli": int_milli(dup_line_chars, line_chars),
+            "bullet_line_milli": int_milli(
+                F.size(
+                    F.filter(
+                        lines,
+                        lambda ln: ln.startswith("- ")
+                        | ln.startswith("* ")
+                        | ln.startswith("•"),
+                    )
+                ).cast("bigint"),
+                n_lines,
+            ),
+            "ellipsis_line_milli": int_milli(
+                F.size(
+                    F.filter(
+                        lines,
+                        lambda ln: ln.endswith("...") | ln.endswith("…"),
+                    )
+                ).cast("bigint"),
+                n_lines,
+            ),
+            "top2_char_milli": int_milli(gram_chars["top2"], char_total),
+            "top3_char_milli": int_milli(gram_chars["top3"], char_total),
+            "top4_char_milli": int_milli(gram_chars["top4"], char_total),
+            "dup5_char_milli": int_milli(gram_chars["dup5"], char_total),
+            "dup10_char_milli": int_milli(gram_chars["dup10"], char_total),
+        }
+    ).drop("_gp_toks", "_gp_lines", "_gp_sl", *gram_tmp_cols)
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 100000)
+        & F.col("mean_word_chars_milli").between(3000, 10000)
+        & (F.col("symbol_word_milli") < 100)
+        & (F.col("alpha_word_milli") > 800)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("dup_line_milli") < 300)
+        & (F.col("top2_char_milli") < 200)
+        & (F.col("dup5_char_milli") < 150),
     )

@@ -268,11 +268,16 @@ def test_text_analysis_panel_is_one_narrow_projection(spark, sf_dir):
 
 def test_text_analysis_fused_ppl_joins_are_disciplined(spark, sf_dir):
     """Fused q28: the perplexity arm's model joins ride broadcast, there
-    is no cartesian product, and no Python stage enters the plan."""
+    is no cartesian product, and the only Python stage is the single
+    Arrow-batched gram-stats kernel of the Gopher panel (HOFs are
+    CodegenFallback, so the vectorized kernel is the fast path; its
+    Catalyst twin is equivalence-pinned in tests/test_gopher.py) — never
+    a row-at-a-time BatchEvalPython."""
     plan = _q("q28_text_analysis", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_minhash_first_shuffle_is_the_candidate_join(spark, sf_dir):
