@@ -192,10 +192,49 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-shards, and cluster-size changes never move a document.
 
 
+_DSIR_CTES = """
+    dsir_tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    dsir_gram AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(tk,
+               CASE WHEN len(tk) >= 2
+                    THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+                    ELSE CAST([] AS VARCHAR[]) END)) AS g
+      FROM dsir_tok
+    ),
+    dsir_b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g || '#dsir'), 1, 8)) AS BIGINT) % 256 AS b
+      FROM dsir_gram
+    ),
+    dsir_cnt AS (
+      SELECT b, count(*) AS c_all,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      FROM dsir_b GROUP BY b
+    ),
+    dsir_tot AS (SELECT sum(c_all) AS n_all, sum(c_t) AS n_t FROM dsir_cnt),
+    dsir_lr AS (
+      SELECT b,
+             CAST(round((ln((c_t + 1.0) / (t.n_t + 256.0))
+                       - ln((c_all + 1.0) / (t.n_all + 256.0))) * 1000000)
+                  AS BIGINT) AS lr
+      FROM dsir_cnt CROSS JOIN dsir_tot t
+    ),
+    dsir_w AS (
+      SELECT db.doc_id, CAST(sum(lr.lr) AS BIGINT) AS logw
+      FROM dsir_b db JOIN dsir_lr lr USING (b) GROUP BY db.doc_id
+    )
+"""
+
+
 @register(
     "q50_split_and_sample",
-    """
-    WITH b AS (
+    f"""
+    WITH {_DSIR_CTES}, b AS (
       SELECT doc_id, lang, source,
              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
@@ -218,16 +257,24 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS shard_pos,
            ROUND(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'), 1, 8))
                            AS BIGINT) + 0.5) / 4294967296.0,
-                     1.0 / wlen), 6) AS wrs_key
+                     1.0 / wlen), 6) AS wrs_key,
+           CAST(COALESCE(w.logw, 0) AS BIGINT) AS dsir_logw_micro,
+           ROUND(COALESCE(w.logw, 0) / 1000000.0
+                 - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsirg'), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0)), 6) AS dsir_key
     FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8))
                          AS BIGINT) AS sh
           FROM b)
+    LEFT JOIN dsir_w w USING (doc_id)
     """,
     survey_rows="X1/H1 analog — content-addressed train/val/test split + "
     "deterministic stratified sampling (language rebalancing) + "
     "reproducible global shuffle into training shards "
     "(deterministic_shuffle) + A-ES weighted-sample key (wrs_key: top-k "
-    "by this column IS a length-proportional sample without replacement)",
+    "by this column IS a length-proportional sample without replacement) "
+    "+ DSIR importance weights (hashed uni+bigram log-ratio model fit on "
+    "lang='en' as the target domain, integer micro-units, Gumbel top-k "
+    "key — fit AND scoring certified value for value)",
 )
 def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import (
@@ -235,12 +282,19 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_sample_flag,
         wrs_key,
     )
+    from ..operators.dsir import dsir_fit, dsir_gumbel_key, dsir_logweight_micro
 
-    docs = load(spark, sf_dir, "documents").select(
+    raw = load(spark, sf_dir, "documents")
+    # DSIR arm: fit the hashed uni+bigram importance model in ONE pass
+    # (target domain = lang='en'); the model rides back as a packed
+    # literal, so scoring below stays a narrow projection.
+    ratios = dsir_fit(raw, F.col("lang") == "en")
+    docs = raw.select(
         "doc_id",
         "lang",
         "source",
         F.greatest(F.length("text"), F.lit(1)).alias("_wlen"),
+        dsir_logweight_micro("text", ratios).alias("dsir_logw_micro"),
     )
     # membership as a COLUMN (with_sample_flag — the expression
     # stratified_sample filters on), never a join against the kept set:
@@ -261,6 +315,8 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "bucket", "bucket16", "split",
         "in_sample", "shard", "shard_pos",
         wrs_key("_wlen").alias("wrs_key"),
+        "dsir_logw_micro",
+        dsir_gumbel_key("doc_id", F.col("dsir_logw_micro")).alias("dsir_key"),
     )
 
 
