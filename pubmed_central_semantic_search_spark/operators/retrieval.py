@@ -263,3 +263,80 @@ def mmr_rerank(
         for rank, (i, red, score) in enumerate(selected)
     ]
     return candidates.sparkSession.createDataFrame(out, out_schema)
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    k_neg: int = 10,
+    n_candidates: int = 100,
+    max_pos_sim: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bm25: DataFrame | None = None,
+) -> DataFrame:
+    """Mine hard negatives for contrastive-embedding training (the DPR
+    recipe, Karpukhin et al. 2020: BM25 top hits that are NOT the
+    positive are the hardest negatives; sentence-transformers adds the
+    positive-similarity guard that drops candidates too close to the
+    positive — near-duplicate false negatives poison the loss).
+
+    Pipeline (every stage an already-certified operator shape):
+
+    1. positive = top-1 by query cosine — ONE TakeOrderedAndProject, and
+       the resulting single row is broadcast (never a shuffle key).
+    2. candidates = BM25 top-``n_candidates`` for the query terms
+       (inverted aggregation) joined to their embeddings.
+    3. guard: drop the positive itself and any candidate whose cosine to
+       the positive embedding exceeds ``max_pos_sim`` (compared on the
+       ROUNDED value — both engines agree at 6 dp, so the threshold can
+       never flip on float noise).
+    4. keep the ``k_neg`` lexically hardest survivors (lowest bm25_rank;
+       ranks are unique integers, so the cut is deterministic).
+
+    Returns (doc_id, bm25_rank, bm25_score, cos_pos, pos_doc_id).
+    At 100 TB: the corpus-sized work is exactly one BM25 pass; everything
+    downstream operates on the bounded candidate list. Multi-query mining
+    is this plan with the query set exploded against the candidate
+    union — the q3_multiquery_topk broadcast pattern. Callers that
+    already ranked the corpus (hybrid retrieval runs the same BM25 pass)
+    pass it via ``bm25`` (needs doc_id/bm25_score/bm25_rank, top
+    ``n_candidates``) so the corpus is scanned once, not twice.
+    """
+    from ..functions.vector import cosine_similarity
+
+    bm = (
+        bm25
+        if bm25 is not None
+        else bm25_rank(docs, terms, k=n_candidates, id_col=id_col, text_col=text_col)
+    )
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    pos = (
+        emb.select(
+            F.col(vec_id_col).alias("pos_doc_id"),
+            F.col(emb_col).alias("_pos_emb"),
+            cosine_similarity(emb_col, qv).alias("_qc"),
+        )
+        .orderBy(F.desc("_qc"), F.asc("pos_doc_id"))
+        .limit(1)
+        .drop("_qc")
+    )
+    cands = bm.join(
+        emb.select(F.col(vec_id_col).alias(id_col), F.col(emb_col).alias("_emb")),
+        id_col,
+    ).crossJoin(F.broadcast(pos))
+    scored = cands.withColumn(
+        "cos_pos", F.round(cosine_similarity(F.col("_emb"), F.col("_pos_emb")), 6)
+    ).filter(
+        (F.col(id_col) != F.col("pos_doc_id"))
+        & (F.col("cos_pos") <= F.lit(max_pos_sim))
+    )
+    return (
+        scored.select(id_col, "bm25_rank", "bm25_score", "cos_pos", "pos_doc_id")
+        .orderBy(F.asc("bm25_rank"))
+        .limit(k_neg)
+    )

@@ -113,9 +113,33 @@ PHRASE = ("hash", "join")
       GROUP BY t.doc_id, t.pos - pq.off
       HAVING COUNT(DISTINCT pq.off) = {len(PHRASE)}
     )
+    , hn_pos AS (
+      SELECT vec_id AS pos_doc_id, CAST(embedding AS DOUBLE[]) AS pemb
+      FROM embeddings
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      {sql_vec(QUERY_VEC)}) DESC, vec_id
+      LIMIT 1
+    ),
+    hardneg AS (
+      SELECT b.doc_id, b.bm25_rank, b.bm25_score,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.pemb), 6) AS cos_pos,
+             p.pos_doc_id
+      FROM bm25 b
+      JOIN embeddings e ON e.vec_id = b.doc_id
+      CROSS JOIN hn_pos p
+      WHERE b.bm25_rank <= 100
+        AND b.doc_id <> p.pos_doc_id
+        AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         p.pemb), 6) <= 0.95
+      ORDER BY b.bm25_rank
+      LIMIT 10
+    )
     SELECT 'rrf' AS kind, doc_id, rrf_score, fused_rank,
            bm25_rank, cos_rank, bm25_score,
-           CAST(NULL AS BIGINT) AS n_matches
+           CAST(NULL AS BIGINT) AS n_matches,
+           CAST(NULL AS DOUBLE) AS cos_pos,
+           CAST(NULL AS BIGINT) AS pos_doc_id
     FROM (
       SELECT doc_id, round(rrf, 6) AS rrf_score,
              row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
@@ -130,15 +154,29 @@ PHRASE = ("hash", "join")
            CAST(NULL AS BIGINT) AS bm25_rank,
            CAST(NULL AS BIGINT) AS cos_rank,
            CAST(NULL AS DOUBLE) AS bm25_score,
-           CAST(COUNT(*) AS BIGINT) AS n_matches
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(NULL AS DOUBLE) AS cos_pos,
+           CAST(NULL AS BIGINT) AS pos_doc_id
     FROM pstarts GROUP BY doc_id
+    UNION ALL
+    SELECT 'hardneg' AS kind, doc_id,
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS BIGINT) AS fused_rank,
+           bm25_rank,
+           CAST(NULL AS BIGINT) AS cos_rank,
+           bm25_score,
+           CAST(NULL AS BIGINT) AS n_matches,
+           cos_pos, pos_doc_id
+    FROM hardneg
     """,
     survey_rows="X4 (BM25 lexical ranking, scores exposed) + Q1 fusion "
     "(hybrid lexical+vector retrieval), A4 + exact-phrase search over a "
-    "positional inverted index (term order + adjacency)",
+    "positional inverted index (term order + adjacency) + DPR-style "
+    "hard-negative mining (BM25 candidates, positive-similarity guard, "
+    "lexically-hardest cut) for contrastive training pairs",
 )
 def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import phrase_match_counts
+    from ..operators.retrieval import mine_hard_negatives, phrase_match_counts
 
     docs = load(spark, sf_dir, "documents")
     bm25_top = bm25_rank(docs, BM25_TERMS, k=100)
@@ -171,6 +209,8 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rrf").alias("kind"),
         *[F.col(c) for c in rrf.columns],
         F.lit(None).cast("bigint").alias("n_matches"),
+        F.lit(None).cast("double").alias("cos_pos"),
+        F.lit(None).cast("bigint").alias("pos_doc_id"),
     )
     phrase = phrase_match_counts(docs, list(PHRASE)).select(
         F.lit("phrase").alias("kind"),
@@ -181,8 +221,25 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("cos_rank"),
         F.lit(None).cast("double").alias("bm25_score"),
         F.col("n_matches"),
+        F.lit(None).cast("double").alias("cos_pos"),
+        F.lit(None).cast("bigint").alias("pos_doc_id"),
     )
-    return rrf.unionByName(phrase)
+    hardneg = mine_hard_negatives(
+        docs, emb, BM25_TERMS, QUERY_VEC, k_neg=10, n_candidates=100,
+        bm25=bm25_top,
+    ).select(
+        F.lit("hardneg").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("double").alias("rrf_score"),
+        F.lit(None).cast("bigint").alias("fused_rank"),
+        "bm25_rank",
+        F.lit(None).cast("bigint").alias("cos_rank"),
+        "bm25_score",
+        F.lit(None).cast("bigint").alias("n_matches"),
+        "cos_pos",
+        "pos_doc_id",
+    )
+    return rrf.unionByName(phrase).unionByName(hardneg)
 
 
 # Content-addressed sampling pack in ONE per-doc frame: the md5-bucket

@@ -516,6 +516,49 @@ _SQL_SEM_ARM = f"""
 """
 
 
+# The 'pagerank' arm (operators/graph.py — Page et al. 1999): centrality
+# over the SAME similarity edge set identifies template hubs inside the
+# duplicate clusters (the docs sharing boilerplate with the most others —
+# the canonical keep candidates). Fixed 3 iterations with damping 0.85
+# and dangling-mass redistribution; the oracle unrolls the iterations as
+# CTEs, so fit and propagation are value-certified.
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pr_cte_chain(n_iter: int = _PR_ITERS) -> str:
+    parts = [
+        """
+    prdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    prbase AS (
+      SELECT c.doc_id AS id, COALESCE(d.deg, 0) AS deg
+      FROM corpus c LEFT JOIN prdeg d ON d.u = c.doc_id
+    ),
+    prn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+    pr0 AS (SELECT id, deg, 1.0 / n.n AS pr FROM prbase CROSS JOIN prn n)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+    pr{i}_dm AS (SELECT COALESCE(sum(pr), 0.0) AS dm FROM pr{i - 1} WHERE deg = 0),
+    pr{i}_in AS (
+      SELECT e.v AS id, sum(p.pr / p.deg) AS w
+      FROM pr{i - 1} p JOIN edges e ON e.u = p.id GROUP BY e.v
+    ),
+    pr{i} AS (
+      SELECT b.id, b.deg,
+             (1.0 - {_PR_D}) / n.n
+               + {_PR_D} * (COALESCE(iw.w, 0.0) + d.dm / n.n) AS pr
+      FROM prbase b
+      CROSS JOIN prn n
+      CROSS JOIN pr{i}_dm d
+      LEFT JOIN pr{i}_in iw ON iw.id = b.id
+    )"""
+        )
+    return ",".join(parts)
+
+
 @register(
     "q53_dup_clusters",
     f"""
@@ -546,22 +589,34 @@ _SQL_SEM_ARM = f"""
       UNION
       SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
     ),
+    {_pr_cte_chain()},
     {_SQL_VEC_CORPUS},
     {_SQL_SEM_ARM}
     SELECT 'lexical' AS kind, id AS doc_id,
            CAST(NULL AS INT) AS cluster_id,
            min(lbl) AS component,
-           id = min(lbl) AS is_survivor
+           id = min(lbl) AS is_survivor,
+           CAST(NULL AS DOUBLE) AS pagerank
     FROM reach GROUP BY id
     UNION ALL
     SELECT 'semantic' AS kind, doc_id,
            CAST(cluster_id AS INT) AS cluster_id,
-           component, is_survivor
+           component, is_survivor,
+           CAST(NULL AS DOUBLE) AS pagerank
     FROM ssurv
+    UNION ALL
+    SELECT 'pagerank' AS kind, id AS doc_id,
+           CAST(NULL AS INT) AS cluster_id,
+           CAST(NULL AS BIGINT) AS component,
+           CAST(NULL AS BOOLEAN) AS is_survivor,
+           round(pr, 6) AS pagerank
+    FROM pr{_PR_ITERS}
     """,
     survey_rows="X1/X2 (duplicate-cluster resolution, large-star/small-"
     "star CC) + X2/X7 SemDeDup (k-means-blocked semantic dedup, "
-    "far-from-centroid survivor rule)",
+    "far-from-centroid survivor rule) + PageRank template-hub centrality "
+    "over the similarity graph (damped random surfer with dangling-mass "
+    "redistribution, unrolled-CTE oracle)",
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import threading
@@ -579,19 +634,48 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Spark accepts concurrent job submission on one session.
     out: dict[str, DataFrame] = {}
 
+    # The lexical-CC and PageRank arms share the similarity edge set:
+    # build the pair plan once and persist it, so the shingle self-join
+    # runs a single time across both arms (and across CC's star rounds).
+    corpus = _chained_text_corpus(spark, sf_dir)
+    shared_pairs = (
+        ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55)
+        .select("id_a", "id_b")
+        .persist()
+    )
+
     def build_lexical() -> None:
-        corpus = _chained_text_corpus(spark, sf_dir)
-        pairs = ngram_jaccard_pairs(
-            corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
-        ).select("id_a", "id_b")
         out["lexical"] = assign_components(
-            corpus.select("doc_id"), "doc_id", pairs, check_every=2
+            corpus.select("doc_id"), "doc_id", shared_pairs, check_every=2
         ).select(
             F.lit("lexical").alias("kind"),
             "doc_id",
             F.lit(None).cast("int").alias("cluster_id"),
             "component",
             "is_survivor",
+            F.lit(None).cast("double").alias("pagerank"),
+        )
+
+    def build_pagerank() -> None:
+        from ..operators.graph import pagerank, symmetrize
+
+        out["pagerank"] = pagerank(
+            corpus.select("doc_id"),
+            symmetrize(shared_pairs),
+            id_col="doc_id",
+            n_iter=3,
+            damping=0.85,
+            # the similarity graph is symmetric: dangling ≡ isolated, so
+            # the mass recurrence runs driver-side — one upfront count,
+            # zero per-iteration aggregate stages
+            dangling="isolated",
+        ).select(
+            F.lit("pagerank").alias("kind"),
+            "doc_id",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("bigint").alias("component"),
+            F.lit(None).cast("boolean").alias("is_survivor"),
+            F.round("pagerank", 6).alias("pagerank"),
         )
 
     def build_semantic() -> None:
@@ -611,6 +695,7 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_id").cast("int").alias("cluster_id"),
             "component",
             "is_survivor",
+            F.lit(None).cast("double").alias("pagerank"),
         )
 
     errors: list[BaseException] = []
@@ -624,6 +709,7 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threads = [
         threading.Thread(target=run, args=(build_lexical,)),
         threading.Thread(target=run, args=(build_semantic,)),
+        threading.Thread(target=run, args=(build_pagerank,)),
     ]
     for t in threads:
         t.start()
@@ -631,4 +717,6 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join()
     if errors:
         raise errors[0]
-    return out["lexical"].unionByName(out["semantic"])
+    return (
+        out["lexical"].unionByName(out["semantic"]).unionByName(out["pagerank"])
+    )

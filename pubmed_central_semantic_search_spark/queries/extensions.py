@@ -5,7 +5,7 @@ analysis").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.textstats import (
@@ -495,21 +495,74 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rides the Spark -> Arrow -> pandas channel byte-for-byte. The fake
 # feature itself (hash-seeded model stub) still runs in the same stage;
 # its contracts live in tests/test_sources_streaming.py.
+#
+# Round 4 adds the 'xmodal' arm — CROSS-MODAL RETRIEVAL over the media
+# table (the CLIP-serving shape: text query → top-k images in a joint
+# embedding space): binary media blobs → decode → shared encoder
+# (the md5-derived deterministic stand-in for the joint backbone, same
+# Arrow-batched seam as E1) → modality-filtered top-k cosine. The oracle
+# replays the ENTIRE chain — byte decode, encoder arithmetic bit for bit
+# (the q21 _sql_fake_encode CTEs), cosine, ranking — so the arm is
+# value-certified, not rows-only.
+
+
+def _xmodal_query_vec() -> list[float]:
+    from ..encoder import fake_encode_one
+
+    return [float(x) for x in fake_encode_one("cross modal probe", dim=16)]
+
+
+def _q42_oracle() -> str:
+    from ..registry import sql_vec
+    from .pipeline import _sql_fake_encode
+
+    qv = sql_vec(_xmodal_query_vec())
+    return f"""
+    WITH m AS (
+      SELECT concat('m', doc_id) AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+             text
+      FROM documents
+    ),
+    {_sql_fake_encode("m", "text", 16)},
+    xm AS (
+      SELECT media_id, modality,
+             round(list_cosine_similarity(emb, {qv}), 6) AS score,
+             row_number() OVER (ORDER BY list_cosine_similarity(emb, {qv}) DESC,
+                                media_id) AS xm_rank
+      FROM m_enc
+      WHERE modality = 'image'
+      QUALIFY row_number() OVER (ORDER BY list_cosine_similarity(emb, {qv}) DESC,
+                                 media_id) <= 5
+    )
+    SELECT 'feat' AS kind, media_id, modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank
+    FROM m
+    UNION ALL
+    SELECT 'xmodal' AS kind, media_id, modality,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           score, CAST(xm_rank AS BIGINT) AS xm_rank
+    FROM xm
+    """
 
 
 @register(
     "q42_multimodal_features",
-    """
-    SELECT concat('m', doc_id) AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5,
-           CAST(NULL AS VARCHAR) AS error
-    FROM documents
-    """,
-    survey_rows="X5 (binary columns, mapInPandas feature extraction, stubbed decode)",
+    _q42_oracle(),
+    survey_rows="X5 (binary columns, mapInPandas feature extraction, "
+    "stubbed decode) + cross-modal retrieval (text query → top-k images "
+    "through the shared encoder over decoded media bytes, value-certified "
+    "end to end)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..encoder import encode_column
+    from ..functions.vector import cosine_similarity
     from ..operators.multimodal import extract_features
 
     d = load(spark, sf_dir, "documents")
@@ -518,7 +571,43 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
         F.encode("text", "utf-8").alias("content"),
     )
-    feats = extract_features(media, dim=16)
-    return feats.select("media_id", "modality", "n_bytes", "content_md5", "error")
+    feats = extract_features(media, dim=16).select(
+        F.lit("feat").alias("kind"),
+        "media_id",
+        "modality",
+        "n_bytes",
+        "content_md5",
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+    )
+    qv = _xmodal_query_vec()
+    xm = (
+        media.filter(F.col("modality") == "image")
+        .withColumn(
+            "emb", encode_column(F.decode("content", "utf-8"), dim=16)
+        )
+        .select(
+            "media_id",
+            "modality",
+            cosine_similarity("emb", F.array(*[F.lit(v) for v in qv])).alias("_c"),
+        )
+        .orderBy(F.desc("_c"), F.asc("media_id"))
+        .limit(5)
+        .select(
+            F.lit("xmodal").alias("kind"),
+            "media_id",
+            "modality",
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("content_md5"),
+            F.lit(None).cast("string").alias("error"),
+            F.round("_c", 6).alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("_c"), F.asc("media_id")))
+            .cast("bigint")
+            .alias("xm_rank"),
+        )
+    )
+    return feats.unionByName(xm)
 
 

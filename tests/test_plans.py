@@ -403,3 +403,13 @@ def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
     out = semantic_dedup(emb, cents, min_cosine=0.95)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_xmodal_arm_is_arrow_batched_topk(spark, sf_dir):
+    """q42's cross-modal arm: the media encoder rides ArrowEvalPython
+    (never row-at-a-time), and the top-5 cut is TakeOrderedAndProject —
+    the same contracts as E1/Q1."""
+    plan = _q("q42_multimodal_features", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
