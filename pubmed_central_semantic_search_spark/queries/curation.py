@@ -500,7 +500,12 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    # Shingling the corpus side is the CPU-heavy stage and the test-scale
+    # file is one parquet partition — rebalance so it parallelizes (at
+    # production scale the scan is already wide; see q28 for the pattern).
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     ngram = decontaminate(corpus, benchmark, n=8, min_shared=1).select(
         F.lit("ngram").alias("kind"),

@@ -191,7 +191,12 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import repeated_ngram_spans
 
-    d = load(spark, sf_dir, "documents")
+    # Content hashing + window hashing are narrow CPU stages; the
+    # test-scale file is one parquet partition, so rebalance first (q28's
+    # pattern — a no-op on a production-width scan).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     docs = d.groupBy(F.md5("text").alias("content_key")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n"),

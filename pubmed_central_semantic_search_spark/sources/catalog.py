@@ -318,3 +318,41 @@ def snapshot_vacuum(
     for v in drop:
         fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
     return {"versions_removed": len(drop), "data_dirs_removed": removed_dirs}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """S8 follow-through — CDC between two PINNED snapshot versions:
+    (key cols..., change) with change ∈ {'inserted', 'deleted',
+    'changed'} (unchanged rows are omitted — at table scale the diff is
+    the small output, the identity mass is not worth shuffling back).
+
+    Row equality = md5 of the canonical JSON of the non-key columns in
+    sorted-name order, computed per side BEFORE the join — the full-outer
+    join then carries only (key, fingerprint), never the payloads, so the
+    shuffle is key-sized regardless of row width. Versions are immutable
+    until vacuum (manifest pinning), so the diff is reproducible."""
+    old = snapshot_read(spark, table_dir, version=v_old)
+    new = snapshot_read(spark, table_dir, version=v_new)
+    payload = sorted(set(old.columns) - set(key_cols))
+    if sorted(set(new.columns) - set(key_cols)) != payload:
+        raise ValueError("snapshot schemas differ in non-key columns")
+
+    def fingerprint(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        return df.select(*key_cols, fp.alias(f"_fp_{side}"))
+
+    joined = fingerprint(old, "old").join(
+        fingerprint(new, "new"), key_cols, "full_outer"
+    )
+    return joined.withColumn(
+        "change",
+        F.when(F.col("_fp_old").isNull(), F.lit("inserted"))
+        .when(F.col("_fp_new").isNull(), F.lit("deleted"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed")),
+    ).filter(F.col("change").isNotNull()).select(*key_cols, "change")

@@ -381,3 +381,41 @@ def start_stream_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_stream_upsert(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+):
+    """X6 — streaming KEYED UPSERT sink: each micro-batch merges into the
+    parquet table through ``sources/catalog.upsert_parquet`` (new rows
+    win per key; ``version_col`` breaks in-batch duplicate keys — without
+    it callers must guarantee key-unique batches, or the surviving
+    duplicate is arbitrary).
+
+    Delivery semantics, precisely: ``foreachBatch`` replays whole batches
+    at-least-once across crashes, but keyed upsert is IDEMPOTENT — merging
+    the same batch twice leaves the table identical (the window keeps one
+    row per key either way) — so replays converge to exactly-once RESULTS
+    without a transactional ledger. This is the sink tier the streaming
+    CMS fold couldn't have for free (its fold is additive, not
+    idempotent; it documents the tradeoff — here the merge law does the
+    work). Crash-mid-write safety comes from upsert_parquet's staging
+    swap + explicit existence check. Drain ≡ batch-upsert parity and
+    double-apply idempotence are test-pinned."""
+    from ..sources.catalog import upsert_parquet
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(spark, batch_df, table_dir, key_cols, version_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
