@@ -451,7 +451,41 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, QUERY_VEC, k=10, lam=0.6, id_col="vec_id", vec_col="embedding")
 
 
+def x_gopher_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-materialization throughput of the Gopher rule panel (q28's
+    bench action is a count, which prunes the projection; the aggregate
+    here forces every signal to compute): one Arrow gram-stats kernel +
+    the narrow word/line rules over the whole corpus."""
+    from ..operators.textstats import gopher_panel
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    panel = gopher_panel(d)
+    milli_cols = [c for c in panel.columns if c.endswith("_milli")]
+    return panel.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+        *[F.sum(c).alias(f"sum_{c}") for c in milli_cols],
+    )
+
+
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end to end at bench scale: one-pass hashed uni+bigram model
+    fit (target = lang='en'), integer-fold scoring of the whole pool,
+    Gumbel top-k selection — the fit job AND the scoring scan both run
+    inside the timed window."""
+    from ..operators.dsir import dsir_select
+
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dsir_select(d, k=100, target_col=F.col("lang") == "en")
+
+
 BENCH_EXTRAS = {
+    "x_gopher_panel": x_gopher_panel,
+    "x_dsir_select": x_dsir_select,
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
     "x768_mean_pool": x768_mean_pool,

@@ -514,7 +514,7 @@ def _xmodal_query_vec() -> list[float]:
 
 def _q42_oracle() -> str:
     from ..registry import sql_vec
-    from .pipeline import _sql_fake_encode
+    from .oracle_helpers import sql_fake_encode as _sql_fake_encode
 
     qv = sql_vec(_xmodal_query_vec())
     return f"""

@@ -96,5 +96,10 @@ from .queries import pipeline, relational, similarity, text_pipeline  # noqa: E4
 
 from .queries import clustering_pack, coverage, curation, dedup_pack, extensions, write_path  # noqa: E402,F401
 
-# Re-export the flagship for __spark_entry__.entry().
-q1_topk_cosine = REGISTRY["q1_topk_cosine"].spark
+# Re-export the flagship for __spark_entry__.entry(). LAZY: when a user
+# imports a queries/ submodule directly, that module's body re-enters
+# this one before its @register calls have run — an eager
+# REGISTRY["q1_topk_cosine"] here would KeyError on that path (the
+# registry back-fills once the submodule's body resumes).
+def q1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REGISTRY["q1_topk_cosine"].spark(spark, sf_dir)
