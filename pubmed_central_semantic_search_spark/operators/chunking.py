@@ -127,3 +127,47 @@ def prepend_abstract(
         SECTIONS,
         F.concat(F.array(chunk_split(abstract_col, level)), F.col(SECTIONS)),
     )
+
+
+def semantic_chunk_ids(
+    df: DataFrame,
+    doc_col: str = "article_id",
+    pos_col: str = "paragraph_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """F1 generalization — SEMANTIC chunking: merge consecutive
+    paragraphs into segments, cutting wherever the embedding drifts
+    (``cos(prev, cur) < threshold``) — the standard RAG upgrade of the
+    reference's fixed paragraph chunker (``armac_scientific_papers.py``
+    splits on markup only; topically-continuous neighbors stay separate
+    and single paragraphs spanning two topics stay glued).
+
+    Appends ``cos_prev`` (cosine to the previous paragraph, rounded to 6
+    — the threshold compares the ROUNDED value so the cut can never flip
+    on cross-engine float noise; NULL for each document's first
+    paragraph) and ``segment_id`` (0-based running count of cuts). ONE
+    shuffle on the document key: lag-window for the neighbor cosine, then
+    a running-sum window over the same partitioning (the second window
+    reuses the first's exchange — subset-satisfies-clustering, the
+    q17/q20 pattern)."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    w = Window.partitionBy(doc_col).orderBy(pos_col)
+    prev = F.lag(F.col(vec_col)).over(w)
+    out = df.withColumn(
+        "cos_prev",
+        F.when(
+            prev.isNotNull(),
+            F.round(cosine_similarity(F.col(vec_col), prev), 6),
+        ),
+    )
+    boundary = (
+        F.col("cos_prev").isNull() | (F.col("cos_prev") < F.lit(threshold))
+    ).cast("bigint")
+    run = Window.partitionBy(doc_col).orderBy(pos_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn("segment_id", F.sum(boundary).over(run) - 1)

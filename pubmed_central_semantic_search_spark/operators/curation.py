@@ -544,3 +544,33 @@ def temperature_mix(
     return with_sample_flag(
         df, fracs, group_col, id_col, default_fraction=0.0, flag_col=flag_col
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 4,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference batching: ntile length quantiles per
+    group (documents of similar token count land together), then
+    fixed-size batch ids within each bucket — the standard
+    padding-minimizing batch layout for transformer inference/training
+    (batch cost is max-length × batch-size; mixing a 10-token doc into a
+    4k-token batch pads 400×). Appends ``len_bucket`` (1-based quartile)
+    and ``infer_batch`` (0-based batch id within the bucket).
+
+    Deterministic: both windows order by (n_tokens, id) — total order,
+    so bucket edges and batch membership are reproducible cross-engine
+    and cross-run. Scale: windows partition by the group key (same key
+    as the packing windows — one shuffle serves all), never globally.
+    """
+    w = Window.partitionBy(group_col).orderBy(n_tokens_col, id_col)
+    out = df.withColumn("len_bucket", F.ntile(n_buckets).over(w).cast("int"))
+    wb = Window.partitionBy(group_col, "len_bucket").orderBy(n_tokens_col, id_col)
+    return out.withColumn(
+        "infer_batch",
+        F.floor((F.row_number().over(wb) - 1) / batch_size).cast("bigint"),
+    )

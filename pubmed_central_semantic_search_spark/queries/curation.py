@@ -404,18 +404,32 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS BIGINT) AS cum_tokens
       FROM t
     )
+    , lb AS (
+      SELECT *,
+             CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+                  AS INT) AS len_bucket
+      FROM c
+    )
     SELECT source, doc_id, n_tokens,
            cum_before // 512 AS seq_id,
            cum_before % 512 AS seq_offset,
            greatest(cum_before // 512, (cum_before + n_tokens - 1) // 512) AS seq_end,
            CASE WHEN cum_tokens <= 2000 THEN cum_tokens ELSE -1 END AS cum_tokens,
-           cum_tokens <= 2000 AS in_budget
-    FROM c
+           cum_tokens <= 2000 AS in_budget,
+           len_bucket,
+           CAST((row_number() OVER (
+                   PARTITION BY source, len_bucket
+                   ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS infer_batch
+    FROM lb
     """,
     survey_rows="N5 (running totals) → LLM sequence packing + "
-    "X4/X1 token-budget corpus selection (data mixing)",
+    "X4/X1 token-budget corpus selection (data mixing) + length-bucketed "
+    "inference batching (ntile length quartiles per source, fixed-size "
+    "batch ids within each bucket — the padding-minimizing batch layout)",
 )
 def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import length_bucketed_batches
+
     docs = load(spark, sf_dir, "documents")
     packed = pack_sequences(docs, ctx_len=512)
     budget = select_token_budget(
@@ -424,18 +438,20 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast is safe here BY CONSTRUCTION: the kept set is bounded by
     # budget_tokens per source (a constant), not by corpus size — unlike a
     # sampling fraction, which is why q50 computes membership as a column.
-    return (
-        packed.join(F.broadcast(budget), "doc_id", "left")
-        .select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            "seq_id",
-            "seq_offset",
-            "seq_end",
-            F.coalesce("cum_tokens", F.lit(-1)).alias("cum_tokens"),
-            F.coalesce("in_budget", F.lit(False)).alias("in_budget"),
-        )
+    joined = packed.join(F.broadcast(budget), "doc_id", "left").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "seq_id",
+        "seq_offset",
+        "seq_end",
+        F.coalesce("cum_tokens", F.lit(-1)).alias("cum_tokens"),
+        F.coalesce("in_budget", F.lit(False)).alias("in_budget"),
+    )
+    # Length-bucketed inference batching rides the same source-keyed
+    # shuffle as the packing windows.
+    return length_bucketed_batches(
+        joined, group_col="source", id_col="doc_id", n_tokens_col="n_tokens"
     )
 
 

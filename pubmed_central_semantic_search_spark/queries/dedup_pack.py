@@ -306,25 +306,64 @@ _SQL_VEC_CORPUS = f"""
 """
 
 
+# The 'semchunk' arm absorbs SEMANTIC CHUNKING (operators/chunking.py
+# semantic_chunk_ids — the RAG upgrade of the reference's markup-only
+# paragraph chunker): within each label stream, consecutive vectors merge
+# into a segment until the embedding drifts (rounded cosine to the
+# previous vector < 0.5); the oracle replays the lag-cosine and the
+# running cut count, so boundary detection AND segment assignment are
+# value-certified. Column mapping in the union: id_a = vec_id,
+# id_b = segment_id, cosine = cos_prev (NULL on each stream's first row).
+
+
 @register(
     "q25_embedding_near_dup",
     f"""
     WITH
-    {_SQL_VEC_CORPUS}
-    SELECT * FROM (
+    {_SQL_VEC_CORPUS},
+    semchunk AS (
+      SELECT vec_id, label,
+             round(list_cosine_similarity(emb, lag(emb) OVER w), 6) AS cos_prev
+      FROM vcorpus WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+    ),
+    semseg AS (
+      SELECT vec_id, cos_prev,
+             sum(CASE WHEN cos_prev IS NULL OR cos_prev < 0.5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY label ORDER BY vec_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS segment_id
+      FROM semchunk
+    )
+    SELECT 'neardup' AS kind, id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
       FROM vcorpus a JOIN vcorpus b
         ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.99
+    UNION ALL
+    SELECT 'semchunk' AS kind, vec_id AS id_a,
+           CAST(segment_id AS BIGINT) AS id_b, cos_prev AS cosine
+    FROM semseg
     """,
-    survey_rows="X2/X3 (embedding near-dup, blocked self-join)",
+    survey_rows="X2/X3 (embedding near-dup, blocked self-join) + F1 "
+    "generalization (semantic chunking: embedding-drift segment "
+    "boundaries, lag-cosine + running cut count)",
 )
 def q25_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import semantic_chunk_ids
+
     corpus = _planted_vec_corpus(spark, sf_dir)
-    return embedding_near_dup(
+    nd = embedding_near_dup(
         corpus, id_col="vec_id", vec_col="emb", block_col="label", min_cosine=0.99
+    ).select(F.lit("neardup").alias("kind"), "id_a", "id_b", "cosine")
+    sc = semantic_chunk_ids(
+        corpus, doc_col="label", pos_col="vec_id", vec_col="emb", threshold=0.5
+    ).select(
+        F.lit("semchunk").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("segment_id").cast("bigint").alias("id_b"),
+        F.col("cos_prev").alias("cosine"),
     )
+    return nd.unionByName(sc)
 
 
 # ---------------------------------------------------------------------------
