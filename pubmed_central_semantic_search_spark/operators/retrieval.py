@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -340,3 +341,83 @@ def mine_hard_negatives(
         .orderBy(F.asc("bm25_rank"))
         .limit(k_neg)
     )
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: str = "fake",
+):
+    """Cross-encoder re-rank of a BOUNDED candidate list — the precision
+    tier of the modern serving stack (retrieve wide with BM25/ANN, then
+    score (query, document) PAIRS jointly; bi-encoders can't see
+    query-document token interactions). The reference serves raw
+    bi-encoder rankings (qdrant.py:201-205); this stage is the standard
+    quality upgrade between retrieval and MMR diversification.
+
+    ``candidates`` must already be top-N bounded (the distributed stage
+    is the retriever's TakeOrderedAndProject); the pair scorer is one
+    Arrow-batched pandas_udf over that bounded frame — never the corpus.
+
+    ``model='fake'`` scores pairs with the md5-derived deterministic
+    stand-in (same convention as encoder.py: replayable bit for bit, so
+    tests can value-pin ordering); ``model='sbert'`` is the import-gated
+    sentence-transformers CrossEncoder seam — raises ImportError eagerly
+    if the library is absent (the container has none), auto-upgrading
+    when it lands, exactly like the sbert/PIL seams. Returns the top-k
+    by (rounded score desc, id asc) with ``ce_rank``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if model == "sbert":
+        import sentence_transformers  # noqa: F401  (gate: not in container)
+
+        qt = str(query_text)
+
+        def make_udf():
+            @pandas_udf("double")
+            def score(texts: pd.Series) -> pd.Series:
+                import pandas as _pd
+                from sentence_transformers import CrossEncoder
+
+                ce = CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2")
+                return _pd.Series(ce.predict([(qt, t or "") for t in texts]))
+
+            return score
+    elif model == "fake":
+        qt = str(query_text)
+
+        def make_udf():
+            @pandas_udf("double")
+            def score(texts: pd.Series) -> pd.Series:
+                import hashlib as _hashlib
+
+                import pandas as _pd
+
+                def one(t):
+                    h = _hashlib.md5(f"{qt}\x1e{t or ''}".encode()).hexdigest()
+                    return int(h[:8], 16) / 4294967296.0
+
+                return _pd.Series([one(t) for t in texts])
+
+            return score
+    else:
+        raise ValueError(f"unknown cross-encoder model: {model}")
+
+    scored = candidates.withColumn(
+        "ce_score", F.round(make_udf()(F.col(text_col)), 6)
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.orderBy(F.desc("ce_score"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "ce_rank",
+            F.row_number().over(Window.orderBy(F.desc("ce_score"), F.asc(id_col))),
+        )
+    )
+    return ranked

@@ -483,9 +483,26 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(d, k=100, target_col=F.col("lang") == "en")
 
 
+def x_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving: BM25 retrieves a wide candidate list (the only
+    corpus-sized stage), the cross-encoder pair scorer re-ranks the
+    bounded list in one Arrow batch — the precision tier between
+    retrieval and MMR in the modern stack."""
+    from ..operators.retrieval import bm25_rank, cross_encoder_rerank
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cands = bm25_rank(docs, ("join", "hash", "window", "vector"), k=50).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return cross_encoder_rerank(cands, "spark join strategies", k=10)
+
+
 BENCH_EXTRAS = {
     "x_gopher_panel": x_gopher_panel,
     "x_dsir_select": x_dsir_select,
+    "x_cross_rerank": x_cross_rerank,
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
     "x768_mean_pool": x768_mean_pool,

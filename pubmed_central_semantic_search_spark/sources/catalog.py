@@ -336,7 +336,11 @@ def snapshot_diff(
     sorted-name order, computed per side BEFORE the join — the full-outer
     join then carries only (key, fingerprint), never the payloads, so the
     shuffle is key-sized regardless of row width. Versions are immutable
-    until vacuum (manifest pinning), so the diff is reproducible."""
+    until vacuum (manifest pinning), so the diff is reproducible.
+
+    Keys must be UNIQUE per snapshot (the upsert-table invariant this
+    catalog maintains): a duplicated key would fan out through the
+    full-outer join and over-report changes."""
     old = snapshot_read(spark, table_dir, version=v_old)
     new = snapshot_read(spark, table_dir, version=v_new)
     payload = sorted(set(old.columns) - set(key_cols))
