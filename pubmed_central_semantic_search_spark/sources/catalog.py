@@ -47,13 +47,29 @@ def upsert_parquet(
     partitions rewrite; task retries stay safe because the final write is
     atomic-per-partition."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
+    staging = path.rstrip("/") + "__staging"
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    # Crash recovery FIRST (the compact_parquet / start_stream_cms rule —
+    # the commit below is rename-to-backup + rename-staging, and a crash
+    # between the two renames leaves the live path ABSENT with the prior
+    # table in the backup; without this restore, the existence check next
+    # would read "first write" and replace the whole table with
+    # new-rows-only — silent data loss on a retried upsert).
+    if fs.exists(backup_p):
+        if not fs.exists(hpath):
+            fs.rename(backup_p, hpath)
+        else:
+            fs.delete(backup_p, True)
+    if fs.exists(staging_p):  # stale staging from an aborted write
+        fs.delete(staging_p, True)
     # First-write is decided by an EXPLICIT existence check, never by
     # catching the read error: a bare try/except would turn a TRANSIENT
     # read failure (storage hiccup, permission blip, corrupt footer) into
     # "nothing to merge" and the staging swap below would then replace the
     # whole table with new-rows-only — silent data loss. Same rule as the
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
-    fs, hpath, _ = _hadoop_fs(spark, path)
     if fs.exists(hpath):
         existing = spark.read.parquet(path)
         tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
@@ -72,16 +88,15 @@ def upsert_parquet(
     )
     # Stage-then-swap: never overwrite the path we are still reading from
     # (caching is NOT a guard — evicted blocks would recompute from
-    # deleted files). Atomic-enough swap via the Hadoop FS API.
-    staging = path.rstrip("/") + "__staging"
+    # deleted files). The swap is rename-to-backup + rename-staging (not
+    # delete + rename): every crash window leaves either the old table or
+    # the merged one recoverable — the recovery block on entry restores
+    # the backup if the live path went missing mid-swap.
     merged.write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    jsc = spark._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    hstaging = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-    fs.rename(hstaging, hpath)
+    if fs.exists(hpath):
+        fs.rename(hpath, backup_p)
+    fs.rename(staging_p, hpath)
+    fs.delete(backup_p, True)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
