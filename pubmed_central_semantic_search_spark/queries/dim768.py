@@ -499,10 +499,46 @@ def x_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_encoder_rerank(cands, "spark join strategies", k=10)
 
 
+# A shipped tokenizer artifact (production pipelines train once, then
+# tokenize forever): a fixed character-merge table over common English
+# digraphs — the APPLY-side bench must time tokenization, not training
+# (x_bpe_train times that).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d</w>"), ("e", "n"), ("o", "r"),
+    ("s", "t"), ("a", "t"), ("e", "s</w>"), ("in", "g</w>"), ("o", "u"),
+    ("l", "e"), ("a", "r"), ("er", "</w>"), ("c", "h"), ("o", "w"),
+    ("s", "e"), ("m", "a"), ("d", "e"), ("t", "o"),
+]
+
+
+def x_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale TOKENIZATION with a shipped merge table — the apply
+    side of x_bpe_train (pipelines tokenize far more often than they
+    train): the whole corpus segments through the Arrow-batched
+    rank-greedy kernel; output is the per-source BPE token count (forces
+    every row through the tokenizer)."""
+    from ..operators.bpe import bpe_segment_udf
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seg = bpe_segment_udf(_BPE_MERGES)
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.withColumn("bpe", seg(F.col("token")))
+        .groupBy("source")
+        .agg(F.sum(F.size("bpe")).alias("n_bpe_tokens"))
+    )
+
+
 BENCH_EXTRAS = {
     "x_gopher_panel": x_gopher_panel,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
+    "x_bpe_segment": x_bpe_segment,
     "x768_topk_cosine": x768_topk_cosine,
     "x768_topk_cosine_np": x768_topk_cosine_np,
     "x768_mean_pool": x768_mean_pool,
