@@ -315,6 +315,12 @@ _DSIR_CTES = """
            ROUND(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'), 1, 8))
                            AS BIGINT) + 0.5) / 4294967296.0,
                      1.0 / wlen), 6) AS wrs_key,
+           CAST(row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ROUND(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'), 1, 8))
+                                           AS BIGINT) + 0.5) / 4294967296.0,
+                                 1.0 / wlen), 6) DESC, doc_id)
+                AS BIGINT) AS wrs_rank_in_source,
            CAST(COALESCE(w.logw, 0) AS BIGINT) AS dsir_logw_micro,
            ROUND(COALESCE(w.logw, 0) / 1000000.0
                  - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsirg'), 1, 8))
@@ -368,10 +374,17 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         default_fraction=0.6,
     )
+    # Per-source weighted-sample rank: row_number over the (rounded,
+    # engine-portable) A-ES key within each source — the top-k per group
+    # IS a per-source weighted sample without replacement (balanced
+    # eval-set construction). One window on the source key.
+    wk = wrs_key("_wlen")
+    w_src = Window.partitionBy("source").orderBy(wk.desc(), F.asc("doc_id"))
     return deterministic_shuffle(flagged, "doc_id", n_shards=8, seed=7).select(
         "doc_id", "lang", "source", "bucket", "bucket16", "split",
         "in_sample", "shard", "shard_pos",
-        wrs_key("_wlen").alias("wrs_key"),
+        wk.alias("wrs_key"),
+        F.row_number().over(w_src).cast("bigint").alias("wrs_rank_in_source"),
         "dsir_logw_micro",
         dsir_gumbel_key("doc_id", F.col("dsir_logw_micro")).alias("dsir_key"),
     )
