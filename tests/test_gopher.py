@@ -123,3 +123,54 @@ def test_panel_is_narrow_no_shuffle(spark):
     assert "Exchange" not in arrow_plan
     assert "ArrowEvalPython" in arrow_plan
     assert "BatchEvalPython" not in arrow_plan
+
+
+def test_gram_metrics_match_python_reference_on_random_corpora(spark):
+    """Property: the Arrow gram kernel equals a direct-from-definition
+    Python computation (Counter over overlapping n-grams) on randomized
+    repetitive corpora — not just the hand corpus."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(414)
+    words = ["a", "bb", "ccc", "dddd", "spam", "ham", "x"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 30)
+        toks = [rng.choice(words) for _ in range(n)]
+        if n >= 6 and rng.random() < 0.5:  # plant a verbatim loop
+            toks = toks[:6] * rng.randrange(2, 5)
+        rows.append((i, " ".join(toks)))
+
+    def py_metrics(text):
+        toks = [t for t in text.split(" ") if t]
+        char_total = sum(len(t) for t in toks) + max(len(toks) - 1, 0)
+        out = {}
+        for n in (2, 3, 4):
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            if cnt:
+                g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                top = c * len(g)
+            else:
+                top = 0
+            out[f"top{n}_char_milli"] = (
+                top * 1000 // char_total if char_total else 0
+            )
+        for n in (5, 10):
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+            out[f"dup{n}_char_milli"] = (
+                dup * 1000 // char_total if char_total else 0
+            )
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_panel(df).collect()}
+    for i, text in rows:
+        exp = py_metrics(text)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, text)
