@@ -179,6 +179,11 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import mine_hard_negatives, phrase_match_counts
 
     docs = load(spark, sf_dir, "documents")
+    # Three consumers (rrf fusion, score exposure, hard-negative mining)
+    # share this subtree; AQE's runtime exchange reuse already dedupes the
+    # repeated BM25 stages inside the one union job — an eager persist+
+    # count here measured SLOWER (serializes an extra action before the
+    # main job), so the plan stays fully lazy.
     bm25_top = bm25_rank(docs, BM25_TERMS, k=100)
     emb = load(spark, sf_dir, "embeddings")
     scored = emb.select(

@@ -682,10 +682,10 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    # Materialize BEFORE the arms launch: three concurrent first actions
-    # would each compute the (not-yet-populated) cache's plan — the
-    # shingle self-join three times over.
-    shared_pairs.count()
+    # NOT materialized eagerly: CC checkpoints its edge frame on entry
+    # (populating this cache as a side effect) and a serial count up
+    # front measured as a net cost — the arms' first concurrent actions
+    # overlap instead.
 
     def build_lexical() -> None:
         out["lexical"] = assign_components(

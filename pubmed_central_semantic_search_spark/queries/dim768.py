@@ -534,7 +534,43 @@ def x_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source CORPUS DATA CARD in one plan — the summary table a
+    curation run publishes: doc counts, Gopher pass rate, quality and
+    perplexity means, dedup pressure (docs sharing an exact content key),
+    and token mass. Composes only certified signals (gopher_panel,
+    quality_score, bigram LM, md5 content keys, bpe_token_count); the
+    wide ops are ONE groupBy(source) plus the LM/dup aggregates each
+    query already carries."""
+    from ..operators.lm import bigram_perplexity, train_bigram_lm
+    from ..operators.textstats import bpe_token_count, gopher_panel, quality_score
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    panel = gopher_panel(quality_score(docs))
+    c_big, c_uni, vsz = train_bigram_lm(docs)
+    ppl = bigram_perplexity(docs, c_big, c_uni, vsz).select("doc_id", "ppl")
+    dup_n = docs.groupBy(F.md5("text").alias("_ck")).agg(
+        F.count(F.lit(1)).alias("_n_copies")
+    )
+    enriched = (
+        panel.join(ppl, "doc_id", "left")
+        .withColumn("_ck", F.md5("text"))
+        .join(dup_n, "_ck")
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("gopher_pass").cast("double")).alias("gopher_pass_rate"),
+        F.avg("quality_milli").alias("mean_quality_milli"),
+        F.avg("ppl").alias("mean_ppl"),
+        F.sum((F.col("_n_copies") > 1).cast("long")).alias("n_exact_dup_docs"),
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+    )
+
+
 BENCH_EXTRAS = {
+    "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
