@@ -73,8 +73,15 @@ def explode_chunks(articles: DataFrame, drop_empty: bool = True) -> DataFrame:
     if drop_empty:
         # armac_scientific_papers.py:52 drops empty chunks ("if j").
         zipped = zipped.filter(F.col("paragraph") != "")
+    # chunk_id hashes section_id (the zip POSITION), not just the name:
+    # two sections with the same name (real JATS articles repeat 'Methods'
+    # etc.) restart paragraph_id, and a name-based key would collide —
+    # the keyed upsert in api.py would then silently drop the second
+    # section's paragraphs.
     return zipped.select(
-        F.xxhash64(ARTICLE_ID, "section_name", "paragraph_id").alias("chunk_id"),
+        F.xxhash64(ARTICLE_ID, "section_id", "section_name", "paragraph_id").alias(
+            "chunk_id"
+        ),
         ARTICLE_ID,
         "section_id",
         "section_name",

@@ -33,7 +33,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .curation import md5_prefix_long
+from .curation import md5_prefix_long, md5_prefix_uniform
 
 DSIR_SALT = "#dsir"
 GUMBEL_SALT = "#dsirg"
@@ -140,7 +140,7 @@ def dsir_gumbel_key(
     for |logw| beyond float range). Deterministic: u derives from the doc
     id, so re-runs and engines agree; rounded for cross-engine hashing."""
     key = F.col(id_col) if isinstance(id_col, str) else id_col
-    u = (md5_prefix_long(key, GUMBEL_SALT) + F.lit(0.5)) / F.lit(4294967296.0)
+    u = md5_prefix_uniform(key, GUMBEL_SALT)
     return F.round(
         logw_micro / F.lit(1_000_000.0) - F.log(-F.log(u)), precision
     )

@@ -61,15 +61,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is")))
     n_digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    # Ratios are NULL for token-less docs — and the divisor is clamped so
+    # the division itself is defined (under ANSI mode x/0 ERRORS the job,
+    # it does not return NULL; CASE does not guard eager branches here).
+    safe_n = F.greatest(n_tok, F.lit(1))
     return df.withColumns(
         {
             "n_chars_q": F.length(text_col).cast("bigint"),
             "n_tokens_q": n_tok.cast("bigint"),
-            "mean_token_len": F.round(
-                (F.length(text_col) - (n_tok - 1)) / n_tok, 6
+            "mean_token_len": F.when(
+                n_tok > 0,
+                F.round((F.length(text_col) - (n_tok - 1)) / safe_n, 6),
             ),
-            "stopword_ratio_q": F.round(n_stop / n_tok, 6),
-            "digit_ratio_q": F.round(n_digit / n_tok, 6),
+            "stopword_ratio_q": F.when(n_tok > 0, F.round(n_stop / safe_n, 6)),
+            "digit_ratio_q": F.when(n_tok > 0, F.round(n_digit / safe_n, 6)),
         }
     )
 
@@ -89,16 +94,25 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
     n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is")))
     n_digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    # Divisors clamped to 1: under ANSI mode a zero divisor errors the
+    # whole job (it does not yield NULL), and the n_tok = 0 branch is
+    # discarded by the guard on `milli` below anyway.
+    safe_n = F.greatest(n_tok, F.lit(1))
     len_score = F.least(F.floor(n_tok * 1000 / 32), F.lit(1000))
-    mean_len_milli = F.floor((n_chars - (n_tok - 1)) * 1000 / n_tok)
+    mean_len_milli = F.floor((n_chars - (n_tok - 1)) * 1000 / safe_n)
     tok_len_score = F.when(
         (mean_len_milli >= 3000) & (mean_len_milli <= 10000), F.lit(1000)
     ).otherwise(F.lit(500))
-    stop_score = F.least(F.floor(n_stop * 5000 / n_tok), F.lit(1000))
-    digit_penalty = 1000 - F.least(F.floor(n_digit * 2000 / n_tok), F.lit(1000))
+    stop_score = F.least(F.floor(n_stop * 5000 / safe_n), F.lit(1000))
+    digit_penalty = 1000 - F.least(F.floor(n_digit * 2000 / safe_n), F.lit(1000))
     milli = F.floor(
         (3 * len_score + 2 * tok_len_score + 3 * stop_score + 2 * digit_penalty) / 10
     )
+    # Token-less docs must score 0, not ride the NULL-skipping of least():
+    # with n_tok = 0 every ratio divides by zero → NULL, least(NULL, 1000)
+    # returns 1000, and an EMPTY document would score 400 — above genuinely
+    # low-quality prose.
+    milli = F.when(n_tok > 0, milli).otherwise(F.lit(0))
     return feat.withColumn("quality_milli", milli.cast("bigint")).withColumn(
         "quality", F.col("quality_milli") / 1000.0
     )
@@ -165,13 +179,7 @@ def repetition_ratio(
     columns, so it composes with the other per-row quality signals in one
     projection — no self-join needed to reattach them."""
     toks = _tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _ngrams(toks, n)
     out = df.withColumns(
         {
             "n_grams": F.size(grams).cast("bigint"),

@@ -206,11 +206,13 @@ _GOPHER_OUT_COLS = """
     panel AS (
       SELECT doc_id, labeled_lang,
              {_LANG_CASE} AS predicted_lang,
-             CAST((3 * least(n_tok * 1000 // 32, 1000)
+             CAST(CASE WHEN n_tok > 0 THEN
+                  (3 * least(n_tok * 1000 // 32, 1000)
                  + 2 * CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
                         THEN 1000 ELSE 500 END
                  + 3 * least(n_stop * 5000 // n_tok, 1000)
-                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10 AS BIGINT)
+                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10
+                  ELSE 0 END AS BIGINT)
                AS quality_milli,
              len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
              CASE WHEN len(tk) >= 3
@@ -363,11 +365,13 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id, text, source,
-             CAST((3 * least(n_tok * 1000 // 32, 1000)
+             CAST(CASE WHEN n_tok > 0 THEN
+                  (3 * least(n_tok * 1000 // 32, 1000)
                  + 2 * CASE WHEN (n_chars - (n_tok - 1)) * 1000 // n_tok BETWEEN 3000 AND 10000
                         THEN 1000 ELSE 500 END
                  + 3 * least(n_stop * 5000 // n_tok, 1000)
-                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10 AS BIGINT)
+                 + 2 * (1000 - least(n_digit * 2000 // n_tok, 1000))) // 10
+                  ELSE 0 END AS BIGINT)
                AS quality_milli,
              {_LANG_CASE} AS predicted_lang
       FROM feat

@@ -42,11 +42,12 @@ def upsert_parquet(
     the same key (the reference's content-keyed overwrite semantics).
 
     Implementation: read-existing → unionByName → row_number over key
-    (new rows ranked first) → rewrite. At scale, partition the path by a
-    key prefix and use dynamic partition overwrite so only affected
-    partitions rewrite; task retries stay safe because the final write is
-    atomic-per-partition."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (new rows ranked first) → rewrite via a full staging swap. At scale,
+    partition the path by a key prefix and rewrite only affected
+    partitions under ``partitionOverwriteMode=dynamic`` — that variant
+    would set the conf; THIS code path never does a partitioned
+    overwrite, so it must not flip a session-wide setting that changes
+    the overwrite semantics of unrelated writes."""
     fs, hpath, jvm = _hadoop_fs(spark, path)
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
@@ -236,9 +237,15 @@ def snapshot_write(
     ``overwrite`` — the new version sees only this frame. Either way the
     data of earlier versions is untouched (time travel until vacuum).
 
-    SINGLE-WRITER protocol (like bare Delta without a lock service):
-    concurrent writers race on the manifest rename — one wins, the loser
-    raises. A writer crash between data write and manifest rename leaves
+    SINGLE-WRITER protocol (like bare Delta without a lock service) —
+    concurrent writers are OUT OF CONTRACT (the orphan reclaim below can
+    delete a peer's in-flight data dir), but the manifest commit DETECTS
+    the race best-effort rather than silently nesting: Hadoop ``rename``
+    into an existing destination DIRECTORY moves the source inside it
+    and returns true, so a bare rename-return check cannot catch a
+    racing peer — the commit checks the destination before renaming and
+    re-checks for the tell-tale nested staging dir after, raising on
+    either. A writer crash between data write and manifest rename leaves
     an ORPHAN data/v{n} dir; since version numbers only exist once their
     manifest commits, the next writer reclaims that number and deletes
     the orphan before rewriting (crash recovery, same entry-time rule as
@@ -250,7 +257,16 @@ def snapshot_write(
     latest = versions[-1] if versions else 0
     version = latest + 1
     data_path = f"{table_dir.rstrip('/')}/data/v{version}"
-    fs0, dpath0, _ = _hadoop_fs(spark, data_path)
+    fs0, dpath0, jvm0 = _hadoop_fs(spark, data_path)
+    # Re-check the manifest FRESH before touching data/v{n}: if a peer
+    # committed this version after our (stale) version read, its data dir
+    # is NOT an orphan — deleting it would destroy a committed snapshot.
+    if fs0.exists(
+        jvm0.org.apache.hadoop.fs.Path(f"{_manifest_dir(table_dir)}/v{version}")
+    ):
+        raise RuntimeError(
+            f"snapshot commit race: version {version} already exists"
+        )
     if fs0.exists(dpath0):  # orphan of a crashed writer — no manifest ⇒ dead
         fs0.delete(dpath0, True)
     df.write.mode("errorifexists").parquet(data_path)
@@ -265,9 +281,24 @@ def snapshot_write(
     manifest.coalesce(1).write.mode("overwrite").json(staging)
     fs, _, jvm = _hadoop_fs(spark, mdir)
     committed = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{version}")
+    if fs.exists(committed):  # a peer committed this version first
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        raise RuntimeError(
+            f"snapshot commit race: version {version} already exists"
+        )
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), committed):
         raise RuntimeError(
             f"snapshot commit race: version {version} already exists"
+        )
+    # rename into a directory that appeared between the check and the
+    # rename NESTS the staging dir and returns true — detect and raise
+    nested = jvm.org.apache.hadoop.fs.Path(
+        f"{mdir}/v{version}/.v{version}.staging"
+    )
+    if fs.exists(nested):
+        fs.delete(nested, True)
+        raise RuntimeError(
+            f"snapshot commit race: version {version} committed by a peer"
         )
     return version
 

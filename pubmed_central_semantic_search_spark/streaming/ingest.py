@@ -56,24 +56,32 @@ def start_ingest(
     encoder: str = "fake",
 ):
     """X6 — end-to-end incremental ingest: stream → chunks + doc_vectors
-    parquet, exactly-once via checkpoint + idempotent keyed write.
+    parquet, exactly-once RESULTS via checkpoint + idempotent keyed
+    upsert (``foreachBatch`` replays whole batches at-least-once across
+    crashes; a plain append sink would duplicate every replayed row —
+    the keyed merge keeps one row per chunk_id/doc_pk no matter how many
+    times a batch re-applies, the ``start_stream_upsert`` law).
 
     ``foreachBatch`` gives us the batch DataFrame API (mean_pool needs a
     full groupBy) — the standard pattern for sinks that need batch-only
     operations."""
+    from ..sources.catalog import upsert_parquet
 
     stream = read_article_stream(spark, source_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        chunks = explode_chunks(batch_df).withColumn(
-            "embedding", encode_column("paragraph", kind=encoder)
-        )
+        # same transform as the streaming-side article_stream_to_chunks —
+        # call it so the two paths cannot drift
+        chunks = article_stream_to_chunks(batch_df, encoder=encoder)
         chunks.persist()
-        chunks.write.mode("append").parquet(chunks_path)
+        upsert_parquet(spark, chunks, chunks_path, key_cols=["chunk_id"])
         vecs = mean_pool(chunks, group=["article_id"], vec_col="embedding")
-        vecs.withColumn("doc_pk", F.xxhash64("article_id")).write.mode(
-            "append"
-        ).parquet(doc_vectors_path)
+        upsert_parquet(
+            spark,
+            vecs.withColumn("doc_pk", F.xxhash64("article_id")),
+            doc_vectors_path,
+            key_cols=["doc_pk"],
+        )
         chunks.unpersist()
 
     return (

@@ -203,14 +203,18 @@ def test_pii_scrub_is_narrow_no_exchange(spark, sf_dir):
     assert "* Project" in plan  # whole-stage codegen'd projection
 
 
-def test_split_and_sample_one_shard_shuffle_no_join(spark, sf_dir):
-    """q50: split buckets AND sample membership stay per-row expressions
+def test_split_and_sample_two_window_shuffles_no_join(spark, sf_dir):
+    """q50: split buckets, sample membership, DSIR log-weights (model as
+    a packed literal) and both sampling keys stay per-row expressions
     (joining the kept-sample set would put fraction × corpus on a join);
-    the fused deterministic_shuffle arm adds exactly ONE wide op — the
-    shard-keyed window sort that assigns reproducible shard positions."""
+    the wide ops are exactly TWO window sorts — the shard-keyed
+    deterministic_shuffle positions and the source-keyed grouped-WRS
+    rank. (The DSIR fit is its own one-pass job at plan-build time, not
+    part of this plan.)"""
     plan = _q("q50_split_and_sample", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "hashpartitioning(shard" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

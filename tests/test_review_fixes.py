@@ -1,0 +1,93 @@
+"""Regression pins for the round-4 self-review findings: chunk_id
+collisions on duplicate section names, empty-doc quality scoring,
+replayed-ingest duplication, snapshot commit-race detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.operators.chunking import explode_chunks
+from pubmed_central_semantic_search_spark.operators.textstats import quality_score
+
+
+def test_chunk_id_distinct_across_same_named_sections(spark):
+    """Real JATS articles repeat section names ('Methods', ...);
+    paragraph_id restarts per section, so the key must include the
+    section POSITION or the keyed upsert silently drops the second
+    section's paragraphs."""
+    art = spark.createDataFrame(
+        [("A", ["Methods", "Methods"], [["p0", "p1"], ["q0", "q1"]])],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    chunks = explode_chunks(art).collect()
+    ids = [r["chunk_id"] for r in chunks]
+    assert len(ids) == 4
+    assert len(set(ids)) == 4, "chunk_id collided across same-named sections"
+
+
+def test_quality_score_empty_doc_is_zero(spark):
+    """NULL-skipping least() must not hand token-less docs the maximum
+    stopword score (an empty doc used to score 400/1000)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_milli"] for r in quality_score(df).collect()}
+    assert got[0] == 0
+    assert got[1] == 0
+    assert got[2] > 0
+
+
+def test_start_ingest_replay_does_not_duplicate(spark, tmp_path):
+    """Replayed micro-batches (fresh checkpoint over the same source —
+    the at-least-once worst case) must not duplicate chunk or vector
+    rows: the sink is a keyed upsert, not an append."""
+    import json
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    art = {
+        "article_id": "A1",
+        "section_names": ["Intro"],
+        "sections": [["para one", "para two"]],
+    }
+    (src / "a.json").write_text(json.dumps(art) + "\n")
+    chunks_path = str(tmp_path / "chunks")
+    vecs_path = str(tmp_path / "vecs")
+    for i in range(2):  # second run = full replay (new checkpoint)
+        q = start_ingest(
+            spark, str(src), chunks_path, vecs_path, str(tmp_path / f"ck{i}")
+        )
+        q.awaitTermination()
+    chunks = spark.read.parquet(chunks_path)
+    assert chunks.count() == 2
+    assert chunks.select("chunk_id").distinct().count() == 2
+    vecs = spark.read.parquet(vecs_path)
+    assert vecs.count() == 1
+
+
+def test_snapshot_commit_race_detected(spark, tmp_path, monkeypatch):
+    """A peer committing the same version between this writer's version
+    read and its manifest rename must make snapshot_write RAISE — never
+    nest its staging inside the peer's manifest dir and report success
+    (Hadoop rename into an existing destination directory returns true).
+    Simulated by pinning this writer's version read to a stale value."""
+    from pubmed_central_semantic_search_spark.sources import catalog
+
+    table = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert catalog.snapshot_write(spark, df1, table) == 1
+    peer_v2 = catalog.snapshot_write(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), table
+    )
+    assert peer_v2 == 2
+    # this writer read versions BEFORE the peer committed v2
+    monkeypatch.setattr(catalog, "snapshot_versions", lambda s, t: [1])
+    with pytest.raises(RuntimeError, match="race"):
+        catalog.snapshot_write(spark, df1, table)
+    monkeypatch.undo()
+    # the peer's commit is intact and readable
+    assert sorted(
+        map(tuple, catalog.snapshot_read(spark, table, version=2).collect())
+    ) == [(1, "a"), (2, "b")]
