@@ -165,6 +165,18 @@ def recompute_centroids(
     by_cluster: dict[int, dict[int, float]] = {}
     for r in rows:
         by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["_pos"])] = r["_m"]
+    # Loud on a dim mismatch (the pq_encode ragged-codebook rule): silently
+    # truncating 768-component means to a default dim=64 would feed the
+    # next assignment centroids shorter than the vectors — zip_with then
+    # null-pads, every similarity folds to NULL, and EVERY vector lands in
+    # the lowest cluster id with no error.
+    for cid, comps in by_cluster.items():
+        if len(comps) != dim:
+            raise ValueError(
+                f"recompute_centroids: dim={dim} but cluster {cid}'s vectors "
+                f"have {len(comps)} components — pass the vectors' true "
+                "dimensionality"
+            )
     return sorted(
         (cid, [comps[i] for i in range(dim)]) for cid, comps in by_cluster.items()
     )
@@ -187,6 +199,11 @@ def lloyd_kmeans(
     cold storage should ``persist()`` the vectors first (n_iter+1 scans).
     """
     centroids = seed_centroids(vectors, k, id_col, vec_col)
+    if centroids and len(centroids[0][1]) != dim:
+        raise ValueError(
+            f"lloyd_kmeans: dim={dim} but the vectors are "
+            f"{len(centroids[0][1])}-dimensional — pass dim explicitly"
+        )
     for _ in range(n_iter):
         assigned = vectors.withColumn(
             "cluster_id", nearest_centroid(vec_col, centroids)

@@ -290,8 +290,19 @@ def minhash_signature_array(
     This is ZERO-shuffle (the earlier shape exploded shingles and took k
     mins in a groupBy — one corpus-wide shuffle just to compute a value
     that is a pure function of the row). Same mins, any order: min over a
-    set is order-free, so the flat/oracle values are unchanged."""
+    set is order-free, so the flat/oracle values are unchanged.
+
+    NOTE the multi-reference trap: this expression embeds the shingle
+    array as a subtree of EVERY hash fold, and HOF subtrees are excluded
+    from subexpression elimination — each row re-shingles k times. Frame
+    consumers use ``minhash_signature_frame``, which materializes the
+    shingle array in a prior projection so it is built ONCE per row; this
+    column form exists for single-shot expression composition only."""
     grams = shingle_array(text_col, shingle_n)
+    return _signature_from_grams(grams, n_hashes)
+
+
+def _signature_from_grams(grams: Column, n_hashes: int) -> Column:
     return F.array(
         *[
             F.array_min(F.transform(grams, lambda s: hash32(s, i)))
@@ -300,17 +311,29 @@ def minhash_signature_array(
     )
 
 
+def minhash_signature_frame(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(_id, _sig) with the shingle array materialized ONCE per row in a
+    prior projection (the k hash folds then reference an attribute, not k
+    copies of the tokenize/slice/distinct tree). Shingle-less docs drop
+    out (NULL first signature slot)."""
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_array(text_col, shingle_n).alias("_g"),
+    )
+    return staged.select(
+        "_id", _signature_from_grams(F.col("_g"), n_hashes).alias("_sig")
+    ).filter(F.col("_sig")[0].isNotNull())
+
+
 def minhash_signature_flat(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """(id, hash_idx, min_hash) — the flat signature view (narrow: one
     projection + one posexplode). Docs with no shingles drop out, matching
     the set semantics of the oracle's groupBy."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_array(text_col, n_hashes, shingle_n).alias("_sig"),
-    ).filter(F.col("_sig")[0].isNotNull())
-    return base.select(
+    return minhash_signature_frame(df, id_col, text_col, n_hashes, shingle_n).select(
         "_id", F.posexplode("_sig").alias("hash_idx", "min_hash")
     )
 
@@ -330,11 +353,17 @@ def minhash_band_keys(
     to materialize (partitioned/bucketed by (band, band_key)) so both the
     batch self-join and the stream-static probe read it instead of
     re-shingling the corpus."""
+    if n_hashes % bands:
+        # Silent truncation would compute hashes that never enter any
+        # band — the caller tuned an (n_hashes, bands) threshold curve
+        # but would get a different one. Loud, like pq_encode's ragged-
+        # codebook check.
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(trailing hashes would be silently discarded)"
+        )
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_array(text_col, n_hashes, shingle_n).alias("_sig"),
-    ).filter(F.col("_sig")[0].isNotNull())
+    sig = minhash_signature_frame(df, id_col, text_col, n_hashes, shingle_n)
     return sig.select(
         "_id",
         F.posexplode(
@@ -369,6 +398,14 @@ def minhash_candidate_pairs(
     per-row expressions (``minhash_band_keys``), so the candidate
     equi-join is the FIRST shuffle in the whole pipeline."""
     band_keys = minhash_band_keys(df, id_col, text_col, n_hashes, bands, shingle_n)
+    return _band_candidate_pairs(band_keys)
+
+
+def _band_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """The band-key self-join (ONE definition so ``near_dup_minhash``'s
+    persisted variant cannot drift from ``minhash_candidate_pairs``):
+    equi-join on the explicit (band, band_key) pair, ordered ids,
+    distinct."""
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (
@@ -406,14 +443,7 @@ def near_dup_minhash(
     band_keys = minhash_band_keys(
         df, id_col, text_col, n_hashes, bands, shingle_n
     ).persist()
-    a_keys = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
-    b_keys = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
-    pairs = (
-        a_keys.join(b_keys, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _band_candidate_pairs(band_keys)
     sh_a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     sh_b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
@@ -459,12 +489,16 @@ def ngram_jaccard_pairs(
     stay exact. Default ``None`` = exact Jaccard (the oracle-checked mode).
 
     Returns (id_a, id_b, n_intersect, n_union, jaccard ≥ threshold).
-    Per-doc counts ride the shingle rows (see ``shingles``) — union sizes
-    stay EXACT even under ``max_doc_freq`` (the cap undercounts only the
-    intersections of boilerplate-heavy pairs), with no count-reattach
-    joins. The shingle view is persisted — it feeds both join sides (and
-    the doc-freq aggregate when capped), so the corpus is scanned and
-    shingled once."""
+    Per-doc counts ride the shingle rows (see ``shingles``) with no
+    count-reattach joins. Semantics under ``max_doc_freq``: capped (hot)
+    shingles leave the intersection count, but the per-doc totals still
+    include them — so for pairs that SHARE a capped shingle, ``n_union``
+    is OVERCOUNTED by the number of capped shared shingles and
+    ``jaccard`` is conservatively DEFLATED (never inflated; a pair can
+    only be missed, never falsely promoted past the threshold by the
+    cap). Exact values need ``max_doc_freq=None``. The shingle view is
+    persisted — it feeds both join sides (and the doc-freq aggregate when
+    capped), so the corpus is scanned and shingled once."""
     sh = shingles(df, id_col, text_col, shingle_n).persist()
     joinable = sh
     if max_doc_freq is not None:
@@ -576,6 +610,11 @@ def simhash_near_dup(
     the skew risk, handled the same way as MinHash's boilerplate bands
     (AQE skew-join or a band-value frequency cap upstream).
     """
+    # n_bands need not divide 32: trailing uncovered bits only ADD
+    # differing positions a candidate pair may hide there, and a pair with
+    # hamming < n_bands still has an intact covered band (pigeonhole over
+    # the covered bits is a fortiori) — recall is unaffected, the exact
+    # verify handles precision.
     band_w = 32 // n_bands
     sig = simhash32(df, id_col, text_col)
     banded = sig.select(

@@ -196,6 +196,26 @@ def pq_topk(
     codes = vectors.select(
         F.col(id_col), pq_encode(vec_col, books).alias("_codes")
     )
+    return _adc_rank_then_exact(
+        codes, vectors, query, books, k, rerank, id_col, vec_col
+    )
+
+
+def _adc_rank_then_exact(
+    codes: DataFrame,
+    vectors: DataFrame,
+    query: list[float],
+    books: list[list[list[float]]],
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of ``pq_topk``/``ivfpq_topk`` (one definition so the
+    rerank contract cannot drift between them): ADC top-``rerank`` over a
+    ``(_codes, id)`` frame via TakeOrderedAndProject, broadcast the
+    candidate ids back onto the full vectors, exact-cosine top-k with id
+    tie-break."""
     cand = (
         codes.select(
             id_col, pq_adc_score("_codes", query, books).alias("adc_score")
@@ -249,16 +269,7 @@ def ivfpq_topk(
     lists = vectors.withColumn("cluster_id", nearest_centroid(vec_col, centroids))
     codes = lists.select(
         F.col(id_col), "cluster_id", pq_encode(vec_col, books).alias("_codes")
+    ).filter(F.col("cluster_id").isin(probed))
+    return _adc_rank_then_exact(
+        codes, vectors, query, books, k, rerank, id_col, vec_col
     )
-    cand = (
-        codes.filter(F.col("cluster_id").isin(probed))
-        .select(id_col, pq_adc_score("_codes", query, books).alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
-        .limit(rerank)
-    )
-    exact = vectors.join(F.broadcast(cand), id_col).select(
-        id_col,
-        "adc_score",
-        cosine_similarity(vec_col, array_lit(query)).alias("score"),
-    )
-    return top_k(exact, "score", k, tiebreak=[id_col])

@@ -91,3 +91,33 @@ def test_snapshot_commit_race_detected(spark, tmp_path, monkeypatch):
     assert sorted(
         map(tuple, catalog.snapshot_read(spark, table, version=2).collect())
     ) == [(1, "a"), (2, "b")]
+
+
+def test_kmeans_dim_mismatch_raises(spark):
+    """A wrong/default dim must fail loudly, not silently truncate the
+    centroids (which would null-out every similarity and collapse all
+    assignments to the lowest cluster id)."""
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        lloyd_kmeans(vecs, k=2, dim=4)
+    assigned, cents = lloyd_kmeans(vecs, k=2, dim=8)
+    assert all(len(v) == 8 for _, v in cents)
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    """Trailing hashes outside any band would silently change the tuned
+    LSH threshold curve — reject the geometry loudly."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        minhash_band_keys,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_keys(df, "doc_id", "text", n_hashes=8, bands=3)
