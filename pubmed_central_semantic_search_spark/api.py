@@ -69,16 +69,30 @@ class SemanticSearchEngine:
 
     def upload_articles(self, articles: DataFrame) -> None:
         """The reference's ``_upload`` pipeline (qdrant.py:110-175) as two
-        batch jobs: explode→encode→upsert chunks; mean-pool from the
-        WRITTEN chunks → upsert doc vectors (E1 runs once, H1-keyed
+        batch jobs: explode→encode→write chunks ARTICLE-REPLACINGLY
+        (``replace_group_col`` — a chunk-keyed upsert alone cannot delete,
+        so re-uploading a shortened article would leave its removed
+        paragraphs searchable); mean-pool from the WRITTEN chunks of just
+        the UPLOADED articles (broadcast semi-join on the batch's article
+        ids — re-pooling the whole corpus would make every small ingest an
+        O(corpus) job) → upsert doc vectors (E1 runs once, H1-keyed
         idempotent overwrite)."""
         chunks = explode_chunks(articles).withColumn(
             "embedding", encode_column("paragraph", kind=self.encoder, dim=self.dim)
         )
         upsert_parquet(
-            self.spark, chunks, self.chunks_path, key_cols=["chunk_id"]
+            self.spark,
+            chunks,
+            self.chunks_path,
+            key_cols=["chunk_id"],
+            replace_group_col="article_id",
         )
-        written = self.spark.read.parquet(self.chunks_path)
+        batch_ids = articles.select(
+            F.col("article_id").cast("string").alias("article_id")
+        ).distinct()
+        written = self.spark.read.parquet(self.chunks_path).join(
+            F.broadcast(batch_ids), "article_id"
+        )
         vecs = mean_pool(
             written, group=["article_id"], vec_col="embedding", dim=self.dim
         ).withColumn("doc_pk", doc_key("article_id"))
@@ -104,14 +118,31 @@ class SemanticSearchEngine:
     # -- query -------------------------------------------------------------
 
     def _query_frame(self, queries: str | list[str]) -> DataFrame:
-        """qdrant.py:233-236 — str→[str] promote, encode once driver-side
-        (same encoder as ingest; tiny row count)."""
+        """qdrant.py:233-236 — str→[str] promote, encode with THE SAME
+        encoder as ingest (an engine built with encoder='sbert' must not
+        score sbert document vectors against hash-fake query vectors —
+        cosine across encoder spaces is noise). The fake path encodes
+        driver-side (tiny row count, zero jobs); any other encoder runs
+        the engine's own Arrow encode stage over the k-row frame."""
         if isinstance(queries, str):
             queries = [queries]
-        vecs = fake_encode_matrix(list(queries), self.dim)
-        return self.spark.createDataFrame(
-            [(i, q, [float(x) for x in v]) for i, (q, v) in enumerate(zip(queries, vecs))],
-            "query_id int, query_text string, qvec array<double>",
+        if self.encoder == "fake":
+            vecs = fake_encode_matrix(list(queries), self.dim)
+            return self.spark.createDataFrame(
+                [
+                    (i, q, [float(x) for x in v])
+                    for i, (q, v) in enumerate(zip(queries, vecs))
+                ],
+                "query_id int, query_text string, qvec array<double>",
+            )
+        base = self.spark.createDataFrame(
+            list(enumerate(queries)), "query_id int, query_text string"
+        )
+        return base.withColumn(
+            "qvec",
+            encode_column("query_text", kind=self.encoder, dim=self.dim).cast(
+                "array<double>"
+            ),
         )
 
     def query(

@@ -62,17 +62,20 @@ def render_hits(
         "query_id",
         F.col(ARTICLE_ID).alias("h_article_id"),
         "doc_score",
+        F.col("section_id").alias("h_section_id"),
         F.col("section_name").alias("h_section_name"),
         F.col("paragraph_id").alias("h_paragraph_id"),
         "chunk_score",
     )
+    # Join on the section POSITION, not its name — same-named sections
+    # restart paragraph_id (see search.expand_context).
     neighbors = chunks.select(
-        ARTICLE_ID, "section_name", "paragraph_id", "paragraph"
+        ARTICLE_ID, "section_id", "section_name", "paragraph_id", "paragraph"
     )
     joined = neighbors.join(
         F.broadcast(hits),
         (F.col(ARTICLE_ID) == F.col("h_article_id"))
-        & (F.col("section_name") == F.col("h_section_name"))
+        & (F.col("section_id") == F.col("h_section_id"))
         & (F.col("paragraph_id") >= F.col("h_paragraph_id") - window)
         & (F.col("paragraph_id") <= F.col("h_paragraph_id") + window),
     )
@@ -82,6 +85,7 @@ def render_hits(
             "query_id",
             "h_article_id",
             "doc_score",
+            "h_section_id",
             "h_section_name",
             "h_paragraph_id",
             "chunk_score",

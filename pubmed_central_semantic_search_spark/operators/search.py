@@ -95,17 +95,22 @@ def expand_context(
         "query_id",
         F.col(ARTICLE_ID).alias("h_article_id"),
         "doc_score",
+        F.col("section_id").alias("h_section_id"),
         F.col("section_name").alias("h_section_name"),
         F.col("paragraph_id").alias("h_paragraph_id"),
         "chunk_score",
     )
+    # Neighbor identity is the section POSITION, not its name: real JATS
+    # articles repeat section names ('Methods' twice) and paragraph_id
+    # restarts per section — joining on the name would interleave
+    # paragraphs from the wrong same-named section into the context.
     neighbors = chunks.select(
-        ARTICLE_ID, "section_name", "paragraph_id", "paragraph"
+        ARTICLE_ID, "section_id", "section_name", "paragraph_id", "paragraph"
     )
     joined = neighbors.join(
         F.broadcast(hits),
         (F.col(ARTICLE_ID) == F.col("h_article_id"))
-        & (F.col("section_name") == F.col("h_section_name"))
+        & (F.col("section_id") == F.col("h_section_id"))
         & (F.col("paragraph_id") >= F.col("h_paragraph_id") - window)
         & (F.col("paragraph_id") <= F.col("h_paragraph_id") + window),
     )
@@ -114,6 +119,7 @@ def expand_context(
             "query_id",
             "h_article_id",
             "doc_score",
+            "h_section_id",
             "h_section_name",
             "h_paragraph_id",
             "chunk_score",
@@ -178,8 +184,11 @@ def highlight_with_context(
     w_rank = Window.partitionBy("query_id", ARTICLE_ID).orderBy(
         F.desc("chunk_score"), F.asc("section_id"), F.asc("paragraph_id")
     )
+    # Partition by the section POSITION (section_id), not its name: two
+    # same-named sections restart paragraph_id, and a name-keyed window
+    # would collect context rows from both (see expand_context).
     w_ctx = (
-        Window.partitionBy("query_id", ARTICLE_ID, "section_name")
+        Window.partitionBy("query_id", ARTICLE_ID, "section_id")
         .orderBy("paragraph_id")
         .rangeBetween(-window, window)
     )

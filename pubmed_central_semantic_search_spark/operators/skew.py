@@ -52,7 +52,23 @@ def salted_join(
     key (e.g. the big table's own primary key) — they feed the salt hash.
     Output columns = the plain join's (salt is internal). ``small`` grows
     n_salt× — keep it the genuinely small side.
+
+    Only big-side-preserving joins are accepted: a small-side-preserving
+    ``how`` ('right'/'full') would emit one null-padded copy of every
+    unmatched small row PER SALT REPLICA (n_salt duplicates where the
+    plain join has one) — the 'identical to the unsalted join' contract
+    cannot hold there.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving — the "
+            f"replicated small side would duplicate unmatched rows; use one "
+            f"of {sorted(allowed)}"
+        )
     big_s = big.withColumn("_salt", salt_column(salt_by, n_salt))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -37,9 +37,17 @@ def upsert_parquet(
     path: str,
     key_cols: list[str],
     version_col: str | None = None,
+    replace_group_col: str | None = None,
 ) -> None:
     """S7 — idempotent keyed write: new rows win over existing rows with
     the same key (the reference's content-keyed overwrite semantics).
+
+    ``replace_group_col`` upgrades the merge to GROUP-REPLACING: every
+    existing row whose group value appears in ``df`` is dropped before
+    the keyed merge, so group members ABSENT from the new batch disappear
+    (a keyed upsert alone cannot delete — re-uploading a shortened
+    article would leave its removed paragraphs behind). The group set is
+    batch-sized by the ingest contract, so it broadcasts.
 
     Implementation: read-existing → unionByName → row_number over key
     (new rows ranked first) → rewrite via a full staging swap. At scale,
@@ -73,6 +81,11 @@ def upsert_parquet(
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
     if fs.exists(hpath):
         existing = spark.read.parquet(path)
+        if replace_group_col is not None:
+            groups = df.select(replace_group_col).distinct()
+            existing = existing.join(
+                F.broadcast(groups), replace_group_col, "left_anti"
+            )
         tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
             df.withColumn("_is_new", F.lit(1))
         )

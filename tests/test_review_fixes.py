@@ -121,3 +121,81 @@ def test_minhash_bands_must_divide_hashes(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divide"):
         minhash_band_keys(df, "doc_id", "text", n_hashes=8, bands=3)
+
+
+def test_reupload_shortened_article_removes_stale_chunks(spark, tmp_path):
+    """Re-uploading an article with a paragraph deleted must remove that
+    paragraph from the chunks table (group-replacing write) AND the doc
+    vector must be re-pooled from the new chunks only."""
+    from pubmed_central_semantic_search_spark.api import SemanticSearchEngine
+
+    eng = SemanticSearchEngine(spark, str(tmp_path / "db"), dim=8)
+    art = lambda paras: spark.createDataFrame(  # noqa: E731
+        [("A", ["Intro"], [paras])],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    eng.upload_articles(art(["p one", "p two", "p three"]))
+    assert spark.read.parquet(eng.chunks_path).count() == 3
+    eng.upload_articles(art(["p one", "p three"]))
+    chunks = spark.read.parquet(eng.chunks_path)
+    assert chunks.count() == 2
+    assert sorted(r["paragraph"] for r in chunks.collect()) == ["p one", "p three"]
+    assert spark.read.parquet(eng.doc_vectors_path).count() == 1
+
+
+def test_context_respects_section_position_not_name(spark):
+    """Two sections named 'Methods': a hit in the second must collect
+    context ONLY from the second (paragraph_id restarts per section, so a
+    name-keyed join would interleave both)."""
+    from pubmed_central_semantic_search_spark.operators.chunking import (
+        explode_chunks,
+    )
+    from pubmed_central_semantic_search_spark.operators.search import (
+        expand_context,
+        highlight_with_context,
+    )
+
+    art = spark.createDataFrame(
+        [("A", ["Methods", "Methods"], [["m0a", "m1a", "m2a"], ["m0b", "m1b", "m2b"]])],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    chunks = explode_chunks(art)
+    # a fake hit at section_id=1 (second Methods), paragraph_id=1
+    hit = chunks.filter(
+        (F.col("section_id") == 1) & (F.col("paragraph_id") == 1)
+    ).select(
+        F.lit(0).alias("query_id"),
+        "article_id",
+        F.lit(1.0).alias("doc_score"),
+        "section_id",
+        "section_name",
+        "paragraph_id",
+        F.lit(0.9).alias("chunk_score"),
+    )
+    [row] = expand_context(hit, chunks, window=1).collect()
+    assert row["context_paragraphs"] == ["m0b", "m1b", "m2b"]
+
+    # end-to-end variant through the fused window path
+    emb = chunks.withColumn(
+        "embedding",
+        F.when(F.col("paragraph") == "m1b", F.array(F.lit(1.0), F.lit(0.0)))
+        .otherwise(F.array(F.lit(0.0), F.lit(1.0))),
+    )
+    top = spark.createDataFrame(
+        [(0, [1.0, 0.0], "A", 1.0)],
+        "query_id int, qvec array<double>, article_id string, doc_score double",
+    )
+    out = highlight_with_context(emb, top, n_paragraphs=1, window=1).collect()
+    [r] = out
+    assert r["paragraph_id"] == 1 and r["context_paragraphs"] == ["m0b", "m1b", "m2b"]
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    from pubmed_central_semantic_search_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, pk long")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="preserving"):
+        salted_join(big, small, on=["k"], salt_by=["pk"], how="full")
+    ok = salted_join(big, small, on=["k"], salt_by=["pk"], how="left")
+    assert ok.count() == 1
