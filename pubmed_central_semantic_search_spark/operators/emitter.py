@@ -1,0 +1,96 @@
+"""Training-sample emitter — the LAST MILE of the curation pipeline:
+documents → fixed-length token-id sequences, the rows an LLM pre-training
+loader actually reads. Composes the already-certified pieces (q55's
+ranked vocabulary, ``pack_sequences``' packing coordinates) into emitted
+samples: per (shard, seq_id) one row with the ``ctx_len`` token ids in
+stream order, the in-sequence offsets where a new document starts
+(attention-reset boundaries), and the contributing doc count.
+
+Reference scope: the reference stops at chunk embeddings
+(qdrant.py:110-175); sample emission is part of the mandated
+training-data-pipeline extension pack.
+
+Shape at 100 TB: ONE window cumsum per shard assigns every token its
+global stream position (the same source-keyed shuffle pack_sequences
+already pays — and the token explode happens on the SAME frame, so no
+doc-to-token join exists anywhere); the vocabulary joins broadcast
+(~100k rows); ONE groupBy (shard, seq_id) assembles sequences, each
+exactly ctx_len ids (the tail sequence of a shard is shorter). No
+Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .curation import _tokens
+
+
+def emit_training_sequences(
+    docs: DataFrame,
+    vocab: DataFrame,
+    ctx_len: int = 512,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Emit packed training sequences.
+
+    ``vocab`` is a (token, vocab_id) frame (``build_vocab``'s columns);
+    tokens absent from it map to ``oov_id``. Documents concatenate per
+    shard in ``order_col`` order (the deterministic layout
+    ``pack_sequences`` certifies) and cut every ``ctx_len`` tokens —
+    documents straddle cuts, exactly like GPT-style packing.
+
+    Returns one row per (shard, seq_id):
+      token_ids   array<bigint>, len == ctx_len except each shard's tail
+      doc_starts  array<int> — offsets where a document begins (a doc
+                  straddling in from the previous sequence contributes no
+                  start here; offset 0 appears only when a doc begins
+                  exactly at the cut)
+      n_docs      distinct docs contributing tokens to the sequence
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # cumsum + token explode on ONE frame — no doc↔token join
+    toks = (
+        docs.select(shard_col, order_col, _tokens(text_col).alias("_toks"))
+        .withColumn(
+            "_before", F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))
+        )
+        .select(
+            shard_col,
+            order_col,
+            "_before",
+            F.posexplode("_toks").alias("tpos", "token"),
+        )
+        .withColumn("_gpos", F.col("_before") + F.col("tpos"))
+    )
+    ids = toks.join(
+        F.broadcast(vocab.select("token", "vocab_id")), "token", "left"
+    ).select(
+        shard_col,
+        order_col,
+        (F.col("_gpos") / ctx_len).cast("bigint").alias("seq_id"),
+        (F.col("_gpos") % ctx_len).cast("int").alias("off"),
+        F.coalesce(F.col("vocab_id").cast("bigint"), F.lit(oov_id)).alias("vid"),
+        (F.col("tpos") == 0).alias("is_doc_start"),
+    )
+    return (
+        ids.groupBy(shard_col, "seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "vid"))),
+                lambda s: s.getField("vid"),
+            ).alias("token_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("is_doc_start"), F.col("off")))
+            ).alias("doc_starts"),
+            F.countDistinct(order_col).alias("n_docs"),
+        )
+    )

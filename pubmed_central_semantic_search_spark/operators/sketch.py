@@ -85,3 +85,130 @@ def cms_estimate(
     return {
         k: min(cells.get((i, bucket(k, i)), 0) for i in range(depth)) for k in keys
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch of the tier (CMS answers "how
+# often", HLL "how many distinct", the Bloom filter "have we seen this
+# key"). The 100 TB use is incremental-ingest dedup: a new batch checks
+# its content keys against the HISTORY of everything ever ingested, and
+# a plain left_anti join re-shuffles the whole history every batch. The
+# Bloom filter of the history is constant-sized, no-false-negative, and
+# mergeable (bit_or), so the batch splits into "definitely new" (bloom
+# says no — EXACT, skip the join) and a small "maybe seen" remainder
+# that alone pays the exact anti-join (``bloom_anti_join``).
+#
+# Same content-addressed convention as the CMS (md5-prefix bit
+# positions), so two engines build BIT-IDENTICAL word arrays — the q45
+# 'bloom' arm recomputes every word in DuckDB. Words are 32-bit (stored
+# in bigint): every mask is exact in a double, so the build and the
+# membership test avoid shift-by-column (pow(2, bit) is exact below
+# 2^52) and stay sign-free in both engines.
+
+_BLOOM_WORD_BITS = 32
+
+
+def bloom_bit(key_col: Column | str, i: int, m_bits: int) -> Column:
+    """Bit position of ``key`` under hash ``i`` — md5-prefix mod m."""
+    from .curation import md5_prefix_long
+
+    return md5_prefix_long(key_col, f"#bf{i}") % m_bits
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_words: int = 64, k: int = 4
+) -> DataFrame:
+    """Sparse Bloom words over ``df[key_col]``: (word_idx int, word
+    bigint), all-zero words omitted. One narrow explode (k rows per
+    input row) → ONE partial-aggregated bit_or groupBy; ≤ n_words output
+    rows no matter the corpus."""
+    m = n_words * _BLOOM_WORD_BITS
+    pos = F.explode(
+        F.array(*[bloom_bit(key_col, i, m) for i in range(k)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            F.pow(F.lit(2.0), F.col("pos") % _BLOOM_WORD_BITS)
+            .cast("bigint")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """bit_or of word arrays — bloom of a union ≡ merge of per-frame
+    blooms (the same mergeability contract as ``cms_merge``)."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bloom")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_literal(bloom: DataFrame, n_words: int) -> list[int]:
+    """Densify to a plain n_words list (driver-sized BY CONSTRUCTION —
+    ≤ n_words rows regardless of how many keys were inserted)."""
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_might_contain(
+    key_col: Column | str, words: list[int], k: int
+) -> Column:
+    """Membership as a PURE projection: the words ride as one
+    constant-folded literal (``array_lit`` rationale), each of the k
+    probes is floor(word / 2^bit) % 2 — exact double arithmetic since
+    words < 2^32. False positives possible, false negatives never."""
+    import json
+
+    m = len(words) * _BLOOM_WORD_BITS
+    arr = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
+    probes = []
+    for i in range(k):
+        pos = bloom_bit(key_col, i, m)
+        word = F.element_at(arr, (pos / _BLOOM_WORD_BITS).cast("int") + 1)
+        bit = F.pow(F.lit(2.0), pos % _BLOOM_WORD_BITS)
+        probes.append((F.floor(word / bit).cast("bigint") % 2) == 1)
+    out = probes[0]
+    for p in probes[1:]:
+        out = out & p
+    return out
+
+
+def bloom_anti_join(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of ``new_df`` whose key does NOT appear in ``history_df`` —
+    IDENTICAL to ``new_df.join(history, key, 'left_anti')``
+    (property-pinned), but the full-history shuffle is paid only by the
+    bloom-positive remainder: definitely-new rows (no false negatives)
+    skip the join entirely. With a 1% false-positive bloom the exact
+    anti-join's probe side shrinks to ~(matches + 1% of new) rows.
+
+    Sizing: m = n_words·32 bits; FP ≈ (1 − e^(−k·n/m))^k. The words ship
+    as ONE driver literal — fine to ~10⁷ history keys (m = 10n bits ≈
+    12 MB plan literal); beyond that, keep the words as a table and probe
+    via an equi-join on word_idx (the build side of this module is
+    already that shape), or shard the bloom by key prefix."""
+    words = bloom_literal(bloom_build(history_df, key_col, n_words, k), n_words)
+    flagged = new_df.withColumn(
+        "_maybe", bloom_might_contain(key_col, words, k)
+    )
+    definite = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = (
+        flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(history_df.select(key_col), key_col, "left_anti")
+    )
+    return definite.unionByName(maybe)

@@ -293,8 +293,15 @@ def q44_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # depth×width tables — the oracle recomputes every cell of the sketch of
 # the events.user_id stream. A value match certifies the bucket hash, the
 # explode/partial-aggregate build, and the cell counts.
+#
+# Bloom arm: the membership sketch (bloom_build) is content-addressed the
+# same way, so the oracle recomputes every 32-bit word of the user_id
+# Bloom filter — certifying the bit positions, the pow-mask build, and
+# the bit_or fold that bloom_anti_join's no-false-negative prefilter
+# rests on. Word values reuse the cms_cnt column (kind-tagged union).
 
 _CMS_DEPTH, _CMS_WIDTH = 4, 64
+_BLOOM_WORDS, _BLOOM_K = 16, 4
 
 
 @register(
@@ -322,13 +329,30 @@ _CMS_DEPTH, _CMS_WIDTH = 4, 64
            CAST(COUNT(*) AS BIGINT) AS cms_cnt
     FROM events, (VALUES (0), (1), (2), (3)) hashrows(r)
     GROUP BY 1, 2, 3, 4, 5, 6
+    UNION ALL
+    SELECT 'bloom' AS kind,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+           CAST(pos // 32 AS INT) AS cms_row,
+           CAST(NULL AS INT) AS cms_bucket,
+           CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS cms_cnt
+    FROM (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#bf'
+                                   || CAST(r AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_WORDS * 32} AS pos
+      FROM events, (VALUES (0), (1), (2), (3)) h(r)
+    )
+    GROUP BY 1, 2, 3, 4, 5, 6
     """,
     survey_rows="§2.10 exposure: HLL cardinality sketch (map-side "
     "mergeable), A2 + X4/X6 count–min frequency sketch (bit-identical "
-    "cross-engine cells, streaming-foldable)",
+    "cross-engine cells, streaming-foldable) + X1/X6 Bloom membership "
+    "sketch (bit-identical words; the incremental-ingest anti-join "
+    "prefilter, bloom_anti_join ≡ exact left_anti property-pinned)",
 )
 def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import cms_build
+    from ..operators.sketch import bloom_build, cms_build
 
     e = load(spark, sf_dir, "events")
     hll = e.groupBy("event_type").agg(
@@ -360,7 +384,16 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("cms_bucket"),
         F.col("cnt").alias("cms_cnt"),
     )
-    return hll.unionByName(cms)
+    bloom = bloom_build(e, "user_id", n_words=_BLOOM_WORDS, k=_BLOOM_K).select(
+        F.lit("bloom").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        F.col("word_idx").alias("cms_row"),
+        F.lit(None).cast("int").alias("cms_bucket"),
+        F.col("word").alias("cms_cnt"),
+    )
+    return hll.unionByName(cms).unionByName(bloom)
 
 
 # ---------------------------------------------------------------------------

@@ -427,6 +427,22 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
                   AS INT) AS len_bucket
       FROM c
+    ),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY c DESC, token) AS vid
+      FROM (
+        SELECT token, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+      )
+    ),
+    tok_sums AS (
+      SELECT doc_id, CAST(sum(coalesce(v.vid, 0)) AS BIGINT) AS tok_id_sum
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) t LEFT JOIN vocab v USING (token)
+      WHERE token <> ''
+      GROUP BY doc_id
     )
     SELECT source, doc_id, n_tokens,
            cum_before // 512 AS seq_id,
@@ -437,19 +453,45 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            len_bucket,
            CAST((row_number() OVER (
                    PARTITION BY source, len_bucket
-                   ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS infer_batch
-    FROM lb
+                   ORDER BY n_tokens, doc_id) - 1) // 8 AS BIGINT) AS infer_batch,
+           coalesce(ts.tok_id_sum, 0) AS tok_id_sum
+    FROM lb LEFT JOIN tok_sums ts USING (doc_id)
     """,
     survey_rows="N5 (running totals) → LLM sequence packing + "
     "X4/X1 token-budget corpus selection (data mixing) + length-bucketed "
     "inference batching (ntile length quartiles per source, fixed-size "
-    "batch ids within each bucket — the padding-minimizing batch layout)",
+    "batch ids within each bucket — the padding-minimizing batch layout) "
+    "+ the sample emitter's vocab-id lookup (tok_id_sum: per-doc sum of "
+    "q55-vocab token ids, OOV→0 — the doc→token-ids mapping "
+    "emit_training_sequences packs; sequence assembly itself is "
+    "DuckDB-parity-pinned in tests/test_emitter.py)",
 )
 def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import length_bucketed_batches
+    from ..operators.textstats import build_vocab
 
     docs = load(spark, sf_dir, "documents")
     packed = pack_sequences(docs, ctx_len=512)
+    # Emitter-certification arm: the doc → token-id mapping (q55's ranked
+    # vocab, OOV→0) summed per doc — the exact lookup
+    # emit_training_sequences packs into sequences. Vocab broadcasts; the
+    # token stream partial-aggregates before its one doc_id shuffle.
+    vocab = build_vocab(docs, "doc_id", "text", min_count=5)
+    tok_sums = (
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "token"
+            ),
+        )
+        .join(F.broadcast(vocab.select("token", "vocab_id")), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("vocab_id"), F.lit(0)))
+            .cast("bigint")
+            .alias("tok_id_sum")
+        )
+    )
     budget = select_token_budget(
         docs, "source", "doc_id", "text", budget_tokens=2000
     ).select("doc_id", "cum_tokens", F.lit(True).alias("in_budget"))
@@ -468,8 +510,11 @@ def q51_packing_and_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Length-bucketed inference batching rides the same source-keyed
     # shuffle as the packing windows.
-    return length_bucketed_batches(
+    batched = length_bucketed_batches(
         joined, group_col="source", id_col="doc_id", n_tokens_col="n_tokens"
+    )
+    return batched.join(tok_sums, "doc_id", "left").withColumn(
+        "tok_id_sum", F.coalesce("tok_id_sum", F.lit(0)).cast("bigint")
     )
 
 

@@ -114,3 +114,117 @@ def test_cms_estimate_bucket_matches_catalyst_cms_bucket(spark):
     for k in keys:
         want = [md5_prefix_long_py(k, f"#cms{i}") % width for i in range(depth)]
         assert got[k] == want, k
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def _bloom_dict(bloom):
+    return {r["word_idx"]: r["word"] for r in bloom.collect()}
+
+
+def test_bloom_never_false_negative(spark):
+    """Every inserted key passes might_contain — the guarantee
+    bloom_anti_join's 'definitely new' split rests on. Tight sizing
+    (64 words for 300 keys) so plenty of collisions occur."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_build,
+        bloom_literal,
+        bloom_might_contain,
+    )
+
+    keys = [f"key-{i}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    words = bloom_literal(bloom_build(df, "k", n_words=64, k=4), 64)
+    n_hit = df.filter(bloom_might_contain("k", words, k=4)).count()
+    assert n_hit == len(keys)
+
+
+def test_bloom_anti_join_equals_exact_anti_join(spark):
+    """bloom_anti_join ≡ plain left_anti, including under heavy false
+    positives (tiny bloom) and overlapping/disjoint key mixes."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+    )
+
+    hist = spark.createDataFrame(
+        [(f"h-{i}", i) for i in range(200)], "k string, v int"
+    )
+    new = spark.createDataFrame(
+        [(f"h-{i}", -1) for i in range(150, 250)]
+        + [(f"n-{i}", -2) for i in range(100)],
+        "k string, v int",
+    )
+    for n_words in (2, 64):  # 64 bits forces false positives; 2048 is roomy
+        got = sorted(
+            (r["k"], r["v"])
+            for r in bloom_anti_join(new, hist, "k", n_words=n_words).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"])
+            for r in new.join(hist.select("k"), "k", "left_anti").collect()
+        )
+        assert got == want, n_words
+    assert len(want) == 150  # 50 overlapping h-keys removed
+
+
+def test_bloom_merge_equals_bloom_of_union(spark):
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    merged = _bloom_dict(bloom_merge(
+        bloom_build(a, "k", 16, 4), bloom_build(b, "k", 16, 4)
+    ))
+    union = _bloom_dict(bloom_build(a.unionByName(b), "k", 16, 4))
+    assert merged == union and len(union) > 0
+
+
+def test_bloom_matches_duckdb_recomputation(spark, sf_dir):
+    """Bit-identical cross-engine word array over the real events table —
+    the q45 'bloom' arm's contract."""
+    from pubmed_central_semantic_search_spark.operators.sketch import bloom_build
+
+    events_path = f"{sf_dir}/events.parquet"
+    n_words, k = 16, 4
+    e = spark.read.parquet(events_path)
+    got = _bloom_dict(bloom_build(e, "user_id", n_words, k))
+    hashes = ", ".join(f"({i})" for i in range(k))
+    sql = f"""
+    WITH pos AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#bf'
+                                   || CAST(r AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {n_words * 32} AS pos
+      FROM read_parquet('{events_path}'), (VALUES {hashes}) h(r)
+    )
+    SELECT CAST(pos // 32 AS INT) AS word_idx,
+           CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS word
+    FROM pos GROUP BY 1
+    """
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_bloom_plan_no_python_and_one_shuffle(spark):
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    plan = (
+        bloom_build(df, "k", 32, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # membership is a pure projection: zero exchanges
+    probe = df.filter(bloom_might_contain("k", [0] * 32, 4))
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in pplan, pplan
