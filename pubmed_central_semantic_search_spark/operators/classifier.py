@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import array_lit
-from .curation import md5_prefix_long
+from .curation import _tokens, md5_prefix_long
 
 
 @dataclass(frozen=True)
@@ -72,8 +72,13 @@ def hashed_features(
     accumulator per token. The per-row cost is O(n_tokens × n_buckets)
     slot copies — fine at feature dims in the tens-to-hundreds this
     classifier tier uses; for larger dims switch the featurizer to the
-    Arrow kernel tier (operators/vectorized.py pattern)."""
-    tk = F.filter(F.split(text_col, " "), lambda t: t != "")
+    Arrow kernel tier (operators/vectorized.py pattern).
+
+    Null text gets the ZERO vector (coalesced token array) — the same
+    answer the Arrow twin gives for None, keeping the pinned equivalence
+    total; an uncoalesced null would instead null the whole vector and
+    silently drop the row from train_logreg's gradient."""
+    tk = F.coalesce(_tokens(text_col), F.array().cast("array<string>"))
     tkb = F.transform(tk, lambda t: token_bucket(t, n_buckets))
     zero = F.array_repeat(F.lit(0.0), n_buckets)
     counts = F.aggregate(
@@ -191,7 +196,15 @@ def train_logreg(
             .agg(F.sum("_g.gv").alias("gsum"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        grad = {int(r["pos"]): float(r["gsum"]) for r in g}
+        if not g:
+            raise ValueError(
+                "train_logreg: empty training frame (or every row's "
+                "feature array is null) — nothing to fit"
+            )
+        grad = {
+            int(r["pos"]): float(r["gsum"]) if r["gsum"] is not None else 0.0
+            for r in g
+        }
         n_rows = next(int(r["n"]) for r in g)
         w -= (lr / n_rows) * np.array(
             [grad.get(d, 0.0) for d in range(n_buckets)]

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 HEX = "0123456789abcdef"
 
 
-def _tokens(text_col: str) -> Column:
+def _tokens(text_col: Column | str) -> Column:
+    """THE whitespace tokenizer — the one definition every operator
+    module shares (dsir/lm/classifier/emitter import it), so the
+    content-addressed features, perplexities, and DuckDB oracles can
+    never drift on tokenization."""
     return F.filter(F.split(text_col, " "), lambda t: t != "")
 
 

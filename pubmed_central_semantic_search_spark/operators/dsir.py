@@ -33,15 +33,10 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .curation import md5_prefix_long, md5_prefix_uniform
+from .curation import _tokens, md5_prefix_long, md5_prefix_uniform
 
 DSIR_SALT = "#dsir"
 GUMBEL_SALT = "#dsirg"
-
-
-def _tokens(text_col: Column | str) -> Column:
-    text = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(text, " "), lambda t: t != "")
 
 
 def dsir_buckets(text_col: Column | str, n_buckets: int = 256) -> Column:
@@ -122,6 +117,13 @@ def dsir_logweight_micro(
     occurrences of the bucket's quantized log-ratio. Pure Catalyst fold
     over the bucket array — integer, order-free, zero shuffle; empty docs
     score 0."""
+    if len(log_ratios_micro) != n_buckets:
+        raise ValueError(
+            f"dsir model has {len(log_ratios_micro)} buckets but scoring "
+            f"asked for n_buckets={n_buckets} — a mismatch would make "
+            "element_at return null past the model's end and silently "
+            "null every score (fit and score with the same n_buckets)"
+        )
     ratios = _ratio_lit(log_ratios_micro)
     return F.aggregate(
         dsir_buckets(text_col, n_buckets),

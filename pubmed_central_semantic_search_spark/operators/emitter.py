@@ -57,9 +57,17 @@ def emit_training_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # cumsum + token explode on ONE frame — no doc↔token join
+    # cumsum + token explode on ONE frame — no doc↔token join. The
+    # coalesce pins null-text docs to the empty-doc path explicitly:
+    # without it the cumsum stays correct only because sum() skips the
+    # null F.size(null) — and under legacy.sizeOfNull=true (-1) it
+    # would silently shift every later doc's stream position.
     toks = (
-        docs.select(shard_col, order_col, _tokens(text_col).alias("_toks"))
+        docs.select(
+            shard_col,
+            order_col,
+            F.coalesce(_tokens(text_col), F.array()).alias("_toks"),
+        )
         .withColumn(
             "_before", F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))
         )

@@ -57,6 +57,16 @@ def pagerank(
     - ``'aggregate'`` (general graphs): a lazy one-row aggregate over the
       previous iteration's ranks, broadcast back in — correct for any
       edge set, but each iteration carries a broadcast-subquery stage.
+      Because each iteration references the previous ranks TWICE (the
+      dangling aggregate and the edge join), the logical tree doubles
+      per round — 2^n_iter copies of the base subtree. Every 4th
+      iteration therefore truncates lineage with a lazy
+      ``localCheckpoint`` (the ``dedup.connected_components`` pattern),
+      bounding growth at 16× between truncations. Below 4 iterations
+      (the default, and q53's arm) no checkpoint fires and construction
+      stays job-free; deeper runs pay stage-materialization jobs at the
+      truncation points (AQE materializes upstream stages when the
+      checkpoint RDD is built) — the price of a bounded plan.
     - ``'isolated'`` (undirected/symmetrized graphs — the similarity-
       graph case): a zero-OUT-degree node also has zero IN-degree, so
       its rank never depends on the frame — ``pr_t(isolated) = (1−d)/N +
@@ -107,7 +117,7 @@ def pagerank(
     pr = base.crossJoin(F.broadcast(n_frame)).withColumn(
         "_pr", F.lit(1.0) / F.col("_n")
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         dangling_f = pr.filter(F.col("_deg") == 0).agg(
             F.coalesce(F.sum("_pr"), F.lit(0.0)).alias("_dm")
         )
@@ -129,4 +139,8 @@ def pagerank(
             )
             .select("_id", "_deg", "_n", "_pr")
         )
+        # two references to the previous pr above (dangling_f + inbound)
+        # double the tree per round — truncate every 4th (see docstring)
+        if (it + 1) % 4 == 0 and (it + 1) < n_iter:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select(F.col("_id").alias(id_col), F.col("_pr").alias("pagerank"))

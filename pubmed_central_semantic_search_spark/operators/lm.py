@@ -37,10 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .curation import _tokens
+
 
 def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per adjacent token pair, narrow."""
-    tk = F.filter(F.split(text_col, " "), lambda t: t != "")
+    tk = _tokens(text_col)
     n = F.size(tk)
     pairs = F.arrays_zip(
         F.slice(tk, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
@@ -61,7 +63,7 @@ def train_bigram_lm(
     c_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c_uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     toks = docs.select(
-        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("t")
+        F.explode(_tokens(text_col)).alias("t")
     )
     vocab_size = toks.agg(F.countDistinct("t")).first()[0]
     return c_big, c_uni, int(vocab_size)

@@ -73,10 +73,23 @@ def cms_estimate(
 ) -> dict[str, int]:
     """Point queries: est(key) = min over rows of the key's cell. Always
     ≥ the true count; over by at most ~2N/width w.h.p. The sketch is
-    depth×width cells — a driver round-trip by construction."""
+    depth×width cells — a driver round-trip by construction.
+
+    ``depth``/``width`` MUST match the ``cms_build`` call — the sketch
+    frame carries no geometry metadata, and probing with the wrong width
+    rehashes keys into the wrong buckets, silently UNDER-estimating (the
+    one failure the CMS contract forbids). The reachable misuse is
+    guarded: cells outside the claimed geometry raise."""
     from .curation import md5_prefix_long_py
 
     cells = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    bad = [rb for rb in cells if rb[0] >= depth or rb[1] >= width]
+    if bad:
+        raise ValueError(
+            f"cms_estimate: sketch has cells outside depth={depth}/"
+            f"width={width} (e.g. {bad[0]}) — geometry must match the "
+            "cms_build call"
+        )
 
     def bucket(key: str, i: int) -> int:
         # same helper family as cms_bucket — one shared salt convention
@@ -121,13 +134,16 @@ def bloom_build(
     """Sparse Bloom words over ``df[key_col]``: (word_idx int, word
     bigint), all-zero words omitted. One narrow explode (k rows per
     input row) → ONE partial-aggregated bit_or groupBy; ≤ n_words output
-    rows no matter the corpus."""
+    rows no matter the corpus. Null keys are skipped (SQL join semantics:
+    null matches nothing, so membership has nothing to record)."""
     m = n_words * _BLOOM_WORD_BITS
     pos = F.explode(
         F.array(*[bloom_bit(key_col, i, m) for i in range(k)])
     ).alias("pos")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     return (
-        df.select(pos)
+        df.filter(key.isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
             F.pow(F.lit(2.0), F.col("pos") % _BLOOM_WORD_BITS)
@@ -179,7 +195,11 @@ def bloom_might_contain(
     out = probes[0]
     for p in probes[1:]:
         out = out & p
-    return out
+    # null key → null probes; the filter never inserts nulls (build skips
+    # them), so "might contain" is definitively false, not unknown —
+    # without this coalesce a null-key row vanishes from BOTH sides of
+    # bloom_anti_join's maybe/definite split.
+    return F.coalesce(out, F.lit(False))
 
 
 def bloom_anti_join(

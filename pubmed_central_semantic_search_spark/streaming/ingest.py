@@ -308,6 +308,57 @@ def stream_ivf_append(
     )
 
 
+def _fold_sketch_batch(
+    spark: SparkSession, sketch_dir: str, suffix: str, batch_sketch, merge_fn
+) -> None:
+    """Shared fold step for the mergeable-sketch streaming sinks (CMS and
+    Bloom): merge the batch's sketch into the durable table and commit
+    atomically. The discipline, in order:
+
+    1. Crash recovery FIRST: a previous fold that died between its commit
+       renames left the live dir absent with the prior sketch in
+       ``.{suffix}.old`` — restore it, or the existence check below would
+       read "absent" and reset the accumulated state.
+    2. EXPLICIT existence check — a bare try/except would turn a
+       TRANSIENT read failure (storage hiccup mid-stream) into a silent
+       reset; only a genuinely absent table may start fresh, every other
+       error must surface and fail the batch so the trigger retries it.
+    3. Driver-side copy before the replace: the sketch is driver-sized BY
+       CONSTRUCTION, and persist is NOT a guard — evicted blocks would
+       recompute from deleted files (see upsert_parquet).
+    4. Commit via staging + rename, never mode('overwrite') on the live
+       dir: overwrite deletes-then-writes, so a crash in between leaves
+       the dir absent/partial and the RETRIED batch would treat it as a
+       fresh table. With rename-as-commit the prior sketch survives any
+       mid-write crash.
+    """
+    from ..sources.catalog import _hadoop_fs
+
+    fs, hpath, jvm = _hadoop_fs(spark, sketch_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = sketch_dir.rstrip("/")
+    staging_p, old_p = P(f"{base}.{suffix}.staging"), P(f"{base}.{suffix}.old")
+    if fs.exists(old_p):
+        if not fs.exists(hpath):
+            fs.rename(old_p, hpath)
+        else:
+            fs.delete(old_p, True)
+    if fs.exists(staging_p):  # stale staging from an aborted write
+        fs.delete(staging_p, True)
+    if fs.exists(hpath):
+        merged = merge_fn(spark.read.parquet(sketch_dir), batch_sketch)
+    else:
+        merged = batch_sketch
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+        staging_p.toString()
+    )
+    if fs.exists(hpath):
+        fs.rename(hpath, old_p)
+    fs.rename(staging_p, hpath)
+    fs.delete(old_p, True)
+
+
 def start_stream_cms(
     token_stream: DataFrame,
     sketch_dir: str,
@@ -324,11 +375,12 @@ def start_stream_cms(
 
     Each batch: build the batch's sparse sketch (one keyed aggregate over
     the batch), union with the table on disk, sum cells, atomically
-    replace. Idempotent replays change nothing once a batch's counts are
-    folded in IF the engine replays whole batches (foreachBatch is
-    at-least-once across crashes mid-write; exact once-only folding needs
-    a transactional sink — documented tradeoff, same as every
-    foreachBatch aggregation).
+    replace (``_fold_sketch_batch`` — recovery + rename-as-commit).
+    Idempotent replays change nothing once a batch's counts are folded in
+    IF the engine replays whole batches (foreachBatch is at-least-once
+    across crashes mid-write; exact once-only folding needs a
+    transactional sink — documented tradeoff, same as every foreachBatch
+    aggregation).
 
     Drain ≡ batch equality is test-pinned (the parity suite's rule)."""
     from ..operators.sketch import cms_build, cms_merge
@@ -336,55 +388,56 @@ def start_stream_cms(
     spark = token_stream.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sources.catalog import _hadoop_fs
-
-        batch_sketch = cms_build(batch_df, key_col, depth, width)
-        # Crash recovery FIRST (before the existence check below): a
-        # previous fold that died between its commit renames left the live
-        # dir absent with the prior sketch in .cms.old — restore it, or
-        # the check below would read "absent" and reset the counts.
-        fs, hpath, jvm = _hadoop_fs(spark, sketch_dir)
-        P = jvm.org.apache.hadoop.fs.Path
-        base = sketch_dir.rstrip("/")
-        staging_p, old_p = P(base + ".cms.staging"), P(base + ".cms.old")
-        if fs.exists(old_p):
-            if not fs.exists(hpath):
-                fs.rename(old_p, hpath)
-            else:
-                fs.delete(old_p, True)
-        if fs.exists(staging_p):  # stale staging from an aborted write
-            fs.delete(staging_p, True)
-        # explicit existence check — a bare try/except here would turn a
-        # TRANSIENT read failure (storage hiccup mid-stream) into a silent
-        # reset of the accumulated sketch; only a genuinely absent table
-        # may start fresh, every other error must surface and fail the
-        # batch so the trigger retries it
-        if fs.exists(hpath):
-            merged = cms_merge(spark.read.parquet(sketch_dir), batch_sketch)
-        else:
-            merged = batch_sketch
-        # The sketch is ≤ depth×width rows BY CONSTRUCTION, so materialize
-        # it driver-side before overwriting the directory it was read from
-        # (persist is NOT a guard — evicted blocks would recompute from
-        # deleted files, see upsert_parquet; a driver copy cannot).
-        rows = merged.collect()
-        # Commit via staging + rename, never mode('overwrite') on the live
-        # dir: overwrite deletes-then-writes, so a crash in between leaves
-        # the dir absent/partial and the RETRIED batch's existence check
-        # would treat it as a fresh table — silently resetting every
-        # accumulated count. With rename-as-commit the prior sketch
-        # survives any mid-write crash (recovery on entry above, like
-        # compact_parquet: restore .old if the live dir vanished).
-        spark.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(staging_p.toString())
-        if fs.exists(hpath):
-            fs.rename(hpath, old_p)
-        fs.rename(staging_p, hpath)
-        fs.delete(old_p, True)
+        _fold_sketch_batch(
+            spark,
+            sketch_dir,
+            "cms",
+            cms_build(batch_df, key_col, depth, width),
+            cms_merge,
+        )
 
     return (
         token_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_stream_bloom(
+    key_stream: DataFrame,
+    bloom_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    n_words: int = 64,
+    k: int = 4,
+):
+    """X6 twin of the Bloom membership sketch — the INCREMENTAL-INGEST
+    memory: every batch folds its keys' bits into a durable word table
+    (bit_or is the merge law, so fold order and replays don't matter:
+    re-OR-ing a batch's bits is a no-op — this sink is idempotent under
+    at-least-once replay WITHOUT a transactional ledger, stronger than
+    the CMS fold's whole-batch-replay caveat). A later batch reads the
+    words once (``bloom_literal``) and runs ``bloom_anti_join`` against
+    history with constant-size state: the streaming dedup shape when the
+    key set is too large for ``stream_first_seen_dedup``'s exact state.
+
+    Same commit discipline as the CMS fold (``_fold_sketch_batch``)."""
+    from ..operators.sketch import bloom_build, bloom_merge
+
+    spark = key_stream.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_sketch_batch(
+            spark,
+            bloom_dir,
+            "bloom",
+            bloom_build(batch_df, key_col, n_words, k),
+            bloom_merge,
+        )
+
+    return (
+        key_stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pubmed_central_semantic_search_spark.operators.classifier import (
     hashed_features,
+    hashed_features_np,
     logreg_score,
     token_bucket,
     train_logreg,
@@ -161,3 +162,28 @@ def test_np_featurizer_matches_catalyst_path(spark, sf_dir):
         assert list(r["a"]) == pytest.approx(list(r["b"]), abs=1e-12), r["doc_id"]
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_hashed_features_null_text_matches_np_twin(spark):
+    """Null text → the ZERO vector in BOTH featurizers (the Catalyst fold
+    coalesces the token array; an uncoalesced null would null the whole
+    vector and silently drop the row from train_logreg's gradient)."""
+    df = spark.createDataFrame(
+        [(None,), ("",), ("a b",)], "text string"
+    )
+    rows = df.select(
+        hashed_features("text", 8).alias("f"),
+        hashed_features_np("text", 8).alias("g"),
+    ).collect()
+    for r in rows:
+        assert r["f"] is not None and r["g"] is not None
+        assert list(r["f"]) == list(r["g"])
+    assert list(rows[0]["f"]) == [0.0] * 8
+
+
+def test_train_logreg_empty_frame_raises(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "label int, feat array<double>")
+    with _pytest.raises(ValueError, match="empty training frame"):
+        train_logreg(empty, n_buckets=4, n_iter=1)

@@ -137,3 +137,14 @@ def test_score_is_narrow_zero_shuffle(corpus):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_dsir_score_rejects_mismatched_model_size(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.dsir import (
+        dsir_logweight_micro,
+    )
+
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_logweight_micro("text", [0] * 128, n_buckets=256)

@@ -98,3 +98,29 @@ def test_single_lazy_plan_no_driver_actions(spark):
     # AQE may plan jobs for broadcast subtrees at action time, but plan
     # CONSTRUCTION must not have triggered any job
     assert after == before
+
+
+def test_deep_iteration_aggregate_mode_is_bounded_and_correct(spark):
+    """n_iter deep enough to cross the lineage-truncation points: values
+    still match the Python reference, and the final plan is NOT the
+    exponentially-doubled tree (the join count stays bounded by the
+    rounds since the last truncation, not by 2^n_iter)."""
+    nodes = spark.createDataFrame([(i,) for i in range(N)], "id long")
+    edges = spark.createDataFrame(EDGES, "u long, v long")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(nodes, edges, n_iter=9, dangling="aggregate").collect()
+    }
+    want = py_pagerank(N, EDGES, n_iter=9)
+    for i in range(N):
+        assert abs(got[i] - want[i]) < 1e-9, i
+    analyzed = (
+        pagerank(nodes, edges, n_iter=9, dangling="aggregate")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    # 9 rounds with truncation every 4 leaves <= 2 un-truncated rounds
+    # (2 joins each, doubled once) + scalar crosses; the un-truncated
+    # tree would carry ~2^9 join nodes.
+    assert analyzed.count("Join") < 40, analyzed.count("Join")

@@ -222,10 +222,15 @@ def test_split_and_sample_two_window_shuffles_no_join(spark, sf_dir):
 def test_packing_and_budget_two_window_shuffles(spark, sf_dir):
     """q51: each running-total window shuffles the corpus ONCE on the shard
     key (two orderings → two exchanges); the budget side reattaches by
-    broadcast, so no third corpus shuffle may appear."""
+    broadcast. The tok_id_sum emitter arm adds exactly two more keyed
+    exchanges (the vocab token groupBy and the per-doc sum groupBy) — its
+    vocab lookup must stay a broadcast join on token, never a corpus
+    shuffle on the token stream."""
     plan = _q("q51_packing_and_budget", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
     assert "BroadcastHashJoin" in plan, plan
+    assert "[token" in plan[plan.index("BroadcastExchange"):], plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_vocab_corpus_stages_are_partial_aggregated(spark, sf_dir):

@@ -228,3 +228,49 @@ def test_bloom_plan_no_python_and_one_shuffle(spark):
     probe = df.filter(bloom_might_contain("k", [0] * 32, 4))
     pplan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in pplan, pplan
+
+
+def test_bloom_null_keys(spark):
+    """Null keys: skipped on build (no crash in bloom_literal), kept as
+    definitely-new by bloom_anti_join — matching left_anti, where null
+    never equals anything."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+        bloom_build,
+        bloom_literal,
+    )
+
+    hist = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    words = bloom_literal(bloom_build(hist, "k", 16, 4), 16)  # no crash
+    assert any(w != 0 for w in words)
+    new = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "k string, v int"
+    )
+    got = sorted(
+        ((r["k"], r["v"]) for r in bloom_anti_join(new, hist, "k", 16).collect()),
+        key=lambda t: t[1],
+    )
+    want = sorted(
+        (
+            (r["k"], r["v"])
+            for r in new.join(hist.select("k"), "k", "left_anti").collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == want == [(None, 2), ("c", 3)]
+
+
+def test_cms_estimate_rejects_mismatched_geometry(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "token string")
+    sketch = cms_build(df, "token", depth=4, width=1024)
+    with _pytest.raises(ValueError, match="geometry"):
+        cms_estimate(sketch, ["k0"], depth=4, width=64)

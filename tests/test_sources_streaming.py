@@ -895,3 +895,53 @@ def test_stream_cms_commit_survives_crash_between_renames(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_bloom_drain_equals_batch_and_prefilters(spark, tmp_path):
+    """X6×bloom — the streamed (bit_or-folded) Bloom filter equals the
+    batch build of the full key stream word for word, and the durable
+    words drive bloom_anti_join for the next batch (the incremental
+    dedup-against-all-history shape with constant-size state)."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+        bloom_build,
+        bloom_literal,
+        bloom_might_contain,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_bloom,
+    )
+
+    src = tmp_path / "key_stream"
+    src.mkdir()
+    batches = [[f"k{i}" for i in range(20)], [f"k{i}" for i in range(15, 40)]]
+    for i, keys in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for t in keys:
+                f.write(json.dumps({"key": t}) + "\n")
+    bloom_dir = str(tmp_path / "bloom")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)  # force >=2 micro-batches
+        .json(str(src))
+    )
+    q = start_stream_bloom(stream, bloom_dir, str(tmp_path / "ckpt_bloom"),
+                           n_words=16, k=4)
+    q.awaitTermination(120)
+
+    got = {
+        r["word_idx"]: r["word"] for r in spark.read.parquet(bloom_dir).collect()
+    }
+    all_keys = sorted({t for b in batches for t in b})
+    want = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(
+            spark.createDataFrame([(t,) for t in all_keys], "key string"),
+            "key", 16, 4,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the durable words answer membership: every streamed key hits
+    words = bloom_literal(spark.read.parquet(bloom_dir), 16)
+    seen = spark.createDataFrame([(t,) for t in all_keys], "key string")
+    assert seen.filter(bloom_might_contain("key", words, 4)).count() == len(all_keys)
