@@ -100,8 +100,19 @@ def l2_normalize(v: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity — the reference's distance metric
     (``qdrant.py:75-77``). NULL-safe only as far as Spark's semantics:
-    a NULL array yields NULL."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    a NULL array yields NULL.
+
+    Zero-norm vectors score 0.0 instead of raising: under Spark 4's
+    default ANSI mode the unguarded division is DIVIDE_BY_ZERO, so one
+    degenerate embedding anywhere in a corpus would abort a whole
+    search/decontamination/mining job. Zero vectors are legitimate here
+    (``hashed_features`` emits them for empty text), and "no information
+    ⇒ no similarity" is the convention every consumer wants. Values for
+    all nonzero inputs are bit-identical to the plain formula."""
+    n2 = l2_norm(a) * l2_norm(b)
+    return F.when(n2 > 0, dot(a, b) / n2).otherwise(
+        F.when(n2.isNotNull(), F.lit(0.0))
+    )
 
 
 def cosine_similarity_prenormed(a: Column | str, b: Column | str) -> Column:

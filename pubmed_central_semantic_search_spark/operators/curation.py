@@ -234,13 +234,17 @@ def semantic_decontaminate(
     joined = (
         c.join(F.broadcast(b), on="_blk") if block_col else c.crossJoin(F.broadcast(b))
     )
+    # zero-norm guard (cosine_similarity's convention): a degenerate
+    # embedding scores 0 — never contaminated — instead of raising
+    # DIVIDE_BY_ZERO under ANSI and aborting the whole pass
+    n2 = F.col("_cn") * F.col("_bn")
     return (
         joined.select(
             "corpus_id",
             "bench_id",
-            F.round(dot("_cv", "_bv") / (F.col("_cn") * F.col("_bn")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                F.when(n2 > 0, dot("_cv", "_bv") / n2).otherwise(F.lit(0.0)), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -263,7 +267,11 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    "phone": (r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+    # each repeat consumes AT MOST one separator then a digit, so a match
+    # can never extend across a " - " run into following text ("+1 555
+    # 123 4567 - 9am" used to redact through the 9 of 9am) and the total
+    # is >= 7 digits after the lead — digit-count-anchored, not char-count
+    "phone": (r"\+[0-9](?:[ -]?[0-9]){6,}", "<PHONE>"),
 }
 
 
@@ -544,6 +552,15 @@ def temperature_mix(
         .agg(F.sum(F.size(_tokens(text_col)).cast("bigint")).alias("_n"))
         .collect()
     }
+    if None in counts:
+        # with_sample_flag's equality predicate can never match NULL, so
+        # a null-source group would be counted and budgeted here yet
+        # silently excluded from the mix (under-filling target_tokens by
+        # its whole allocation) — refuse loudly instead.
+        raise ValueError(
+            f"temperature_mix: {group_col} contains NULL rows — coalesce "
+            f"the group column (e.g. to '__unknown__') before mixing"
+        )
     fracs = temperature_fractions(counts, alpha, target_tokens)
     return with_sample_flag(
         df, fracs, group_col, id_col, default_fraction=0.0, flag_col=flag_col

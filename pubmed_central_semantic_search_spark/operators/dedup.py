@@ -807,13 +807,17 @@ def embedding_near_dup(
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
     joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
+    # zero-norm guard (cosine_similarity's convention): a degenerate
+    # vector is never a near-dup instead of DIVIDE_BY_ZERO under ANSI
+    n2 = F.col("n_a") * F.col("n_b")
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b")), 6
+                F.when(n2 > 0, dot("v_a", "v_b") / n2).otherwise(F.lit(0.0)),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
@@ -871,7 +875,10 @@ def semantic_dedup(
     if keep != "far_from_centroid":
         raise ValueError(f"unknown keep rule: {keep}")
     best = F.element_at(_ranked_centroids(vec_col, centroids), 1)
-    cent_cos = (-best.getField("nsim")) / l2_norm(vec_col)
+    nv = l2_norm(vec_col)
+    # zero-norm guard: a degenerate member sorts as "closest" (cos 1.0 is
+    # unreachable for real members after the round) rather than raising
+    cent_cos = F.when(nv > 0, (-best.getField("nsim")) / nv).otherwise(F.lit(1.0))
     w = Window.partitionBy("component").orderBy(
         F.asc("_cent_cos"), F.col(id_col).cast("bigint")
     )

@@ -85,7 +85,27 @@ def pq_encode(vec_col: Column | str, books: Codebooks) -> Column:
         )
         return F.element_at(ranked, 1).getField("c")
 
-    return F.transform(books3, lambda book, s: _code(book, s))
+    # Row-level geometry guard, same rationale as the ragged-books checks
+    # above but for the VECTOR side: a too-short embedding makes zip_with
+    # null-pad the subspace slice, every candidate distance folds to NULL,
+    # and array_sort's nulls-first struct order silently emits code 0 —
+    # poisoned codes instead of an error. Null vectors stay null (Catalyst
+    # convention); wrong-length vectors raise at evaluation time.
+    dim = len(books) * dsub
+    codes = F.transform(books3, lambda book, s: _code(book, s))
+    return (
+        F.when(v.isNull(), F.lit(None).cast("array<int>"))
+        .when(F.size(v) == dim, codes)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pq_encode: vector length "),
+                    F.size(v).cast("string"),
+                    F.lit(f" != m*dsub = {dim}"),
+                )
+            ).cast("array<int>")
+        )
+    )
 
 
 def train_pq(

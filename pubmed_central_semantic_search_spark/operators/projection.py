@@ -111,6 +111,12 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", out_dim: int = 8) -> PCAM
     dim = s.shape[0]
     mu = s / n
     cov = (g.reshape(dim, dim) - n * np.outer(mu, mu)) / max(n - 1, 1)
+    if out_dim > dim:
+        raise ValueError(
+            f"pca_fit: out_dim={out_dim} exceeds the vector dimensionality "
+            f"{dim} — the model would silently carry only {dim} components "
+            "and downstream fixed-width schemas would get short arrays"
+        )
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:out_dim]
     comps, vals = [], []
@@ -153,7 +159,10 @@ def pca_project(
             lambda acc, x: acc + x,
         ),
     )
-    return df.withColumn(out_col, proj)
+    # null in → null out (not an array OF nulls) — the same answer the
+    # BLAS twin gives, keeping the pinned equivalence total on null rows
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return df.withColumn(out_col, F.when(vec.isNotNull(), proj))
 
 
 def pca_project_udf(model: PCAModel, whiten: bool = False, eps: float = 1e-9):
@@ -179,11 +188,20 @@ def pca_project_udf(model: PCAModel, whiten: bool = False, eps: float = 1e-9):
 
         w = np.array(comps_l, dtype=np.float64).T  # dim × out_dim
         mu = np.array(mean_l, dtype=np.float64)
-        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if x.size == 0:
-            return pd.Series([], dtype=object)
+        # null rows project to null (the Catalyst twin's semantics —
+        # np.asarray(None) would otherwise kill the whole job and break
+        # the pinned twin equivalence on any null embedding)
+        mask = np.array([v is not None for v in vecs])
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        x = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+        )
         p = (x - mu) @ w
-        return pd.Series(list(p))
+        out = np.full(len(vecs), None, dtype=object)
+        for idx, row in zip(np.nonzero(mask)[0], p):
+            out[idx] = row
+        return pd.Series(out)
 
     return _project
 

@@ -35,7 +35,7 @@ driver round-trip rule as the PQ LUTs and planner probes.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -56,7 +56,15 @@ def bm25_rank(
     Returns (doc_id, bm25_score rounded to 6, bm25_rank). Ranking is by
     the ROUNDED score with id tiebreak, so the order is reproducible
     across engines despite summation-order float noise.
+
+    A repeated query term contributes its saturation term once per
+    occurrence (the standard qtf weighting). Deduplicating BEFORE the
+    token join matters: duplicate rows in the term frame would duplicate
+    the join output and double tf INSIDE the saturation — a score that is
+    neither qtf-weighted nor dedup'd.
     """
+    from collections import Counter
+
     spark = docs.sparkSession
     toks = F.filter(F.split(text_col, " "), lambda t: t != "")
     base = docs.select(F.col(id_col), toks.alias("_toks")).select(
@@ -65,11 +73,15 @@ def bm25_rank(
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    term_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    term_df = spark.createDataFrame(
+        list(Counter(terms).items()), "term string, qtf int"
+    )
     tok = base.select(id_col, "dl", F.explode("_toks").alias("token")).join(
         F.broadcast(term_df), F.col("token") == F.col("term"), "inner"
     )
-    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy(id_col, "dl", "term", "qtf").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -83,7 +95,8 @@ def bm25_rank(
         )
         .withColumn(
             "_s",
-            F.col("_idf")
+            F.col("qtf")
+            * F.col("_idf")
             * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
@@ -378,13 +391,20 @@ def cross_encoder_rerank(
         qt = str(query_text)
 
         def make_udf():
+            # SCALAR_ITER form (encoder.py's sbert discipline): the
+            # multi-hundred-MB model loads ONCE per python worker and
+            # streams Arrow batches — a per-batch constructor would
+            # reload it maxRecordsPerBatch-often and dominate runtime
             @pandas_udf("double")
-            def score(texts: pd.Series) -> pd.Series:
+            def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
                 import pandas as _pd
                 from sentence_transformers import CrossEncoder
 
                 ce = CrossEncoder("cross-encoder/ms-marco-MiniLM-L-6-v2")
-                return _pd.Series(ce.predict([(qt, t or "") for t in texts]))
+                for texts in batches:
+                    yield _pd.Series(
+                        ce.predict([(qt, t or "") for t in texts])
+                    )
 
             return score
     elif model == "fake":

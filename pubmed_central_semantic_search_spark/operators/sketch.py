@@ -208,6 +208,7 @@ def bloom_anti_join(
     key_col: str,
     n_words: int = 64,
     k: int = 4,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` whose key does NOT appear in ``history_df`` —
     IDENTICAL to ``new_df.join(history, key, 'left_anti')``
@@ -216,12 +217,29 @@ def bloom_anti_join(
     skip the join entirely. With a 1% false-positive bloom the exact
     anti-join's probe side shrinks to ~(matches + 1% of new) rows.
 
+    AMORTIZE THE BUILD: pass prebuilt ``words`` (``bloom_literal`` of a
+    maintained filter — e.g. the ``start_stream_bloom`` table) whenever
+    the same history serves many batches. Building inside this call scans
+    the full history EVERY time, and at broadcast-sized history that
+    costs more than the plain anti-join it replaces (measured locally:
+    80k-key history, per-call build 20× slower than the exact join). The
+    prefilter pays off when history is too large to broadcast AND the
+    filter is built once — the incremental-ingest steady state.
+
     Sizing: m = n_words·32 bits; FP ≈ (1 − e^(−k·n/m))^k. The words ship
     as ONE driver literal — fine to ~10⁷ history keys (m = 10n bits ≈
     12 MB plan literal); beyond that, keep the words as a table and probe
     via an equi-join on word_idx (the build side of this module is
     already that shape), or shard the bloom by key prefix."""
-    words = bloom_literal(bloom_build(history_df, key_col, n_words, k), n_words)
+    if words is None:
+        words = bloom_literal(
+            bloom_build(history_df, key_col, n_words, k), n_words
+        )
+    elif len(words) != n_words:
+        raise ValueError(
+            f"bloom_anti_join: prebuilt words has {len(words)} words but "
+            f"n_words={n_words} — geometry must match the build"
+        )
     flagged = new_df.withColumn(
         "_maybe", bloom_might_contain(key_col, words, k)
     )

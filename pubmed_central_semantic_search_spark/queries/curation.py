@@ -653,7 +653,7 @@ _PII_ORACLE = """
     )
     SELECT doc_id, n_email, n_ssn, n_ipv4,
            len(regexp_extract_all(t, '\\+[0-9][0-9 -]{7,}[0-9]')) AS n_phone,
-           regexp_replace(t, '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+           regexp_replace(t, '\\+[0-9](?:[ -]?[0-9]){6,}', '<PHONE>', 'g') AS clean_text
     FROM s3
 """
 

@@ -199,3 +199,140 @@ def test_salted_join_rejects_small_side_preserving_modes(spark):
         salted_join(big, small, on=["k"], salt_by=["pk"], how="full")
     ok = salted_join(big, small, on=["k"], salt_by=["pk"], how="left")
     assert ok.count() == 1
+
+
+def test_cosine_similarity_zero_norm_scores_zero_not_crash(spark):
+    """Under Spark 4's default ANSI mode the unguarded dot/(|a||b|) is
+    DIVIDE_BY_ZERO; one degenerate embedding would abort a whole job.
+    Convention: zero vector => similarity 0.0; null array stays null."""
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
+        "id long, v array<double>",
+    )
+    rows = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine_similarity("v", F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+        ).collect()
+    }
+    assert rows[1] == 1.0 and rows[2] == 0.0 and rows[3] is None
+
+
+def test_semantic_decontaminate_and_near_dup_tolerate_zero_vectors(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        semantic_decontaminate,
+    )
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_decontaminate(corpus, bench, min_cosine=0.9).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in out] == [(1, 9)]
+    nd = embedding_near_dup(
+        corpus.withColumnRenamed("vec_id", "id"), "id", "embedding",
+        min_cosine=0.9,
+    ).collect()
+    assert nd == []  # the zero vector is never a near-dup, and no crash
+
+
+def test_bm25_duplicate_terms_use_qtf_weighting(spark):
+    """A repeated query term adds its contribution once per occurrence —
+    NOT doubled tf inside the saturation (the duplicate-join bug)."""
+    from pubmed_central_semantic_search_spark.operators.retrieval import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "cancer cell"), (2, "gene cell")], "doc_id long, text string"
+    )
+    one = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(docs, ["cancer"], k=10).collect()}
+    two = {r["doc_id"]: r["bm25_score"]
+           for r in bm25_rank(docs, ["cancer", "cancer"], k=10).collect()}
+    assert abs(two[1] - 2 * one[1]) < 1e-6
+
+
+def test_pq_encode_rejects_short_vectors_nulls_stay_null(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.pq import pq_encode
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+    ok = spark.createDataFrame(
+        [(1, [1.0, 1.0, 2.0, 2.0]), (2, None)], "id long, v array<double>"
+    )
+    rows = {r["id"]: r["c"] for r in ok.select("id", pq_encode("v", books).alias("c")).collect()}
+    assert rows[1] == [1, 1] and rows[2] is None
+    bad = spark.createDataFrame([(3, [5.0, 5.0])], "id long, v array<double>")
+    with _pytest.raises(Exception, match="pq_encode: vector length"):
+        bad.select(pq_encode("v", books).alias("c")).collect()
+
+
+def test_pca_twins_agree_on_null_rows(spark):
+    from pubmed_central_semantic_search_spark.operators.projection import (
+        pca_fit,
+        pca_project,
+        pca_project_np,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [3.0, 1.0, 0.0]), (3, [0.0, 5.0, 1.0])],
+        "id long, embedding array<double>",
+    )
+    model = pca_fit(df, out_dim=2)
+    with_null = df.unionByName(
+        spark.createDataFrame([(4, None)], "id long, embedding array<double>")
+    )
+    a = {r["id"]: r["proj"] for r in pca_project(with_null, model).collect()}
+    b = {r["id"]: r["proj"] for r in pca_project_np(with_null, model).collect()}
+    assert a[4] is None and b[4] is None
+    for i in (1, 2, 3):
+        for x, y in zip(a[i], b[i]):
+            assert abs(x - y) < 1e-9
+
+
+def test_pca_fit_rejects_out_dim_beyond_vector_dim(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.projection import pca_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 1.0])], "id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="out_dim"):
+        pca_fit(df, out_dim=8)
+
+
+def test_temperature_mix_rejects_null_group(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s1", "a b"), (2, None, "c d")],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        temperature_mix(df, target_tokens=2)
+
+
+def test_phone_scrub_does_not_swallow_following_text(spark):
+    from pubmed_central_semantic_search_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "call +1 555 123 4567 - 9am"), (2, "+12345678 x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in scrub_pii(df).collect()}
+    assert got[1] == "call <PHONE> - 9am"
+    assert got[2] == "<PHONE> x"

@@ -274,3 +274,31 @@ def test_cms_estimate_rejects_mismatched_geometry(spark):
     sketch = cms_build(df, "token", depth=4, width=1024)
     with _pytest.raises(ValueError, match="geometry"):
         cms_estimate(sketch, ["k0"], depth=4, width=64)
+
+
+def test_bloom_anti_join_prebuilt_words_amortized_path(spark):
+    """The incremental-ingest steady state: build the filter ONCE, probe
+    many batches with the prebuilt words — same answer as the per-call
+    build and the exact join; mismatched geometry is rejected."""
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+        bloom_build,
+        bloom_literal,
+    )
+
+    hist = spark.createDataFrame([(f"h{i}",) for i in range(100)], "k string")
+    new = spark.createDataFrame(
+        [(f"h{i}",) for i in range(90, 110)], "k string"
+    )
+    words = bloom_literal(bloom_build(hist, "k", 64, 4), 64)
+    got = sorted(
+        r["k"] for r in bloom_anti_join(new, hist, "k", 64, words=words).collect()
+    )
+    want = sorted(
+        r["k"] for r in new.join(hist, "k", "left_anti").collect()
+    )
+    assert got == want and len(got) == 10
+    with _pytest.raises(ValueError, match="geometry"):
+        bloom_anti_join(new, hist, "k", n_words=32, words=words)
