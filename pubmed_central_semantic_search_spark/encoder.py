@@ -129,9 +129,21 @@ def sbert_encoder_udf(
 
     @F.pandas_udf("array<float>")
     def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import sentence_transformers as _st
         from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name)  # once per python worker
+        # SCALAR_ITER bodies run once per TASK; cache the loaded model on
+        # the module object so reused python workers (the default
+        # spark.python.worker.reuse=true) keep it ACROSS tasks — without
+        # this a thousand small tasks pay a thousand multi-second loads
+        cache = getattr(_st, "_spark_model_cache", None)
+        if cache is None:
+            cache = {}
+            _st._spark_model_cache = cache
+        model = cache.get(model_name)
+        if model is None:
+            model = SentenceTransformer(model_name)
+            cache[model_name] = model
         for texts in batches:
             vecs = model.encode(
                 texts.fillna("").tolist(), batch_size=batch_size
@@ -141,10 +153,31 @@ def sbert_encoder_udf(
     return encode
 
 
+SBERT_MODEL_DIMS = {
+    # the reference's model (app.py:17) and its output width
+    "sentence-transformers/multi-qa-mpnet-base-dot-v1": 768,
+}
+
+
 def get_encoder_udf(kind: str = "fake", dim: int = DEFAULT_DIM, **kwargs):
     if kind == "fake":
         return fake_encoder_udf(dim)
     if kind == "sbert":
+        # dim is NOT forwarded to the model (its output width is fixed by
+        # the architecture) — but silently ignoring a mismatched dim let
+        # an engine built with dim=64 store 768-dim chunk vectors, pool
+        # doc vectors truncated to 64, and score cosine(64, 768) = all
+        # NULL. Validate eagerly instead.
+        model_name = kwargs.get(
+            "model_name", "sentence-transformers/multi-qa-mpnet-base-dot-v1"
+        )
+        known = SBERT_MODEL_DIMS.get(model_name)
+        if known is not None and dim != known:
+            raise ValueError(
+                f"encoder kind='sbert' model {model_name!r} emits "
+                f"{known}-dim vectors but dim={dim} was requested — "
+                f"construct the engine with dim={known}"
+            )
         return sbert_encoder_udf(**kwargs)
     raise ValueError(f"unknown encoder kind: {kind}")
 

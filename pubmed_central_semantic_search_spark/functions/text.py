@@ -19,14 +19,22 @@ CHUNK_SEPARATORS = {
 }
 
 
+def regex_escape_literal(sep: str) -> str:
+    """Escape a LITERAL separator for ``F.split``'s regex argument — the
+    one shared definition (``chunk_split`` and ``chunking.
+    rechunk_sections`` both split on literal chunk separators; a missing
+    metachar fixed in one copy but not the other would silently split on
+    a live regex)."""
+    return "".join("\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep)
+
+
 def chunk_split(text: Column | str, level: str = "sentence") -> Column:
     """F1 — split text into chunks at sentence/paragraph/section level.
 
     The reference does a *literal* ``str.split`` (``data_fetcher.py:28-30``),
     not a regex split, so the separator is regex-escaped here.
     """
-    sep = CHUNK_SEPARATORS[level]
-    escaped = "".join("\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep)
+    escaped = regex_escape_literal(CHUNK_SEPARATORS[level])
     text = F.col(text) if isinstance(text, str) else text
     return F.split(text, escaped)
 
@@ -96,11 +104,37 @@ def content_key(text: Column | str) -> Column:
 
 def chunk_key(
     article_id: Column | str,
+    section_id: Column | str,
     section_name: Column | str,
     paragraph_id: Column | str,
 ) -> Column:
     """H2 — unique per-chunk id. The reference uses ``uuid4()``
     (``qdrant.py:140-141``); we prefer a deterministic position-derived key
-    (reproducible tests, idempotent re-ingest)."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in (article_id, section_name, paragraph_id)]
+    (reproducible tests, idempotent re-ingest).
+
+    ``section_id`` (the section POSITION) is part of the key: real JATS
+    articles repeat section names ('Methods' twice) and paragraph_id
+    restarts per section, so a name-only key collides and the chunk-keyed
+    upsert would silently drop the second section's paragraphs — the same
+    hazard ``chunking.explode_chunks`` documents at its inline hash."""
+    cols = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (article_id, section_id, section_name, paragraph_id)
+    ]
     return F.xxhash64(*cols)
+
+
+def normalize_ws(text: Column | str) -> Column:
+    """Collapse all whitespace runs (spaces, tabs, newlines) to single
+    spaces and trim — the pre-tokenization step for WILD text.
+
+    The engine's tokenization convention (``operators/curation._tokens``,
+    shared by every operator and replicated verbatim in the DuckDB
+    oracles) splits on the single literal space: exact and cheap for
+    normalized text, but on raw multi-line input tokens would straddle
+    newlines and the single-space length arithmetic
+    (``textstats.mean_token_len``) would count padding as token
+    characters. Run this once at ingest — after it, every downstream
+    token/gram/quality metric is exact. Pure narrow expression."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

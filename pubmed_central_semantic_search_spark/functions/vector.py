@@ -91,10 +91,12 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def l2_normalize(v: Column | str) -> Column:
-    """Unit-normalize an array column (returns array<double>)."""
+    """Unit-normalize an array column (returns array<double>). The zero
+    vector passes through unchanged — dividing by its zero norm would be
+    DIVIDE_BY_ZERO under ANSI (``cosine_similarity``'s convention)."""
     v = as_double(v)
     n = l2_norm(v)
-    return F.transform(v, lambda x: x / n)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

@@ -54,7 +54,11 @@ def asof_join(
             "reserved internal/output names — rename them before the join"
         )
     payload_fields = [F.col(right_ts).alias("ts"), *[F.col(c) for c in right_cols]]
-    r = right.select(
+    # A null timestamp is incomparable: drop such right rows up front
+    # (under asc ordering they sort FIRST and their payload would be
+    # carried into left rows that have no real match — asof_ts null but
+    # asof_* populated, the worst kind of silent wrong answer).
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_t"),
         F.struct(*payload_fields).alias("_p"),
@@ -87,7 +91,9 @@ def asof_join(
         .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
         .filter(F.col("_is_left") == 1)
     )
-    match = F.col("_m")
+    # a null LEFT timestamp is equally incomparable — no match (under
+    # desc ordering it sorts last and would inherit the final payload)
+    match = F.when(F.col("_t").isNotNull(), F.col("_m"))
     if tolerance is not None:
         in_range = (
             (match["ts"] >= F.col("_t") - tolerance)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import CHUNK_SEPARATORS, chunk_split
+from ..functions.text import regex_escape_literal, CHUNK_SEPARATORS, chunk_split
 from ..schemas import ARTICLE_ID, SECTION_NAMES, SECTIONS
 
 
@@ -41,8 +41,7 @@ def rechunk_sections(
     """The reference's ``from_dataset`` path (data_fetcher.py:39,45):
     re-flatten an article's chunk lists with ``used_separator`` then
     re-split at the chunker's level — per section, preserving nesting."""
-    sep = CHUNK_SEPARATORS[level]
-    escaped = "".join("\\" + c if c in r"\.[]{}()*+?^$|" else c for c in sep)
+    escaped = regex_escape_literal(CHUNK_SEPARATORS[level])
     return articles.withColumn(
         SECTIONS,
         F.transform(

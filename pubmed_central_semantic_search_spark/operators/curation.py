@@ -36,9 +36,15 @@ HEX = "0123456789abcdef"
 
 def _tokens(text_col: Column | str) -> Column:
     """THE whitespace tokenizer — the one definition every operator
-    module shares (dsir/lm/classifier/emitter import it), so the
-    content-addressed features, perplexities, and DuckDB oracles can
-    never drift on tokenization."""
+    module shares (dsir/lm/classifier/emitter/textstats/dedup/retrieval
+    import it), so the content-addressed features, perplexities, and
+    DuckDB oracles can never drift on tokenization.
+
+    CONVENTION: tokens are SINGLE-SPACE-separated — the split is on the
+    literal space, replicated verbatim as ``string_split(text, ' ')`` in
+    every oracle. Raw multi-line/tab text must be normalized first
+    (``functions/text.normalize_ws``) or tokens straddle newlines and
+    length arithmetic counts padding."""
     return F.filter(F.split(text_col, " "), lambda t: t != "")
 
 

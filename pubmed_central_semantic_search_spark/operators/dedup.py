@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .curation import _tokens
 from ..functions.vector import cosine_similarity, dot, l2_norm
 
 
@@ -89,7 +90,7 @@ def repeated_ngram_spans(
     because sorting a 100 TB suffix array is the one shape Spark should
     not attempt; ``window`` plays the paper's min-match-length role.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = _tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     wins = base.select(
         "doc_id",
@@ -161,7 +162,7 @@ def cut_spans(
     groupBy on the span text hash (spans are a vanishing fraction of the
     corpus), and the cut itself is a narrow projection after ONE
     broadcast-or-shuffle join of docs to their own spans."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = _tokens(text_col)
     with_toks = df.withColumn("_toks", toks)
     located = spans.join(
         with_toks.select(F.col(id_col).alias("doc_id"), "_toks"), "doc_id"
@@ -232,7 +233,7 @@ def shingle_array(text_col: Column | str, n: int = 3) -> Column:
     neighbors that were already adjacent in the array — at 100 TB that
     shuffle is the corpus itself.)"""
     text_col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    toks = _tokens(text_col)
     # guard: sequence(1, 0) would run DESCENDING for docs shorter than n
     return F.when(
         F.size(toks) >= n,
@@ -550,7 +551,7 @@ def simhash32(
     (corpus shuffle #2) — two shuffles to compute a pure row function.
     Integer sums are order-free, so values are unchanged."""
     toks = F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        _tokens(text_col)
     )
     hashed = df.select(
         F.col(id_col).alias("_id"),

@@ -52,9 +52,30 @@ def mean_pool(
     pipelines.
     """
     if dim is not None:
-        vec = as_double(vec_col)
-        pooled = df.groupBy(*group).agg(
-            *[F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)]
+        # row-level geometry guard (the k-means/PQ/PCA rule): a vector
+        # LONGER than dim would silently truncate into the pooled mean
+        # (wrong doc vectors, no error — e.g. an engine reconstructed
+        # with a smaller dim over previously-ingested embeddings), and a
+        # shorter one aborts mid-aggregate with an opaque
+        # INVALID_ARRAY_INDEX under ANSI. Nulls stay null (avg skips).
+        raw = as_double(vec_col)
+        guard = F.when(raw.isNull(), raw).when(
+            F.size(raw) == dim, raw
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mean_pool: vector length "),
+                    F.size(raw).cast("string"),
+                    F.lit(f" != dim = {dim}"),
+                )
+            ).cast("array<double>")
+        )
+        # stage the guarded vector ONCE behind a projection boundary —
+        # referencing the when-tree inside each of the dim avg columns
+        # would inline dim copies of it (trees, not DAGs)
+        staged = df.select(*group, guard.alias("_gv"))
+        pooled = staged.groupBy(*group).agg(
+            *[F.avg(F.col("_gv")[i]).alias(f"_m{i}") for i in range(dim)]
         )
         return pooled.select(
             *group, F.array(*[f"_m{i}" for i in range(dim)]).alias(out_col)

@@ -21,10 +21,29 @@ from ..functions.vector import as_double
 
 def quantization_scale(vec: Column | str) -> Column:
     """Per-vector symmetric scale: max|x| / 127 (0-vectors → scale 1 to
-    avoid div-by-zero; their quantized form is all zeros anyway)."""
+    avoid div-by-zero; their quantized form is all zeros anyway).
+
+    A NaN component fails loudly WITH A NAMED ERROR: 'NaN > 0' is false,
+    so the unguarded fallback scale of 1.0 would send NaN (or any
+    |x| > 127.5) into ``quantize``'s tinyint cast — an opaque ANSI
+    CAST_OVERFLOW that aborts the write job without saying which row or
+    why. One degenerate embedding should name itself, not kill the run
+    obscurely."""
     v = as_double(vec)
     m = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    return F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(
+            F.isnan(m),
+            F.raise_error(
+                F.lit(
+                    "quantization_scale: vector contains NaN — clean or "
+                    "drop degenerate embeddings before quantizing"
+                )
+            ).cast("double"),
+        )
+        .when(m > 0, m / F.lit(127.0))
+        .otherwise(F.lit(1.0))
+    )
 
 
 def quantize(vec: Column | str, scale: Column) -> Column:

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .curation import _tokens
+
 
 def bm25_rank(
     docs: DataFrame,
@@ -66,7 +68,7 @@ def bm25_rank(
     from collections import Counter
 
     spark = docs.sparkSession
-    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    toks = _tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("_toks")).select(
         id_col, F.col("_toks"), F.size("_toks").alias("dl")
     )
@@ -188,7 +190,7 @@ def phrase_match_counts(
     )
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias(
+        F.posexplode(_tokens(text_col)).alias(
             "pos", "token"
         ),
     )

@@ -24,9 +24,7 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def _tokens(text: Column | str) -> Column:
-    text = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(text, " "), lambda t: t != "")
+from .curation import _tokens  # the package-shared whitespace tokenizer
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
@@ -218,7 +216,7 @@ def build_vocab(
     # explode so the distinct is an equi-agg, not a second corpus pass.
     tok = df.select(
         F.col(id_col).alias("_rid"),
-        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("token"),
+        F.explode(_tokens(text_col)).alias("token"),
     )
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -246,7 +244,7 @@ def tfidf_top_terms(
     partitionable, nothing global."""
     tok = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("token"),
+        F.explode(_tokens(text_col)).alias("token"),
     )
     tf = tok.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -492,6 +490,14 @@ def gopher_panel(
     (zero Python, zero shuffle) — equivalence is test-pinned, so either
     engine is safe anywhere.
     """
+    if gram_engine not in ("arrow", "catalyst"):
+        # silent fallthrough to the ~50x-slower interpreted twin on a
+        # typo ('Arrow') would look like a hang, not an error — the
+        # planner's up-front kernel-validation rule
+        raise ValueError(
+            f"gopher_panel: unknown gram_engine {gram_engine!r} "
+            "(expected 'arrow' or 'catalyst')"
+        )
     text = F.col(text_col)
     toks = F.col("_gp_toks")
     lines = F.col("_gp_lines")

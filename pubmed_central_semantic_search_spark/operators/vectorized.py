@@ -56,16 +56,29 @@ def cosine_scores_udf(query: list[float]):
         import pandas as _pd
 
         q = _np.asarray(q_list, dtype=_np.float64)
-        # zero-QUERY guard, matching multi_query_scores_udf: a zero query
-        # norm substitutes 1.0 so every score is 0.0 instead of NaN (NaN
-        # sorts ABOVE every double descending, hijacking top-k). Zero
-        # corpus ROWS keep the HOF semantics: 0/0 → NaN.
+        # zero-norm rule = cosine_similarity's: zero query OR zero corpus
+        # row scores 0.0, never NaN (NaN sorts ABOVE every double
+        # descending and would hijack top-k) and never DIVIDE_BY_ZERO.
+        # Null rows score null (the HOF twin's semantics) instead of
+        # crashing np.array on an inhomogeneous list.
         qn = float(_np.linalg.norm(q)) or 1.0
-        m = _np.array(vecs.tolist(), dtype=_np.float64)
-        norms = _np.linalg.norm(m, axis=1)
-        with _np.errstate(divide="ignore", invalid="ignore"):
-            s = (m @ q) / (norms * qn)
-        return _pd.Series(s)
+        # fast path: no nulls (the overwhelmingly common batch) keeps the
+        # single bulk tolist() conversion; the masked path only runs when
+        # a null row is actually present
+        mask = vecs.notna().to_numpy()
+        if mask.all():
+            m = _np.array(vecs.tolist(), dtype=_np.float64)
+            norms = _np.linalg.norm(m, axis=1)
+            norms[norms == 0] = _np.inf  # 0-row → score 0.0
+            return _pd.Series((m @ q) / (norms * qn))
+        out = _np.full(len(vecs), _np.nan)
+        if mask.any():
+            m = _np.array(vecs[mask].tolist(), dtype=_np.float64)
+            norms = _np.linalg.norm(m, axis=1)
+            norms[norms == 0] = _np.inf
+            out[mask] = (m @ q) / (norms * qn)
+        res = _pd.Series(out)
+        return res.where(mask, None)
 
     return _score
 
@@ -92,9 +105,19 @@ def nearest_centroid_udf(centroids: Centroids):
         norms = _np.linalg.norm(c, axis=1)
         norms[norms == 0] = 1.0
         cu = (c.T / norms).T  # unit rows: cosine argmax == dot argmax
-        m = _np.array(vecs.tolist(), dtype=_np.float64)
-        best = (m @ cu.T).argmax(axis=1)
-        return _pd.Series(ids[best])
+        # null rows assign null (HOF semantics), not a batch crash;
+        # no-null batches keep the bulk tolist() fast path
+        mask = vecs.notna().to_numpy()
+        if mask.all():
+            m = _np.array(vecs.tolist(), dtype=_np.float64)
+            best = (m @ cu.T).argmax(axis=1)
+            return _pd.Series(ids[best])
+        out = _np.full(len(vecs), None, dtype=object)
+        if mask.any():
+            m = _np.array(vecs[mask].tolist(), dtype=_np.float64)
+            best = (m @ cu.T).argmax(axis=1)
+            out[mask] = ids[best]
+        return _pd.Series(out)
 
     return _assign
 
@@ -133,11 +156,25 @@ def multi_query_scores_udf(query_vecs: list[list[float]]):
         q = _np.asarray(q_lists, dtype=_np.float64)  # (nq, dim)
         qn = _np.linalg.norm(q, axis=1)
         qn[qn == 0] = 1.0
-        m = _np.array(vecs.tolist(), dtype=_np.float64)
-        norms = _np.linalg.norm(m, axis=1)
-        with _np.errstate(divide="ignore", invalid="ignore"):
+        # zero-norm rows score 0.0 (cosine_similarity's rule — NaN would
+        # hijack every query's top-k); null rows yield null arrays;
+        # no-null batches keep the bulk tolist() fast path
+        mask = vecs.notna().to_numpy()
+        if mask.all():
+            m = _np.array(vecs.tolist(), dtype=_np.float64)
+            norms = _np.linalg.norm(m, axis=1)
+            norms[norms == 0] = _np.inf
             s = (m @ q.T) / _np.outer(norms, qn)
-        return _pd.Series(list(s))
+            return _pd.Series(list(s))
+        out = _np.full(len(vecs), None, dtype=object)
+        if mask.any():
+            m = _np.array(vecs[mask].tolist(), dtype=_np.float64)
+            norms = _np.linalg.norm(m, axis=1)
+            norms[norms == 0] = _np.inf
+            s = (m @ q.T) / _np.outer(norms, qn)
+            for idx, row in zip(_np.nonzero(mask)[0], s):
+                out[idx] = row
+        return _pd.Series(out)
 
     return _scores
 
@@ -157,7 +194,15 @@ def multi_query_topk_np(
     ``ann.brute_force_topk``."""
     from .topk import grouped_top_k
 
-    qids = [int(qid) for qid, _ in queries]
+    # keep query ids AS GIVEN (int or str both make a valid array
+    # literal) — int() coercion broke the hof-parity contract for
+    # non-integer ids; mixed types can't form one array, so reject loudly
+    qids = [qid for qid, _ in queries]
+    if len({type(q) for q in qids}) > 1:
+        raise ValueError(
+            "multi_query_topk_np: query ids must share one type "
+            f"(got {sorted({type(q).__name__ for q in qids})})"
+        )
     scored = vectors.select(
         F.col(id_col),
         F.posexplode(

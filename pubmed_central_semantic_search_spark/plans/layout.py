@@ -44,7 +44,23 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
                 F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
                 b * ncols + ci,
             )
-    return z
+    # Out-of-range inputs silently corrupt the key (bits above `bits` are
+    # dropped — 0 and 2^bits collide; negatives scramble the interleave
+    # via arithmetic shiftright's sign fill) and the promised min-max
+    # pruning degrades to full scans with no error. Same fail-loudly rule
+    # as the ncols*bits check above, but per ROW.
+    bound = 1 << bits
+    ok = cs[0].cast("bigint").between(0, bound - 1)
+    for c in cs[1:]:
+        ok = ok & c.cast("bigint").between(0, bound - 1)
+    return F.when(ok, z).otherwise(
+        F.raise_error(
+            F.lit(
+                f"zvalue: input outside [0, {bound}) for bits={bits} — "
+                "rank/bucket the column upstream"
+            )
+        ).cast("bigint")
+    )
 
 
 def zorder_write(

@@ -25,6 +25,10 @@ def read_jsonl_splits(
 ) -> DataFrame:
     """S1+S2 — read each split and union them by name. An explicit schema
     skips the inference pass (one full data scan saved per split)."""
+    if not paths:
+        # reduce() over an empty list dies with an opaque TypeError; the
+        # real mistake is almost always a glob that matched nothing
+        raise ValueError("read_jsonl_splits: empty paths list")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

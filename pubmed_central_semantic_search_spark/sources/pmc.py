@@ -39,7 +39,14 @@ EUROPEPMC_URL = "https://www.ebi.ac.uk/europepmc/webservices/rest/{}/fullTextXML
 
 def parse_jats(xml_text: str, chunk_sep: str = ". ") -> dict:
     """Parse one JATS fullTextXML document into the canonical article shape
-    (ARTICLES_SCHEMA + pmcid). Pure function — no I/O, no Spark."""
+    (ARTICLES_SCHEMA + pmcid). Pure function — no I/O, no Spark.
+
+    Deliberate deviation (recorded, SURVEY S5): the reference reads the
+    abstract via ``find(".//abstract/*")`` — the FIRST CHILD only — so a
+    structured abstract (multiple ``<sec>``) loses everything after its
+    first block (``fetch_pmcid.py:17``). This parser reads the whole
+    ``<abstract>`` subtree; for single-block abstracts (the reference's
+    test regime) the two are identical."""
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(xml_text)
@@ -64,15 +71,20 @@ def parse_jats(xml_text: str, chunk_sep: str = ". ") -> dict:
     for sec in root.iter("sec"):
         title_el = sec.find("title")
         title = title_el.text if title_el is not None else None
-        # fetch_pmcid.py:22-24: every non-title descendant's text+tail,
-        # newline-joined.
+        # fetch_pmcid.py:22-24, faithfully: PER ELEMENT, text+tail
+        # concatenated with NO separator; '\n' joins only ACROSS
+        # elements — and empty elements contribute an EMPTY entry (the
+        # reference's list comprehension keeps them, so consecutive
+        # empties become consecutive newlines and later '..' runs).
+        # Splitting text and tail into separate newline-joined parts
+        # (the first cut here) injected a spurious '.' after every
+        # inline element (xref/italic/bold) and shifted chunk
+        # boundaries on essentially every real PMC article.
         parts = []
         for el in sec.iter():
             if el is sec or el.tag == "title":
                 continue
-            for piece in (el.text, el.tail):
-                if piece:
-                    parts.append(piece)
+            parts.append("".join(p for p in (el.text, el.tail) if p))
         text = "\n".join(parts)
         # :27 — strip bracketed citations (DOTALL), re-join with '.' (:28)
         text = re.sub(r"\[[^\]]*\]", "", text, flags=re.DOTALL)
@@ -127,9 +139,9 @@ def parse_articles(xml_df: DataFrame) -> DataFrame:
                 for el in sec.iter():
                     if el is sec or el.tag == "title":
                         continue
-                    for piece in (el.text, el.tail):
-                        if piece:
-                            parts.append(piece)
+                    parts.append(
+                        "".join(p for p in (el.text, el.tail) if p)
+                    )
                 text = _re.sub(r"\[[^\]]*\]", "", "\n".join(parts), flags=_re.DOTALL)
                 text = ".".join(text.split("\n"))
                 names.append(title_el.text if title_el is not None else None)
@@ -141,7 +153,15 @@ def parse_articles(xml_df: DataFrame) -> DataFrame:
             for pmcid, xml_text in zip(pdf["pmcid"], pdf["xml"]):
                 try:
                     article_id, names, secs, abstract = one(xml_text)
-                    out.append((pmcid, article_id, names, secs, abstract, None))
+                    # a cleanly-parsed doc without a pmcid article-id is
+                    # STILL a poison row — without the flag it would look
+                    # clean here yet be silently excluded from ingest
+                    err = (
+                        None
+                        if article_id is not None
+                        else "missing pmcid article-id"
+                    )
+                    out.append((pmcid, article_id, names, secs, abstract, err))
                 except Exception as ex:  # poison row → error column
                     out.append((pmcid, None, None, None, None, repr(ex)[:500]))
             yield pd.DataFrame(
@@ -188,9 +208,21 @@ def fetch_articles(spark: SparkSession, pmcids: list[str]) -> DataFrame:
 
 def to_article_rows(parsed: DataFrame) -> DataFrame:
     """Parsed rows → ARTICLES_SCHEMA shape: poison rows (error != null)
-    are excluded from ingest but stay queryable upstream."""
+    are excluded from ingest but stay queryable upstream.
+
+    A cleanly-parsed document WITHOUT a pmcid article-id is promoted to a
+    poison row here (error = 'missing pmcid article-id') rather than
+    silently filtered — the module's errors-stay-visible-as-data rule; a
+    whole fetched article must never vanish with no trace."""
     from pyspark.sql import functions as F
 
-    return parsed.filter(F.col("error").isNull() & F.col("article_id").isNotNull()).select(
+    flagged = parsed.withColumn(
+        "error",
+        F.when(
+            F.col("error").isNull() & F.col("article_id").isNull(),
+            F.lit("missing pmcid article-id"),
+        ).otherwise(F.col("error")),
+    )
+    return flagged.filter(F.col("error").isNull()).select(
         "article_id", "section_names", "sections", "abstract_text"
     )

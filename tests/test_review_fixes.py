@@ -336,3 +336,139 @@ def test_phone_scrub_does_not_swallow_following_text(spark):
     got = {r["doc_id"]: r["clean_text"] for r in scrub_pii(df).collect()}
     assert got[1] == "call <PHONE> - 9am"
     assert got[2] == "<PHONE> x"
+
+
+def test_normalize_ws_makes_multiline_text_token_exact(spark):
+    """The engine's documented tokenization convention is single-space
+    text; normalize_ws is the ingest step that makes wild multi-line
+    input satisfy it — after it, word counts, stop-hits, and the
+    single-space length arithmetic are exact."""
+    from pubmed_central_semantic_search_spark.functions.text import normalize_ws
+    from pubmed_central_semantic_search_spark.operators.curation import _tokens
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        quality_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "over the\nthe lazy  dog\t end ")], "id long, text string"
+    )
+    norm = df.withColumn("text", normalize_ws("text"))
+    [r] = quality_features(norm).select(
+        F.size(_tokens("text")).alias("n"),
+        F.col("mean_token_len").alias("ml"),
+        "text",
+    ).collect()
+    assert r["text"] == "over the the lazy dog end"
+    assert r["n"] == 6
+    # exact mean token length: (4+3+3+4+3+3)/6
+    assert abs(r["ml"] - 20 / 6) < 1e-6  # rounded to 6 in quality_features
+    # raw text WOULD straddle: 'the\nthe' is one pseudo-token
+    [raw] = df.select(F.size(_tokens("text")).alias("n")).collect()
+    assert raw["n"] == 5
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    from pubmed_central_semantic_search_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5), ("k", None)], "key string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("k", None, "bogus"), ("k", 3, "real")], "key string, ts int, v string"
+    )
+    out = {
+        (r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[5] == (3, "real")  # matched the real row, not the null-ts one
+    assert out[None] == (None, None)  # null left ts: no phantom match
+
+
+def test_zvalue_rejects_out_of_range_inputs(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.plans.layout import zvalue
+
+    ok = spark.createDataFrame([(3, 5)], "a int, b int")
+    assert ok.select(zvalue(["a", "b"], bits=4).alias("z")).first()["z"] is not None
+    bad = spark.createDataFrame([(16, 5)], "a int, b int")  # 16 >= 2^4
+    with _pytest.raises(Exception, match="zvalue"):
+        bad.select(zvalue(["a", "b"], bits=4).alias("z")).collect()
+    neg = spark.createDataFrame([(-1, 5)], "a int, b int")
+    with _pytest.raises(Exception, match="zvalue"):
+        neg.select(zvalue(["a", "b"], bits=4).alias("z")).collect()
+
+
+def test_sbert_dim_mismatch_raises_before_import(spark):
+    """encoder='sbert' with a dim that disagrees with the model's output
+    width must fail eagerly — silently ignoring it stored 768-dim chunks,
+    pooled 64-dim doc vectors, and scored all-NULL cosines. The check
+    runs BEFORE the import gate, so it's testable without the library."""
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.encoder import get_encoder_udf
+
+    with _pytest.raises(ValueError, match="768"):
+        get_encoder_udf("sbert", dim=64)
+
+
+def test_mean_pool_rejects_wrong_dim_vectors(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.pooling import mean_pool
+
+    ok = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", [3.0, 5.0]), ("b", None)],
+        "g string, embedding array<double>",
+    )
+    rows = {
+        r["g"]: r["embedding"]
+        for r in mean_pool(ok, ["g"], dim=2).collect()
+    }
+    assert rows["a"] == [2.0, 4.0]
+    bad = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "g string, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="mean_pool: vector length"):
+        mean_pool(bad, ["g"], dim=2).collect()
+
+
+def test_quantization_scale_names_nan_vectors(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.quantize import (
+        quantization_scale,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, float("nan")])], "id long, v array<double>"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        bad.select(quantization_scale("v").alias("s")).collect()
+
+
+def test_parse_without_pmcid_is_poison_not_silent(spark):
+    """A cleanly-parsed JATS doc with no pmcid article-id must surface as
+    an error row (errors-stay-visible-as-data), never vanish."""
+    from pubmed_central_semantic_search_spark.sources.pmc import (
+        parse_articles,
+        to_article_rows,
+    )
+
+    xml = "<article><body><sec><title>T</title><p>x. y.</p></sec></body></article>"
+    xml_df = spark.createDataFrame([("PMCX", xml)], "pmcid string, xml string")
+    parsed = parse_articles(xml_df)
+    [row] = parsed.collect()
+    assert row["error"] == "missing pmcid article-id"
+    assert to_article_rows(parsed).count() == 0
+
+
+def test_read_jsonl_splits_empty_paths_raises(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.sources.jsonl import (
+        read_jsonl_splits,
+    )
+
+    with _pytest.raises(ValueError, match="empty paths"):
+        read_jsonl_splits(spark, [])

@@ -945,3 +945,29 @@ def test_stream_bloom_drain_equals_batch_and_prefilters(spark, tmp_path):
     words = bloom_literal(spark.read.parquet(bloom_dir), 16)
     seen = spark.createDataFrame([(t,) for t in all_keys], "key string")
     assert seen.filter(bloom_might_contain("key", words, 4)).count() == len(all_keys)
+
+
+def test_parse_jats_inline_markup_matches_reference_formula(spark):
+    """Per-element text+tail concatenate with NO separator; '\\n' joins
+    only ACROSS elements (fetch_pmcid.py:22-24). Inline markup (xref,
+    italic) must not inject extra '.' after the newline->'.' rejoin."""
+    from pubmed_central_semantic_search_spark.sources.pmc import parse_jats
+
+    xml = (
+        "<article><front><article-meta>"
+        "<article-id pub-id-type='pmcid'>77</article-id>"
+        "</article-meta></front>"
+        "<abstract><p>Plain abstract. Two sentences.</p></abstract>"
+        "<body><sec><title>Results</title>"
+        "<p>See <xref>fig</xref> here. Next one.</p>"
+        "</sec></body></article>"
+    )
+    out = parse_jats(xml)
+    # reference formula by hand: elements under sec excluding title are
+    # [p, xref]; p.text='See ', p.tail=None -> 'See '; xref.text='fig',
+    # xref.tail=' here. Next one.' -> 'fig here. Next one.'
+    # '\n'.join -> 'See \nfig here. Next one.' -> '.'join(split('\n')) ->
+    # 'See .fig here. Next one.' -> chunk_sep '. ' split ->
+    # ['See .fig here', 'Next one.']
+    assert out["section_names"] == ["Abstract", "Results"]
+    assert out["sections"][1] == ["See .fig here", "Next one."]

@@ -79,18 +79,29 @@ def test_np_kernel_plan_is_arrow_batched(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_np_scores_zero_vector_yields_nan_like_hof(spark):
-    # cosine against a zero vector: HOF gives NULL/NaN via 0/0 — the BLAS
-    # kernel must not raise; scoring stays row-aligned
+def test_np_scores_zero_and_null_vectors_match_hof_convention(spark):
+    """Zero-norm rows score 0.0 (cosine_similarity's ANSI-safe rule —
+    NaN would sort ABOVE every real score descending and hijack top-k);
+    null rows score null instead of crashing the Arrow batch."""
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+
     df = spark.createDataFrame(
-        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
     )
     rows = df.select(
-        "vec_id", cosine_scores_udf([1.0, 0.0])(F.col("embedding")).alias("s")
+        "vec_id",
+        cosine_scores_udf([1.0, 0.0])(F.col("embedding")).alias("s"),
+        cosine_similarity(
+            "embedding", F.array(F.lit(1.0), F.lit(0.0))
+        ).alias("hof"),
     ).collect()
-    by_id = {r["vec_id"]: r["s"] for r in rows}
-    assert by_id[2] == 1.0
-    assert by_id[1] is None or by_id[1] != by_id[1]  # null or NaN
+    by_id = {r["vec_id"]: (r["s"], r["hof"]) for r in rows}
+    assert by_id[2] == (1.0, 1.0)
+    assert by_id[1] == (0.0, 0.0)  # twins agree: zero-norm => 0.0
+    assert by_id[3] == (None, None)  # twins agree: null => null
 
 
 def test_np_kernels_are_self_contained(spark):
