@@ -16,6 +16,7 @@ from ..operators.ann import hyperplanes, lsh_topk
 from ..operators.dedup import (
     assign_components,
     embedding_near_dup,
+    fuzzy_string_pairs,
     near_dup_minhash,
     ngram_jaccard_pairs,
     simhash_near_dup,
@@ -42,18 +43,10 @@ def _planted_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(copies)
 
 
-_SQL_TEXT_CORPUS = f"""
-    base AS (SELECT doc_id, text FROM documents WHERE doc_id < {N_BASE}),
-    base_tok AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-      FROM base
-    ),
-    copies AS (
-      SELECT doc_id + {COPY_OFFSET} AS doc_id,
-             array_to_string(toks[1:greatest(len(toks) - 5, 1)], ' ') AS text
-      FROM base_tok
-    ),
-    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+# Shared tokenize + 3-gram shingle CTE tail over a `corpus` CTE — ONE
+# definition so q23/q36's oracle and q53's chained-corpus oracle can
+# never drift on the shingling contract.
+_SQL_TOK_SH = """
     tok AS (
       SELECT doc_id, pos, token FROM (
         SELECT doc_id,
@@ -70,6 +63,20 @@ _SQL_TEXT_CORPUS = f"""
       ) WHERE shingle IS NOT NULL
     )
 """
+
+_SQL_TEXT_CORPUS = f"""
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < {N_BASE}),
+    base_tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM base
+    ),
+    copies AS (
+      SELECT doc_id + {COPY_OFFSET} AS doc_id,
+             array_to_string(toks[1:greatest(len(toks) - 5, 1)], ' ') AS text
+      FROM base_tok
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+{_SQL_TOK_SH}"""
 
 _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
@@ -183,8 +190,6 @@ _FUZZY_N, _FUZZY_LEN, _FUZZY_D = 120, 24, 3
     "blocked edit-distance similarity join vs the brute-force oracle)",
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import fuzzy_string_pairs
-
     corpus = _planted_text_corpus(spark, sf_dir)
     jac = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5
@@ -479,22 +484,7 @@ _SQL_CHAIN_CORPUS = f"""
     corpus AS (
       SELECT * FROM base UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2
     ),
-    tok AS (
-      SELECT doc_id, pos, token FROM (
-        SELECT doc_id,
-               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-               unnest(string_split(text, ' ')) AS token
-        FROM corpus
-      ) WHERE token <> ''
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
-        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      ) WHERE shingle IS NOT NULL
-    )
-"""
+{_SQL_TOK_SH}"""
 
 
 # The 'semantic' arm absorbs SemDeDup (operators/dedup.py semantic_dedup,
@@ -612,12 +602,15 @@ def _pr_cte_chain(n_iter: int = _PR_ITERS) -> str:
     pairs AS (
       SELECT id_a, id_b FROM (
         SELECT id_a, id_b,
-               CAST(n_intersect AS DOUBLE)
-                 / (ca.n_sh + cb.n_sh - n_intersect) AS jaccard
+               round(CAST(n_intersect AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
         FROM inter
         JOIN cnt ca ON ca.doc_id = id_a
         JOIN cnt cb ON cb.doc_id = id_b
       ) WHERE jaccard >= 0.55
+      -- round BEFORE the threshold, matching ngram_jaccard_pairs (the
+      -- Spark arm filters the 6-digit-rounded value; an unrounded filter
+      -- here would use a different edge set within float-noise of 0.55)
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs

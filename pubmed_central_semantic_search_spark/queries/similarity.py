@@ -230,7 +230,8 @@ def _pq_lut_sql() -> str:
            label,
            count(*) AS n_vecs,
            round(avg(list_cosine_similarity(emb, deq)), 4) AS avg_cos,
-           min(list_cosine_similarity(emb, deq)) >= 0.999 AS all_above_999,
+           round(min(list_cosine_similarity(emb, deq)), 6) >= 0.999
+             AS all_above_999,
            CAST(NULL AS BIGINT) AS code_checksum,
            CAST(NULL AS DOUBLE) AS avg_adc
     FROM d
@@ -255,7 +256,10 @@ def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import dequantize, with_quantized
     from ..registry import QUERY_VEC
 
-    emb = load(spark, sf_dir, "embeddings")
+    # both unioned arms (int8, pq) decode the full embeddings column —
+    # persist so the parquet scan + float->double cast runs once (the
+    # q37/q38 multi-consumer pattern; bench clears the cache per query)
+    emb = load(spark, sf_dir, "embeddings").persist()
     d = with_quantized(emb).withColumn(
         "deq", dequantize("q_vec", F.col("q_scale"))
     )
@@ -263,7 +267,10 @@ def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 = d.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(cos), 4).alias("avg_cos"),
-        (F.min(cos) >= 0.999).alias("all_above_999"),
+        # round BEFORE the threshold (the repo's rounding discipline):
+        # the two engines accumulate the cosine in different orders, and
+        # a boolean flipped by float noise at 0.999 hash-mismatches
+        (F.round(F.min(cos), 6) >= 0.999).alias("all_above_999"),
     ).select(
         F.lit("int8").alias("kind"),
         "label",

@@ -43,9 +43,22 @@ from ..sources.jsonl import write_sharded_parquet
     "S9 (collection DDL), S8 (durable parquet snapshot read-back)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     base = tempfile.mkdtemp(prefix="pmc_writepath_")
     table_path = os.path.join(base, "docs")
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    try:
+        return _roundtrip(spark, base, table_path, docs)
+    finally:
+        # the result is MATERIALIZED before cleanup (the returned frame
+        # must not lazily read a deleted directory); without this every
+        # driver/bench execution leaked two parquet copies in /tmp, and
+        # a mid-write failure additionally leaked the catalog table
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _roundtrip(spark, base, table_path, docs) -> DataFrame:
 
     # S4 — initial load through the sharded sink (shard cap far below the
     # row count → a multi-file table, like the reference's 100MB shards).
@@ -72,15 +85,18 @@ def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be writable in the driver's environment).
     tname = "writepath_" + uuid.uuid4().hex[:8]
     ensure_table(spark, tname, docs, path=os.path.join(base, "ddl_tbl"))
-    if not spark.catalog.tableExists(tname):
-        raise RuntimeError("ensure_table failed to create the collection")
-    reset_table(spark, tname)
+    try:
+        if not spark.catalog.tableExists(tname):
+            raise RuntimeError("ensure_table failed to create the collection")
+    finally:
+        reset_table(spark, tname)
 
-    out = spark.read.parquet(table_path)
-    return out.select(
+    out = spark.read.parquet(table_path).select(
         "doc_id",
         "source",
         "lang",
         F.md5("text").alias("content_key"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+    rows = out.collect()  # materialize before the temp dir is removed
+    return spark.createDataFrame(rows, out.schema)
