@@ -99,11 +99,21 @@ PHRASE = ("hash", "join")
                + coalesce(1.0 / (60 + c.cos_rank), 0) AS rrf
       FROM bm25_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
     ),
+    ptoks_raw AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    -- densify positions over NON-EMPTY tokens (the _tokens convention;
+    -- raw split positions would disagree with phrase_match_counts'
+    -- posexplode on multi-space text — q52's dense CTE rule)
     ptoks AS (
-      SELECT doc_id,
-             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-             unnest(string_split(text, ' ')) AS token
-      FROM documents
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos
+      FROM ptoks_raw
     ),
     pq(term, off) AS (VALUES ('{PHRASE[0]}', 0), ('{PHRASE[1]}', 1)),
     pstarts AS (
@@ -652,7 +662,7 @@ _PII_ORACLE = """
       FROM s2
     )
     SELECT doc_id, n_email, n_ssn, n_ipv4,
-           len(regexp_extract_all(t, '\\+[0-9][0-9 -]{7,}[0-9]')) AS n_phone,
+           len(regexp_extract_all(t, '\\+[0-9](?:[ -]?[0-9]){6,}')) AS n_phone,
            regexp_replace(t, '\\+[0-9](?:[ -]?[0-9]){6,}', '<PHONE>', 'g') AS clean_text
     FROM s3
 """

@@ -235,10 +235,16 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").persist()
     cents = seed_centroids(emb, k=32)
     out = semantic_dedup(emb, cents, min_cosine=0.9, keep="far_from_centroid")
-    return out.groupBy("cluster_id").agg(
+    agg = out.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("is_survivor").cast("bigint")).alias("n_survivors"),
     )
+    # materialize eagerly so both pinned caches (this one and
+    # semantic_dedup's internal assigned view) release before returning —
+    # the no-pinned-RDD-outlives-the-entry rule the sibling entries follow
+    rows = agg.collect()
+    emb.unpersist()
+    return spark.createDataFrame(rows, agg.schema)
 
 
 def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,10 +64,8 @@ _LANG_CASE = f"""
 def _gram_list(n: int) -> str:
     """DuckDB list comprehension building the overlapping n-gram list of
     ``tk`` (1-based inclusive slices)."""
-    if n == 2:
-        rng = "range(1, len(tk))"
-    else:
-        rng = f"range(1, len(tk) - {n - 2})"
+    # n == 2 is just the general formula (len(tk) - 0) — no special case
+    rng = f"range(1, len(tk) - {n - 2})"
     return (
         f"CASE WHEN len(tk) >= {n} THEN "
         f"[array_to_string(tk[i:i+{n - 1}], ' ') FOR i IN {rng}] "

@@ -971,3 +971,40 @@ def test_parse_jats_inline_markup_matches_reference_formula(spark):
     # ['See .fig here', 'Next one.']
     assert out["section_names"] == ["Abstract", "Results"]
     assert out["sections"][1] == ["See .fig here", "Next one."]
+
+
+def test_stream_ingest_replaces_shortened_article(spark, tmp_path):
+    """Streaming twin of the api.py group-replacing contract: re-dropping
+    a SHORTENED article must remove its stale chunks, and doc vectors key
+    on article_id (not the hash) like the batch path."""
+    import json as _json
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_ingest,
+    )
+
+    src = tmp_path / "drop_zone"
+    src.mkdir()
+    art = {
+        "article_id": "A",
+        "section_names": ["Intro"],
+        "sections": [["p one", "p two", "p three"]],
+        "abstract_text": "",
+    }
+    with open(src / "b0.jsonl", "w") as f:
+        f.write(_json.dumps(art) + "\n")
+    chunks_p = str(tmp_path / "chunks")
+    vecs_p = str(tmp_path / "vecs")
+    q = start_ingest(spark, str(src), chunks_p, vecs_p, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(chunks_p).count() == 3
+
+    art["sections"] = [["p one", "p three"]]
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(_json.dumps(art) + "\n")
+    q = start_ingest(spark, str(src), chunks_p, vecs_p, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    chunks = spark.read.parquet(chunks_p)
+    assert sorted(r["paragraph"] for r in chunks.collect()) == ["p one", "p three"]
+    vecs = spark.read.parquet(vecs_p)
+    assert vecs.count() == 1 and vecs.first()["article_id"] == "A"
