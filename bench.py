@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pubmed_central_semantic_search_spark import registry  # noqa: E402
 from pubmed_central_semantic_search_spark.queries.dim768 import BENCH_EXTRAS  # noqa: E402
+from pubmed_central_semantic_search_spark.queries.write_path import (  # noqa: E402
+    WRITE_BENCH_EXTRAS,
+    upsert_rewrite_stats,
+)
 from pubmed_central_semantic_search_spark.session import get_spark  # noqa: E402
 
 
@@ -32,6 +36,7 @@ def main() -> None:
     # at the driver's 50-entry correctness window).
     runnable = {name: qd.spark for name, qd in registry.REGISTRY.items()}
     runnable.update(BENCH_EXTRAS)
+    runnable.update(WRITE_BENCH_EXTRAS)
     names = sorted(runnable)
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers with the first query so per-query times
@@ -69,19 +74,28 @@ def main() -> None:
     # bench-only proof pack (x768/PQ/BLAS extras) — round-over-round
     # comparisons stay like-for-like as the extras pack grows.
     registry_total = sum(t for q, t in timings.items() if q in registry.REGISTRY)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(total, 4),
-                "unit": "sec",
-                "registry_sec": round(registry_total, 4),
-                "extras_sec": round(total - registry_total, 4),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Deterministic scale evidence (not wall-clock): files/bytes rewritten
+    # by one small upsert on the flat vs bucket-partitioned layout — flat
+    # is table-sized, partitioned is bucket-sized at any host speed.
+    try:
+        rewrite_stats = upsert_rewrite_stats(spark, sf_dir)
+    except Exception as e:  # stats are evidence, never a bench failure
+        rewrite_stats = {"error": str(e)[:200]}
+    summary = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "registry_sec": round(registry_total, 4),
+        "extras_sec": round(total - registry_total, 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "upsert_rewrite": rewrite_stats,
+    }
+    # Summary fields ride at BOTH ends of the single JSON line: canonical
+    # at the head (parseable from a head-truncated capture) and repeated
+    # as a trailing "summary" object (the driver's record keeps the TAIL
+    # of the line — r4's capture cut the head-side fields, forcing
+    # estimated round-over-round comparisons).
+    print(json.dumps({**summary, "queries": timings, "summary": summary}))
     spark.stop()
 
 

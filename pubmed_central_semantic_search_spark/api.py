@@ -33,7 +33,7 @@ from .operators.chunking import explode_chunks
 from .operators.pooling import mean_pool
 from .operators.render import render_hits
 from .operators.search import highlight_chunks, score_documents, semantic_search
-from .sources.catalog import upsert_parquet
+from .sources.catalog import BUCKET_COL, read_upsert_table, upsert_parquet
 from .sources.jsonl import read_jsonl_splits
 from .sources.pmc import fetch_articles, to_article_rows
 from .schemas import ARTICLES_SCHEMA
@@ -46,13 +46,20 @@ class SemanticSearchEngine:
         root: str,
         encoder: str = "fake",
         dim: int = DEFAULT_DIM,
+        partition_buckets: int | None = None,
     ) -> None:
+        """``partition_buckets`` switches both store tables to the
+        bucket-partitioned upsert layout (catalog._upsert_partitioned):
+        each upload rewrites only the ``pmod(xxhash64(article_id), n)``
+        buckets its articles land in — the 100 TB ingest shape. Choose it
+        at store creation and keep it (the layouts don't mix)."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.chunks_path = f"{self.root}/chunks"
         self.doc_vectors_path = f"{self.root}/doc_vectors"
         self.encoder = encoder
         self.dim = dim
+        self.partition_buckets = partition_buckets
 
     # -- DDL ---------------------------------------------------------------
 
@@ -64,6 +71,11 @@ class SemanticSearchEngine:
         for path in (self.chunks_path, self.doc_vectors_path):
             p = jvm.org.apache.hadoop.fs.Path(path)
             p.getFileSystem(conf).delete(p, True)
+
+    def _read(self, path: str) -> DataFrame:
+        """Layout-agnostic table read — the bucket column is a write-side
+        scale knob, never part of the query-facing schema."""
+        return read_upsert_table(self.spark, path)
 
     # -- ingest ------------------------------------------------------------
 
@@ -86,18 +98,43 @@ class SemanticSearchEngine:
             self.chunks_path,
             key_cols=["chunk_id"],
             replace_group_col="article_id",
+            n_buckets=self.partition_buckets,
         )
         batch_ids = articles.select(
             F.col("article_id").cast("string").alias("article_id")
         ).distinct()
-        written = self.spark.read.parquet(self.chunks_path).join(
-            F.broadcast(batch_ids), "article_id"
-        )
+        if self.partition_buckets is not None:
+            # partition-pruned re-read: the filter is on the PARTITION
+            # column itself (a pmod-over-article_id expression would not
+            # prune — Catalyst cannot equate it with the directory key),
+            # so only the batch's bucket directories are scanned
+            buckets = [
+                r[0]
+                for r in batch_ids.select(
+                    F.pmod(
+                        F.xxhash64("article_id"), F.lit(self.partition_buckets)
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
+            written = (
+                self.spark.read.parquet(self.chunks_path)
+                .filter(F.col(BUCKET_COL).isin(buckets))
+                .drop(BUCKET_COL)
+            )
+        else:
+            written = self._read(self.chunks_path)
+        written = written.join(F.broadcast(batch_ids), "article_id")
         vecs = mean_pool(
             written, group=["article_id"], vec_col="embedding", dim=self.dim
         ).withColumn("doc_pk", doc_key("article_id"))
         upsert_parquet(
-            self.spark, vecs, self.doc_vectors_path, key_cols=["article_id"]
+            self.spark,
+            vecs,
+            self.doc_vectors_path,
+            key_cols=["article_id"],
+            n_buckets=self.partition_buckets,
         )
 
     def upload_from_jsonl(self, paths: list[str]) -> None:
@@ -155,8 +192,8 @@ class SemanticSearchEngine:
     ) -> DataFrame:
         """The reference's core query (qdrant.py:201-247) — defaults mirror
         the UI (k=5 docs, 1 paragraph, app.py:113,118)."""
-        doc_vectors = self.spark.read.parquet(self.doc_vectors_path)
-        chunks = self.spark.read.parquet(self.chunks_path)
+        doc_vectors = self._read(self.doc_vectors_path)
+        chunks = self._read(self.chunks_path)
         q = self._query_frame(queries)
         out = semantic_search(
             doc_vectors,
@@ -176,8 +213,8 @@ class SemanticSearchEngine:
         paragraphs_per_document: int = 1,
     ) -> DataFrame:
         """responses.py rendering: <mark>-wrapped context, article link."""
-        doc_vectors = self.spark.read.parquet(self.doc_vectors_path)
-        chunks = self.spark.read.parquet(self.chunks_path)
+        doc_vectors = self._read(self.doc_vectors_path)
+        chunks = self._read(self.chunks_path)
         q = self._query_frame(queries)
         top_docs = score_documents(doc_vectors, q, k_docs=docs_per_query)
         hits = highlight_chunks(chunks, top_docs, paragraphs_per_document)

@@ -1,20 +1,37 @@
 """Write-path query (SURVEY §2.1 S4/S7/S9) — certifies the sharded
-columnar sink, the keyed idempotent upsert, and collection DDL as a
-driver-checked CORRECTNESS row, not just unit tests.
+columnar sink, the keyed idempotent upsert, the GROUP-REPLACING upsert,
+and the bucket-partitioned upsert layout as a driver-checked CORRECTNESS
+row, not just unit tests.
 
 Reference semantics being certified: the corpus is saved sharded-columnar
 (``/root/reference/dataset/armac_scientific_papers.py:58``,
 ``max_shard_size="100MB"``); upserts are keyed by a content-derived id so
 re-upload OVERWRITES rows with the same key
-(``/root/reference/src/backend/database/qdrant.py:137-139,149-175``);
-collections are created-if-absent / dropped via DDL (``qdrant.py:69-96``).
+(``/root/reference/src/backend/database/qdrant.py:137-139,149-175``) and
+re-uploading a SHORTENED article deletes its dropped members (the
+group-replace contract the chunk store needs — a keyed upsert alone
+cannot delete); collections are created-if-absent / dropped via DDL
+(``qdrant.py:69-96``).
 
-The query: write docs 0-149 through the sharded sink (small shard cap →
-several files), then upsert docs 50-199 with MODIFIED text (uppercased) —
-so the overwrite is observable — then read the table back. The DuckDB
-oracle states the expected post-upsert table directly: rows 0-199, text
-uppercased exactly where the second batch won. A value match proves the
-sink round-trips, the upsert replaces-not-duplicates, and new keys insert.
+The query, three merge phases:
+
+1. S4 — write docs 0-149 through the sharded sink (small shard cap →
+   several files), carrying ``grp = doc_id // 10`` (the article-analog
+   group key: ten docs per group, derived from the key, so the
+   per-key-stable-bucket invariant holds).
+2. S7 keyed — upsert docs 50-199 with MODIFIED text (uppercased): keys
+   50-149 replaced, 150-199 inserted, 0-49 untouched.
+3. S7 group-replace — re-upload groups 0-4 SHORTENED: only the even
+   doc_ids < 50, text suffixed ``-v3``. The odd doc_ids < 50 must be
+   DELETED (their groups were re-uploaded without them); 50-199 stay.
+
+The whole sequence then replays on a second table in the
+bucket-partitioned layout (``n_buckets=8`` — catalog._upsert_partitioned,
+the 100 TB shape); any row-set difference between the layouts raises, and
+the frame handed to the DuckDB oracle is the PARTITIONED table's
+read-back — so the driver hash certifies the partitioned merge path, not
+just the flat one. The oracle states the expected post-merge table
+directly in SQL.
 """
 
 from __future__ import annotations
@@ -27,7 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import load, register
-from ..sources.catalog import ensure_table, reset_table, upsert_parquet
+from ..sources.catalog import (
+    ensure_table,
+    read_upsert_table,
+    reset_table,
+    upsert_parquet,
+)
 from ..sources.jsonl import write_sharded_parquet
 
 
@@ -35,48 +57,75 @@ from ..sources.jsonl import write_sharded_parquet
     "q62_write_path_roundtrip",
     """
     SELECT doc_id, source, lang,
-           md5(CASE WHEN doc_id >= 50 THEN upper(text) ELSE text END) AS content_key,
-           length(CASE WHEN doc_id >= 50 THEN upper(text) ELSE text END) AS n_chars
-    FROM documents WHERE doc_id < 200
+           md5(CASE WHEN doc_id < 50 THEN text || '-v3'
+                    ELSE upper(text) END) AS content_key,
+           length(CASE WHEN doc_id < 50 THEN text || '-v3'
+                       ELSE upper(text) END) AS n_chars
+    FROM documents
+    WHERE doc_id < 200 AND NOT (doc_id < 50 AND doc_id % 2 = 1)
     """,
-    survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert), "
-    "S9 (collection DDL), S8 (durable parquet snapshot read-back)",
+    survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
+    "group-replacing upsert + bucket-partitioned layout), S9 (collection "
+    "DDL), S8 (durable parquet snapshot read-back)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     base = tempfile.mkdtemp(prefix="pmc_writepath_")
-    table_path = os.path.join(base, "docs")
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
     try:
-        return _roundtrip(spark, base, table_path, docs)
+        return _roundtrip(spark, base, docs)
     finally:
         # the result is MATERIALIZED before cleanup (the returned frame
         # must not lazily read a deleted directory); without this every
-        # driver/bench execution leaked two parquet copies in /tmp, and
+        # driver/bench execution leaked parquet copies in /tmp, and
         # a mid-write failure additionally leaked the catalog table
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _roundtrip(spark, base, table_path, docs) -> DataFrame:
-
-    # S4 — initial load through the sharded sink (shard cap far below the
-    # row count → a multi-file table, like the reference's 100MB shards).
-    write_sharded_parquet(
-        docs.filter(F.col("doc_id") < 150), table_path, max_records_per_file=40
-    )
-
-    # S7 — overlapping upsert with modified payloads: keys 50-149 must be
-    # REPLACED (uppercased text wins), keys 150-199 inserted, keys 0-49
-    # left untouched.
+def _merge_phases(spark, docs_grp, table_path, n_buckets=None) -> None:
+    """Phases 2+3 — identical calls for either layout (the layout is a
+    write-side knob, never a semantics change)."""
+    # S7 keyed: overlapping upsert with modified payloads
     upsert_parquet(
         spark,
-        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200)).withColumn(
+        docs_grp.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200)).withColumn(
             "text", F.upper("text")
         ),
         table_path,
         key_cols=["doc_id"],
+        n_buckets=n_buckets,
     )
+    # S7 group-replace: groups 0-4 re-uploaded SHORTENED (evens only,
+    # '-v3' payload) — the odd members of those groups must disappear
+    upsert_parquet(
+        spark,
+        docs_grp.filter(
+            (F.col("doc_id") < 50) & (F.col("doc_id") % 2 == 0)
+        ).withColumn("text", F.concat("text", F.lit("-v3"))),
+        table_path,
+        key_cols=["doc_id"],
+        replace_group_col="grp",
+        n_buckets=n_buckets,
+    )
+
+
+def _roundtrip(spark, base, docs) -> DataFrame:
+    docs_grp = docs.withColumn("grp", (F.col("doc_id") / 10).cast("int"))
+    batch1 = docs_grp.filter(F.col("doc_id") < 150)
+
+    # --- flat layout: S4 sharded sink seeds the table, then the merges
+    flat_path = os.path.join(base, "docs_flat")
+    write_sharded_parquet(batch1, flat_path, max_records_per_file=40)
+    _merge_phases(spark, docs_grp, flat_path)
+
+    # --- partitioned layout: same phases, bucket-partitioned table
+    part_path = os.path.join(base, "docs_part")
+    upsert_parquet(
+        spark, batch1, part_path, key_cols=["doc_id"],
+        replace_group_col="grp", n_buckets=8,
+    )
+    _merge_phases(spark, docs_grp, part_path, n_buckets=8)
 
     # S9 — collection DDL round-trip on the same schema (create-if-absent,
     # exists-check, drop — the reference's collection lifecycle). Explicit
@@ -91,12 +140,153 @@ def _roundtrip(spark, base, table_path, docs) -> DataFrame:
     finally:
         reset_table(spark, tname)
 
-    out = spark.read.parquet(table_path).select(
+    def read_back(path: str) -> DataFrame:
+        return read_upsert_table(spark, path).select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5("text").alias("content_key"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+
+    flat_rows = read_back(flat_path).collect()
+    part_out = read_back(part_path)
+    part_rows = part_out.collect()  # materialize before the temp dir goes
+    if {tuple(r) for r in flat_rows} != {tuple(r) for r in part_rows}:
+        raise RuntimeError(
+            "flat and bucket-partitioned upsert layouts diverged: "
+            f"{len(flat_rows)} vs {len(part_rows)} rows"
+        )
+    return spark.createDataFrame(part_rows, part_out.schema)
+
+
+# --- bench pair: flat vs bucket-partitioned streaming-style upsert ---------
+#
+# The article-re-upload shape at scale: a ~640k-row incompressible chunk
+# table, then ONE single-article group-replacing upsert per timed pass.
+# On the flat layout the upsert is a TABLE-sized read+merge+rewrite; on
+# the partitioned layout the article lives in one
+# pmod(xxhash64(doc_id), 64) bucket, so the upsert reads and rewrites
+# 1/64 of the table. Each layout's table is built ONCE per process
+# (module-cached, removed at exit) and the repeated batch is IDENTICAL —
+# the keyed merge is idempotent, so every timed pass does the same
+# steady-state merge work and the number is pure per-batch ingest cost.
+# Chunk text is md5-derived (incompressible, distinct per chunk): with
+# repeated text, parquet compressed the whole table to ~3 MB and both
+# layouts were job-overhead-bound — the pair measured nothing.
+#
+# Wall-clock on a 32-core local NVMe host is noise-bound for tables this
+# size (the documented ±30-60% band swallows the gap a 1000-node cluster
+# would see), so the DECISIVE record is ``upsert_rewrite_stats`` below —
+# deterministic bytes/files rewritten per upsert, embedded in the bench
+# JSON — where flat rewrites the whole table and partitioned rewrites
+# one bucket, whatever the host is doing.
+
+_UPSERT_BENCH_TABLES: dict[tuple[str, str], str] = {}
+
+
+def _upsert_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ck = F.col("doc_id") * 128 + F.col("c")
+    return docs.withColumn(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(127)))
+    ).select(
+        ck.alias("chunk_key"),
         "doc_id",
-        "source",
-        "lang",
-        F.md5("text").alias("content_key"),
-        F.length("text").cast("bigint").alias("n_chars"),
+        F.concat(
+            *[
+                F.md5(F.concat((ck + F.lit(s)).cast("string"), F.lit("x")))
+                for s in range(4)
+            ]
+        ).alias("text"),
     )
-    rows = out.collect()  # materialize before the temp dir is removed
-    return spark.createDataFrame(rows, out.schema)
+
+
+def _upsert_bench_table(
+    spark: SparkSession, sf_dir: str, layout: str, n_buckets: int | None
+) -> str:
+    key = (sf_dir, layout)
+    if key not in _UPSERT_BENCH_TABLES:
+        import atexit
+        import shutil
+
+        base = tempfile.mkdtemp(prefix=f"pmc_upsbench_{layout}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = os.path.join(base, "chunks")
+        upsert_parquet(
+            spark, _upsert_seed(spark, sf_dir), path, key_cols=["chunk_key"],
+            replace_group_col="doc_id", n_buckets=n_buckets,
+        )
+        _UPSERT_BENCH_TABLES[key] = path
+    return _UPSERT_BENCH_TABLES[key]
+
+
+def _upsert_stream_bench(
+    spark: SparkSession, sf_dir: str, layout: str, n_buckets: int | None
+) -> DataFrame:
+    path = _upsert_bench_table(spark, sf_dir, layout, n_buckets)
+    batch = _upsert_seed(spark, sf_dir).filter(F.col("doc_id") < 2).withColumn(
+        "text", F.concat("text", F.lit("-u"))
+    )
+    upsert_parquet(
+        spark, batch, path, key_cols=["chunk_key"],
+        replace_group_col="doc_id", n_buckets=n_buckets,
+    )
+    return spark.range(1)
+
+
+WRITE_BENCH_EXTRAS = {
+    "x_upsert_stream_flat": lambda spark, sf_dir: _upsert_stream_bench(
+        spark, sf_dir, "flat", None
+    ),
+    "x_upsert_stream_part": lambda spark, sf_dir: _upsert_stream_bench(
+        spark, sf_dir, "part", 64
+    ),
+}
+
+
+def upsert_rewrite_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Deterministic scale evidence for the bench JSON: apply ONE
+    single-article upsert to each layout's (module-cached) table and
+    report exactly which files changed. Flat must rewrite the whole
+    table; partitioned must rewrite one bucket directory — the
+    batch-sized-vs-table-sized fact, free of wall-clock noise.
+    Local-filesystem paths only (the bench host); returns {} elsewhere."""
+    out: dict = {}
+    for layout, n_buckets in (("flat", None), ("part", 64)):
+        path = _upsert_bench_table(spark, sf_dir, layout, n_buckets)
+        if not os.path.isdir(path):
+            return {}
+
+        def snap():
+            s = {}
+            for r, _d, fs in os.walk(path):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        full = os.path.join(r, f)
+                        st = os.stat(full)
+                        s[os.path.relpath(full, path)] = (
+                            st.st_size,
+                            st.st_mtime_ns,
+                        )
+            return s
+
+        before = snap()
+        batch = _upsert_seed(spark, sf_dir).filter(
+            F.col("doc_id") < 2
+        ).withColumn("text", F.concat("text", F.lit("-u")))
+        upsert_parquet(
+            spark, batch, path, key_cols=["chunk_key"],
+            replace_group_col="doc_id", n_buckets=n_buckets,
+        )
+        after = snap()
+        rewritten = {
+            p: sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt)
+        }
+        out[layout] = {
+            "table_files": len(after),
+            "table_bytes": sum(sz for sz, _ in after.values()),
+            "files_rewritten": len(rewritten),
+            "bytes_rewritten": sum(rewritten.values()),
+        }
+    return out

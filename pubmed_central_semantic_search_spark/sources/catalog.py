@@ -31,6 +31,9 @@ def reset_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+BUCKET_COL = "_bucket"
+
+
 def upsert_parquet(
     spark: SparkSession,
     df: DataFrame,
@@ -38,6 +41,7 @@ def upsert_parquet(
     key_cols: list[str],
     version_col: str | None = None,
     replace_group_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """S7 — idempotent keyed write: new rows win over existing rows with
     the same key (the reference's content-keyed overwrite semantics).
@@ -49,13 +53,27 @@ def upsert_parquet(
     article would leave its removed paragraphs behind). The group set is
     batch-sized by the ingest contract, so it broadcasts.
 
-    Implementation: read-existing → unionByName → row_number over key
-    (new rows ranked first) → rewrite via a full staging swap. At scale,
-    partition the path by a key prefix and rewrite only affected
-    partitions under ``partitionOverwriteMode=dynamic`` — that variant
-    would set the conf; THIS code path never does a partitioned
-    overwrite, so it must not flip a session-wide setting that changes
-    the overwrite semantics of unrelated writes."""
+    ``n_buckets`` selects the PARTITIONED variant (the 100 TB shape):
+    the table is hive-partitioned by ``_bucket = pmod(xxhash64(bucket
+    key), n_buckets)`` and an upsert reads/merges/rewrites ONLY the
+    buckets present in the incoming batch — cost scales with the batch,
+    never the table. See ``_upsert_partitioned`` for the commit protocol
+    and invariants. The two layouts are not interchangeable: once a
+    table is created with one variant, keep calling it the same way
+    (a flat table has no ``_bucket`` partitions to prune; a partitioned
+    one would be flattened by the staging swap).
+
+    Flat-path implementation: read-existing → unionByName → row_number
+    over key (new rows ranked first) → rewrite via a full staging swap.
+    This path never does a partitioned overwrite, so it must not flip a
+    session-wide setting that changes the overwrite semantics of
+    unrelated writes."""
+    if n_buckets is not None:
+        _upsert_partitioned(
+            spark, df, path, key_cols, n_buckets,
+            version_col=version_col, replace_group_col=replace_group_col,
+        )
+        return
     fs, hpath, jvm = _hadoop_fs(spark, path)
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
@@ -111,6 +129,116 @@ def upsert_parquet(
         fs.rename(hpath, backup_p)
     fs.rename(staging_p, hpath)
     fs.delete(backup_p, True)
+
+
+def _upsert_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int,
+    version_col: str | None = None,
+    replace_group_col: str | None = None,
+) -> None:
+    """S7 at scale — bucket-partitioned keyed upsert: merge and rewrite
+    ONLY the partitions the incoming batch touches.
+
+    Layout: hive-partitioned by ``_bucket = pmod(xxhash64(bucket key),
+    n_buckets)`` where the bucket key is ``replace_group_col`` when set
+    (group-replace must see every row of a group, so groups may never
+    straddle buckets) and ``key_cols`` otherwise. INVARIANT the caller
+    owns: the bucket key must be stable per merge key across uploads —
+    true by construction for the ingest tables (``chunk_id`` is derived
+    from ``article_id``; ``article_id`` is its own key). A key whose
+    bucket key changed between uploads would leave its old row stranded
+    in the old bucket, invisible to the merge.
+
+    Cost: the batch's distinct bucket set is collected (≤ n_buckets
+    rows, driver-sized); the existing-side read carries
+    ``_bucket IN (touched)`` which prunes to the touched partition
+    directories (PartitionFilters — plan-pinned in tests); the merge
+    window shuffles only touched-bucket rows; the commit is a
+    writer-scoped dynamic partition overwrite
+    (``.option("partitionOverwriteMode", "dynamic")`` — per-write, the
+    session conf is never flipped), which replaces exactly the
+    partition directories present in the merged output. Untouched
+    partitions are never read, shuffled, or rewritten — their files
+    stay byte-identical (test-pinned).
+
+    Crash semantics: the dynamic overwrite stages task output under the
+    table's hidden ``.spark-staging-*`` dir (dot-prefixed — invisible to
+    readers) and swaps per-partition at job commit. A crash mid-commit
+    leaves each touched partition either fully-old or fully-new, never
+    mixed with staging garbage visible; since the keyed merge is
+    idempotent, replaying the batch (the foreachBatch at-least-once
+    contract) converges every partition to the merged state — the same
+    exactly-once-RESULTS law as the flat staging swap, without a
+    table-sized rename. Stale staging dirs from a crashed job are
+    re-created/overwritten by the retry's own job id and ignored by
+    reads."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bucket_src = [replace_group_col] if replace_group_col else key_cols
+    with_bucket = df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets))
+    )
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
+    # without it each of the N write tasks emits a file into every
+    # partition directory it sees rows for — tasks × buckets small files,
+    # the layout that kills both the write (file-open churn) and every
+    # later read (listing + footer overhead). Hash-partitioning on the
+    # bucket value routes each bucket to one task → one file per
+    # directory per write.
+    if not fs.exists(hpath):
+        (
+            with_bucket.repartition(F.col(BUCKET_COL))
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        return
+    touched = sorted(
+        r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
+    )
+    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    if replace_group_col is not None:
+        groups = df.select(replace_group_col).distinct()
+        existing = existing.join(
+            F.broadcast(groups), replace_group_col, "left_anti"
+        )
+    # Partition-column read-back types as INT; cast both sides to the
+    # write-side BIGINT so unionByName never widens into a new column type
+    # (directory names are unaffected — same integer rendering).
+    existing = existing.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("long"))
+    tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
+        with_bucket.withColumn("_is_new", F.lit(1))
+    )
+    order = [F.col("_is_new").desc()] + (
+        [F.col(version_col).desc()] if version_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+    (
+        merged.repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an upsert table in either layout, hiding the bucket column —
+    consumers see the same schema whether the table was written flat or
+    partitioned (the layout is a write-side scale knob, not part of the
+    data contract)."""
+    df = spark.read.parquet(path)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

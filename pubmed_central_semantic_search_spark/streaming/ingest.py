@@ -54,6 +54,7 @@ def start_ingest(
     doc_vectors_path: str,
     checkpoint_path: str,
     encoder: str = "fake",
+    partition_buckets: int | None = None,
 ):
     """X6 — end-to-end incremental ingest: stream → chunks + doc_vectors
     parquet, exactly-once RESULTS via checkpoint + idempotent keyed
@@ -64,7 +65,16 @@ def start_ingest(
 
     ``foreachBatch`` gives us the batch DataFrame API (mean_pool needs a
     full groupBy) — the standard pattern for sinks that need batch-only
-    operations."""
+    operations.
+
+    ``partition_buckets`` switches both sinks to the bucket-partitioned
+    upsert (catalog._upsert_partitioned): each micro-batch then reads
+    and rewrites only the article-id buckets it touches instead of the
+    whole table — the difference between O(batch) and O(table) per
+    trigger, i.e. the 100 TB streaming-ingest shape. Chunks bucket on
+    ``article_id`` (the group key — chunk_id is derived from it, so the
+    per-key-stable-bucket invariant holds), doc vectors on their
+    ``article_id`` key."""
     from ..sources.catalog import upsert_parquet
 
     stream = read_article_stream(spark, source_path)
@@ -84,6 +94,7 @@ def start_ingest(
             chunks_path,
             key_cols=["chunk_id"],
             replace_group_col="article_id",
+            n_buckets=partition_buckets,
         )
         vecs = mean_pool(chunks, group=["article_id"], vec_col="embedding")
         # keyed on article_id (the batch twin's key): keying on the
@@ -94,6 +105,7 @@ def start_ingest(
             vecs.withColumn("doc_pk", F.xxhash64("article_id")),
             doc_vectors_path,
             key_cols=["article_id"],
+            n_buckets=partition_buckets,
         )
         chunks.unpersist()
 
@@ -463,6 +475,7 @@ def start_stream_upsert(
     checkpoint_dir: str,
     key_cols: list[str],
     version_col: str | None = None,
+    partition_buckets: int | None = None,
 ):
     """X6 — streaming KEYED UPSERT sink: each micro-batch merges into the
     parquet table through ``sources/catalog.upsert_parquet`` (new rows
@@ -479,13 +492,21 @@ def start_stream_upsert(
     idempotent; it documents the tradeoff — here the merge law does the
     work). Crash-mid-write safety comes from upsert_parquet's staging
     swap + explicit existence check. Drain ≡ batch-upsert parity and
-    double-apply idempotence are test-pinned."""
+    double-apply idempotence are test-pinned.
+
+    ``partition_buckets`` selects the bucket-partitioned layout — each
+    micro-batch merges only the key buckets it touches (O(batch) per
+    trigger instead of O(table); crash-replay convergence argument in
+    catalog._upsert_partitioned)."""
     from ..sources.catalog import upsert_parquet
 
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(spark, batch_df, table_dir, key_cols, version_col)
+        upsert_parquet(
+            spark, batch_df, table_dir, key_cols, version_col,
+            n_buckets=partition_buckets,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

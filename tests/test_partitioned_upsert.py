@@ -1,0 +1,299 @@
+"""Bucket-partitioned keyed upsert (catalog._upsert_partitioned) — the
+100 TB S7 shape: merge cost is batch-sized, untouched partitions are
+never read or rewritten.
+
+Reference semantics being preserved: the content-keyed idempotent
+overwrite of qdrant.py:137-139,149-175 — same merge law as the flat
+upsert_parquet, different physical layout."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.sources.catalog import (
+    BUCKET_COL,
+    read_upsert_table,
+    upsert_parquet,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "article_id string, payload string")
+
+
+def _table_state(spark, path):
+    return {
+        r.article_id: r.payload for r in read_upsert_table(spark, path).collect()
+    }
+
+
+def _file_snapshot(path):
+    """(relpath -> (size, mtime_ns)) for every parquet data file, grouped
+    by partition directory."""
+    snap = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            snap[os.path.relpath(full, path)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def _bucket_of(spark, value, n):
+    return spark.createDataFrame([(value,)], "k string").select(
+        F.pmod(F.xxhash64("k"), F.lit(n))
+    ).collect()[0][0]
+
+
+def test_partitioned_matches_flat_merge(spark, tmp_path):
+    """Same inputs through the flat and the partitioned variant produce
+    the same logical table (the layout is a physical knob only)."""
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    v1 = _rows(spark, [(f"PMC{i}", f"v1-{i}") for i in range(20)])
+    v2 = _rows(spark, [(f"PMC{i}", f"v2-{i}") for i in range(5, 12)] + [("PMCnew", "n")])
+    upsert_parquet(spark, v1, flat, key_cols=["article_id"])
+    upsert_parquet(spark, v2, flat, key_cols=["article_id"])
+    upsert_parquet(spark, v1, part, key_cols=["article_id"], n_buckets=8)
+    upsert_parquet(spark, v2, part, key_cols=["article_id"], n_buckets=8)
+    assert _table_state(spark, flat) == _table_state(spark, part)
+    # layout really is hive-partitioned on the bucket column
+    assert any(
+        d.startswith(f"{BUCKET_COL}=") for d in os.listdir(part)
+    ), os.listdir(part)
+    # and the reader facade hides it
+    assert BUCKET_COL not in read_upsert_table(spark, part).columns
+
+
+def test_untouched_partitions_are_byte_identical(spark, tmp_path):
+    """The verdict's acceptance test: an upsert touching one bucket leaves
+    every other partition's files untouched (same paths, sizes, mtimes) —
+    proof the rewrite is batch-sized, not table-sized."""
+    path = str(tmp_path / "t")
+    n = 8
+    base = _rows(spark, [(f"PMC{i}", f"v1-{i}") for i in range(64)])
+    upsert_parquet(spark, base, path, key_cols=["article_id"], n_buckets=n)
+    before = _file_snapshot(path)
+    target_bucket = _bucket_of(spark, "PMC3", n)
+    upsert_parquet(
+        spark,
+        _rows(spark, [("PMC3", "v2-3")]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=n,
+    )
+    after = _file_snapshot(path)
+    touched_dir = f"{BUCKET_COL}={target_bucket}"
+    before_untouched = {k: v for k, v in before.items() if touched_dir not in k}
+    after_untouched = {k: v for k, v in after.items() if touched_dir not in k}
+    assert before_untouched == after_untouched  # paths + sizes + mtimes
+    # the touched partition DID change
+    assert {k: v for k, v in before.items() if touched_dir in k} != {
+        k: v for k, v in after.items() if touched_dir in k
+    }
+    # and the merge itself is correct
+    state = _table_state(spark, path)
+    assert state["PMC3"] == "v2-3" and state["PMC10"] == "v1-10"
+    assert len(state) == 64
+
+
+def test_existing_side_read_is_partition_pruned(spark, tmp_path):
+    """The existing-side read filters on the PARTITION column, so the scan
+    plan prunes to the touched directories (PartitionFilters) — pinned on
+    the same read expression _upsert_partitioned builds."""
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "x") for i in range(64)]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=8,
+    )
+    pruned = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan, plan
+    n_parts = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    all_parts = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    assert n_parts < all_parts  # strictly fewer files actually scanned
+
+
+def test_partitioned_group_replace_deletes_absent_members(spark, tmp_path):
+    """Group-replace on the partitioned layout: re-uploading a SHORTENED
+    article removes its dropped chunks (buckets keyed on the group column
+    so the whole group lives in one partition)."""
+    path = str(tmp_path / "chunks")
+    schema = "chunk_id string, article_id string, paragraph string"
+    v1 = spark.createDataFrame(
+        [("c1", "PMC1", "p0"), ("c2", "PMC1", "p1"), ("c3", "PMC2", "q0")],
+        schema,
+    )
+    upsert_parquet(
+        spark, v1, path, key_cols=["chunk_id"],
+        replace_group_col="article_id", n_buckets=4,
+    )
+    shortened = spark.createDataFrame([("c1", "PMC1", "p0-new")], schema)
+    upsert_parquet(
+        spark, shortened, path, key_cols=["chunk_id"],
+        replace_group_col="article_id", n_buckets=4,
+    )
+    got = {
+        r.chunk_id: r.paragraph for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"c1": "p0-new", "c3": "q0"}  # c2 deleted, PMC2 untouched
+
+
+def test_partitioned_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch at-least-once: double-applying the same batch leaves
+    the table identical (exactly-once RESULTS via the merge law)."""
+    path = str(tmp_path / "t")
+    base = _rows(spark, [(f"PMC{i}", "v1") for i in range(16)])
+    upsert_parquet(spark, base, path, key_cols=["article_id"], n_buckets=4)
+    batch = _rows(spark, [("PMC1", "v2"), ("PMCx", "new")])
+    upsert_parquet(spark, batch, path, key_cols=["article_id"], n_buckets=4)
+    state1 = _table_state(spark, path)
+    upsert_parquet(spark, batch, path, key_cols=["article_id"], n_buckets=4)
+    assert _table_state(spark, path) == state1
+
+
+def test_partitioned_version_col_breaks_in_batch_ties(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("k1", "old", 1), ("k1", "new", 2)],
+        "article_id string, payload string, ver int",
+    )
+    upsert_parquet(
+        spark, df, path, key_cols=["article_id"], version_col="ver", n_buckets=4
+    )
+    # merge against existing also honors version ordering
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [("k1", "newest", 3)], "article_id string, payload string, ver int"
+        ),
+        path,
+        key_cols=["article_id"],
+        version_col="ver",
+        n_buckets=4,
+    )
+    assert _table_state(spark, path) == {"k1": "newest"}
+
+
+def test_stream_upsert_partitioned_drain_equals_flat(spark, tmp_path):
+    """X6: the partitioned streaming sink drains to the same logical table
+    as the flat batch upsert over the same records."""
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    recs = [(f"k{i}", f"v{i}", 1) for i in range(12)]
+    df = spark.createDataFrame(recs, "k string, payload string, ver int")
+    df.coalesce(1).write.json(str(src / "batch1"))
+    stream = (
+        spark.readStream.schema("k string, payload string, ver int")
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+    )
+    table = str(tmp_path / "streamed")
+    q = start_stream_upsert(
+        stream, table, str(tmp_path / "ck"), ["k"], version_col="ver",
+        partition_buckets=4,
+    )
+    q.awaitTermination()
+    flat = str(tmp_path / "flat")
+    upsert_parquet(spark, df, flat, key_cols=["k"], version_col="ver")
+    assert {
+        (r.k, r.payload) for r in read_upsert_table(spark, table).collect()
+    } == {(r.k, r.payload) for r in spark.read.parquet(flat).collect()}
+
+
+def test_start_ingest_partitioned_matches_flat(spark, tmp_path):
+    """End-to-end: the article ingest stream with partition_buckets set
+    produces the same chunks + doc_vectors tables as the flat layout."""
+    import json
+
+    from pubmed_central_semantic_search_spark.streaming.ingest import start_ingest
+
+    src = tmp_path / "articles"
+    src.mkdir()
+    arts = [
+        {
+            "article_id": f"PMC{i}",
+            "section_names": ["Abstract", "Body"],
+            "sections": [[f"abs {i}"], [f"body {i} a", f"body {i} b"]],
+        }
+        for i in range(6)
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for a in arts:
+            f.write(json.dumps(a) + "\n")
+    outs = {}
+    for tag, buckets in (("flat", None), ("part", 4)):
+        cp = str(tmp_path / f"chunks_{tag}")
+        vp = str(tmp_path / f"vecs_{tag}")
+        q = start_ingest(
+            spark, str(src), cp, vp, str(tmp_path / f"ck_{tag}"),
+            partition_buckets=buckets,
+        )
+        q.awaitTermination()
+        outs[tag] = (
+            {
+                (r.chunk_id, r.paragraph)
+                for r in read_upsert_table(spark, cp).collect()
+            },
+            {
+                (r.article_id, tuple(round(x, 9) for x in r.embedding))
+                for r in read_upsert_table(spark, vp).collect()
+            },
+        )
+    assert outs["flat"] == outs["part"]
+    assert any(
+        d.startswith(f"{BUCKET_COL}=")
+        for d in os.listdir(tmp_path / "chunks_part")
+    )
+
+
+def test_engine_partitioned_store_end_to_end(spark, tmp_path):
+    """The facade with partition_buckets: upload, shortened re-upload,
+    query — results identical to a flat-store engine."""
+    from pubmed_central_semantic_search_spark.api import SemanticSearchEngine
+
+    arts1 = spark.createDataFrame(
+        [
+            ("PMC1", ["Abstract", "Body"], [["thrombosis study"], ["deep vein", "results here"]]),
+            ("PMC2", ["Abstract"], [["unrelated protein folding"]]),
+        ],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    shortened = spark.createDataFrame(
+        [("PMC1", ["Abstract"], [["thrombosis study"]])],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    results = {}
+    for tag, buckets in (("flat", None), ("part", 4)):
+        eng = SemanticSearchEngine(
+            spark, str(tmp_path / tag), encoder="fake", dim=16,
+            partition_buckets=buckets,
+        )
+        eng.upload_articles(arts1)
+        eng.upload_articles(shortened)
+        chunks = read_upsert_table(spark, eng.chunks_path)
+        assert chunks.filter(F.col("article_id") == "PMC1").count() == 1  # shortened
+        out = eng.query("thrombosis", docs_per_query=2, paragraphs_per_document=1)
+        results[tag] = {
+            (r.query_text, r.article_id, round(r.doc_score, 9))
+            for r in out.select("query_text", "article_id", "doc_score").collect()
+        }
+    assert results["flat"] == results["part"]
