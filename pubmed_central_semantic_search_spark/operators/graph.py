@@ -88,7 +88,19 @@ def pagerank(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("_deg") == 0).cast("long")).alias("n_iso"),
         ).first()
-        n, n_iso = float(counts["n"]), float(counts["n_iso"])
+        # sum over zero rows is NULL — coalesce before float()
+        n, n_iso = float(counts["n"]), float(counts["n_iso"] or 0)
+        if n == 0:
+            # empty graph (reachable: a similarity graph whose edges all
+            # fell below threshold leaves a filtered-empty node frame) —
+            # return the empty ranking instead of dividing by zero. The
+            # 'aggregate' branch needs no guard: its n lives in a 1-row
+            # frame crossJoined onto an EMPTY base, so every downstream
+            # frame is empty and the 1.0/_n Infinity never reaches a row
+            # (test-pinned for both modes).
+            return nodes.select(
+                F.col(id_col), F.lit(0.0).alias("pagerank")
+            ).limit(0)
         pr = base.withColumn("_pr", F.lit(1.0 / n))
         dm = n_iso * (1.0 / n)
         for _ in range(n_iter):

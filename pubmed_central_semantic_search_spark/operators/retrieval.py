@@ -331,11 +331,15 @@ def mine_hard_negatives(
         else bm25_rank(docs, terms, k=n_candidates, id_col=id_col, text_col=text_col)
     )
     qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    # positive selection ranks on the 6-dp-ROUNDED cosine, id tiebreak —
+    # the repo's round-before-rank discipline (q49 cos_top): DuckDB's
+    # sqrt(x*y) vs Spark's sqrt(x)*sqrt(y) differ in the last ulp, and a
+    # near-tie here would flip the positive and cascade through the arm
     pos = (
         emb.select(
             F.col(vec_id_col).alias("pos_doc_id"),
             F.col(emb_col).alias("_pos_emb"),
-            cosine_similarity(emb_col, qv).alias("_qc"),
+            F.round(cosine_similarity(emb_col, qv), 6).alias("_qc"),
         )
         .orderBy(F.desc("_qc"), F.asc("pos_doc_id"))
         .limit(1)

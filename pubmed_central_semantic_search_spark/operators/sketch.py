@@ -39,8 +39,12 @@ def cms_bucket(key_col: Column | str, row: int, width: int) -> Column:
 def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
-    """Sparse CMS: (row, bucket, cnt) — zero cells omitted. One narrow
-    explode + one keyed aggregate; ≤ depth×width output rows."""
+    """Sparse CMS: (row, bucket, cnt, depth, width) — zero cells omitted.
+    One narrow explode + one keyed aggregate; ≤ depth×width output rows.
+    ``depth``/``width`` ride along as literal metadata columns so every
+    downstream consumer (merge, estimate, a parquet round-trip, another
+    engine) can validate geometry instead of trusting the caller to
+    repeat the build arguments."""
     cells = F.array(
         *[
             F.struct(
@@ -54,35 +58,78 @@ def cms_build(
         .select("c.row", "c.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("width", F.lit(width))
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Union + elementwise sum — the CMS mergeability property. Sketch of
-    a union of frames ≡ merge of per-frame sketches (test-pinned)."""
+    a union of frames ≡ merge of per-frame sketches (test-pinned).
+    Geometry columns join the grouping key: merging sketches built with
+    DIFFERENT geometries (whose cells are not summable — the buckets mean
+    different things) yields a frame with >1 distinct (depth, width),
+    which ``cms_estimate`` rejects at the first point query. Legacy
+    3-column sketches (pre-metadata parquet) merge as before."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        out = out.unionByName(s, allowMissingColumns=True)
+    geom = [c for c in ("depth", "width") if c in out.columns]
+    return out.groupBy("row", "bucket", *geom).agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: Sequence[str], depth: int = 4, width: int = 256
+    sketch: DataFrame,
+    keys: Sequence[str],
+    depth: int | None = None,
+    width: int | None = None,
 ) -> dict[str, int]:
     """Point queries: est(key) = min over rows of the key's cell. Always
     ≥ the true count; over by at most ~2N/width w.h.p. The sketch is
     depth×width cells — a driver round-trip by construction.
 
-    ``depth``/``width`` MUST match the ``cms_build`` call — the sketch
-    frame carries no geometry metadata, and probing with the wrong width
-    rehashes keys into the wrong buckets, silently UNDER-estimating (the
-    one failure the CMS contract forbids). The reachable misuse is
-    guarded: cells outside the claimed geometry raise."""
+    Geometry comes from the sketch's own metadata columns (``cms_build``
+    stamps them): passing ``depth``/``width`` is optional and validated
+    against the stamped values — a mismatch in EITHER direction raises
+    (probing with a larger width than the build would rehash keys into
+    empty cells and silently UNDER-estimate, the one failure the CMS
+    contract forbids; a smaller width is caught the same way). A frame
+    holding more than one distinct stamped geometry (a bad merge) is
+    rejected too. Legacy sketches without metadata columns require
+    explicit ``depth``/``width`` and get the out-of-range cell guard."""
     from .curation import md5_prefix_long_py
 
-    cells = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    has_meta = "depth" in sketch.columns and "width" in sketch.columns
+    rows = sketch.collect()
+    if has_meta:
+        geoms = {(r["depth"], r["width"]) for r in rows}
+        if len(geoms) > 1:
+            raise ValueError(
+                f"cms_estimate: sketch holds {len(geoms)} distinct "
+                f"geometries {sorted(geoms)} — merged sketches must share "
+                "one (depth, width)"
+            )
+        if geoms:
+            built_d, built_w = next(iter(geoms))
+            if depth is not None and depth != built_d:
+                raise ValueError(
+                    f"cms_estimate: geometry mismatch — depth={depth} but "
+                    f"the sketch was built with depth={built_d}"
+                )
+            if width is not None and width != built_w:
+                raise ValueError(
+                    f"cms_estimate: geometry mismatch — width={width} but "
+                    f"the sketch was built with width={built_w}"
+                )
+            depth, width = built_d, built_w
+    if depth is None or width is None:
+        raise ValueError(
+            "cms_estimate: sketch has no geometry metadata (or is empty) — "
+            "pass depth and width explicitly"
+        )
+    cells = {(r["row"], r["bucket"]): r["cnt"] for r in rows}
     bad = [rb for rb in cells if rb[0] >= depth or rb[1] >= width]
     if bad:
         raise ValueError(

@@ -124,10 +124,13 @@ PHRASE = ("hash", "join")
       HAVING COUNT(DISTINCT pq.off) = {len(PHRASE)}
     )
     , hn_pos AS (
+      -- round-before-rank (mine_hard_negatives' positive selection):
+      -- both engines pick the positive on the 6-dp cosine, vec_id ties
       SELECT vec_id AS pos_doc_id, CAST(embedding AS DOUBLE[]) AS pemb
       FROM embeddings
-      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                      {sql_vec(QUERY_VEC)}) DESC, vec_id
+      ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {sql_vec(QUERY_VEC)}), 6) DESC,
+               vec_id
       LIMIT 1
     ),
     hardneg AS (

@@ -528,14 +528,17 @@ def _q42_oracle() -> str:
     ),
     {_sql_fake_encode("m", "text", 16)},
     xm AS (
+      -- round-before-rank: both engines rank on the 6-dp cosine
       SELECT media_id, modality,
              round(list_cosine_similarity(emb, {qv}), 6) AS score,
-             row_number() OVER (ORDER BY list_cosine_similarity(emb, {qv}) DESC,
-                                media_id) AS xm_rank
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(emb, {qv}), 6) DESC,
+                        media_id) AS xm_rank
       FROM m_enc
       WHERE modality = 'image'
-      QUALIFY row_number() OVER (ORDER BY list_cosine_similarity(emb, {qv}) DESC,
-                                 media_id) <= 5
+      QUALIFY row_number() OVER (
+        ORDER BY round(list_cosine_similarity(emb, {qv}), 6) DESC,
+                 media_id) <= 5
     )
     SELECT 'feat' AS kind, media_id, modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -592,7 +595,11 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id",
             "modality",
-            cosine_similarity("emb", F.array(*[F.lit(v) for v in qv])).alias("_c"),
+            # round-before-rank (ADVICE r4): rank on the 6-dp cosine so a
+            # last-ulp near-tie can't order differently across engines
+            F.round(
+                cosine_similarity("emb", F.array(*[F.lit(v) for v in qv])), 6
+            ).alias("_c"),
         )
         .orderBy(F.desc("_c"), F.asc("media_id"))
         .limit(5)
@@ -603,7 +610,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("n_bytes"),
             F.lit(None).cast("string").alias("content_md5"),
             F.lit(None).cast("string").alias("error"),
-            F.round("_c", 6).alias("score"),
+            F.col("_c").alias("score"),
             F.row_number()
             .over(Window.orderBy(F.desc("_c"), F.asc("media_id")))
             .cast("bigint")

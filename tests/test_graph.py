@@ -124,3 +124,17 @@ def test_deep_iteration_aggregate_mode_is_bounded_and_correct(spark):
     # (2 joins each, doubled once) + scalar crosses; the un-truncated
     # tree would carry ~2^9 join nodes.
     assert analyzed.count("Join") < 40, analyzed.count("Join")
+
+
+def test_empty_graph_returns_empty_ranking_both_modes(spark):
+    """ADVICE r4: a similarity graph whose edges all fall below threshold
+    yields an empty node frame — 'isolated' used to raise
+    ZeroDivisionError and 'aggregate' relied silently on empty-frame
+    propagation. Both modes now return an empty (id, pagerank) frame."""
+    nodes = spark.createDataFrame([], "id long")
+    edges = spark.createDataFrame([], "u long, v long")
+    for mode in ("isolated", "aggregate"):
+        out = pagerank(nodes, edges, dangling=mode)
+        assert out.columns == ["id", "pagerank"], mode
+        rows = out.collect()
+        assert rows == [], (mode, rows)

@@ -276,6 +276,66 @@ def test_cms_estimate_rejects_mismatched_geometry(spark):
         cms_estimate(sketch, ["k0"], depth=4, width=64)
 
 
+def test_cms_estimate_rejects_larger_claimed_geometry(spark):
+    """The ADVICE r4 finding: probing with a LARGER width than the build
+    used to pass the one-sided cell guard and silently return 0 (an
+    underestimate — the one failure the CMS forbids). The stamped
+    metadata now rejects both directions, and argless estimation reads
+    the true geometry from the sketch itself."""
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("hot",)] * 7 + [("cold",)], "token string")
+    sketch = cms_build(df, "token", depth=4, width=64)
+    with _pytest.raises(ValueError, match="geometry"):
+        cms_estimate(sketch, ["hot"], depth=4, width=256)  # q45-shaped misuse
+    with _pytest.raises(ValueError, match="geometry"):
+        cms_estimate(sketch, ["hot"], depth=8, width=64)
+    # metadata-driven path: no args needed, and the answer is exact here
+    est = cms_estimate(sketch, ["hot", "cold", "absent"])
+    assert est["hot"] >= 7 and est["cold"] >= 1 and est["absent"] >= 0
+
+
+def test_cms_merge_of_mixed_geometries_is_rejected_at_estimate(spark):
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "token string")
+    merged = cms_merge(
+        cms_build(df, "token", depth=4, width=64),
+        cms_build(df, "token", depth=4, width=128),
+    )
+    with _pytest.raises(ValueError, match="distinct"):
+        cms_estimate(merged, ["a"])
+
+
+def test_cms_estimate_legacy_sketch_requires_explicit_geometry(spark):
+    """Pre-metadata parquet sketches (3-column) still work with explicit
+    args and still get the out-of-range cell guard; argless raises."""
+    import pytest as _pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    legacy = cms_build(
+        spark.createDataFrame([("hot",)] * 3, "token string"), "token", 4, 64
+    ).drop("depth", "width")
+    with _pytest.raises(ValueError, match="metadata"):
+        cms_estimate(legacy, ["hot"])
+    assert cms_estimate(legacy, ["hot"], depth=4, width=64)["hot"] >= 3
+
+
 def test_bloom_anti_join_prebuilt_words_amortized_path(spark):
     """The incremental-ingest steady state: build the filter ONCE, probe
     many batches with the prebuilt words — same answer as the per-call
