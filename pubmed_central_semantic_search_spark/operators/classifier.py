@@ -154,14 +154,32 @@ def train_logreg(
     n_buckets: int = 64,
     lr: float = 1.0,
     n_iter: int = 10,
+    sample_mod: int | None = None,
+    id_col: str = "doc_id",
 ) -> LogRegModel:
     """Full-batch logistic-regression GD over a featurized frame
     (label ∈ {0, 1}). Per iteration: one aggregate pass (posexplode +
     groupBy(pos), plus the scalar bias-gradient/count in the same job via
     a grouping on pos = −1 for the residual itself). Weights start at
     zero — deterministic. Callers should persist ``feats`` (n_iter scans).
+
+    ``sample_mod`` selects the SAMPLE-FIT tier (the x768_kmeans rule:
+    classifier quality saturates at sample sizes far below the corpus, so
+    training cost should be sample-sized at any scale): fit on the
+    deterministic ``id_col % sample_mod == 0`` slice — persisted here for
+    the n_iter gradient scans, unpersisted before returning — and let the
+    caller run the ONE full-corpus pass that actually needs every row
+    (``logreg_score`` is a narrow projection). Identical to calling the
+    full-batch fit on the pre-filtered sample (parity-pinned in tests).
     """
     import numpy as np
+
+    sampled = None
+    if sample_mod is not None:
+        if sample_mod < 1:
+            raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+        sampled = feats.filter(F.col(id_col) % sample_mod == 0).persist()
+        feats = sampled
 
     w = np.zeros(n_buckets, dtype=np.float64)
     b = 0.0
@@ -197,6 +215,8 @@ def train_logreg(
             .collect()
         )
         if not g:
+            if sampled is not None:
+                sampled.unpersist()
             raise ValueError(
                 "train_logreg: empty training frame (or every row's "
                 "feature array is null) — nothing to fit"
@@ -210,6 +230,8 @@ def train_logreg(
             [grad.get(d, 0.0) for d in range(n_buckets)]
         )
         b -= (lr / n_rows) * grad.get(-1, 0.0)
+    if sampled is not None:
+        sampled.unpersist()
     return LogRegModel(weights=w.tolist(), bias=float(b), n_buckets=n_buckets)
 
 

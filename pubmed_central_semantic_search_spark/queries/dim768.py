@@ -403,6 +403,51 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def x_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLE-FIT tier of the quality gate (train_logreg's
+    ``sample_mod`` — the x768_kmeans rule applied to the classifier):
+    gradient passes scan a deterministic 1/16 slice instead of the whole
+    featurized corpus; only the final scoring projection touches every
+    row. Bench-paired with ``x_quality_classifier`` (full-corpus-sample
+    fit) so the fit-cost difference is a recorded number; model parity
+    with a pre-filtered full-batch fit is pinned in
+    tests/test_classifier.py."""
+    from ..operators.classifier import (
+        hashed_features_np,
+        logreg_score,
+        train_logreg,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(
+            "doc_id",
+            "source",
+            F.array_contains(F.split("text", " "), "vector").cast("int").alias("label"),
+            hashed_features_np("text", 64).alias("feat"),
+        )
+        .persist()
+    )
+    model = train_logreg(docs, n_buckets=64, lr=8.0, n_iter=6, sample_mod=16)
+    scored = docs.select(
+        "source",
+        "label",
+        logreg_score(model, "feat").alias("p"),
+    )
+    out = scored.groupBy("source").agg(
+        F.round(F.avg("p"), 6).alias("mean_score"),
+        F.round(
+            F.avg(((F.col("p") > 0.5).cast("int") == F.col("label")).cast("double")),
+            6,
+        ).alias("accuracy"),
+    )
+    rows = out.collect()
+    docs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training end to end: corpus → build_vocab (one
     token-stream aggregate) → 12 merge iterations over the vocab table
@@ -599,4 +644,5 @@ BENCH_EXTRAS = {
     "x_phrase_search": x_phrase_search,
     "x_bpe_train": x_bpe_train,
     "x_quality_classifier": x_quality_classifier,
+    "x_quality_classifier_sampled": x_quality_classifier_sampled,
 }

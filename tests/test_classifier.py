@@ -187,3 +187,39 @@ def test_train_logreg_empty_frame_raises(spark):
     empty = spark.createDataFrame([], "label int, feat array<double>")
     with _pytest.raises(ValueError, match="empty training frame"):
         train_logreg(empty, n_buckets=4, n_iter=1)
+
+
+def test_sample_fit_equals_full_fit_on_the_sample(spark):
+    """train_logreg(sample_mod=m) ≡ full-batch train_logreg on the
+    pre-filtered id % m == 0 slice — the sample-fit tier changes WHAT the
+    gradient scans, never the arithmetic (the x768_kmeans rule)."""
+    df = spark.createDataFrame(
+        [
+            (i, 1 if i % 3 == 0 else 0, f"tok{i % 5} common word{i % 3}")
+            for i in range(64)
+        ],
+        "doc_id long, label int, text string",
+    ).select("doc_id", "label", hashed_features("text", 8).alias("feat"))
+    m_sampled = train_logreg(df, n_buckets=8, lr=2.0, n_iter=3, sample_mod=4)
+    m_manual = train_logreg(
+        df.filter(F.col("doc_id") % 4 == 0), n_buckets=8, lr=2.0, n_iter=3
+    )
+    assert m_sampled.bias == m_manual.bias
+    assert m_sampled.weights == m_manual.weights
+    # and the sample genuinely differs from the full fit (the tier is
+    # doing something) on this non-uniform corpus
+    m_full = train_logreg(df, n_buckets=8, lr=2.0, n_iter=3)
+    assert m_full.weights != m_sampled.weights
+
+
+def test_sample_fit_empty_sample_raises_and_unpersists(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, "a b"), (3, 1, "c d")], "doc_id long, label int, text string"
+    ).select("doc_id", "label", hashed_features("text", 4).alias("feat"))
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with _pytest.raises(ValueError, match="empty training frame"):
+        train_logreg(df, n_buckets=4, n_iter=1, sample_mod=2)  # no even ids
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before  # the internal persist was released
