@@ -719,10 +719,30 @@ def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary build (q55), TF-IDF top terms (q56), token-budget selection
 # (q57) — the tokenizer-prep / lexical-signal / data-mixing trio.
 
-@register(
-    "q55_vocab_build",
-    """
-    WITH tok AS (
+_BPE_MERGES = 12
+
+
+def _q55_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """q55's oracle: the vocabulary arm plus a FULL SQL replay of BPE
+    training over that vocabulary — the n_merges iterations unrolled as
+    MATERIALIZED CTEs (the q38 Lloyd-unroll precedent; MATERIALIZED is
+    load-bearing: each iteration references the previous symbol table
+    several times, and inlining would double the tree per round — the
+    same 2^n blowup pagerank's lineage truncation guards against).
+
+    Per iteration over the symbol table s{{i}}(wid, cnt, pos, sym):
+    pair counts (self-join on pos+1, count-weighted) → argmax with the
+    (count DESC, a, b) tiebreak (b{{i}}) → greedy non-overlapping match
+    set (m{{i}}): for a ≠ b adjacent matches can never overlap (an
+    overlap at i, i+1 would force a = b), and for a = b matches form
+    runs, where the paper's left-to-right scan keeps the 1st, 3rd, …
+    of each run — the islands-and-parity window below, equivalent to
+    operators/bpe.apply_merge's sequential fold (test-pinned there,
+    value-matched here) — then rebuild (s{{i+1}}): matched positions
+    take the merged symbol, consumed positions (pos−1 matched) drop,
+    positions renumber."""
+    parts = [
+        """tok AS (
       SELECT doc_id, token FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
       ) WHERE token <> ''
@@ -730,22 +750,119 @@ def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
       FROM tok GROUP BY token
+    ),
+    vocab AS (SELECT * FROM counts WHERE n_occurrences >= 5),
+    s0 AS MATERIALIZED (
+      SELECT token AS wid, n_occurrences AS cnt,
+             generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+      FROM (SELECT token, n_occurrences,
+                   list_append(string_split(token, ''), '</w>') AS syms
+            FROM vocab)
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT l.sym AS a, r.sym AS b, sum(l.cnt) AS pc
+      FROM s{i} l JOIN s{i} r ON r.wid = l.wid AND r.pos = l.pos + 1
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT wid, pos FROM (
+        SELECT wid, pos,
+               row_number() OVER (PARTITION BY wid, island ORDER BY pos) AS rnk
+        FROM (
+          SELECT l.wid, l.pos,
+                 l.pos - row_number() OVER (PARTITION BY l.wid ORDER BY l.pos)
+                   AS island
+          FROM s{i} l
+          JOIN s{i} r ON r.wid = l.wid AND r.pos = l.pos + 1
+          CROSS JOIN b{i}
+          WHERE l.sym = b{i}.a AND r.sym = b{i}.b
+        )
+      ) WHERE rnk % 2 = 1
+    ),
+    s{i + 1} AS MATERIALIZED (
+      SELECT wid, cnt,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT s.wid, s.cnt, s.pos,
+               CASE WHEN m.pos IS NOT NULL THEN (SELECT a || b FROM b{i})
+                    ELSE s.sym END AS sym
+        FROM s{i} s
+        LEFT JOIN m{i} m ON m.wid = s.wid AND m.pos = s.pos
+        WHERE NOT EXISTS (SELECT 1 FROM m{i} c
+                          WHERE c.wid = s.wid AND c.pos = s.pos - 1)
+      )
+    )""")
+    bpe_union = "\n    UNION ALL\n    ".join(
+        f"""SELECT 'bpe' AS kind, CAST(NULL AS VARCHAR) AS token,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS vocab_id,
+           CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym
+    FROM b{i}"""
+        for i in range(n_merges)
     )
-    SELECT token, n_occurrences, n_docs,
-           row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id
-    FROM counts WHERE n_occurrences >= 5
-    """,
-    survey_rows="X4 (vocabulary build — tokenizer-training prep)",
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT 'vocab' AS kind, token, n_occurrences, n_docs,
+           row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id,
+           CAST(NULL AS BIGINT) AS merge_rank,
+           CAST(NULL AS VARCHAR) AS left_sym,
+           CAST(NULL AS VARCHAR) AS right_sym
+    FROM vocab
+    UNION ALL
+    """
+        + bpe_union
+    )
+
+
+@register(
+    "q55_vocab_build",
+    _q55_oracle(),
+    survey_rows="X4 (vocabulary build — tokenizer-training prep) + BPE "
+    "merge-table training over that vocabulary (operators/bpe.bpe_train — "
+    "the Sennrich algorithm, merge-for-merge value-certified by an "
+    "unrolled-CTE SQL replay of all 12 iterations)",
 )
 def q55_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
     docs = load(spark, sf_dir, "documents")
-    out = build_vocab(docs, "doc_id", "text", min_count=5)
-    return out.select(
+    vocab = build_vocab(docs, "doc_id", "text", min_count=5)
+    vocab_arm = vocab.select(
+        F.lit("vocab").alias("kind"),
         "token",
         "n_occurrences",
         "n_docs",
         F.col("vocab_id").cast("bigint").alias("vocab_id"),
+        F.lit(None).cast("bigint").alias("merge_rank"),
+        F.lit(None).cast("string").alias("left_sym"),
+        F.lit(None).cast("string").alias("right_sym"),
     )
+    # the merge table is vocab-sized training state (12 one-row argmax
+    # round-trips over the distinct-words frame — never the corpus); it
+    # rides back in as literal rows, the DSIR/k-means packed-model rule
+    merges = bpe_train(vocab, _BPE_MERGES, count_col="n_occurrences")
+    bpe_arm = docs.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, left_sym string, right_sym string",
+    ).select(
+        F.lit("bpe").alias("kind"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("bigint").alias("n_occurrences"),
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("vocab_id"),
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+    )
+    return vocab_arm.unionByName(bpe_arm)
 
 
 @register(
