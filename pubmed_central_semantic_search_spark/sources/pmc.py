@@ -37,16 +37,23 @@ PARSED_SCHEMA = (
 EUROPEPMC_URL = "https://www.ebi.ac.uk/europepmc/webservices/rest/{}/fullTextXML"
 
 
-def parse_jats(xml_text: str, chunk_sep: str = ". ") -> dict:
+def parse_jats(
+    xml_text: str, chunk_sep: str = ". ", reference_compat: bool = False
+) -> dict:
     """Parse one JATS fullTextXML document into the canonical article shape
     (ARTICLES_SCHEMA + pmcid). Pure function — no I/O, no Spark.
 
     Deliberate deviation (recorded, SURVEY S5): the reference reads the
     abstract via ``find(".//abstract/*")`` — the FIRST CHILD only — so a
     structured abstract (multiple ``<sec>``) loses everything after its
-    first block (``fetch_pmcid.py:17``). This parser reads the whole
-    ``<abstract>`` subtree; for single-block abstracts (the reference's
-    test regime) the two are identical."""
+    first block (``fetch_pmcid.py:17``). By default this parser reads the
+    whole ``<abstract>`` subtree (stripped); for single-block abstracts
+    (the reference's test regime) the two are identical.
+
+    ``reference_compat=True`` replicates the reference bit-for-bit when
+    parity matters: first-child-only itertext, NO strip — a structured
+    abstract then loses its later blocks exactly as the reference does,
+    and an abstract with no child elements (bare text) yields ''."""
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(xml_text)
@@ -61,10 +68,18 @@ def parse_jats(xml_text: str, chunk_sep: str = ". ") -> dict:
     )
     article_id = f"PMC{id_el.text}" if id_el is not None and id_el.text else None
 
-    abstract_el = root.find(".//abstract")
-    abstract = (
-        "".join(abstract_el.itertext()).strip() if abstract_el is not None else ""
-    )
+    if reference_compat:
+        first_child = root.find(".//abstract/*")
+        abstract = (
+            "".join(first_child.itertext()) if first_child is not None else ""
+        )
+    else:
+        abstract_el = root.find(".//abstract")
+        abstract = (
+            "".join(abstract_el.itertext()).strip()
+            if abstract_el is not None
+            else ""
+        )
 
     section_names = ["Abstract"]
     sections = [[s for s in abstract.split(chunk_sep) if s]]

@@ -1008,3 +1008,154 @@ def test_stream_ingest_replaces_shortened_article(spark, tmp_path):
     assert sorted(r["paragraph"] for r in chunks.collect()) == ["p one", "p three"]
     vecs = spark.read.parquet(vecs_p)
     assert vecs.count() == 1 and vecs.first()["article_id"] == "A"
+
+
+def test_parse_jats_reference_compat_structured_abstract():
+    """reference_compat=True replicates fetch_pmcid.py:17 bit-for-bit —
+    FIRST CHILD of <abstract> only, itertext, no strip — so a structured
+    abstract (multiple <sec> blocks) loses everything after its first
+    block exactly like the reference; the default mode keeps the whole
+    subtree."""
+    xml = """<?xml version="1.0"?>
+<article>
+  <front><article-meta>
+    <article-id pub-id-type="pmcid">42</article-id>
+    <abstract>
+      <sec><title>Background</title><p>First block text. More first.</p></sec>
+      <sec><title>Results</title><p>Second block text.</p></sec>
+    </abstract>
+  </article-meta></front>
+  <body/>
+</article>"""
+    from pubmed_central_semantic_search_spark.sources.pmc import parse_jats
+
+    compat = parse_jats(xml, reference_compat=True)
+    # the lxml formula: ''.join(find('.//abstract/*').itertext()) — the
+    # first <sec> subtree, whitespace intact, second block gone
+    import xml.etree.ElementTree as ET
+
+    want = "".join(
+        ET.fromstring(xml).find(".//abstract/*").itertext()
+    )
+    assert compat["abstract_text"] == want
+    assert "Second block" not in compat["abstract_text"]
+    assert "First block" in compat["abstract_text"]
+
+    full = parse_jats(xml)
+    assert "Second block text." in full["abstract_text"]
+    # sections derive from the (chosen) abstract: compat mode chunk 0
+    # reflects only the first block
+    assert not any("Second block" in c for c in compat["sections"][0])
+    assert any("Second block" in c for c in full["sections"][0])
+
+
+def test_parse_jats_reference_compat_single_block_is_identical_modulo_strip():
+    """On the reference's own regime (single-<p> abstract) the two modes
+    agree up to the default mode's strip."""
+    with open(FIXTURE_XML) as f:
+        xml = f.read()
+    from pubmed_central_semantic_search_spark.sources.pmc import parse_jats
+
+    compat = parse_jats(xml, reference_compat=True)
+    full = parse_jats(xml)
+    assert compat["abstract_text"].strip() == full["abstract_text"]
+    assert compat["article_id"] == full["article_id"] == "PMC1234567"
+
+
+def test_parse_jats_reference_compat_childless_abstract_is_empty():
+    """Bare-text <abstract> (no child elements): the reference's
+    find('.//abstract/*') is None -> '' (its code would raise; ours
+    records the faithful '' outcome), while default mode keeps the text."""
+    xml = """<?xml version="1.0"?>
+<article><front><article-meta>
+  <article-id pub-id-type="pmcid">7</article-id>
+  <abstract>Plain abstract text with no wrapper.</abstract>
+</article-meta></front><body/></article>"""
+    from pubmed_central_semantic_search_spark.sources.pmc import parse_jats
+
+    assert parse_jats(xml, reference_compat=True)["abstract_text"] == ""
+    assert (
+        parse_jats(xml)["abstract_text"]
+        == "Plain abstract text with no wrapper."
+    )
+
+
+def _minimal_pdf(text: str) -> bytes:
+    """Handcraft a correct single-page PDF (accurate xref offsets) carrying
+    ``text`` in a Helvetica content stream — the canned fixture for the
+    pypdf-gated S6 seam."""
+    stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+_HAS_PYPDF = None
+
+
+def _has_pypdf() -> bool:
+    global _HAS_PYPDF
+    if _HAS_PYPDF is None:
+        try:
+            import pypdf  # noqa: F401
+
+            _HAS_PYPDF = True
+        except ImportError:
+            _HAS_PYPDF = False
+    return _HAS_PYPDF
+
+
+def test_read_pdfs_without_pypdf_keeps_reference_stub_parity(spark):
+    """S6 without the optional lib: the SAME declared NotImplementedError
+    as the reference's fetch_pdf.py:2-4 — raised on the driver, named,
+    before any job starts."""
+    if _has_pypdf():
+        import pytest as _pt
+
+        _pt.skip("pypdf present — stub-parity arm only applies without it")
+    from pubmed_central_semantic_search_spark.sources.pdf import read_pdfs
+
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="pypdf"):
+        read_pdfs(spark, "/nonexistent")
+
+
+def test_read_pdfs_extracts_text_gated(spark, tmp_path):
+    """S6 with pypdf (gated — skips in-container): binaryFile tree read →
+    mapInPandas extraction, per-row poison isolation."""
+    if not _has_pypdf():
+        import pytest as _pt
+
+        _pt.skip("pypdf not installed in this container")
+    from pubmed_central_semantic_search_spark.sources.pdf import read_pdfs
+
+    (tmp_path / "a.pdf").write_bytes(_minimal_pdf("Hello Spark PDF seam"))
+    (tmp_path / "bad.pdf").write_bytes(b"%PDF-not-really")
+    (tmp_path / "ignored.txt").write_bytes(b"not a pdf")
+    out = {r.path.rsplit("/", 1)[-1]: r for r in read_pdfs(spark, str(tmp_path)).collect()}
+    assert set(out) == {"a.pdf", "bad.pdf"}  # glob filter skipped the txt
+    good = out["a.pdf"]
+    assert good.error is None and good.n_pages == 1
+    assert "Hello Spark PDF seam" in good.text
+    assert out["bad.pdf"].error is not None  # poison row, job survived
