@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame
 
 from ..operators.ann import brute_force_topk, lsh_topk
 
+# kernel='auto' crossover: the measured dim where the Arrow-batched BLAS
+# matmul overtakes the interpreted Catalyst HOF fold (documented with the
+# measurements in operators/projection.py:169 and operators/vectorized.py;
+# the retained x768_multiq/x768_multiq_np bench pair keeps it honest).
+_KERNEL_CROSSOVER_DIM = 256
+
 
 def plan_topk_search(
     vectors: DataFrame,
@@ -47,24 +53,38 @@ def plan_topk_search(
     is the bit-exact Catalyst sequential fold — the DuckDB-oracle
     contract; ``blas`` is the Arrow-batched numpy matmul
     (operators/vectorized.py — same rows at rounded scores, ~an order of
-    magnitude less CPU at dim ≳ 256). Explicit opt-in, never chosen by
-    ``auto``: a router shouldn't silently change float semantics."""
-    if kernel not in ("hof", "blas"):
+    magnitude less CPU at dim ≳ 256); ``kernel='auto'`` picks BETWEEN
+    them by query dimensionality at the measured crossover
+    (``_KERNEL_CROSSOVER_DIM`` — Catalyst HOF folds run interpreted and
+    fall behind the matmul as dim grows; below it the fold wins because
+    it never pays the Arrow transfer). The DEFAULT stays ``hof``:
+    kernels differ in last-ulp float noise, so the bit-exact engine must
+    never change underneath a caller who didn't ask — ``auto`` is the
+    explicit opt-in for callers that accept either (rows agree at
+    rounded scores; twin equivalence is test-pinned in
+    test_vectorized.py)."""
+    if kernel not in ("hof", "blas", "auto"):
         raise ValueError(f"unknown kernel: {kernel}")
-    if kernel == "blas" and mode != "exact":
-        # validated up front so approx/ivf/auto can't silently ignore an
+    if kernel != "hof" and mode != "exact":
+        # validated up front so approx/ivf can't silently ignore an
         # explicitly requested scoring engine
-        raise ValueError(f"kernel='blas' requires mode='exact', got mode={mode!r}")
+        raise ValueError(
+            f"kernel={kernel!r} requires mode='exact', got mode={mode!r}"
+        )
     if mode == "exact":
-        if kernel == "blas":
-            from ..operators.vectorized import multi_query_topk_np
-
+        if kernel != "hof":
             # queries are a handful of rows by contract — driver-side list
             qlist = [
                 (r["query_id"], [float(x) for x in r["qvec"]])
                 for r in queries.collect()
             ]
-            return multi_query_topk_np(vectors, qlist, k)
+            if kernel == "auto":
+                dim = len(qlist[0][1]) if qlist else 0
+                kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+            if kernel == "blas":
+                from ..operators.vectorized import multi_query_topk_np
+
+                return multi_query_topk_np(vectors, qlist, k)
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)

@@ -422,3 +422,59 @@ def test_xmodal_arm_is_arrow_batched_topk(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_planner_auto_kernel_picks_by_dim(spark, sf_dir):
+    """kernel='auto' routes the exact tier at the measured crossover:
+    dim=64 queries stay on the bit-exact Catalyst HOF fold (no Python
+    stage in the plan), dim=768 queries take the Arrow-batched BLAS
+    matmul — and both return the same ids as their explicit twins."""
+    from pyspark.sql import functions as F
+
+    emb64 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q64 = emb64.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    auto64 = plan_topk_search(emb64, q64, k=3, mode="exact", kernel="auto")
+    plan64 = auto64._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan64  # hof side of the crossover
+    assert sorted(map(tuple, auto64.select("query_id", "vec_id").collect())) == sorted(
+        map(
+            tuple,
+            plan_topk_search(emb64, q64, k=3, mode="exact")
+            .select("query_id", "vec_id")
+            .collect(),
+        )
+    )
+
+    pad = F.concat(
+        F.col("embedding"),
+        F.array_repeat(F.element_at("embedding", 1), 768 - 64),
+    )
+    emb768 = emb64.select("vec_id", pad.alias("embedding")).limit(200)
+    q768 = emb768.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    auto768 = plan_topk_search(emb768, q768, k=3, mode="exact", kernel="auto")
+    plan768 = auto768._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan768  # blas side of the crossover
+    assert sorted(map(tuple, auto768.select("query_id", "vec_id").collect())) == sorted(
+        map(
+            tuple,
+            plan_topk_search(emb768, q768, k=3, mode="exact", kernel="blas")
+            .select("query_id", "vec_id")
+            .collect(),
+        )
+    )
+
+
+def test_planner_auto_kernel_rejected_outside_exact(spark, sf_dir):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with _pt.raises(ValueError, match="kernel='auto' requires mode='exact'"):
+        plan_topk_search(emb, qdf, k=3, mode="approx", kernel="auto", dim=64)
