@@ -241,3 +241,175 @@ def logreg_score(
     """Inference as a pure projection: sigmoid(w·x + b) with the weights
     as ONE packed literal — the narrow 100 TB scoring scan."""
     return _sigmoid(_dot_lit(feat_col, model.weights) + F.lit(model.bias))
+
+
+# ---------------------------------------------------------------------------
+# Quantized-GD tier — the CROSS-ENGINE-CERTIFIABLE trainer. The float
+# trainer above is pinned against numpy in-repo, but its gradient is a
+# float sum whose value depends on aggregation ORDER, so no independent
+# engine can replay it bit for bit. This tier designs the trap out (the
+# DSIR rule: quantize to integers rather than round at the end):
+#
+# - features: x_milli[d] = floor(1000 * count_d / n_tokens) — integer
+#   milli-units of the normalized hashed-BoW histogram (one exact double
+#   division + floor, identical in any IEEE engine).
+# - weights/bias: integer micro-units. The per-doc logit
+#   z = (Σ x_milli·w_micro + 1000·bias_micro) / 1e9 is INTEGER arithmetic
+#   until one final exact division (all sums far below 2^53).
+# - residual: r_micro = round(1e6·sigmoid(z)) − 1e6·y — the only float is
+#   sigmoid itself; engines' exp() differ by ≤1 ulp, so the rounding at
+#   micro resolution flips with probability ~1e-10 (and the w=0 first
+#   iteration is sigmoid(0) = 0.5 EXACTLY on every row).
+# - gradient: Σ r_micro·x_milli — an integer sum, order-free, exact.
+# - update: w_micro −= floor(lr·G_d / (1000·n)); bias_micro −=
+#   floor(lr·G_b / n). One correctly-rounded double division + floor —
+#   bit-identical across engines.
+#
+# The q28 oracle replays the WHOLE training loop (unrolled CTEs, the
+# q38/q55 precedent) and the scoring pass value for value.
+
+
+@dataclass(frozen=True)
+class QuantLogRegModel:
+    weights_micro: list[int]  # n_buckets, integer micro-units
+    bias_micro: int
+    n_buckets: int
+
+
+def hashed_counts_milli(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sparse integer features: (id, b, x) with x = floor(1000·count_b /
+    n_tokens) — zero rows omitted (a no-token doc has NO rows; consumers
+    left-join and coalesce). One narrow explode + one keyed aggregate."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("_n"),
+        F.explode(F.split(text_col, " ")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    return (
+        toks.groupBy(id_col, "_n", token_bucket("_tok", n_buckets).alias("b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            id_col,
+            "b",
+            F.floor(F.lit(1000) * F.col("_c") / F.col("_n"))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+
+
+def _logit_micro_times_1e9(sparse_dot: Column, bias_micro: int) -> Column:
+    """Integer nano-units of the logit: Σ x_milli·w_micro + 1000·bias."""
+    return F.coalesce(sparse_dot, F.lit(0)) + F.lit(1000 * bias_micro)
+
+
+def _p_micro(z_nano: Column) -> Column:
+    """round(1e6·sigmoid(z)) as BIGINT — the shared scoring formula
+    (round is half-away-from-zero in both engines for the always-positive
+    sigmoid)."""
+    return F.round(
+        F.lit(1000000.0)
+        / (F.lit(1.0) + F.exp(-(z_nano.cast("double") / F.lit(1.0e9)))),
+        0,
+    ).cast("long")
+
+
+def train_logreg_quantized(
+    docs: DataFrame,
+    label_col: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    lr: int = 8,
+    n_iter: int = 6,
+) -> QuantLogRegModel:
+    """Integer-quantized full-batch GD (header comment above for the
+    cross-engine arithmetic contract). Per iteration ONE aggregate job:
+    the sparse-feature join carries gradient rows per bucket plus a
+    b = −1 row per doc for the bias gradient and the row count. ``docs``
+    is the TRAINING frame (callers pass the deterministic sample — the
+    sample-fit rule); featurization is computed once and persisted."""
+    labels = docs.select(
+        F.col(id_col).alias("_id"),
+        (F.col(label_col) if isinstance(label_col, str) else label_col)
+        .cast("long")
+        .alias("_y"),
+    )
+    sparse = hashed_counts_milli(docs, id_col, text_col, n_buckets).select(
+        F.col(id_col).alias("_id"), "b", "x"
+    )
+    # gradient carrier: feature rows + one b=-1, x=1 row per doc (bias)
+    aug = sparse.unionByName(
+        labels.select("_id", F.lit(-1).alias("b"), F.lit(1).cast("long").alias("x"))
+    ).persist()
+    dots = aug.filter(F.col("b") >= 0)
+    w = [0] * n_buckets
+    bias = 0
+    import math
+
+    for _ in range(n_iter):
+        w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+        dot = dots.groupBy("_id").agg(
+            F.sum(F.col("x") * F.element_at(w_lit, F.col("b") + 1)).alias("_dot")
+        )
+        r = labels.join(dot, "_id", "left").select(
+            "_id",
+            (
+                _p_micro(_logit_micro_times_1e9(F.col("_dot"), bias))
+                - F.lit(1000000) * F.col("_y")
+            ).alias("_r"),
+        )
+        g = (
+            r.join(aug, "_id")
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("_r") * F.col("x")).alias("gsum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        if not g:
+            aug.unpersist()
+            raise ValueError(
+                "train_logreg_quantized: empty training frame — nothing to fit"
+            )
+        grad = {int(row["b"]): int(row["gsum"]) for row in g}
+        n = next(int(row["cnt"]) for row in g if int(row["b"]) == -1)
+        w = [
+            wv - math.floor(lr * grad.get(d, 0) / (1000 * n))
+            for d, wv in enumerate(w)
+        ]
+        bias -= math.floor(lr * grad.get(-1, 0) / n)
+    aug.unpersist()
+    return QuantLogRegModel(
+        weights_micro=w, bias_micro=bias, n_buckets=n_buckets
+    )
+
+
+def logreg_score_micro_frame(
+    docs: DataFrame,
+    model: QuantLogRegModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clf_score_micro): round(1e6·sigmoid(logit)) per document under
+    the quantized model — weights ride as ONE packed literal; the corpus
+    pass is the featurize explode + one keyed aggregate (no join against
+    anything corpus-sized)."""
+    w_lit = F.array(*[F.lit(int(v)).cast("long") for v in model.weights_micro])
+    dot = (
+        hashed_counts_milli(docs, id_col, text_col, model.n_buckets)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.element_at(w_lit, F.col("b") + 1)).alias("_dot"))
+    )
+    return docs.select(id_col).join(dot, id_col, "left").select(
+        id_col,
+        _p_micro(
+            _logit_micro_times_1e9(F.col("_dot"), model.bias_micro)
+        ).alias("clf_score_micro"),
+    )

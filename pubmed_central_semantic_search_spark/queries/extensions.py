@@ -166,6 +166,85 @@ _GOPHER_CTES = f"""
       LEFT JOIN gop_dup10 d10 USING (doc_id)
     )"""
 
+# Quantized-GD classifier replay (operators/classifier.py quantized tier):
+# integer milli-features, micro-weights, floor updates — every sum the
+# oracle recomputes is INTEGER (order-free, exact); the only float is
+# sigmoid itself, whose micro-rounding is stable across engines' exp().
+# MATERIALIZED for the same plan-doubling reason as q55's BPE unroll.
+_CLF_BUCKETS, _CLF_LR, _CLF_ITER = 64, 8, 6
+
+
+def _clf_ctes(
+    n_iter: int = _CLF_ITER, n_buckets: int = _CLF_BUCKETS, lr: int = _CLF_LR
+) -> str:
+    sig = (
+        "CAST(round(1000000.0 / (1.0 + exp(-((COALESCE(d.dot, 0) "
+        "+ 1000 * (SELECT bias FROM clf_b{i})) / 1000000000.0)))) AS BIGINT)"
+    )
+    parts = [
+        f"""clf_x AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(token || '#feat'), 1, 8)) AS BIGINT)
+                  % {n_buckets} AS INT) AS b,
+             CAST(floor(1000 * count(*) / any_value(n)) AS BIGINT) AS x
+      FROM (
+        SELECT doc_id, len(tk) AS n, unnest(tk) AS token
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS tk
+              FROM documents)
+      ) GROUP BY doc_id, b
+    ),
+    clf_y AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CASE WHEN list_contains(
+                    list_filter(string_split(text, ' '), t -> t <> ''),
+                    'vector') THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents
+    ),
+    clf_tr AS MATERIALIZED (SELECT * FROM clf_y WHERE doc_id % 4 = 0),
+    clf_n AS (SELECT count(*) AS n FROM clf_tr),
+    clf_w0 AS (SELECT CAST(unnest(range({n_buckets})) AS INT) AS b,
+                      CAST(0 AS BIGINT) AS w),
+    clf_b0 AS (SELECT CAST(0 AS BIGINT) AS bias)"""
+    ]
+    for i in range(n_iter):
+        s = sig.format(i=i)
+        parts.append(f"""clf_z{i} AS MATERIALIZED (
+      SELECT t.doc_id, t.y, {s} - 1000000 * t.y AS r
+      FROM clf_tr t LEFT JOIN (
+        SELECT x.doc_id, sum(x.x * w.w) AS dot
+        FROM clf_x x JOIN clf_w{i} w USING (b)
+        WHERE x.doc_id % 4 = 0
+        GROUP BY x.doc_id
+      ) d USING (doc_id)
+    ),
+    clf_g{i} AS MATERIALIZED (
+      SELECT x.b, sum(z.r * x.x) AS gsum
+      FROM clf_z{i} z JOIN clf_x x USING (doc_id) GROUP BY x.b
+    ),
+    clf_w{i + 1} AS MATERIALIZED (
+      SELECT w.b,
+             w.w - CAST(floor({lr} * COALESCE(g.gsum, 0) / (1000.0 * n.n))
+                        AS BIGINT) AS w
+      FROM clf_w{i} w LEFT JOIN clf_g{i} g USING (b) CROSS JOIN clf_n n
+    ),
+    clf_b{i + 1} AS MATERIALIZED (
+      SELECT bias - CAST(floor({lr} * (SELECT COALESCE(sum(r), 0) FROM clf_z{i})
+                               / (1.0 * n.n)) AS BIGINT) AS bias
+      FROM clf_b{i} CROSS JOIN clf_n n
+    )""")
+    s_final = sig.format(i=n_iter)
+    parts.append(f"""clf_score AS MATERIALIZED (
+      SELECT y.doc_id, y.y AS clf_label,
+             {s_final} AS clf_score_micro
+      FROM clf_y y LEFT JOIN (
+        SELECT x.doc_id, sum(x.x * w.w) AS dot
+        FROM clf_x x JOIN clf_w{n_iter} w USING (b) GROUP BY x.doc_id
+      ) d USING (doc_id)
+    )""")
+    return ",\n    ".join(parts)
+
+
 _GOPHER_OUT_COLS = """
            g.n_words, g.mean_word_chars_milli, g.alpha_word_milli,
            g.symbol_word_milli, g.stop_hits, g.n_lines, g.dup_line_milli,
@@ -259,7 +338,8 @@ _GOPHER_OUT_COLS = """
       JOIN lm_cu cu ON cu.w1 = b.w1
       CROSS JOIN lm_v v
       GROUP BY b.doc_id
-    ),{_GOPHER_CTES}
+    ),{_GOPHER_CTES},
+    {_clf_ctes()}
     SELECT p.doc_id, p.labeled_lang, p.predicted_lang, p.quality_milli,
            p.n_bpe_tokens,
            CAST(len(p.gs) AS BIGINT) AS n_grams,
@@ -268,17 +348,22 @@ _GOPHER_OUT_COLS = """
                 THEN (len(p.gs) - len(list_distinct(p.gs))) * 1000 // len(p.gs)
                 ELSE 0 END AS BIGINT) AS rep_milli,
            coalesce(fp.fingerprint, -1) AS fingerprint,
-           coalesce(lm.ppl, -1.0) AS ppl,{_GOPHER_OUT_COLS}
+           coalesce(lm.ppl, -1.0) AS ppl,
+           c.clf_label, c.clf_score_micro,{_GOPHER_OUT_COLS}
     FROM panel p
     LEFT JOIN fp ON fp.doc_id = p.doc_id
     LEFT JOIN lm_ppl lm ON lm.doc_id = p.doc_id
     JOIN gopher g ON g.doc_id = p.doc_id
+    JOIN clf_score c ON c.doc_id = p.doc_id
     """,
     survey_rows="X4 panel: language-ID heuristic + integer-deterministic "
     "quality scoring + BPE-ish token counting + repetition ratio (Gopher) "
     "+ rolling-hash document fingerprint + bigram-LM perplexity "
     "(CCNet-style quality filter, train+score certified) + the full Gopher "
-    "rule panel (word/line/top-n-gram/dup-n-gram char fractions + verdict)",
+    "rule panel (word/line/top-n-gram/dup-n-gram char fractions + verdict) "
+    "+ fastText-style quality classifier (quantized-GD hashed-BoW logreg — "
+    "ALL six training iterations and the scoring pass replayed value for "
+    "value by the oracle's unrolled integer-arithmetic CTEs)",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bigram_perplexity, train_bigram_lm
@@ -328,8 +413,34 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = bigram_perplexity(d, c_big, c_uni, vsz).select(
         "doc_id", F.round("ppl", 6).alias("ppl")
     )
-    return panel.join(ppl, "doc_id", "left").withColumn(
-        "ppl", F.coalesce("ppl", F.lit(-1.0))
+    # fastText-style quality gate, quantized-GD tier (integer arithmetic
+    # end to end — the oracle replays the whole training loop): fit on
+    # the deterministic 1/4 slice, score every document. The label is
+    # token-derived ('vector' membership — learnable from hashed BoW, so
+    # the score column is a live training-sanity signal, the
+    # x_quality_classifier convention).
+    from ..operators.classifier import (
+        logreg_score_micro_frame,
+        train_logreg_quantized,
+    )
+
+    label = F.array_contains(
+        F.filter(F.split("text", " "), lambda t: t != ""), "vector"
+    ).cast("long")
+    model = train_logreg_quantized(
+        d.filter(F.col("doc_id") % 4 == 0),
+        label,
+        n_buckets=_CLF_BUCKETS,
+        lr=_CLF_LR,
+        n_iter=_CLF_ITER,
+    )
+    clf = logreg_score_micro_frame(d, model).join(
+        d.select("doc_id", label.alias("clf_label")), "doc_id"
+    )
+    return (
+        panel.join(ppl, "doc_id", "left")
+        .withColumn("ppl", F.coalesce("ppl", F.lit(-1.0)))
+        .join(clf, "doc_id")
     )
 
 

@@ -223,3 +223,116 @@ def test_sample_fit_empty_sample_raises_and_unpersists(spark):
         train_logreg(df, n_buckets=4, n_iter=1, sample_mod=2)  # no even ids
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before  # the internal persist was released
+
+
+def _py_quant_gd(docs, n_buckets=8, lr=8, n_iter=3):
+    """Plain-Python reference of the quantized-GD contract (integer
+    milli-features, micro-weights, floor updates) — the arithmetic spec
+    the Spark trainer AND the q28 oracle CTEs must both satisfy."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{tok}#feat".encode()).hexdigest()[:8], 16) % n_buckets
+
+    feats, ys = {}, {}
+    for did, y, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        ys[did] = y
+        cnt = {}
+        for t in toks:
+            b = bucket(t)
+            cnt[b] = cnt.get(b, 0) + 1
+        feats[did] = {
+            b: math.floor(1000 * c / len(toks)) for b, c in cnt.items()
+        }
+    w = [0] * n_buckets
+    bias = 0
+    n = len(docs)
+    for _ in range(n_iter):
+        grad = {d: 0 for d in range(n_buckets)}
+        gb = 0
+        for did in ys:
+            dot = sum(x * w[b] for b, x in feats[did].items())
+            z = (dot + 1000 * bias) / 1e9
+            p_micro = round(1e6 / (1.0 + math.exp(-z)))
+            r = p_micro - 1000000 * ys[did]
+            gb += r
+            for b, x in feats[did].items():
+                grad[b] += r * x
+        w = [wv - math.floor(lr * grad[d] / (1000 * n)) for d, wv in enumerate(w)]
+        bias -= math.floor(lr * gb / n)
+    return w, bias
+
+
+def test_quantized_gd_matches_python_reference_exactly(spark):
+    """train_logreg_quantized ≡ the plain-Python quantized-GD spec, BIT
+    FOR BIT — integer weights, no tolerance. This is the property that
+    makes the trainer oracle-replayable (q28's unrolled CTEs)."""
+    from pubmed_central_semantic_search_spark.operators.classifier import (
+        logreg_score_micro_frame,
+        train_logreg_quantized,
+    )
+
+    docs = [
+        (i, 1 if i % 3 == 0 else 0,
+         f"alpha tok{i % 5} beta vector gamma" if i % 3 == 0
+         else f"alpha tok{i % 7} delta noise")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, label int, text string")
+    model = train_logreg_quantized(
+        df, "label", n_buckets=8, lr=8, n_iter=3
+    )
+    w_ref, b_ref = _py_quant_gd(docs, n_buckets=8, lr=8, n_iter=3)
+    assert model.weights_micro == w_ref
+    assert model.bias_micro == b_ref
+    assert any(w != 0 for w in model.weights_micro)  # it actually trained
+
+    # scoring: exact integer parity with the reference formula
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{tok}#feat".encode()).hexdigest()[:8], 16) % 8
+
+    got = {
+        r["doc_id"]: r["clf_score_micro"]
+        for r in logreg_score_micro_frame(df, model).collect()
+    }
+    for did, y, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        cnt = {}
+        for t in toks:
+            cnt[bucket(t)] = cnt.get(bucket(t), 0) + 1
+        dot = sum(
+            math.floor(1000 * c / len(toks)) * model.weights_micro[b]
+            for b, c in cnt.items()
+        )
+        z = (dot + 1000 * model.bias_micro) / 1e9
+        assert got[did] == round(1e6 / (1.0 + math.exp(-z))), did
+    # the learned gate separates the planted signal
+    pos = [got[d] for d, y, _ in docs if y == 1]
+    neg = [got[d] for d, y, _ in docs if y == 0]
+    assert min(pos) > max(neg)
+
+
+def test_quantized_gd_empty_text_and_empty_frame(spark):
+    from pubmed_central_semantic_search_spark.operators.classifier import (
+        logreg_score_micro_frame,
+        train_logreg_quantized,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 0, ""), (2, 1, "vector stuff")], "doc_id long, label int, text string"
+    )
+    model = train_logreg_quantized(df, "label", n_buckets=4, lr=8, n_iter=2)
+    got = {
+        r["doc_id"]: r["clf_score_micro"]
+        for r in logreg_score_micro_frame(df, model).collect()
+    }
+    assert set(got) == {1, 2}  # the zero-feature doc still scores (bias only)
+    empty = spark.createDataFrame([], "doc_id long, label int, text string")
+    with _pt.raises(ValueError, match="empty training frame"):
+        train_logreg_quantized(empty, "label", n_buckets=4, n_iter=1)
