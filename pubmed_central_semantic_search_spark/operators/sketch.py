@@ -70,12 +70,23 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     DIFFERENT geometries (whose cells are not summable — the buckets mean
     different things) yields a frame with >1 distinct (depth, width),
     which ``cms_estimate`` rejects at the first point query. Legacy
-    3-column sketches (pre-metadata parquet) merge as before."""
+    3-column sketches (pre-metadata parquet) merge as before; a MIXED
+    merge (legacy + stamped) strips the metadata from every input first —
+    grouping on a half-null geometry would otherwise SPLIT the same
+    logical cell into two rows, corrupting every later estimate — and the
+    result falls back to explicit-args validation like any legacy
+    sketch."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
+    has_meta = ["depth" in s.columns and "width" in s.columns for s in sketches]
+    if not all(has_meta):
+        sketches = tuple(
+            s.select("row", "bucket", "cnt") if m else s
+            for s, m in zip(sketches, has_meta)
+        )
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s, allowMissingColumns=True)
+        out = out.unionByName(s)
     geom = [c for c in ("depth", "width") if c in out.columns]
     return out.groupBy("row", "bucket", *geom).agg(F.sum("cnt").alias("cnt"))
 

@@ -178,6 +178,14 @@ def _upsert_partitioned(
     reads."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if BUCKET_COL in df.columns:
+        # withColumn would silently REPLACE the caller's data column and
+        # read_upsert_table would silently drop it — fail loudly instead
+        raise ValueError(
+            f"upsert_parquet(n_buckets=...): input already has a "
+            f"{BUCKET_COL!r} column — it is reserved for the partition "
+            "layout; rename the data column"
+        )
     bucket_src = [replace_group_col] if replace_group_col else key_cols
     with_bucket = df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets))

@@ -297,3 +297,17 @@ def test_engine_partitioned_store_end_to_end(spark, tmp_path):
             for r in out.select("query_text", "article_id", "doc_score").collect()
         }
     assert results["flat"] == results["part"]
+
+
+def test_reserved_bucket_column_is_rejected(spark, tmp_path):
+    """An input frame already carrying the reserved _bucket column must
+    fail loudly — withColumn would silently replace the caller's data."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("k1", "v", 3)], f"article_id string, payload string, {BUCKET_COL} int"
+    )
+    with _pt.raises(ValueError, match="reserved"):
+        upsert_parquet(
+            spark, df, str(tmp_path / "t"), key_cols=["article_id"], n_buckets=4
+        )

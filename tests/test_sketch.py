@@ -362,3 +362,29 @@ def test_bloom_anti_join_prebuilt_words_amortized_path(spark):
     assert got == want and len(got) == 10
     with _pytest.raises(ValueError, match="geometry"):
         bloom_anti_join(new, hist, "k", n_words=32, words=words)
+
+
+def test_cms_merge_mixed_legacy_and_stamped_degrades_to_legacy(spark):
+    """A legacy 3-col sketch merged with a stamped one must NOT split
+    cells on a half-null geometry — the merge strips metadata and the
+    result validates with explicit args like any legacy sketch."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = cms_build(
+        spark.createDataFrame([("hot",)] * 3, "token string"), "token", 4, 64
+    )
+    legacy = cms_build(
+        spark.createDataFrame([("hot",)] * 2 + [("cold",)], "token string"),
+        "token", 4, 64,
+    ).drop("depth", "width")
+    merged = cms_merge(a, legacy)
+    assert "depth" not in merged.columns
+    # no split cells: every (row, bucket) appears once
+    cells = merged.groupBy("row", "bucket").count().collect()
+    assert all(r["count"] == 1 for r in cells)
+    est = cms_estimate(merged, ["hot", "cold"], depth=4, width=64)
+    assert est == {"hot": 5, "cold": 1}
