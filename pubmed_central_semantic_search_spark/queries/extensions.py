@@ -424,8 +424,14 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_logreg_quantized,
     )
 
-    label = F.array_contains(
-        F.filter(F.split("text", " "), lambda t: t != ""), "vector"
+    # coalesce: NULL text → label 0 (the oracle's CASE WHEN semantics);
+    # array_contains(null) would propagate NULL into training y and the
+    # driver hash
+    label = F.coalesce(
+        F.array_contains(
+            F.filter(F.split("text", " "), lambda t: t != ""), "vector"
+        ),
+        F.lit(False),
     ).cast("long")
     model = train_logreg_quantized(
         d.filter(F.col("doc_id") % 4 == 0),
