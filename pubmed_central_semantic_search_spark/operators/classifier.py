@@ -343,38 +343,57 @@ def train_logreg_quantized(
     sparse = hashed_counts_milli(docs, id_col, text_col, n_buckets).select(
         F.col(id_col).alias("_id"), "b", "x"
     )
-    # gradient carrier: feature rows + one b=-1, x=1 row per doc (bias)
-    aug = sparse.unionByName(
-        labels.select("_id", F.lit(-1).alias("b"), F.lit(1).cast("long").alias("x"))
-    ).persist()
-    dots = aug.filter(F.col("b") >= 0)
+    # Per-doc dense carrier, built ONCE: (id, y, [(b, x)...]). Each
+    # iteration is then a NARROW dot/residual projection (the weights as
+    # a packed literal — the train_logreg shape) plus ONE explode +
+    # groupBy(b) shuffle for the gradient; the first cut joined three
+    # shuffles per iteration and was scheduling-bound at any data size.
+    # Gradient sums are integers, so the regrouped aggregation order
+    # cannot change a single bit of the result.
+    empty_f = F.expr("CAST(array() AS array<struct<b: int, x: bigint>>)")
+    base = (
+        labels.join(
+            sparse.groupBy("_id").agg(
+                F.collect_list(F.struct("b", "x")).alias("_f")
+            ),
+            "_id",
+            "left",
+        )
+        .select("_id", "_y", F.coalesce("_f", empty_f).alias("_f"))
+        .persist()
+    )
+    bias_row = F.struct(
+        F.lit(-1).alias("b"), F.lit(1).cast("long").alias("x")
+    )
     w = [0] * n_buckets
     bias = 0
     import math
 
     for _ in range(n_iter):
         w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
-        dot = dots.groupBy("_id").agg(
-            F.sum(F.col("x") * F.element_at(w_lit, F.col("b") + 1)).alias("_dot")
+        dot = F.aggregate(
+            F.col("_f"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["x"] * F.element_at(w_lit, s["b"] + 1),
         )
-        r = labels.join(dot, "_id", "left").select(
-            "_id",
-            (
-                _p_micro(_logit_micro_times_1e9(F.col("_dot"), bias))
-                - F.lit(1000000) * F.col("_y")
-            ).alias("_r"),
+        r = (
+            _p_micro(_logit_micro_times_1e9(dot, bias))
+            - F.lit(1000000) * F.col("_y")
         )
         g = (
-            r.join(aug, "_id")
-            .groupBy("b")
+            base.select(
+                r.alias("_r"),
+                F.explode(F.concat(F.array(bias_row), F.col("_f"))).alias("s"),
+            )
+            .groupBy(F.col("s.b").alias("b"))
             .agg(
-                F.sum(F.col("_r") * F.col("x")).alias("gsum"),
+                F.sum(F.col("_r") * F.col("s.x")).alias("gsum"),
                 F.count(F.lit(1)).alias("cnt"),
             )
             .collect()
         )
         if not g:
-            aug.unpersist()
+            base.unpersist()
             raise ValueError(
                 "train_logreg_quantized: empty training frame — nothing to fit"
             )
@@ -385,7 +404,7 @@ def train_logreg_quantized(
             for d, wv in enumerate(w)
         ]
         bias -= math.floor(lr * grad.get(-1, 0) / n)
-    aug.unpersist()
+    base.unpersist()
     return QuantLogRegModel(
         weights_micro=w, bias_micro=bias, n_buckets=n_buckets
     )

@@ -171,7 +171,7 @@ _GOPHER_CTES = f"""
 # oracle recomputes is INTEGER (order-free, exact); the only float is
 # sigmoid itself, whose micro-rounding is stable across engines' exp().
 # MATERIALIZED for the same plan-doubling reason as q55's BPE unroll.
-_CLF_BUCKETS, _CLF_LR, _CLF_ITER = 64, 8, 6
+_CLF_BUCKETS, _CLF_LR, _CLF_ITER = 64, 8, 4
 
 
 def _clf_ctes(
