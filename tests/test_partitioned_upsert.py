@@ -311,3 +311,28 @@ def test_reserved_bucket_column_is_rejected(spark, tmp_path):
         upsert_parquet(
             spark, df, str(tmp_path / "t"), key_cols=["article_id"], n_buckets=4
         )
+
+
+def test_stale_staging_dir_is_invisible_and_harmless(spark, tmp_path):
+    """Crash-safety claim pinned: a dead job's .spark-staging-* dir (dot-
+    prefixed) is invisible to readers and does not disturb the next
+    upsert's merge."""
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "v1") for i in range(8)]),
+        path, key_cols=["article_id"], n_buckets=4,
+    )
+    state_before = _table_state(spark, path)
+    stale = os.path.join(path, ".spark-staging-deadjob", f"{BUCKET_COL}=0")
+    os.makedirs(stale)
+    # junk that would corrupt the table if readers descended into it
+    with open(os.path.join(stale, "part-junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert _table_state(spark, path) == state_before  # reads ignore staging
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v2")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    got = _table_state(spark, path)
+    assert got["PMC1"] == "v2" and len(got) == 8
