@@ -308,3 +308,132 @@ def bloom_anti_join(
         .join(history_df.select(key_col), key_col, "left_anti")
     )
     return definite.unionByName(maybe)
+
+
+# ---------------------------------------------------------------------------
+# Integer log-histogram quantile sketch — the distribution member of the
+# sketch family (CMS: frequency, HLL: cardinality, Bloom: membership;
+# this: quantiles). DDSketch-shaped (Masson et al., VLDB 2019: log-spaced
+# buckets give a RELATIVE-error guarantee with constant state), but the
+# bucketing is pure INTEGER bit arithmetic instead of floor(log_gamma(x)):
+# a float log differs across engines in the last ulp, so floor at a
+# bucket boundary could flip and break the bit-identical-cells contract
+# every sketch here carries. Bucket of n >= 1: values below 16 are their
+# OWN bucket (exact); above, the bucket is (exponent, top-3-mantissa-bits)
+# — 8 sub-buckets per octave, so any answer's representative is within
+# 12.5% of the true value (exact below 16; n = 0 is exact bucket 0).
+# ≤ 488 cells for the whole int64 range — constant-size, mergeable by
+# cell addition, streaming-foldable like the CMS (same
+# _fold_sketch_batch discipline).
+#
+# Quantile semantics (both engines, test-pinned): rank = floor(q·(N−1))+1,
+# answer = lower bound of the first bucket whose cumulative count reaches
+# the rank — the "lower quantile" definition, chosen because every step
+# is exact integer/IEEE-identical arithmetic (no interpolation floats).
+
+IHIST_SUB_BITS = 3
+# largest bucket a NON-NEGATIVE int64 can produce (exponent 62); anything
+# above is the two's-complement signature of a negative input
+IHIST_MAX_BUCKET = 16 + (62 - 4) * 8 + 7
+
+
+def ihist_bucket(value_col: Column | str) -> Column:
+    """Log-histogram bucket of a non-negative integer column — pure
+    integer Catalyst (length-of-binary exponent + top-3-bit mantissa).
+    Negative inputs raise per row (arithmetic shiftright's sign fill
+    would otherwise scramble them into huge phantom buckets silently)."""
+    n = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = n.cast("long")
+    e = F.length(F.bin(n)) - F.lit(1)
+    top = F.call_function("shiftright", n, (e - F.lit(IHIST_SUB_BITS)).cast("int"))
+    bucket = (
+        F.when(n < 16, n)
+        .otherwise(
+            F.lit(16)
+            + (e - F.lit(IHIST_SUB_BITS + 1)) * F.lit(1 << IHIST_SUB_BITS)
+            + (top - F.lit(1 << IHIST_SUB_BITS))
+        )
+        .cast("int")
+    )
+    return F.when(n >= 0, bucket).otherwise(
+        F.raise_error(
+            F.lit("ihist_bucket: negative input — the sketch covers counts/"
+                  "sizes (non-negative integers); shift or clamp upstream")
+        ).cast("int")
+    )
+
+
+def ihist_rep(bucket_col: Column | str) -> Column:
+    """Deterministic representative (the bucket's LOWER bound) — exact for
+    buckets < 16, `(8 + mantissa) << (exponent − 3)` above. Buckets beyond
+    IHIST_MAX_BUCKET raise (negative-input signature — the cms_estimate
+    geometry-guard rule)."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    m = (b - 16) % F.lit(1 << IHIST_SUB_BITS)
+    e = F.floor((b - 16) / F.lit(1 << IHIST_SUB_BITS)).cast("int") + F.lit(
+        IHIST_SUB_BITS + 1
+    )
+    big = F.call_function(
+        "shiftleft",
+        (F.lit(1 << IHIST_SUB_BITS) + m).cast("long"),
+        (e - F.lit(IHIST_SUB_BITS)).cast("int"),
+    )
+    ok = F.when(b < 16, b.cast("long")).otherwise(big)
+    return F.when(b <= F.lit(IHIST_MAX_BUCKET), ok).otherwise(
+        F.raise_error(
+            F.lit("ihist_rep: bucket beyond the non-negative int64 range — "
+                  "the sketch was built from negative inputs")
+        ).cast("long")
+    )
+
+
+def ihist_build(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Sparse histogram (*group_cols, bucket, cnt) — ONE partial-aggregated
+    groupBy; ≤ 488 cells per group whatever the row count. Null values are
+    skipped (SQL aggregate semantics: an unknown value has no bucket)."""
+    g = list(group_cols)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, ihist_bucket(value_col).alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ihist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + cell addition — same mergeability law as the CMS (sketch of
+    a union ≡ merge of sketches, test-pinned). Grouping keys are every
+    column except cnt, so grouped histograms merge per group."""
+    if not sketches:
+        raise ValueError("ihist_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def ihist_quantiles(
+    sketch: DataFrame, qs: Sequence[float], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(*group_cols, q, value): per-group quantiles from the histogram —
+    one cumulative window over ≤ 488 rows per group + one argmin
+    aggregate; fully distributed (nothing collects) and exactly
+    SQL-replayable (rank = floor(q·(N−1)) + 1, first bucket with
+    cum ≥ rank, lower-bound representative)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w_cum = Window.partitionBy(*g).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy(*g)
+    qf = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "tot", F.sum("cnt").over(w_tot)
+    ).withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    rank = F.floor(F.col("q") * (F.col("tot") - 1)).cast("long") + F.lit(1)
+    hit = F.when(F.col("cum") >= rank, F.col("bucket"))
+    picked = qf.groupBy(*g, "q").agg(F.min(hit).alias("_b"))
+    return picked.select(*g, "q", ihist_rep("_b").alias("value"))

@@ -407,26 +407,88 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT source,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
       FROM documents
+    ),
+    -- integer log-histogram quantile sketch (operators/sketch.py ihist_*):
+    -- pure-integer bucketing (exponent + top-3 mantissa bits) so the cells
+    -- are bit-identical cross-engine — a float log_gamma bucketing could
+    -- flip floor at a boundary and break the hash
+    ihist AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT source,
+               CASE WHEN n_tok < 16 THEN n_tok
+                    ELSE 16 + (length(bin(n_tok)) - 1 - 4) * 8
+                         + (n_tok >> (length(bin(n_tok)) - 1 - 3)) - 8
+               END AS bucket
+        FROM t
+      ) GROUP BY source, bucket
+    ),
+    iw AS (
+      SELECT source, bucket,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS tot
+      FROM ihist
+    ),
+    ipick AS (
+      SELECT source, q,
+             min(CASE WHEN cum >= CAST(floor(q * (tot - 1)) AS BIGINT) + 1
+                      THEN bucket END) AS b
+      FROM iw, (VALUES (0.5), (0.9), (0.99)) qs(q)
+      GROUP BY source, q
+    ),
+    isk AS (
+      SELECT source, q,
+             CAST(CASE WHEN b < 16 THEN b
+                  ELSE (8 + (b - 16) % 8) << ((b - 16) // 8 + 1)
+                  END AS DOUBLE) AS v
+      FROM ipick
     )
-    SELECT source,
+    SELECT 'exact' AS kind, source,
            round(quantile_cont(n_tok, 0.5), 6)  AS p50,
            round(quantile_cont(n_tok, 0.9), 6)  AS p90,
            round(quantile_cont(n_tok, 0.99), 6) AS p99
     FROM t GROUP BY source
+    UNION ALL
+    SELECT 'sketch' AS kind, source,
+           round(max(CASE WHEN q = 0.5 THEN v END), 6)  AS p50,
+           round(max(CASE WHEN q = 0.9 THEN v END), 6)  AS p90,
+           round(max(CASE WHEN q = 0.99 THEN v END), 6) AS p99
+    FROM isk GROUP BY source
     """,
-    survey_rows="§2.10 exposure: exact interpolated percentiles, X4 corpus profiling",
+    survey_rows="§2.10 exposure: exact interpolated percentiles, X4 corpus "
+    "profiling + mergeable integer log-histogram quantile sketch "
+    "(DDSketch-shaped, bit-identical cross-engine cells, constant "
+    "≤488-cell state, streaming-foldable — the distribution member of the "
+    "CMS/HLL/Bloom family; build + cumulative walk + lower-bound "
+    "representative all value-certified)",
 )
 def q46_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import ihist_build, ihist_quantiles
+
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-    t = d.select("source", n_tok.alias("n_tok"))
-    return t.groupBy("source").agg(
+    t = d.select("source", n_tok.cast("long").alias("n_tok"))
+    exact = t.groupBy("source").agg(
         F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
+    ).select(F.lit("exact").alias("kind"), "*")
+    sq = ihist_quantiles(
+        ihist_build(t, "n_tok", group_cols=["source"]),
+        [0.5, 0.9, 0.99],
+        group_cols=["source"],
     )
+    sketch = sq.groupBy("source").agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("q") == q, F.col("value"))).cast("double"), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    ).select(F.lit("sketch").alias("kind"), "*")
+    return exact.unionByName(sketch)
 
 
 # ---------------------------------------------------------------------------

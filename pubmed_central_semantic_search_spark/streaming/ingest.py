@@ -469,6 +469,46 @@ def start_stream_bloom(
     )
 
 
+def start_stream_ihist(
+    value_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "n",
+    group_cols: tuple[str, ...] = (),
+):
+    """X6 twin of the integer log-histogram quantile sketch
+    (operators/sketch.py ``ihist_*``) — streaming distribution profiling
+    with CONSTANT state (≤ 488 cells per group whatever streams by): each
+    micro-batch's histogram folds into the durable table by cell
+    addition, the same mergeability law the batch twin pins
+    (merge ≡ sketch-of-union). Quantile queries read the folded table
+    through ``ihist_quantiles`` at any moment, with the same relative-
+    error contract as the batch path.
+
+    Same commit discipline and at-least-once caveat as the CMS fold
+    (``_fold_sketch_batch`` — recovery + rename-as-commit; exact
+    once-only folding would need a transactional sink)."""
+    from ..operators.sketch import ihist_build, ihist_merge
+
+    spark = value_stream.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_sketch_batch(
+            spark,
+            sketch_dir,
+            "ihist",
+            ihist_build(batch_df, value_col, group_cols),
+            ihist_merge,
+        )
+
+    return (
+        value_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stream_upsert(
     stream_df: DataFrame,
     table_dir: str,

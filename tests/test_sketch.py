@@ -388,3 +388,157 @@ def test_cms_merge_mixed_legacy_and_stamped_degrades_to_legacy(spark):
     assert all(r["count"] == 1 for r in cells)
     est = cms_estimate(merged, ["hot", "cold"], depth=4, width=64)
     assert est == {"hot": 5, "cold": 1}
+
+
+# ---------------------------------------------------------------------------
+# Integer log-histogram quantile sketch
+
+
+def _py_ihist_bucket(n):
+    if n < 16:
+        return n
+    e = n.bit_length() - 1
+    return 16 + (e - 4) * 8 + ((n >> (e - 3)) - 8)
+
+
+def _py_ihist_rep(b):
+    if b < 16:
+        return b
+    return (8 + (b - 16) % 8) << ((b - 16) // 8 + 1)
+
+
+def _py_ihist_quantile(values, q):
+    from collections import Counter
+
+    hist = sorted(Counter(_py_ihist_bucket(v) for v in values).items())
+    rank = int(q * (len(values) - 1)) + 1
+    cum = 0
+    for b, c in hist:
+        cum += c
+        if cum >= rank:
+            return _py_ihist_rep(b)
+    raise AssertionError
+
+
+def test_ihist_bucket_and_rep_roundtrip(spark):
+    """Bucket/representative algebra: rep(bucket(n)) <= n < rep(bucket+1),
+    exact below 16, relative error <= 12.5% above — checked on a value
+    sweep covering every exponent regime."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_bucket,
+        ihist_rep,
+    )
+
+    vals = list(range(0, 40)) + [
+        (1 << e) + d for e in range(5, 62, 7) for d in (0, 1, (1 << e) - 1)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    rows = df.select(
+        "n", ihist_bucket("n").alias("b"),
+        ihist_rep(ihist_bucket("n")).alias("rep"),
+    ).collect()
+    for r in rows:
+        assert r["b"] == _py_ihist_bucket(r["n"]), r["n"]
+        assert r["rep"] == _py_ihist_rep(r["b"]), r["n"]
+        assert r["rep"] <= r["n"]
+        if r["n"] >= 16:
+            assert (r["n"] - r["rep"]) / r["n"] <= 0.125 + 1e-9, r["n"]
+        else:
+            assert r["rep"] == r["n"]
+
+
+def test_ihist_negative_input_raises(spark):
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+    )
+
+    df = spark.createDataFrame([(5,), (-1,)], "n long")
+    with _pt.raises(Exception, match="negative"):
+        ihist_build(df, "n").collect()
+
+
+def test_ihist_merge_equals_sketch_of_union_and_quantiles_match_python(spark):
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+        ihist_merge,
+        ihist_quantiles,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    a = [rng.randrange(0, 100000) for _ in range(400)]
+    b = [rng.randrange(0, 3000) for _ in range(300)]
+    df_a = spark.createDataFrame([(v,) for v in a], "n long")
+    df_b = spark.createDataFrame([(v,) for v in b], "n long")
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in ihist_merge(
+            ihist_build(df_a, "n"), ihist_build(df_b, "n")
+        ).collect()
+    }
+    union = {
+        r["bucket"]: r["cnt"]
+        for r in ihist_build(
+            df_a.unionByName(df_b), "n"
+        ).collect()
+    }
+    assert merged == union
+    qs = [0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r["value"]
+        for r in ihist_quantiles(
+            ihist_build(df_a.unionByName(df_b), "n"), qs
+        ).collect()
+    }
+    both = a + b
+    import numpy as np
+
+    for q in qs:
+        want = _py_ihist_quantile(both, q)
+        assert got[q] == want, q
+        # relative-error contract vs the TRUE lower quantile
+        true = sorted(both)[int(q * (len(both) - 1))]
+        if true >= 16:
+            assert abs(got[q] - true) / true <= 0.125 + 1e-9, (q, got[q], true)
+
+
+def test_ihist_grouped_quantiles_and_plan(spark, sf_dir):
+    """Grouped histogram over the real documents table: one partial-
+    aggregated shuffle to build, constant cells per group; quantile walk
+    never collects."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+        ihist_quantiles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tok"),
+    )
+    sk = ihist_build(d, "n_tok", group_cols=["source"])
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    per_group = sk.groupBy("source").count().collect()
+    assert all(r["count"] <= 488 for r in per_group)
+    out = ihist_quantiles(sk, [0.5, 0.9], group_cols=["source"]).collect()
+    # answers within the relative-error contract of the exact quantiles
+    exact = {
+        (r["source"], q): r[f"p{int(q * 100)}"]
+        for q in (0.5, 0.9)
+        for r in d.groupBy("source").agg(
+            *[
+                F.expr(f"percentile(n_tok, {q})").alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.9)
+            ]
+        ).collect()
+    }
+    for r in out:
+        true = exact[(r["source"], r["q"])]
+        assert r["value"] <= true * 1.01 + 1
+        assert r["value"] >= true * 0.8 - 1

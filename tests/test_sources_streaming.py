@@ -1159,3 +1159,54 @@ def test_read_pdfs_extracts_text_gated(spark, tmp_path):
     assert good.error is None and good.n_pages == 1
     assert "Hello Spark PDF seam" in good.text
     assert out["bad.pdf"].error is not None  # poison row, job survived
+
+
+def test_stream_ihist_drain_equals_batch(spark, tmp_path):
+    """X6 quantile-sketch fold: draining micro-batches produces the SAME
+    histogram as one batch build over all records (cell addition is the
+    merge law), and quantiles off the folded table match the batch twin."""
+    import json
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+        ihist_quantiles,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_ihist,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    batches = [[5, 17, 17, 900], [17, 42, 100000], [0, 3, 900]]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for v in b:
+                f.write(json.dumps({"n": v}) + "\n")
+    stream = (
+        spark.readStream.schema("n long")
+        .option("maxFilesPerTrigger", 1)  # force >= 3 micro-batches
+        .json(str(src))
+    )
+    sketch_dir = str(tmp_path / "ihist")
+    q = start_stream_ihist(stream, sketch_dir, str(tmp_path / "ck_ihist"))
+    q.awaitTermination(120)
+
+    all_vals = [v for b in batches for v in b]
+    batch_df = spark.createDataFrame([(v,) for v in all_vals], "n long")
+    got = {
+        (r["bucket"],): r["cnt"]
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    want = {
+        (r["bucket"],): r["cnt"] for r in ihist_build(batch_df, "n").collect()
+    }
+    assert got == want
+    folded_q = {
+        r["q"]: r["value"]
+        for r in ihist_quantiles(spark.read.parquet(sketch_dir), [0.5, 0.99]).collect()
+    }
+    batch_q = {
+        r["q"]: r["value"]
+        for r in ihist_quantiles(ihist_build(batch_df, "n"), [0.5, 0.99]).collect()
+    }
+    assert folded_q == batch_q
