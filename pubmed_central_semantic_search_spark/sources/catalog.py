@@ -153,6 +153,15 @@ def _upsert_partitioned(
     bucket key changed between uploads would leave its old row stranded
     in the old bucket, invisible to the merge.
 
+    Sizing ``n_buckets``: per-upsert cost = touched buckets × bucket
+    size, and bucket size = table / n_buckets — so choose n_buckets to
+    hold a bucket at a few GB at the table's TARGET size (e.g. a 100 TB
+    chunk store wants ~32-64k buckets, not this module's test-scale 8).
+    Too few buckets degrades toward the flat table-sized rewrite; too
+    many costs directory/listing overhead per read. The bucket count is
+    part of the layout and cannot change without a full rewrite (keys
+    would re-hash into different directories).
+
     Cost: the batch's distinct bucket set is collected (≤ n_buckets
     rows, driver-sized); the existing-side read carries
     ``_bucket IN (touched)`` which prunes to the touched partition

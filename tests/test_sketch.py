@@ -542,3 +542,26 @@ def test_ihist_grouped_quantiles_and_plan(spark, sf_dir):
         true = exact[(r["source"], r["q"])]
         assert r["value"] <= true * 1.01 + 1
         assert r["value"] >= true * 0.8 - 1
+
+
+def test_ihist_bucket_algebra_properties():
+    """Pure-algebra property sweep (no Spark): bucket is monotone in n,
+    rep is a fixed point of its own bucket, the lower-bound/relative-error
+    contract holds across the whole non-negative int64 domain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 62) - 1))
+    def check(n):
+        b = _py_ihist_bucket(n)
+        r = _py_ihist_rep(b)
+        assert r <= n
+        if n < 16:
+            assert r == n
+        else:
+            assert (n - r) / n <= 0.125
+        assert _py_ihist_bucket(r) == b  # rep lands in its own bucket
+        assert _py_ihist_bucket(n + 1) >= b  # monotone
+
+    check()
