@@ -355,7 +355,10 @@ def ihist_bucket(value_col: Column | str) -> Column:
         )
         .cast("int")
     )
-    return F.when(n >= 0, bucket).otherwise(
+    # null passes through as null (ihist_build filters them; direct users
+    # get SQL null semantics) — a bare `n >= 0` condition is NULL for
+    # null input and `when` would fall through to the raise
+    return F.when(n.isNull() | (n >= 0), bucket).otherwise(
         F.raise_error(
             F.lit("ihist_bucket: negative input — the sketch covers counts/"
                   "sizes (non-negative integers); shift or clamp upstream")
@@ -425,6 +428,11 @@ def ihist_quantiles(
     cum ≥ rank, lower-bound representative)."""
     from pyspark.sql import Window
 
+    bad_q = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad_q:
+        # q > 1 would make rank exceed the total and pick a NULL bucket,
+        # surfacing as ihist_rep's misleading negative-input error
+        raise ValueError(f"ihist_quantiles: q must be in [0, 1], got {bad_q}")
     g = list(group_cols)
     w_cum = Window.partitionBy(*g).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

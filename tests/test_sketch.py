@@ -565,3 +565,19 @@ def test_ihist_bucket_algebra_properties():
         assert _py_ihist_bucket(n + 1) >= b  # monotone
 
     check()
+
+
+def test_ihist_null_and_bad_q_edges(spark):
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_bucket,
+        ihist_build,
+        ihist_quantiles,
+    )
+
+    df = spark.createDataFrame([(5,), (None,)], "n long")
+    rows = df.select(ihist_bucket("n").alias("b")).collect()
+    assert sorted([r["b"] for r in rows], key=lambda x: (x is None, x)) == [5, None]
+    with _pt.raises(ValueError, match=r"q must be in \[0, 1\]"):
+        ihist_quantiles(ihist_build(df, "n"), [0.5, 1.5])
