@@ -382,7 +382,9 @@ def ihist_rep(bucket_col: Column | str) -> Column:
         (e - F.lit(IHIST_SUB_BITS)).cast("int"),
     )
     ok = F.when(b < 16, b.cast("long")).otherwise(big)
-    return F.when(b <= F.lit(IHIST_MAX_BUCKET), ok).otherwise(
+    # null passes through (the ihist_bucket rule — a bare `b <= MAX`
+    # condition is NULL for null input and would fall through to the raise)
+    return F.when(b.isNull() | (b <= F.lit(IHIST_MAX_BUCKET)), ok).otherwise(
         F.raise_error(
             F.lit("ihist_rep: bucket beyond the non-negative int64 range — "
                   "the sketch was built from negative inputs")

@@ -56,6 +56,26 @@ SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "(article_id STRING) RETURNS STRING",
         "concat('https://pmc.ncbi.nlm.nih.gov/articles/', article_id, '/')",
     ),
+    # integer log-histogram quantile-sketch primitives — SQL twins of
+    # operators/sketch.py ihist_bucket/ihist_rep (same guards: negative
+    # input and beyond-int64 bucket raise; null passes through)
+    "ihist_bucket": (
+        "(n BIGINT) RETURNS INT",
+        "CASE WHEN n IS NULL THEN CAST(NULL AS INT) "
+        "WHEN n < 0 THEN CAST(raise_error('ihist_bucket: negative input') AS INT) "
+        "WHEN n < 16 THEN CAST(n AS INT) "
+        "ELSE CAST(16 + (length(bin(n)) - 1 - 4) * 8 "
+        "+ shiftright(n, length(bin(n)) - 1 - 3) - 8 AS INT) END",
+    ),
+    "ihist_rep": (
+        "(b INT) RETURNS BIGINT",
+        "CASE WHEN b IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN b > 487 THEN CAST(raise_error('ihist_rep: bucket beyond the "
+        "non-negative int64 range') AS BIGINT) "
+        "WHEN b < 16 THEN CAST(b AS BIGINT) "
+        "ELSE shiftleft(CAST(8 + (b - 16) % 8 AS BIGINT), "
+        "CAST((b - 16) DIV 8 + 1 AS INT)) END",
+    ),
 }
 
 

@@ -69,3 +69,42 @@ def test_register_is_idempotent(spark, sf_dir):
     register_sql_surface(spark, sf_dir)
     register_sql_surface(spark, sf_dir)  # CREATE OR REPLACE — no error
     assert len(SQL_FUNCTIONS) >= 8
+
+
+def test_sql_ihist_twins_match_column_api(spark, sf_dir):
+    """The SQL ihist_bucket/ihist_rep expression UDFs agree value-for-value
+    with the Column API across every exponent regime, and carry the same
+    guards."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_bucket,
+        ihist_rep,
+    )
+    from pubmed_central_semantic_search_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    vals = list(range(0, 40)) + [
+        (1 << e) + d for e in range(5, 62, 9) for d in (0, 1, (1 << e) - 1)
+    ] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    df.createOrReplaceTempView("ihist_probe")
+    got = {
+        r["n"]: (r["b"], r["rep"])
+        for r in spark.sql(
+            "SELECT n, ihist_bucket(n) AS b, ihist_rep(ihist_bucket(n)) AS rep "
+            "FROM ihist_probe"
+        ).collect()
+    }
+    want = {
+        r["n"]: (r["b"], r["rep"])
+        for r in df.select(
+            "n", ihist_bucket("n").alias("b"),
+            ihist_rep(ihist_bucket("n")).alias("rep"),
+        ).collect()
+    }
+    assert got == want
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="negative"):
+        spark.sql("SELECT ihist_bucket(-5)").collect()
