@@ -28,6 +28,8 @@ All pure Catalyst — deterministic, engine-portable, no UDF:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -601,3 +603,28 @@ def length_bucketed_batches(
         "infer_batch",
         F.floor((F.row_number().over(wb) - 1) / batch_size).cast("bigint"),
     )
+
+
+def gate_audit(
+    df: DataFrame,
+    gates: Sequence[tuple[str, Column]],
+    out_col: str = "first_failed",
+) -> DataFrame:
+    """Filter-pipeline OBSERVABILITY (the per-example provenance a real
+    curation pipeline ships with): instead of dropping rows, tag each row
+    with the name of the FIRST gate whose predicate fails — null means
+    every gate passed. Gate order is the pipeline's own order, so each
+    row is attributed to exactly ONE gate and per-gate drop counts sum to
+    the total drop count (the property that makes the audit actionable:
+    'which stage costs me the most data, per source?').
+
+    A NULL predicate counts as FAILED (fail-closed — an unparseable field
+    must surface in the audit, not silently pass the gate). Pure narrow
+    projection: zero shuffles, zero cost beyond the predicate expressions
+    themselves; stage-membership predicates that need context (e.g.
+    "survived dedup") are joined in by the caller as a flag column first
+    (q41's audit arm is the worked example)."""
+    expr = F.lit(None).cast("string")
+    for name, pred in reversed(list(gates)):
+        expr = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

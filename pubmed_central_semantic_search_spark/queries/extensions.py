@@ -573,15 +573,31 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                ' ') AS text_cut
       FROM span_d d LEFT JOIN cuts c USING (doc_id) LEFT JOIN keeps kp USING (doc_id)
     )
-    SELECT k.source,
+    SELECT 'stats' AS kind, k.source, CAST(NULL AS VARCHAR) AS gate,
            count(*) AS n_docs,
            CAST(sum(len(regexp_extract_all(cd.text_cut, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
            CAST(sum(k.quality_milli) AS BIGINT) AS sum_quality_milli
     FROM kept k JOIN cutdocs cd USING (doc_id)
     GROUP BY k.source
+    UNION ALL
+    -- gate audit (operators/curation.py gate_audit): every document
+    -- attributed to the FIRST pipeline gate that dropped it, in pipeline
+    -- order — per-gate counts sum to total drops
+    SELECT 'audit' AS kind, s.source,
+           CASE WHEN s.quality_milli < 600 THEN 'quality'
+                WHEN s.predicted_lang <> 'en' THEN 'lang'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                ELSE 'kept' END AS gate,
+           count(*) AS n_docs,
+           CAST(NULL AS BIGINT) AS total_bpe_tokens,
+           CAST(NULL AS BIGINT) AS sum_quality_milli
+    FROM scored s LEFT JOIN kept k USING (doc_id)
+    GROUP BY 1, 2, 3
     """,
     survey_rows="X1+X4 composition — full data-prep pipeline (quality → "
-    "lang → doc-dedup → ExactSubstr span-cut → stats), one plan",
+    "lang → doc-dedup → ExactSubstr span-cut → stats), one plan, plus the "
+    "gate-audit observability arm (first-failed-gate attribution per "
+    "document; per-gate drop counts sum to total drops)",
 )
 def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cut_spans, exact_dedup, repeated_ngram_spans
@@ -597,11 +613,50 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = repeated_ngram_spans(kept, "doc_id", "text", window=8, min_docs=2)
     cut = cut_spans(kept, spans, "doc_id", "text")
-    return cut.groupBy("source").agg(
+    stats = cut.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(bpe_token_count("text_cut")).alias("total_bpe_tokens"),
         F.sum("quality_milli").alias("sum_quality_milli"),
+    ).select(
+        F.lit("stats").alias("kind"),
+        "source",
+        F.lit(None).cast("string").alias("gate"),
+        "n_docs",
+        "total_bpe_tokens",
+        "sum_quality_milli",
     )
+    # gate-audit arm: attribute every document to the first gate that
+    # dropped it. The per-row gates audit as predicates; dedup survival
+    # needs pipeline context, so it joins in as a flag column first (the
+    # gate_audit docstring's pattern) — one keyed join, the audit's whole
+    # extra cost.
+    from ..operators.curation import gate_audit
+
+    audited = gate_audit(
+        scored.join(
+            kept.select("doc_id", F.lit(1).alias("_k")), "doc_id", "left"
+        ),
+        [
+            ("quality", F.col("quality_milli") >= 600),
+            ("lang", F.col("predicted_lang") == "en"),
+            ("exact_dup", F.col("_k").isNotNull()),
+        ],
+    )
+    audit = (
+        audited.groupBy(
+            "source", F.coalesce("first_failed", F.lit("kept")).alias("gate")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("audit").alias("kind"),
+            "source",
+            "gate",
+            "n_docs",
+            F.lit(None).cast("bigint").alias("total_bpe_tokens"),
+            F.lit(None).cast("bigint").alias("sum_quality_milli"),
+        )
+    )
+    return stats.unionByName(audit)
 
 
 # ---------------------------------------------------------------------------

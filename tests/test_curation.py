@@ -468,3 +468,35 @@ def test_mmr_supports_string_ids(spark):
     )
     rows = mmr_rerank(cands, [1.0, 0.0], k=2, lam=0.7).orderBy("mmr_rank").collect()
     assert [r["doc_id"] for r in rows] == ["PMC1", "PMC2"]
+
+
+def test_gate_audit_first_failure_attribution_and_fail_closed(spark):
+    """gate_audit: each row tagged with the FIRST failing gate in pipeline
+    order (so per-gate counts sum to total drops); a NULL predicate is
+    FAILED (fail-closed); all-pass rows tag null."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        gate_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "en"),     # passes both
+            (2, 1, "en"),      # fails quality (and would pass lang)
+            (3, 1, "de"),      # fails quality FIRST (also fails lang)
+            (4, 10, "de"),     # fails lang only
+            (5, None, "en"),   # null quality -> fail-closed at quality
+        ],
+        "id int, q int, lang string",
+    )
+    out = {
+        r["id"]: r["first_failed"]
+        for r in gate_audit(
+            df,
+            [("quality", F.col("q") >= 5), ("lang", F.col("lang") == "en")],
+        ).collect()
+    }
+    assert out == {1: None, 2: "quality", 3: "quality", 4: "lang", 5: "quality"}
+    # sum property: drops per gate add up to total drops
+    assert sum(1 for v in out.values() if v is not None) == 4
