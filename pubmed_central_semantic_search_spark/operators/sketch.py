@@ -392,6 +392,18 @@ def ihist_rep(bucket_col: Column | str) -> Column:
     )
 
 
+def ihist_scale(value_col: Column | str, scale: int = 1000) -> Column:
+    """Fixed-point front-end for REAL-valued metrics (score/ratio
+    distributions): ``floor(scale · x)`` as BIGINT — one exact double
+    multiply-and-floor, identical in any IEEE engine, feeding
+    ``ihist_bucket``. The sketch's relative-error contract then applies
+    to the scaled integer (absolute error ≤ 1/scale + 12.5% relative).
+    Negative inputs still raise downstream — shift first if the metric
+    can go below zero."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.floor(v.cast("double") * F.lit(int(scale))).cast("long")
+
+
 def ihist_build(
     df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -581,3 +581,27 @@ def test_ihist_null_and_bad_q_edges(spark):
     assert sorted([r["b"] for r in rows], key=lambda x: (x is None, x)) == [5, None]
     with _pt.raises(ValueError, match=r"q must be in \[0, 1\]"):
         ihist_quantiles(ihist_build(df, "n"), [0.5, 1.5])
+
+
+def test_ihist_scale_fixed_point_for_doubles(spark):
+    """Real-valued metrics go through floor(scale*x): quantiles of a
+    cosine-score-like column land within 1/scale + 12.5% of truth."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+        ihist_quantiles,
+        ihist_scale,
+    )
+
+    vals = [i / 997.0 for i in range(997)]  # uniform-ish [0, 1)
+    df = spark.createDataFrame([(v,) for v in vals], "s double").select(
+        ihist_scale("s", 1000).alias("m")
+    )
+    got = {
+        r["q"]: r["value"] / 1000.0
+        for r in ihist_quantiles(ihist_build(df, "m"), [0.5, 0.9]).collect()
+    }
+    for q in (0.5, 0.9):
+        true = sorted(vals)[int(q * (len(vals) - 1))]
+        assert abs(got[q] - true) <= true * 0.125 + 1e-3 + 1e-9, (q, got[q], true)
