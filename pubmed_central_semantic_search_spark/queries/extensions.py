@@ -362,7 +362,7 @@ _GOPHER_OUT_COLS = """
     "(CCNet-style quality filter, train+score certified) + the full Gopher "
     "rule panel (word/line/top-n-gram/dup-n-gram char fractions + verdict) "
     "+ fastText-style quality classifier (quantized-GD hashed-BoW logreg — "
-    "ALL six training iterations and the scoring pass replayed value for "
+    "EVERY training iteration and the scoring pass replayed value for "
     "value by the oracle's unrolled integer-arithmetic CTEs)",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
