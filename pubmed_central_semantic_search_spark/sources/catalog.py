@@ -68,6 +68,15 @@ def upsert_parquet(
     This path never does a partitioned overwrite, so it must not flip a
     session-wide setting that changes the overwrite semantics of
     unrelated writes."""
+    reserved = {"_is_new", "_rn"} & set(df.columns)
+    if reserved:
+        # the merge window's working columns are added then DROPPED — a
+        # same-named data column would silently vanish from the table
+        # (the _bucket rule, applied to the merge internals)
+        raise ValueError(
+            f"upsert_parquet: input columns {sorted(reserved)} are "
+            "reserved for the merge; rename them"
+        )
     if n_buckets is not None:
         _upsert_partitioned(
             spark, df, path, key_cols, n_buckets,

@@ -336,3 +336,19 @@ def test_stale_staging_dir_is_invisible_and_harmless(spark, tmp_path):
     )
     got = _table_state(spark, path)
     assert got["PMC1"] == "v2" and len(got) == 8
+
+
+def test_reserved_merge_columns_are_rejected_both_layouts(spark, tmp_path):
+    """_is_new/_rn are the merge window's working columns and get dropped
+    from the output — a same-named data column would silently vanish."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("k1", 1)], "article_id string, _is_new int"
+    )
+    for nb in (None, 4):
+        with _pt.raises(ValueError, match="reserved"):
+            upsert_parquet(
+                spark, df, str(tmp_path / f"t{nb}"),
+                key_cols=["article_id"], n_buckets=nb,
+            )
