@@ -84,6 +84,15 @@ def upsert_parquet(
         )
         return
     fs, hpath, jvm = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        stored = _read_upsert_layout(spark, path)
+        if stored is not None:
+            raise ValueError(
+                f"upsert_parquet: table at {path} is bucket-partitioned "
+                f"(n_buckets={stored['n_buckets']}, bucket key "
+                f"[{stored['bucket_cols']}]) — a flat upsert would flatten "
+                f"it; call with n_buckets={stored['n_buckets']}"
+            )
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
@@ -153,9 +162,12 @@ def _upsert_partitioned(
     ONLY the partitions the incoming batch touches.
 
     Layout: hive-partitioned by ``_bucket = pmod(xxhash64(bucket key),
-    n_buckets)`` where the bucket key is ``replace_group_col`` when set
-    (group-replace must see every row of a group, so groups may never
-    straddle buckets) and ``key_cols`` otherwise. INVARIANT the caller
+    n_buckets)``. The bucket key is a TABLE-level constant, chosen at
+    CREATION (``replace_group_col`` when set — group-replace must see
+    every row of a group, so groups may never straddle buckets — else
+    ``key_cols``), stored in the table's ``_layout`` record, and used by
+    EVERY later upsert regardless of that call's own key_cols (the
+    stored key must ride in each batch; validated). INVARIANT the caller
     owns: the bucket key must be stable per merge key across uploads —
     true by construction for the ingest tables (``chunk_id`` is derived
     from ``article_id``; ``article_id`` is its own key). A key whose
@@ -204,11 +216,53 @@ def _upsert_partitioned(
             f"{BUCKET_COL!r} column — it is reserved for the partition "
             "layout; rename the data column"
         )
-    bucket_src = [replace_group_col] if replace_group_col else key_cols
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    # The layout is SELF-DESCRIBING (the cms_build geometry rule applied
+    # to the table): a `_layout` record inside the table (underscore-
+    # prefixed — invisible to parquet readers, travels with the table)
+    # stores n_buckets + the bucket key. The bucket key is a TABLE-level
+    # constant fixed at creation — every later upsert hashes with the
+    # STORED key, whatever its own key_cols are (a keyed upsert into a
+    # group-bucketed table hashes by the group column riding in the
+    # batch). Hashing with a different key would land new rows in
+    # different directories than their existing versions — the merge
+    # would miss them and the table would silently accumulate duplicates
+    # (pre-guard, this worked only when a batch happened to touch every
+    # bucket).
+    stored = _read_upsert_layout(spark, path) if fs.exists(hpath) else None
+    if stored is not None:
+        if int(stored["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"upsert_parquet: layout mismatch — table at {path} was "
+                f"created with n_buckets={stored['n_buckets']}; this call "
+                f"uses n_buckets={n_buckets}. The bucket count cannot "
+                "change without a full rewrite."
+            )
+        bucket_src = stored["bucket_cols"].split(",")
+        if replace_group_col is not None and bucket_src != [replace_group_col]:
+            raise ValueError(
+                "upsert_parquet: layout mismatch — group-replace on "
+                f"column {replace_group_col!r} but the table is bucketed "
+                f"by [{stored['bucket_cols']}]; groups would straddle "
+                "buckets and deleted members would survive in other "
+                "directories."
+            )
+        missing = [c for c in bucket_src if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"upsert_parquet: the table's bucket key {missing} is not "
+                "in the incoming frame — the stored layout's key must ride "
+                "in every batch so rows hash into their existing buckets"
+            )
+    else:
+        bucket_src = [replace_group_col] if replace_group_col else key_cols
     with_bucket = df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets))
     )
-    fs, hpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(hpath) and stored is None:
+        # pre-metadata table — accept the caller's args once (backward
+        # compat) and stamp them for every later call
+        _write_upsert_layout(spark, path, n_buckets, bucket_src)
     # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
     # without it each of the N write tasks emits a file into every
     # partition directory it sees rows for — tasks × buckets small files,
@@ -223,6 +277,7 @@ def _upsert_partitioned(
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
+        _write_upsert_layout(spark, path, n_buckets, bucket_src)
         return
     touched = sorted(
         r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
@@ -258,12 +313,69 @@ def _upsert_partitioned(
     )
 
 
-def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+def _layout_dir(path: str) -> str:
+    # underscore-prefixed dir INSIDE the table: invisible to parquet
+    # listing (hidden-file convention), copies/moves with the table, and
+    # the dynamic partition overwrite never touches it (only _bucket=*)
+    return path.rstrip("/") + "/_layout"
+
+
+def _write_upsert_layout(
+    spark: SparkSession, path: str, n_buckets: int, bucket_cols: list[str]
+) -> None:
+    spark.createDataFrame(
+        [(int(n_buckets), ",".join(bucket_cols))],
+        "n_buckets int, bucket_cols string",
+    ).coalesce(1).write.mode("overwrite").json(_layout_dir(path))
+
+
+def _read_upsert_layout(spark: SparkSession, path: str):
+    """The stored layout record, or None for flat / pre-metadata tables."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(_layout_dir(path))):
+        return None
+    rows = spark.read.json(_layout_dir(path)).collect()
+    return rows[0] if rows else None
+
+
+def read_upsert_table(
+    spark: SparkSession,
+    path: str,
+    key_equals: dict | None = None,
+) -> DataFrame:
     """Read an upsert table in either layout, hiding the bucket column —
     consumers see the same schema whether the table was written flat or
     partitioned (the layout is a write-side scale knob, not part of the
-    data contract)."""
+    data contract).
+
+    ``key_equals`` ({col: value}) applies equality filters; when they
+    cover EXACTLY the partitioned table's stored bucket key, the read
+    additionally prunes to the one bucket directory the key hashes into
+    (PartitionFilters — the point-lookup path: one directory scanned out
+    of n_buckets, plan-pinned in tests). Literals are cast to the
+    column's own type before hashing — xxhash64 of an int literal and a
+    long column differ, and the mismatch would silently prune to the
+    WRONG bucket."""
     df = spark.read.parquet(path)
+    if key_equals:
+        if BUCKET_COL in df.columns:
+            layout = _read_upsert_layout(spark, path)
+            if layout is not None and set(key_equals) == set(
+                layout["bucket_cols"].split(",")
+            ):
+                nb = int(layout["n_buckets"])
+                lits = [
+                    F.lit(key_equals[c]).cast(df.schema[c].dataType)
+                    for c in layout["bucket_cols"].split(",")
+                ]
+                bucket = (
+                    spark.range(1)
+                    .select(F.pmod(F.xxhash64(*lits), F.lit(nb)))
+                    .collect()[0][0]
+                )
+                df = df.filter(F.col(BUCKET_COL) == bucket)
+        for c, v in key_equals.items():
+            df = df.filter(F.col(c) == v)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
