@@ -1,0 +1,101 @@
+"""Adversarial-corpus oracle checks: the driver certifies queries on the
+sf0.01 distribution; these tests re-run the HARDEST oracle replays (the
+unrolled iterative CTEs — BPE training in q55, quantized-GD training in
+q28) against a SYNTHETIC corpus designed to stress exactly what sf0.01
+cannot: dense pair-count TIES over a tiny alphabet (every merge decided
+by the lexicographic tiebreak, runs of identical symbols exercising the
+greedy islands-and-parity algebra) and a skewed/degenerate label mix.
+Same comparator as the driver (tests/oracle_utils.compare_frames)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pytest
+
+from oracle_utils import compare_frames
+from pubmed_central_semantic_search_spark.registry import REGISTRY, TABLES
+
+
+def _synthetic_sf_dir(spark, rows) -> str:
+    """Write a documents.parquet with the standard schema; other tables
+    are unused by the queries under test but get empty placeholders so
+    load() never trips."""
+    base = tempfile.mkdtemp(prefix="pmc_adversarial_")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return base
+
+
+def _oracle_con(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+# a tie-dense corpus over a 3-letter alphabet: repeated words force equal
+# pair counts (lexicographic tiebreaks decide merges), runs like 'aaaa'
+# exercise the greedy non-overlap parity, and '</w>' competes with letters
+_TIE_CORPUS = [
+    ("aa ab ba bb aa ab aa bb ba ab", "en", "s1"),
+    ("aaa aab aba abb baa aaa aab aaa", "en", "s1"),
+    ("aaaa bbbb aaaa bbbb abab baba", "en", "s2"),
+    ("a b aa bb a b aa bb a b", "en", "s2"),
+    ("ab ab ab ba ba ba aa aa bb bb", "en", "s3"),
+    ("aabb bbaa abab baba aabb bbaa", "en", "s3"),
+    ("b a b a b a b a b a", "en", "s4"),
+    ("aaaaaaa bbbbbbb aaaaaaa", "en", "s4"),
+] * 2  # *2: every word passes q55's min_count >= 5 more easily
+
+
+def test_q55_bpe_oracle_replay_on_tie_dense_corpus(spark):
+    sf_dir = _synthetic_sf_dir(spark, _TIE_CORPUS)
+    qd = REGISTRY["q55_vocab_build"]
+    got = qd.spark(spark, sf_dir).toPandas()
+    want = _oracle_con(sf_dir).execute(qd.oracle).df()
+    # sanity: the corpus produced merges, decided under ties (tiny
+    # alphabet -> many equal pair counts), AND ran the vocabulary dry
+    # before the 12-merge budget — so the Spark break and the oracle's
+    # empty-argmax arms must agree on early termination too
+    n_merges = (got["kind"] == "bpe").sum()
+    assert 5 <= n_merges < 12, n_merges
+    compare_frames(got, want, "q55-adversarial")
+
+
+_SKEW_CORPUS = (
+    # every doc contains 'vector' -> one-sided labels in the train slice
+    [(f"vector common tok{i % 3} filler text", "en", "s1") for i in range(24)]
+    # plus a block of empty-ish and repetitive docs
+    + [("x", "de", "s2")] * 8
+    + [("vector", "fr", "s3")] * 8
+    + [("y y y y y y y y", "en", "s4")] * 8
+)
+
+
+def test_q28_quantized_gd_oracle_replay_on_skewed_labels(spark):
+    sf_dir = _synthetic_sf_dir(spark, _SKEW_CORPUS)
+    qd = REGISTRY["q28_text_analysis"]
+    got = qd.spark(spark, sf_dir).toPandas()
+    want = _oracle_con(sf_dir).execute(qd.oracle).df()
+    compare_frames(got, want, "q28-adversarial")
+
+
+def test_q46_quantile_sketch_oracle_replay_on_pathological_lengths(spark):
+    """Token counts chosen to sit ON bucket boundaries (powers of two and
+    neighbors) — the exactness frontier of the integer bucketing."""
+    rows = []
+    for n in [0, 1, 15, 16, 17, 31, 32, 33, 127, 128, 129, 1023, 1024]:
+        rows.append((" ".join(["t"] * n) if n else "", "en", f"s{n % 3}"))
+    sf_dir = _synthetic_sf_dir(spark, rows * 3)
+    qd = REGISTRY["q46_token_percentiles"]
+    got = qd.spark(spark, sf_dir).toPandas()
+    want = _oracle_con(sf_dir).execute(qd.oracle).df()
+    compare_frames(got, want, "q46-adversarial")
