@@ -9,21 +9,16 @@ Same comparator as the driver (tests/oracle_utils.compare_frames)."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import duckdb
-import pytest
 
 from oracle_utils import compare_frames
-from pubmed_central_semantic_search_spark.registry import REGISTRY, TABLES
+from pubmed_central_semantic_search_spark.registry import REGISTRY
 
 
-def _synthetic_sf_dir(spark, rows) -> str:
-    """Write a documents.parquet with the standard schema; other tables
-    are unused by the queries under test but get empty placeholders so
-    load() never trips."""
-    base = tempfile.mkdtemp(prefix="pmc_adversarial_")
+def _synthetic_sf_dir(spark, rows, base) -> str:
+    """Write a documents.parquet with the standard schema under the
+    test's tmp_path (auto-cleaned by pytest)."""
+    base = str(base)
     df = spark.createDataFrame(
         [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -56,8 +51,8 @@ _TIE_CORPUS = [
 ] * 2  # *2: every word passes q55's min_count >= 5 more easily
 
 
-def test_q55_bpe_oracle_replay_on_tie_dense_corpus(spark):
-    sf_dir = _synthetic_sf_dir(spark, _TIE_CORPUS)
+def test_q55_bpe_oracle_replay_on_tie_dense_corpus(spark, tmp_path):
+    sf_dir = _synthetic_sf_dir(spark, _TIE_CORPUS, tmp_path)
     qd = REGISTRY["q55_vocab_build"]
     got = qd.spark(spark, sf_dir).toPandas()
     want = _oracle_con(sf_dir).execute(qd.oracle).df()
@@ -80,22 +75,61 @@ _SKEW_CORPUS = (
 )
 
 
-def test_q28_quantized_gd_oracle_replay_on_skewed_labels(spark):
-    sf_dir = _synthetic_sf_dir(spark, _SKEW_CORPUS)
+def test_q28_quantized_gd_oracle_replay_on_skewed_labels(spark, tmp_path):
+    sf_dir = _synthetic_sf_dir(spark, _SKEW_CORPUS, tmp_path)
     qd = REGISTRY["q28_text_analysis"]
     got = qd.spark(spark, sf_dir).toPandas()
     want = _oracle_con(sf_dir).execute(qd.oracle).df()
     compare_frames(got, want, "q28-adversarial")
 
 
-def test_q46_quantile_sketch_oracle_replay_on_pathological_lengths(spark):
+def test_q46_quantile_sketch_oracle_replay_on_pathological_lengths(spark, tmp_path):
     """Token counts chosen to sit ON bucket boundaries (powers of two and
     neighbors) — the exactness frontier of the integer bucketing."""
     rows = []
     for n in [0, 1, 15, 16, 17, 31, 32, 33, 127, 128, 129, 1023, 1024]:
         rows.append((" ".join(["t"] * n) if n else "", "en", f"s{n % 3}"))
-    sf_dir = _synthetic_sf_dir(spark, rows * 3)
+    sf_dir = _synthetic_sf_dir(spark, rows * 3, tmp_path)
     qd = REGISTRY["q46_token_percentiles"]
     got = qd.spark(spark, sf_dir).toPandas()
     want = _oracle_con(sf_dir).execute(qd.oracle).df()
     compare_frames(got, want, "q46-adversarial")
+
+
+def _synthetic_embeddings(spark, sf_dir, vecs) -> None:
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _oracle_con_with(sf_dir: str, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def test_q37_q38_replay_on_duplicate_vectors_exact_cosine_ties(spark, tmp_path):
+    """The clustering pack ranks on the UNROUNDED cosine with id
+    tiebreaks. Distinct-but-equal-cosine vectors would be flaky across
+    engines (each computes its own last-ulp noise); DUPLICATE vectors tie
+    EXACTLY within each engine — identical inputs give identical floats —
+    so the id tiebreak alone decides, and it must decide the same way in
+    both engines. Duplicates among the SEEDS (vec_id < 8) also force
+    identical centroids, exercising the lowest-cid assignment rule."""
+    import math
+
+    base = [
+        [round(math.cos(0.31 * i + j), 6) for i in range(64)] for j in range(6)
+    ]
+    vecs = [(i, base[i % 6], i % 3) for i in range(24)]  # every vector 4x
+    sf_dir = str(tmp_path)
+    _synthetic_embeddings(spark, sf_dir, vecs)
+    for qname in ("q37_ivf_topk", "q38_kmeans_topics"):
+        qd = REGISTRY[qname]
+        got = qd.spark(spark, sf_dir).toPandas()
+        want = _oracle_con_with(sf_dir, ["embeddings"]).execute(qd.oracle).df()
+        compare_frames(got, want, f"{qname}-adversarial")
