@@ -1210,3 +1210,47 @@ def test_stream_ihist_drain_equals_batch(spark, tmp_path):
         for r in ihist_quantiles(ihist_build(batch_df, "n"), [0.5, 0.99]).collect()
     }
     assert folded_q == batch_q
+
+
+def test_stream_ihist_grouped_fold(spark, tmp_path):
+    """Grouped streaming quantile sketch: per-group cells fold by cell
+    addition (ihist_merge groups on every non-cnt column)."""
+    import json
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        ihist_build,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_ihist,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    batches = [[("a", 5), ("b", 900)], [("a", 17), ("a", 900)], [("b", 5)]]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for g, v in b:
+                f.write(json.dumps({"g": g, "n": v}) + "\n")
+    stream = (
+        spark.readStream.schema("g string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sketch_dir = str(tmp_path / "ihist")
+    q = start_stream_ihist(
+        stream, sketch_dir, str(tmp_path / "ck"), group_cols=("g",)
+    )
+    q.awaitTermination(120)
+    all_rows = [(g, v) for b in batches for g, v in b]
+    want = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in ihist_build(
+            spark.createDataFrame(all_rows, "g string, n long"),
+            "n", group_cols=["g"],
+        ).collect()
+    }
+    got = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    assert got == want and len(got) > 0
