@@ -107,13 +107,16 @@ class SemanticSearchEngine:
             # partition-pruned re-read: the filter is on the PARTITION
             # column itself (a pmod-over-article_id expression would not
             # prune — Catalyst cannot equate it with the directory key),
-            # so only the batch's bucket directories are scanned
+            # so only the batch's bucket directories are scanned. The
+            # hash is catalog.bucket_expr — the ONE shared formula; the
+            # chunks table's bucket key is article_id by the engine's own
+            # construction (upsert replace_group_col above).
+            from .sources.catalog import bucket_expr
+
             buckets = [
                 r[0]
                 for r in batch_ids.select(
-                    F.pmod(
-                        F.xxhash64("article_id"), F.lit(self.partition_buckets)
-                    )
+                    bucket_expr(["article_id"], self.partition_buckets)
                 )
                 .distinct()
                 .collect()

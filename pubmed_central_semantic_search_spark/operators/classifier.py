@@ -181,57 +181,59 @@ def train_logreg(
         sampled = feats.filter(F.col(id_col) % sample_mod == 0).persist()
         feats = sampled
 
-    w = np.zeros(n_buckets, dtype=np.float64)
-    b = 0.0
-    for _ in range(n_iter):
-        resid = (
-            _sigmoid(_dot_lit(feat_col, w.tolist()) + F.lit(b))
-            - F.col(label_col).cast("double")
-        ).alias("_r")
-        # gradient rows: pos ∈ [0, n_buckets) carry Σ r·x_d; pos = −1
-        # carries Σ r (bias gradient); n rides along for the mean
-        g = (
-            feats.select(resid, F.col(feat_col).alias("_x"))
-            .select(
-                F.explode(
-                    F.concat(
-                        F.array(
-                            F.struct(
-                                F.lit(-1).alias("pos"), F.col("_r").alias("gv")
-                            )
-                        ),
-                        F.zip_with(
-                            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-                            F.transform("_x", lambda x: x * F.col("_r")),
-                            lambda i, v: F.struct(
-                                i.alias("pos"), v.alias("gv")
+    try:
+        w = np.zeros(n_buckets, dtype=np.float64)
+        b = 0.0
+        for _ in range(n_iter):
+            resid = (
+                _sigmoid(_dot_lit(feat_col, w.tolist()) + F.lit(b))
+                - F.col(label_col).cast("double")
+            ).alias("_r")
+            # gradient rows: pos ∈ [0, n_buckets) carry Σ r·x_d; pos = −1
+            # carries Σ r (bias gradient); n rides along for the mean
+            g = (
+                feats.select(resid, F.col(feat_col).alias("_x"))
+                .select(
+                    F.explode(
+                        F.concat(
+                            F.array(
+                                F.struct(
+                                    F.lit(-1).alias("pos"), F.col("_r").alias("gv")
+                                )
                             ),
-                        ),
-                    )
-                ).alias("_g")
+                            F.zip_with(
+                                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                                F.transform("_x", lambda x: x * F.col("_r")),
+                                lambda i, v: F.struct(
+                                    i.alias("pos"), v.alias("gv")
+                                ),
+                            ),
+                        )
+                    ).alias("_g")
+                )
+                .groupBy(F.col("_g.pos").alias("pos"))
+                .agg(F.sum("_g.gv").alias("gsum"), F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            .groupBy(F.col("_g.pos").alias("pos"))
-            .agg(F.sum("_g.gv").alias("gsum"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        if not g:
-            if sampled is not None:
-                sampled.unpersist()
-            raise ValueError(
-                "train_logreg: empty training frame (or every row's "
-                "feature array is null) — nothing to fit"
+            if not g:
+                raise ValueError(
+                    "train_logreg: empty training frame (or every row's "
+                    "feature array is null) — nothing to fit"
+                )
+            grad = {
+                int(r["pos"]): float(r["gsum"]) if r["gsum"] is not None else 0.0
+                for r in g
+            }
+            n_rows = next(int(r["n"]) for r in g)
+            w -= (lr / n_rows) * np.array(
+                [grad.get(d, 0.0) for d in range(n_buckets)]
             )
-        grad = {
-            int(r["pos"]): float(r["gsum"]) if r["gsum"] is not None else 0.0
-            for r in g
-        }
-        n_rows = next(int(r["n"]) for r in g)
-        w -= (lr / n_rows) * np.array(
-            [grad.get(d, 0.0) for d in range(n_buckets)]
-        )
-        b -= (lr / n_rows) * grad.get(-1, 0.0)
-    if sampled is not None:
-        sampled.unpersist()
+            b -= (lr / n_rows) * grad.get(-1, 0.0)
+    finally:
+        # released on EVERY exit path — a failed gradient job must
+        # not leave the internal sample pinned in the cache
+        if sampled is not None:
+            sampled.unpersist()
     return LogRegModel(weights=w.tolist(), bias=float(b), n_buckets=n_buckets)
 
 
@@ -362,49 +364,51 @@ def train_logreg_quantized(
         .select("_id", "_y", F.coalesce("_f", empty_f).alias("_f"))
         .persist()
     )
-    bias_row = F.struct(
-        F.lit(-1).alias("b"), F.lit(1).cast("long").alias("x")
-    )
-    w = [0] * n_buckets
-    bias = 0
-    import math
+    try:
+        bias_row = F.struct(
+            F.lit(-1).alias("b"), F.lit(1).cast("long").alias("x")
+        )
+        w = [0] * n_buckets
+        bias = 0
+        import math
 
-    for _ in range(n_iter):
-        w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
-        dot = F.aggregate(
-            F.col("_f"),
-            F.lit(0).cast("long"),
-            lambda acc, s: acc + s["x"] * F.element_at(w_lit, s["b"] + 1),
-        )
-        r = (
-            _p_micro(_logit_micro_times_1e9(dot, bias))
-            - F.lit(1000000) * F.col("_y")
-        )
-        g = (
-            base.select(
-                r.alias("_r"),
-                F.explode(F.concat(F.array(bias_row), F.col("_f"))).alias("s"),
+        for _ in range(n_iter):
+            w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+            dot = F.aggregate(
+                F.col("_f"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["x"] * F.element_at(w_lit, s["b"] + 1),
             )
-            .groupBy(F.col("s.b").alias("b"))
-            .agg(
-                F.sum(F.col("_r") * F.col("s.x")).alias("gsum"),
-                F.count(F.lit(1)).alias("cnt"),
+            r = (
+                _p_micro(_logit_micro_times_1e9(dot, bias))
+                - F.lit(1000000) * F.col("_y")
             )
-            .collect()
-        )
-        if not g:
-            base.unpersist()
-            raise ValueError(
-                "train_logreg_quantized: empty training frame — nothing to fit"
+            g = (
+                base.select(
+                    r.alias("_r"),
+                    F.explode(F.concat(F.array(bias_row), F.col("_f"))).alias("s"),
+                )
+                .groupBy(F.col("s.b").alias("b"))
+                .agg(
+                    F.sum(F.col("_r") * F.col("s.x")).alias("gsum"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+                .collect()
             )
-        grad = {int(row["b"]): int(row["gsum"]) for row in g}
-        n = next(int(row["cnt"]) for row in g if int(row["b"]) == -1)
-        w = [
-            wv - math.floor(lr * grad.get(d, 0) / (1000 * n))
-            for d, wv in enumerate(w)
-        ]
-        bias -= math.floor(lr * grad.get(-1, 0) / n)
-    base.unpersist()
+            if not g:
+                raise ValueError(
+                    "train_logreg_quantized: empty training frame — nothing to fit"
+                )
+            grad = {int(row["b"]): int(row["gsum"]) for row in g}
+            n = next(int(row["cnt"]) for row in g if int(row["b"]) == -1)
+            w = [
+                wv - math.floor(lr * grad.get(d, 0) / (1000 * n))
+                for d, wv in enumerate(w)
+            ]
+            bias -= math.floor(lr * grad.get(-1, 0) / n)
+    finally:
+        # every exit path releases the per-doc carrier
+        base.unpersist()
     return QuantLogRegModel(
         weights_micro=w, bias_micro=bias, n_buckets=n_buckets
     )

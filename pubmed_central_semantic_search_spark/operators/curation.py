@@ -624,6 +624,13 @@ def gate_audit(
     themselves; stage-membership predicates that need context (e.g.
     "survived dedup") are joined in by the caller as a flag column first
     (q41's audit arm is the worked example)."""
+    if out_col in df.columns:
+        # withColumn would silently replace the caller's data (the
+        # upsert _bucket/_is_new rule)
+        raise ValueError(
+            f"gate_audit: frame already has a {out_col!r} column — pass a "
+            "different out_col"
+        )
     expr = F.lit(None).cast("string")
     for name, pred in reversed(list(gates)):
         expr = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(expr)

@@ -72,19 +72,22 @@ def plan_topk_search(
             f"kernel={kernel!r} requires mode='exact', got mode={mode!r}"
         )
     if mode == "exact":
-        if kernel != "hof":
+        if kernel == "auto":
+            # peek ONE query row for the dim — collecting the whole frame
+            # here would pay a job whose result is discarded when auto
+            # routes to hof
+            first = queries.select("qvec").first()
+            dim = len(first["qvec"]) if first is not None else 0
+            kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+        if kernel == "blas":
+            from ..operators.vectorized import multi_query_topk_np
+
             # queries are a handful of rows by contract — driver-side list
             qlist = [
                 (r["query_id"], [float(x) for x in r["qvec"]])
                 for r in queries.collect()
             ]
-            if kernel == "auto":
-                dim = len(qlist[0][1]) if qlist else 0
-                kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
-            if kernel == "blas":
-                from ..operators.vectorized import multi_query_topk_np
-
-                return multi_query_topk_np(vectors, qlist, k)
+            return multi_query_topk_np(vectors, qlist, k)
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)

@@ -416,13 +416,16 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- are bit-identical cross-engine — a float log_gamma bucketing could
     -- flip floor at a boundary and break the hash
     ihist AS (
+      -- NULL n_tok is SKIPPED like Spark's ihist_build (an unfiltered
+      -- null would inflate tot/cum and shift every quantile rank here
+      -- while the Spark side dropped the row)
       SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT source,
                CASE WHEN n_tok < 16 THEN n_tok
                     ELSE 16 + (length(bin(n_tok)) - 1 - 4) * 8
                          + (n_tok >> (length(bin(n_tok)) - 1 - 3)) - 8
                END AS bucket
-        FROM t
+        FROM t WHERE n_tok IS NOT NULL
       ) GROUP BY source, bucket
     ),
     iw AS (

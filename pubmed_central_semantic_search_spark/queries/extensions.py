@@ -584,8 +584,11 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- attributed to the FIRST pipeline gate that dropped it, in pipeline
     -- order — per-gate counts sum to total drops
     SELECT 'audit' AS kind, s.source,
-           CASE WHEN s.quality_milli < 600 THEN 'quality'
-                WHEN s.predicted_lang <> 'en' THEN 'lang'
+           -- fail-closed like gate_audit: a NULL predicate counts as
+           -- FAILED (NOT COALESCE(pass, FALSE)), so a null metric is
+           -- attributed to its own gate, never misattributed downstream
+           CASE WHEN NOT COALESCE(s.quality_milli >= 600, FALSE) THEN 'quality'
+                WHEN NOT COALESCE(s.predicted_lang = 'en', FALSE) THEN 'lang'
                 WHEN k.doc_id IS NULL THEN 'exact_dup'
                 ELSE 'kept' END AS gate,
            count(*) AS n_docs,

@@ -257,11 +257,22 @@ def _upsert_partitioned(
     else:
         bucket_src = [replace_group_col] if replace_group_col else key_cols
     with_bucket = df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets))
+        BUCKET_COL, bucket_expr(bucket_src, n_buckets)
     )
     if fs.exists(hpath) and stored is None:
-        # pre-metadata table — accept the caller's args once (backward
-        # compat) and stamp them for every later call
+        # pre-metadata PARTITIONED table — accept the caller's args once
+        # (backward compat) and stamp them. The table must actually BE
+        # partitioned: stamping a FLAT table would wedge it (the stamp
+        # survives the merge's unresolved-_bucket failure, after which
+        # flat calls hit the bucket-partitioned guard and partitioned
+        # calls keep failing on the missing column).
+        if BUCKET_COL not in spark.read.parquet(path).columns:
+            raise ValueError(
+                f"upsert_parquet: table at {path} is FLAT but this call "
+                f"passes n_buckets={n_buckets} — the layouts cannot be "
+                "switched in place; rewrite the table once through the "
+                "partitioned create path"
+            )
         _write_upsert_layout(spark, path, n_buckets, bucket_src)
     # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
     # without it each of the N write tasks emits a file into every
@@ -271,6 +282,13 @@ def _upsert_partitioned(
     # bucket value routes each bucket to one task → one file per
     # directory per write.
     if not fs.exists(hpath):
+        if with_bucket.isEmpty():
+            # an empty partitioned write emits NO schema-bearing file
+            # (unlike the flat path), leaving a directory every later
+            # read fails to infer — a first micro-batch with 0 rows
+            # (zero-record file, batch-0 replay) would brick the sink.
+            # Leave the table absent; a later non-empty batch creates it.
+            return
         (
             with_bucket.repartition(F.col(BUCKET_COL))
             .write.mode("errorifexists")
@@ -313,6 +331,15 @@ def _upsert_partitioned(
     )
 
 
+def bucket_expr(bucket_cols, n_buckets: int):
+    """THE bucket-hash formula — the one definition every consumer shares
+    (the write path, the point-lookup read, the engine's pruned re-read):
+    ``pmod(xxhash64(*bucket_cols), n_buckets)``. A second copy drifting
+    would prune reads to the WRONG directories silently."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in bucket_cols]
+    return F.pmod(F.xxhash64(*cols), F.lit(int(n_buckets)))
+
+
 def _layout_dir(path: str) -> str:
     # underscore-prefixed dir INSIDE the table: invisible to parquet
     # listing (hidden-file convention), copies/moves with the table, and
@@ -323,10 +350,25 @@ def _layout_dir(path: str) -> str:
 def _write_upsert_layout(
     spark: SparkSession, path: str, n_buckets: int, bucket_cols: list[str]
 ) -> None:
+    """Rename-as-commit (the module discipline): the record is staged
+    beside the live dir and swapped in, so readers never observe a
+    half-written layout. Residual window, documented: on table CREATION
+    the data lands before the first layout commit, so a crash in between
+    leaves a pre-metadata partitioned table — the next upsert accepts
+    and re-stamps the caller's args (which that caller must pass
+    correctly once, as any pre-metadata table requires)."""
+    live = _layout_dir(path)
+    staging = live + ".staging"
     spark.createDataFrame(
         [(int(n_buckets), ",".join(bucket_cols))],
         "n_buckets int, bucket_cols string",
-    ).coalesce(1).write.mode("overwrite").json(_layout_dir(path))
+    ).coalesce(1).write.mode("overwrite").json(staging)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    live_p, staging_p = P(live), P(staging)
+    if fs.exists(live_p):
+        fs.delete(live_p, True)
+    fs.rename(staging_p, live_p)
 
 
 def _read_upsert_layout(spark: SparkSession, path: str):
@@ -370,7 +412,7 @@ def read_upsert_table(
                 ]
                 bucket = (
                     spark.range(1)
-                    .select(F.pmod(F.xxhash64(*lits), F.lit(nb)))
+                    .select(bucket_expr(lits, nb))
                     .collect()[0][0]
                 )
                 df = df.filter(F.col(BUCKET_COL) == bucket)

@@ -484,3 +484,42 @@ def test_keyed_upsert_into_group_bucketed_table_small_batch(spark, tmp_path):
             spark.createDataFrame([(8, "x")], "doc_id long, payload string"),
             path, key_cols=["doc_id"], n_buckets=8,
         )
+
+
+def test_n_buckets_on_existing_flat_table_raises_without_stamping(spark, tmp_path):
+    """Passing n_buckets against an existing FLAT table must raise by name
+    and must NOT stamp a _layout record — a stray stamp would survive the
+    failure and wedge the table (flat calls rejected by the partitioned
+    guard, partitioned calls failing on the missing column)."""
+    import pytest as _pt
+
+    path = str(tmp_path / "t")
+    upsert_parquet(spark, _rows(spark, [("PMC1", "v1")]), path, key_cols=["article_id"])
+    with _pt.raises(ValueError, match="FLAT"):
+        upsert_parquet(
+            spark, _rows(spark, [("PMC2", "v1")]), path,
+            key_cols=["article_id"], n_buckets=4,
+        )
+    assert not os.path.exists(os.path.join(path, "_layout"))
+    # the flat table still works
+    upsert_parquet(spark, _rows(spark, [("PMC2", "v1")]), path, key_cols=["article_id"])
+    assert len(_table_state(spark, path)) == 2
+
+
+def test_empty_first_batch_does_not_brick_partitioned_create(spark, tmp_path):
+    """An empty partitioned write emits no schema-bearing file; creating
+    from an empty first batch used to leave a directory every later read
+    failed to infer. The create is skipped instead; the next non-empty
+    batch creates normally."""
+    path = str(tmp_path / "t")
+    empty = _rows(spark, [("x", "y")]).filter(F.col("article_id") == "no-such")
+    upsert_parquet(spark, empty, path, key_cols=["article_id"], n_buckets=4)
+    assert not os.path.exists(path)  # table stays absent
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    assert _table_state(spark, path) == {"PMC1": "v1"}
+    # and an empty MERGE batch into the existing table is harmless
+    upsert_parquet(spark, empty, path, key_cols=["article_id"], n_buckets=4)
+    assert _table_state(spark, path) == {"PMC1": "v1"}
