@@ -37,6 +37,7 @@ from .sources.catalog import BUCKET_COL, read_upsert_table, upsert_parquet
 from .sources.jsonl import read_jsonl_splits
 from .sources.pmc import fetch_articles, to_article_rows
 from .schemas import ARTICLES_SCHEMA
+from .session import local_df
 
 
 class SemanticSearchEngine:
@@ -168,14 +169,14 @@ class SemanticSearchEngine:
             queries = [queries]
         if self.encoder == "fake":
             vecs = fake_encode_matrix(list(queries), self.dim)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [
                     (i, q, [float(x) for x in v])
                     for i, (q, v) in enumerate(zip(queries, vecs))
                 ],
                 "query_id int, query_text string, qvec array<double>",
             )
-        base = self.spark.createDataFrame(
+        base = local_df(self.spark, 
             list(enumerate(queries)), "query_id int, query_text string"
         )
         return base.withColumn(

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine_similarity, dot, matrix_lit
 from .topk import grouped_top_k
+from ..session import local_df
 
 Centroids = list[tuple[int, list[float]]]
 
@@ -107,7 +108,7 @@ def nearest_centroid_join(
     literal path (same dot fold, same tie-break) — proven in
     tests/test_dim768.py."""
     spark = vectors.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(spark, 
         [(cid, _unit(list(v))) for cid, v in centroids],
         "cluster_id int, _cvec array<double>",
     )

@@ -785,11 +785,22 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     block_col: str | None = None,
     min_cosine: float = 0.95,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """X2/X3 — cosine near-dup self-join. ``block_col`` keys the equi-join
     (label, length bucket, or an LSH bucket from operators/ann.py);
     ``None`` means a full cross join — correctness baseline only, never the
-    100 TB path."""
+    100 TB path, and therefore FENCED: the bare ``block_col=None`` call
+    raises (the package's named-error discipline — a docstring warning did
+    not stop a caller from shipping an O(n²) cartesian to a cluster);
+    passing ``allow_full_cross=True`` states the opt-in explicitly."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_dup: block_col=None is a FULL CROSS JOIN — "
+            "O(n²) pairs, the correctness baseline only. Pass a blocking "
+            "column (label, LSH bucket, cluster_id) for the scale path, or "
+            "allow_full_cross=True to opt into the cartesian explicitly."
+        )
     # Norms depend on one side only — compute them once per ROW before the
     # join instead of once per PAIR after it (the pair count is quadratic in
     # the block size; this cuts per-pair work from 3 folds to 1). The final

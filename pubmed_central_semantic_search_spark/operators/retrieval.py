@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .curation import _tokens
+from ..session import local_df
 
 
 def bm25_rank(
@@ -75,7 +76,7 @@ def bm25_rank(
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    term_df = spark.createDataFrame(
+    term_df = local_df(spark, 
         list(Counter(terms).items()), "term string, qtf int"
     )
     tok = base.select(id_col, "dl", F.explode("_toks").alias("token")).join(
@@ -185,7 +186,7 @@ def phrase_match_counts(
     if not phrase:
         raise ValueError("phrase must be non-empty")
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(t, i) for i, t in enumerate(phrase)], "term string, off int"
     )
     toks = docs.select(
@@ -242,7 +243,7 @@ def mmr_rerank(
     )
     rows = candidates.select(id_col, vec_col).collect()
     if not rows:
-        return candidates.sparkSession.createDataFrame([], out_schema)
+        return local_df(candidates.sparkSession, [], out_schema)
 
     def _unit(v: list[float]) -> list[float]:
         n = sum(x * x for x in v) ** 0.5 or 1.0
@@ -278,7 +279,7 @@ def mmr_rerank(
         (ids[i], rank + 1, rel[i], red, score)
         for rank, (i, red, score) in enumerate(selected)
     ]
-    return candidates.sparkSession.createDataFrame(out, out_schema)
+    return local_df(candidates.sparkSession, out, out_schema)
 
 
 def mine_hard_negatives(

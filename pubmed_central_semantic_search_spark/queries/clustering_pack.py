@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.clustering import ivf_topk, lloyd_kmeans, seed_centroids
 from ..registry import QUERY_VECS, load, register, sql_vec
+from ..session import local_df
 
 K = 8  # clusters / inverted lists
 DIM = 64
@@ -92,7 +93,7 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet decode instead of two (bench/driver clear the cache after).
     emb = load(spark, sf_dir, "embeddings").persist()
     centroids = seed_centroids(emb, K)
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [(qid, vec) for qid, vec in QUERY_VECS.items()],
         "query_id int, qvec array<double>",
     )
@@ -127,7 +128,7 @@ def q38_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(spark, 
         [(cid, vec[0]) for cid, vec in centroids], "cluster_id int, c0 double"
     )
     return counts.join(cent_df, "cluster_id").select(

@@ -22,6 +22,7 @@ from ..operators.curation import (
 from ..operators.retrieval import bm25_rank, rrf_fuse
 from ..operators.textstats import build_vocab, tfidf_top_terms
 from ..registry import QUERY_VEC, load, register, sql_vec
+from ..session import local_df
 
 BM25_TERMS = ("join", "hash", "window", "vector")
 _TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
@@ -849,7 +850,7 @@ def q55_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trips over the distinct-words frame — never the corpus); it
     # rides back in as literal rows, the DSIR/k-means packed-model rule
     merges = bpe_train(vocab, _BPE_MERGES, count_col="n_occurrences")
-    bpe_arm = docs.sparkSession.createDataFrame(
+    bpe_arm = local_df(docs.sparkSession, 
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank bigint, left_sym string, right_sym string",
     ).select(

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     simhash_near_dup,
 )
 from ..registry import QUERY_VECS, load, register, sql_vec
+from ..session import local_df
 
 N_BASE = 200  # planted-corpus size cap (keeps pair joins bounded at any SF)
 COPY_OFFSET = 100000
@@ -429,7 +430,7 @@ _Q27_QUERIES_SQL = ",\n      ".join(
 )
 def q27_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(qid, v) for qid, v in QUERY_VECS.items()], "query_id int, qvec array<double>"
     )
     out = lsh_topk(emb, qdf, k=5, n_planes=8, dim=64, seed=7, multi_probe=1)

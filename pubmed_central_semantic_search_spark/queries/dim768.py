@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import array_lit, as_double
 from ..registry import QUERY_VEC, load
+from ..session import local_df
 
 DIM64 = 64
 TILES = 12
@@ -205,7 +206,7 @@ def x768_multiq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import brute_force_topk
 
     emb = corpus_768(spark, sf_dir)
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         _multiq_768(), "query_id int, qvec array<double>"
     )
     return brute_force_topk(emb, qdf, k=5)
@@ -244,7 +245,7 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the no-pinned-RDD-outlives-the-entry rule the sibling entries follow
     rows = agg.collect()
     emb.unpersist()
-    return spark.createDataFrame(rows, agg.schema)
+    return local_df(spark, rows, agg.schema)
 
 
 def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +271,7 @@ def x768_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     emb.unpersist()
-    return spark.createDataFrame(out, "component int, variance double")
+    return local_df(spark, out, "component int, variance double")
 
 
 def x768_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +301,7 @@ def x768_pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     emb.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def x768_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +351,7 @@ def x768_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     emb.unpersist()
     proj.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +401,7 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     docs.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def x_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +446,7 @@ def x_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     docs.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,7 +460,7 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = build_vocab(docs)
     merges = bpe_train(vocab, 12, count_col="n_occurrences")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string",
     )

@@ -29,6 +29,7 @@ from ..operators.search import (
     semantic_search,
 )
 from ..registry import QUERY_VEC, load, register, sql_vec
+from ..session import local_df
 
 N_ARTICLES = 50  # synthetic article count for the e2e oracle query
 
@@ -100,7 +101,7 @@ def q20_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_vectors = mean_pool(
         chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
     )
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [(0, QUERY_VEC)], "query_id int, qvec array<double>"
     )
     out = semantic_search(
@@ -243,7 +244,7 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoder function (E1 semantics, no per-broadcast-job python stage —
     # the reference also encodes queries in the serving process,
     # qdrant.py:236).
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [
             (qid, [float(x) for x in fake_encode_one(text)])
             for qid, text in _Q21_QUERIES
@@ -332,7 +333,7 @@ def q39_render_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_vectors = mean_pool(
         chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
     )
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         [(0, QUERY_VEC)], "query_id int, qvec array<double>"
     )
     top_docs = score_documents(doc_vectors, queries, k_docs=5)

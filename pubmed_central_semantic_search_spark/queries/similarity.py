@@ -16,6 +16,7 @@ from ..functions import vector
 from ..operators.pooling import mean_pool_flat
 from ..operators.topk import grouped_top_k, top_k
 from ..registry import QUERY_VEC, QUERY_VECS, load, register, sql_vec
+from ..session import local_df
 
 # ---------------------------------------------------------------------------
 # Q1 flagship — top-5 cosine over document vectors.
@@ -79,7 +80,7 @@ _Q3_ORACLE_VECS = ",\n      ".join(
 )
 def q3_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(qid, v) for qid, v in QUERY_VECS.items()], "query_id int, qvec array<double>"
     )
     scored = emb.crossJoin(F.broadcast(qdf)).select(

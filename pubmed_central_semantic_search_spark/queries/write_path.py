@@ -25,13 +25,16 @@ The query, three merge phases:
    doc_ids < 50, text suffixed ``-v3``. The odd doc_ids < 50 must be
    DELETED (their groups were re-uploaded without them); 50-199 stay.
 
-The whole sequence then replays on a second table in the
-bucket-partitioned layout (``n_buckets=8`` — catalog._upsert_partitioned,
-the 100 TB shape); any row-set difference between the layouts raises, and
-the frame handed to the DuckDB oracle is the PARTITIONED table's
-read-back — so the driver hash certifies the partitioned merge path, not
-just the flat one. The oracle states the expected post-merge table
-directly in SQL.
+The driver-hashed arm runs the BUCKET-PARTITIONED layout only
+(``n_buckets=8`` — catalog._upsert_partitioned, the 100 TB shape), seeded
+through the sharded columnar sink's read-back so S4 stays inside the
+certified lineage. The FLAT layout's replay of the same three phases —
+and the flat≡partitioned parity check — lives in pytest
+(``tests/test_partitioned_upsert.py::test_flat_layout_merge_phases_match_partitioned``,
+a MULTISET compare so duplicate-row divergence raises too): replaying
+both layouts in the registry arm cost 10.4 s of driver-bench wall
+(round-5 verdict #1) for coverage the unit suite already carried. The
+oracle states the expected post-merge table directly in SQL.
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ from ..sources.catalog import (
     upsert_parquet,
 )
 from ..sources.jsonl import write_sharded_parquet
+from ..session import local_df
 
 
 @register(
@@ -114,15 +118,18 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     docs_grp = docs.withColumn("grp", (F.col("doc_id") / 10).cast("int"))
     batch1 = docs_grp.filter(F.col("doc_id") < 150)
 
-    # --- flat layout: S4 sharded sink seeds the table, then the merges
-    flat_path = os.path.join(base, "docs_flat")
-    write_sharded_parquet(batch1, flat_path, max_records_per_file=40)
-    _merge_phases(spark, docs_grp, flat_path)
+    # S4 — the sharded columnar sink seeds the dataflow: the partitioned
+    # table's first batch is the sink's READ-BACK, so the sharded write
+    # stays inside the driver-certified lineage without a second layout
+    # replay (the flat replay + layout parity is pytest-pinned).
+    seed_path = os.path.join(base, "docs_seed")
+    write_sharded_parquet(batch1, seed_path, max_records_per_file=40)
+    seed = spark.read.parquet(seed_path)
 
-    # --- partitioned layout: same phases, bucket-partitioned table
+    # --- bucket-partitioned layout (the 100 TB shape): all three phases
     part_path = os.path.join(base, "docs_part")
     upsert_parquet(
-        spark, batch1, part_path, key_cols=["doc_id"],
+        spark, seed, part_path, key_cols=["doc_id"],
         replace_group_col="grp", n_buckets=8,
     )
     _merge_phases(spark, docs_grp, part_path, n_buckets=8)
@@ -149,15 +156,9 @@ def _roundtrip(spark, base, docs) -> DataFrame:
             F.length("text").cast("bigint").alias("n_chars"),
         )
 
-    flat_rows = read_back(flat_path).collect()
     part_out = read_back(part_path)
     part_rows = part_out.collect()  # materialize before the temp dir goes
-    if {tuple(r) for r in flat_rows} != {tuple(r) for r in part_rows}:
-        raise RuntimeError(
-            "flat and bucket-partitioned upsert layouts diverged: "
-            f"{len(flat_rows)} vs {len(part_rows)} rows"
-        )
-    return spark.createDataFrame(part_rows, part_out.schema)
+    return local_df(spark, part_rows, part_out.schema)
 
 
 # --- bench pair: flat vs bucket-partitioned streaming-style upsert ---------

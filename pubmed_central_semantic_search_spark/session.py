@@ -50,8 +50,47 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # Pin the driver address to loopback in local mode: the default
+        # resolves the container/host name, and on hosts where that
+        # resolution is slow every job touching a Python LOCAL relation
+        # (createDataFrame from lists — the layout records, packed-literal
+        # seeds, k-row result frames) paid a measured ~5 s PER ACTION in
+        # the data-serving socket handshake (q62 alone carried 2 of them).
+        # Cluster masters keep the default — executors must be able to
+        # reach the driver, and loopback would break that.
+        builder = builder.config("spark.driver.host", "127.0.0.1").config(
+            "spark.driver.bindAddress", "127.0.0.1"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-local rows → DataFrame over the Arrow/pandas channel.
+
+    ``spark.createDataFrame(list, schema)`` builds a pickled-RDD local
+    relation whose data is RE-SERVED from the Python driver on EVERY
+    action — measured at ~5-6 s PER WRITE JOB on the bench host (a
+    python-worker/serving handshake cost, paid by the layout records,
+    k-row result frames, and packed query/centroid seeds each time their
+    plan executes). Routing the same rows through a pandas frame uses the
+    Arrow channel instead: the data crosses once, JVM-side, ~30× faster.
+
+    Semantics are unchanged (test-pinned): columns map POSITIONALLY to
+    ``schema`` (DDL string or StructType), None stays null, arrays/
+    timestamps/dates round-trip. Rows may be tuples, lists, or Row
+    objects. Empty input falls back to the plain path (an empty pandas
+    frame carries no arity for positional mapping).
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame([tuple(r) for r in rows]), schema=schema
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def ensure_table(
@@ -359,7 +360,7 @@ def _write_upsert_layout(
     correctly once, as any pre-metadata table requires)."""
     live = _layout_dir(path)
     staging = live + ".staging"
-    spark.createDataFrame(
+    local_df(spark, 
         [(int(n_buckets), ",".join(bucket_cols))],
         "n_buckets int, bucket_cols string",
     ).coalesce(1).write.mode("overwrite").json(staging)
@@ -594,7 +595,7 @@ def snapshot_write(
     prior = _manifest_paths(spark, table_dir, latest) if (
         mode == "append" and latest
     ) else []
-    manifest = spark.createDataFrame(
+    manifest = local_df(spark, 
         [(version, p) for p in prior + [data_path]], "version int, path string"
     )
     mdir = _manifest_dir(table_dir)

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ..session import local_df
 
 PARSED_SCHEMA = (
     "pmcid string, article_id string, section_names array<string>, "
@@ -199,7 +200,7 @@ def fetch_articles(spark: SparkSession, pmcids: list[str]) -> DataFrame:
     session per partition) → parse. Requires ``requests`` + network; the
     offline path (download first, then ``parse_articles``) is preferred at
     scale and is what tests exercise."""
-    pmcid_df = spark.createDataFrame([(p,) for p in pmcids], "pmcid string")
+    pmcid_df = local_df(spark, [(p,) for p in pmcids], "pmcid string")
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import requests

@@ -26,6 +26,7 @@ from ..encoder import encode_column
 from ..operators.chunking import explode_chunks
 from ..operators.pooling import mean_pool
 from ..schemas import ARTICLES_SCHEMA
+from ..session import local_df
 
 
 def read_article_stream(
@@ -375,7 +376,7 @@ def _fold_sketch_batch(
     else:
         merged = batch_sketch
     rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+    local_df(spark, rows, merged.schema).write.mode("overwrite").parquet(
         staging_p.toString()
     )
     if fs.exists(hpath):

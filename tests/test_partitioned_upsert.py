@@ -523,3 +523,57 @@ def test_empty_first_batch_does_not_brick_partitioned_create(spark, tmp_path):
     # and an empty MERGE batch into the existing table is harmless
     upsert_parquet(spark, empty, path, key_cols=["article_id"], n_buckets=4)
     assert _table_state(spark, path) == {"PMC1": "v1"}
+
+
+def test_flat_layout_merge_phases_match_partitioned(spark, tmp_path):
+    """q62's flat-layout replay, demoted from the driver arm (round-5
+    verdict #1: replaying BOTH layouts cost 10.4 s of registry bench for
+    coverage the unit suite carries): the sharded-sink seed + the same
+    three merge phases on the flat AND the bucket-partitioned layout must
+    produce the same table — compared as a MULTISET (Counter of row
+    tuples), so a duplicate-row divergence in either layout raises too
+    (a set compare would hide same-content-different-multiplicity)."""
+    from collections import Counter
+
+    from pubmed_central_semantic_search_spark.queries.write_path import (
+        _merge_phases,
+    )
+    from pubmed_central_semantic_search_spark.sources.jsonl import (
+        write_sharded_parquet,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "en", f"text-{i}") for i in range(200)],
+        "doc_id long, source string, lang string, text string",
+    )
+    docs_grp = docs.withColumn("grp", (F.col("doc_id") / 10).cast("int"))
+    batch1 = docs_grp.filter(F.col("doc_id") < 150)
+
+    flat_path = str(tmp_path / "flat")
+    write_sharded_parquet(batch1, flat_path, max_records_per_file=40)
+    _merge_phases(spark, docs_grp, flat_path)
+
+    part_path = str(tmp_path / "part")
+    upsert_parquet(
+        spark, batch1, part_path, key_cols=["doc_id"],
+        replace_group_col="grp", n_buckets=8,
+    )
+    _merge_phases(spark, docs_grp, part_path, n_buckets=8)
+
+    cols = ["doc_id", "source", "lang", "text", "grp"]
+
+    def multiset(path):
+        return Counter(
+            tuple(r)
+            for r in read_upsert_table(spark, path).select(*cols).collect()
+        )
+
+    flat_rows, part_rows = multiset(flat_path), multiset(part_path)
+    assert flat_rows == part_rows
+    # sanity on the merge semantics themselves: evens<50 ('-v3'), 50-199
+    # uppercased, odds<50 deleted by the group replace
+    assert sum(flat_rows.values()) == 175
+    by_id = {t[0]: t for t in flat_rows}
+    assert by_id[0][3] == "text-0-v3"
+    assert by_id[60][3] == "TEXT-60"
+    assert 1 not in by_id

@@ -240,9 +240,25 @@ def test_semantic_decontaminate_and_near_dup_tolerate_zero_vectors(spark):
     assert [(r["corpus_id"], r["bench_id"]) for r in out] == [(1, 9)]
     nd = embedding_near_dup(
         corpus.withColumnRenamed("vec_id", "id"), "id", "embedding",
-        min_cosine=0.9,
+        min_cosine=0.9, allow_full_cross=True,  # 2-row test frame
     ).collect()
     assert nd == []  # the zero vector is never a near-dup, and no crash
+
+
+def test_embedding_near_dup_cartesian_is_fenced(spark):
+    """block_col=None without the explicit opt-in raises — the unblocked
+    fallback is a reachable O(n²) cartesian otherwise (round-5 verdict)."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        embedding_near_dup(df, "id", "embedding", min_cosine=0.9)
 
 
 def test_bm25_duplicate_terms_use_qtf_weighting(spark):
