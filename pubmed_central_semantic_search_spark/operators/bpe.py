@@ -123,6 +123,189 @@ def bpe_train(
     return merges
 
 
+def bpe_train_batched(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "token",
+    count_col: str = "count",
+    checkpoint_every: int = 8,
+    max_batch: int = 16,
+) -> list[tuple[str, str]]:
+    """``bpe_train`` with BATCHED merge selection — one Spark action
+    selects up to ``max_batch`` merges, attacking the sequential trainer's
+    real scale bound: a production tokenizer needs 30k+ merges, and one
+    driver round-trip PER MERGE means 30k sequential jobs whatever the
+    data size. Returns the IDENTICAL merge list (parity is proved, not
+    approximated — test-pinned against ``bpe_train`` on the paper corpus,
+    hypothesis-random vocabularies, and the tie-dense adversarial corpus).
+
+    Exactness argument. Take the pair stats sorted by (count DESC, a, b)
+    — the sequential tiebreak order — and accept a PREFIX p_1..p_k as one
+    round's batch, stopping at the first row that fails any rule:
+
+    1. NON-INTERACTING: a candidate is rejected (and the prefix stops) if
+       {a, b, a+b} intersects any accepted pair's {a, b, a+b}. Merging
+       p_j can only change the count of a pair that shares one of p_j's
+       symbols (occurrence overlap) or contains p_j's concatenated symbol
+       (new adjacencies) — so pairwise-non-interacting batch members keep
+       EXACTLY their original counts through every earlier member's merge,
+       and their relative order cannot flip.
+    2. SELF-PAIR TERMINATES: a pair with a == b may be accepted only as
+       the batch's LAST member. A self-merge over symbol runs creates
+       pairs on its own merged symbol ((aa,a), (aa,aa)) whose counts are
+       bounded by the self-pair's OWN count — not by the excluded tail —
+       so nothing may be scheduled after it within the round.
+    3. STRICT 4× BOUNDARY: with N = the first EXCLUDED row's count, every
+       accepted p_i (i ≥ 2) must satisfy count(p_i) > 4·N (counts are
+       non-increasing, so checking p_k suffices; the prefix is truncated
+       from the right until it holds). Why 4: a non-member pair (s, t)'s
+       occurrences after any subset of batch merges decompose by how each
+       side was produced — s literal or assembled by the single batch
+       member whose concat is s (concats are DISTINCT within a batch:
+       rule 1's trio check covers concat collisions), same for t. Each of
+       the ≤ 4 classes is bounded by one ORIGINAL pair count that shares
+       a symbol with a batch member and is therefore itself outside the
+       batch, ≤ N — so every non-member scores ≤ 4N < count(p_i) at
+       sequential step i, and p_i is the strict argmax, exactly what
+       ``bpe_train`` would pick.
+
+    Worst case (flat count distribution) the batch degenerates to size 1
+    and the trainer IS the sequential one; on Zipfian pair counts —
+    natural text — early rounds batch many merges. Per-round cost is one
+    TakeOrderedAndProject collect of ``max_batch + 1`` rows (driver-sized)
+    plus the same narrow Catalyst folds."""
+    cur = vocab.select(
+        word_symbols(word_col).alias("symbols"),
+        F.col(count_col).cast("bigint").alias("count"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        want = min(max_batch, n_merges - len(merges))
+        rows = (
+            pair_stats(cur)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(want + 1)
+            .collect()
+        )
+        if not rows:
+            break
+        stats_complete = len(rows) < want + 1  # the FULL tail is in hand
+        # rule 1 + 2: maximal non-interacting prefix, self-pair last
+        used: set[str] = set()
+        k = 0
+        for r in rows:
+            if k >= want:
+                break
+            trio = {r["a"], r["b"], r["a"] + r["b"]}
+            if trio & used:
+                break
+            used |= trio
+            k += 1
+            if r["a"] == r["b"]:
+                break
+        # rule 3: strict 4× boundary against the first excluded row
+        if k == len(rows) and not stats_complete:
+            k = len(rows) - 1  # unseen tail — keep an excluded witness
+        while k > 1:
+            nxt = rows[k]["pair_count"] if k < len(rows) else 0
+            if rows[k - 1]["pair_count"] > 4 * nxt:
+                break
+            k -= 1
+        k = max(k, 1)
+        batch = [(rows[i]["a"], rows[i]["b"]) for i in range(k)]
+        merges.extend(batch)
+        for a, b in batch:
+            cur = cur.select(apply_merge("symbols", a, b).alias("symbols"), "count")
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
+            cur = cur.localCheckpoint()
+            since_ckpt = 0
+    return merges
+
+
+def bpe_train_local(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "token",
+    count_col: str = "count",
+    max_rows: int = 2_000_000,
+) -> list[tuple[str, str]]:
+    """Production-merge-count trainer: collect the (word, count) VOCABULARY
+    and learn all merges driver-side with incrementally-maintained pair
+    counts. Identical output to ``bpe_train`` (parity test-pinned).
+
+    Why this is the 100 TB shape, not a shortcut: BPE training touches the
+    corpus exactly once (``build_vocab`` — distributed, corpus-sized);
+    everything after operates on the distinct-words table, which is
+    MILLIONS of rows when the corpus is terabytes — driver-sized. The
+    distributed trainers pay one-to-a-few Spark actions PER MERGE over
+    that same small table (30k merges = tens of thousands of sequential
+    jobs: the scale bound is merge count, not data), and the provably-
+    exact batched selection (``bpe_train_batched``) degenerates to
+    sequential on letter-level pair stats because natural-language top
+    pairs share symbols and sit within 4× of each other. Collecting the
+    vocabulary obeys the package's k-sized-collect rule — guarded by
+    ``max_rows`` with a named error, the same discipline as the other
+    driver-side model fits (k-means seeds, DSIR model, MMR).
+
+    Per-merge cost: argmax over live pairs + a rescan of only the words
+    containing the merged pair (inverted index) — milliseconds; a 100-
+    merge train runs ~100× faster than the distributed per-merge loop
+    (bench entry ``x_bpe_train_local100``)."""
+    rows = vocab.select(word_col, count_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bpe_train_local: vocabulary exceeds max_rows={max_rows} — "
+            "the collect guard. Raise max_rows if the driver can hold it, "
+            "or train on the count-ranked head (frequency truncation is "
+            "the standard practice), or use bpe_train/bpe_train_batched."
+        )
+    from collections import defaultdict
+
+    words = [list(str(w)) + [EOW] for w, _ in rows]
+    counts = [int(c) for _, c in rows]
+    pair_count: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, c) in enumerate(zip(words, counts)):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_count[p] += c
+            where[p].add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        live = [(c, p) for p, c in pair_count.items() if c > 0]
+        if not live:
+            break
+        best = min(live, key=lambda cp: (-cp[0], cp[1][0], cp[1][1]))[1]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        # rescan ONLY the words that (may) contain the pair; a stale index
+        # entry nets out to zero (subtract-then-re-add of unchanged pairs)
+        for wi in list(where.get(best, ())):
+            syms, c = words[wi], counts[wi]
+            for i in range(len(syms) - 1):
+                pair_count[(syms[i], syms[i + 1])] -= c
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_count[p] += c
+                where[p].add(wi)
+        where.pop(best, None)
+        pair_count.pop(best, None)
+    return merges
+
+
 def bpe_segment(
     df: DataFrame,
     merges: Sequence[tuple[str, str]],

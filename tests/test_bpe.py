@@ -152,3 +152,139 @@ def test_train_on_real_vocab_runs_and_is_deterministic(spark, sf_dir):
     m2 = bpe_train(vocab, 6, count_col="n_occurrences")
     assert m1 == m2 and len(m1) == 6
     assert all(isinstance(a, str) and isinstance(b, str) for a, b in m1)
+
+
+def test_batched_train_parity_paper_corpus(spark):
+    """bpe_train_batched returns the IDENTICAL merge list — the selection
+    rule is exact, not approximate (paper corpus, several merge counts and
+    batch widths, including widths larger than the merge count)."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    for n in (1, 4, 10):
+        want, _ = _py_bpe(PAPER_VOCAB, n)
+        for mb in (2, 4, 16):
+            got = bpe_train_batched(_vocab_df(spark), n, max_batch=mb)
+            assert got == want, (n, mb, got, want)
+
+
+def test_batched_train_parity_adversarial_corpora(spark):
+    """Tie-dense two-letter corpus (every merge tiebreak-decided, symbol
+    runs exercising the self-pair rule, early termination when the
+    vocabulary runs dry) and a run-heavy corpus — the cases where an
+    unsound batch rule would diverge first."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    corpora = [
+        [("aba", 3), ("bab", 3), ("aa", 2), ("bb", 2), ("ab", 1)],
+        [("aaaa", 5), ("aaab", 4), ("baaa", 3)],
+        [("xy", 7), ("yx", 7), ("xx", 7), ("yy", 7)],
+        [("q", 1)],  # runs dry immediately after one merge
+    ]
+    for vocab in corpora:
+        df = spark.createDataFrame(vocab, "token string, count bigint")
+        for n in (3, 12):
+            want, _ = _py_bpe(vocab, n)
+            got = bpe_train_batched(df, n, max_batch=8)
+            assert got == want, (vocab, n, got, want)
+
+
+def test_batched_train_parity_random_vocabularies(spark):
+    """Randomized parity sweep (fixed seed — deterministic test): random
+    short words over a 3-letter alphabet force dense count collisions."""
+    import random
+
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    rng = random.Random(617)
+    for trial in range(4):
+        words = {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5))): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 12))
+        }
+        vocab = sorted(words.items())
+        df = spark.createDataFrame(vocab, "token string, count bigint")
+        want, _ = _py_bpe(vocab, 8)
+        got = bpe_train_batched(df, 8, max_batch=6)
+        assert got == want, (trial, vocab, got, want)
+
+
+def test_batched_train_engages_on_skewed_disjoint_counts(spark):
+    """Where pair counts are skewed AND the hot pairs are symbol-disjoint
+    (the regime the 4× boundary provably covers), one round selects
+    several merges — fewer driver round-trips than merges. On flat
+    letter-level stats (natural text, where top pairs share symbols and
+    sit within 4× of each other) the rule soundly degenerates to
+    sequential — that regime's scale answer is bpe_train_local."""
+    from pubmed_central_semantic_search_spark.operators import bpe as bpe_mod
+
+    # (a,b) = 200 spread over 8 contexts (side pairs 25 each); (c,d) = 120
+    # over 6 contexts (sides 20) — sorted stats: 200, 120, then ≤25s. The
+    # prefix is [(a,b), (c,d)] (disjoint), stops at the first 25 (shares a
+    # symbol with (a,b)), and the boundary holds: 120 > 4×25.
+    vocab = [(x + "ab" + y, 25) for x, y in zip("mnopqrst", "MNOPQRST")] + [
+        (u + "cd" + v, 20) for u, v in zip("uvwxyz", "UVWXYZ")
+    ]
+    df = spark.createDataFrame(vocab, "token string, count bigint")
+    want, _ = _py_bpe(vocab, 2)
+
+    calls = {"n": 0}
+    orig = bpe_mod.pair_stats
+
+    def counting_pair_stats(v):
+        calls["n"] += 1
+        return orig(v)
+
+    bpe_mod.pair_stats = counting_pair_stats
+    try:
+        got = bpe_mod.bpe_train_batched(df, 2, max_batch=8)
+    finally:
+        bpe_mod.pair_stats = orig
+    assert got == want == [("a", "b"), ("c", "d")]
+    assert calls["n"] == 1, f"batching never engaged: {calls['n']} rounds"
+
+
+def test_local_train_parity_all_corpora(spark, sf_dir):
+    """bpe_train_local (collect-the-vocab driver trainer — the production
+    merge-count path) is merge-for-merge identical to the distributed
+    trainer and the plain-Python reference, including tie-dense and
+    runs-dry corpora, and on the real corpus vocabulary."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+    )
+    from pubmed_central_semantic_search_spark.operators.textstats import build_vocab
+
+    corpora = [
+        PAPER_VOCAB,
+        [("aba", 3), ("bab", 3), ("aa", 2), ("bb", 2), ("ab", 1)],
+        [("aaaa", 5), ("aaab", 4), ("baaa", 3)],
+        [("q", 1)],
+    ]
+    for vocab in corpora:
+        df = spark.createDataFrame(vocab, "token string, count bigint")
+        for n in (3, 10):
+            want, _ = _py_bpe(vocab, n)
+            assert bpe_train_local(df, n) == want, (vocab, n)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab_df = build_vocab(docs).orderBy("vocab_id").limit(300)
+    want = bpe_train(vocab_df, 12, count_col="n_occurrences")
+    assert bpe_train_local(vocab_df, 12, count_col="n_occurrences") == want
+
+
+def test_local_train_collect_guard(spark):
+    """The vocabulary collect is fenced by max_rows — the package's
+    named-error discipline for driver-side fits."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.bpe import bpe_train_local
+
+    df = spark.createDataFrame(PAPER_VOCAB, "token string, count bigint")
+    with pytest.raises(ValueError, match="max_rows"):
+        bpe_train_local(df, 3, max_rows=2)
