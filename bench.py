@@ -29,6 +29,10 @@ from pubmed_central_semantic_search_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     spark = get_spark(app_name="pmc-semantic-spark-bench")
 
     # Registry queries (driver-correctness-checked) + bench-only extras
@@ -81,6 +85,13 @@ def main() -> None:
         rewrite_stats = upsert_rewrite_stats(spark, sf_dir)
     except Exception as e:  # stats are evidence, never a bench failure
         rewrite_stats = {"error": str(e)[:200]}
+    # Host-load stamp: like-for-like round comparisons moved ±10-25% under
+    # shared-VM load (round-5 verdict #4) — the 1/5/15-min loadavg at both
+    # ends of the run makes a noisy capture adjudicable after the fact.
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     summary = {
         "metric": "total_query_wall_time",
         "value": round(total, 4),
@@ -88,6 +99,8 @@ def main() -> None:
         "registry_sec": round(registry_total, 4),
         "extras_sec": round(total - registry_total, 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_avg_start": load_start,
+        "load_avg_end": load_end,
         "upsert_rewrite": rewrite_stats,
     }
     # Summary fields ride at BOTH ends of the single JSON line: canonical

@@ -114,19 +114,30 @@ class SemanticSearchEngine:
             # construction (upsert replace_group_col above).
             from .sources.catalog import bucket_expr
 
+            table = self.spark.read.parquet(self.chunks_path)
+            # Hash with the TABLE column's own type (the read_upsert_table
+            # discipline): the write side hashed the chunks frame's native
+            # article_id — xxhash64 of the same value at a different type
+            # differs, and a type-coerced hash here would prune to the
+            # WRONG bucket and silently drop the batch's doc vectors.
             buckets = [
                 r[0]
                 for r in batch_ids.select(
-                    bucket_expr(["article_id"], self.partition_buckets)
+                    bucket_expr(
+                        [
+                            F.col("article_id").cast(
+                                table.schema["article_id"].dataType
+                            )
+                        ],
+                        self.partition_buckets,
+                    )
                 )
                 .distinct()
                 .collect()
             ]
-            written = (
-                self.spark.read.parquet(self.chunks_path)
-                .filter(F.col(BUCKET_COL).isin(buckets))
-                .drop(BUCKET_COL)
-            )
+            written = table.filter(
+                F.col(BUCKET_COL).isin(buckets)
+            ).drop(BUCKET_COL)
         else:
             written = self._read(self.chunks_path)
         written = written.join(F.broadcast(batch_ids), "article_id")
@@ -207,8 +218,21 @@ class SemanticSearchEngine:
             n_paragraphs=paragraphs_per_document,
             highlight=highlight,
             context_window=context_window,
+            kernel=self._kernel(),
         )
         return out.join(F.broadcast(q.select("query_id", "query_text")), "query_id")
+
+    def _kernel(self) -> str:
+        """The auto kernel tier, resolved at plan time from the engine's
+        OWN dim (no peek job): the reference's real width (768,
+        qdrant.py:74) scores through the Arrow/BLAS matmul; narrow test
+        dims keep the bit-exact Catalyst fold. The engine's results are
+        rank-stable across kernels (rounded-score twin equivalence is
+        test-pinned); callers hashing exact floats use the operators
+        directly with kernel='hof'."""
+        from .plans.planner import _KERNEL_CROSSOVER_DIM
+
+        return "blas" if self.dim >= _KERNEL_CROSSOVER_DIM else "hof"
 
     def query_html(
         self,
@@ -220,7 +244,9 @@ class SemanticSearchEngine:
         doc_vectors = self._read(self.doc_vectors_path)
         chunks = self._read(self.chunks_path)
         q = self._query_frame(queries)
-        top_docs = score_documents(doc_vectors, q, k_docs=docs_per_query)
+        top_docs = score_documents(
+            doc_vectors, q, k_docs=docs_per_query, kernel=self._kernel()
+        )
         hits = highlight_chunks(chunks, top_docs, paragraphs_per_document)
         return render_hits(hits, chunks).join(
             F.broadcast(q.select("query_id", "query_text")), "query_id"

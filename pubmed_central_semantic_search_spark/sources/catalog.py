@@ -206,7 +206,22 @@ def _upsert_partitioned(
     exactly-once-RESULTS law as the flat staging swap, without a
     table-sized rename. Stale staging dirs from a crashed job are
     re-created/overwritten by the retry's own job id and ignored by
-    reads."""
+    reads.
+
+    CONCURRENCY CONTRACT (explicit, test-pinned): concurrent upserts into
+    the same table are safe IFF their touched bucket sets are DISJOINT —
+    each writer's read is pruned to its own partitions, its staging dir
+    is job-scoped, and the dynamic overwrite replaces only the partition
+    directories present in its own output, so disjoint writers never
+    read, stage over, or commit each other's buckets
+    (tests/test_partitioned_upsert.py::test_concurrent_disjoint_bucket_upserts).
+    Writers whose bucket sets OVERLAP are OUT OF CONTRACT: the merge is
+    read-merge-overwrite per bucket, so the later commit silently
+    discards the earlier one's rows in the shared bucket (classic lost
+    update — serialize those through one writer, e.g. the streaming
+    sink's foreachBatch). Table CREATION is single-writer: the layout
+    stamp + first data write are not mutually atomic against a racing
+    creator."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if BUCKET_COL in df.columns:
@@ -230,7 +245,21 @@ def _upsert_partitioned(
     # would miss them and the table would silently accumulate duplicates
     # (pre-guard, this worked only when a batch happened to touch every
     # bucket).
-    stored = _read_upsert_layout(spark, path) if fs.exists(hpath) else None
+    exists = fs.exists(hpath)
+    stored = _read_upsert_layout(spark, path) if exists else None
+    data_kind = _table_data_kind(fs, hpath) if exists else "none"
+    if data_kind == "flat":
+        # a FLAT table can never be upserted partitioned in place —
+        # raised from the directory listing itself, BEFORE any stamping
+        # (a stamped flat table would be wedged: flat calls then hit the
+        # bucket-partitioned guard, partitioned calls keep failing on the
+        # missing column)
+        raise ValueError(
+            f"upsert_parquet: table at {path} is FLAT but this call "
+            f"passes n_buckets={n_buckets} — the layouts cannot be "
+            "switched in place; rewrite the table once through the "
+            "partitioned create path"
+        )
     if stored is not None:
         if int(stored["n_buckets"]) != n_buckets:
             raise ValueError(
@@ -260,20 +289,12 @@ def _upsert_partitioned(
     with_bucket = df.withColumn(
         BUCKET_COL, bucket_expr(bucket_src, n_buckets)
     )
-    if fs.exists(hpath) and stored is None:
-        # pre-metadata PARTITIONED table — accept the caller's args once
-        # (backward compat) and stamp them. The table must actually BE
-        # partitioned: stamping a FLAT table would wedge it (the stamp
-        # survives the merge's unresolved-_bucket failure, after which
-        # flat calls hit the bucket-partitioned guard and partitioned
-        # calls keep failing on the missing column).
-        if BUCKET_COL not in spark.read.parquet(path).columns:
-            raise ValueError(
-                f"upsert_parquet: table at {path} is FLAT but this call "
-                f"passes n_buckets={n_buckets} — the layouts cannot be "
-                "switched in place; rewrite the table once through the "
-                "partitioned create path"
-            )
+    if data_kind == "partitioned" and stored is None:
+        # pre-metadata PARTITIONED table (written before the _layout
+        # record existed, or by a layout write that crashed) — accept the
+        # caller's args once (backward compat) and stamp them. The
+        # flat-table case was already rejected above from the directory
+        # listing itself.
         _write_upsert_layout(spark, path, n_buckets, bucket_src)
     # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
     # without it each of the N write tasks emits a file into every
@@ -282,21 +303,36 @@ def _upsert_partitioned(
     # later read (listing + footer overhead). Hash-partitioning on the
     # bucket value routes each bucket to one task → one file per
     # directory per write.
-    if not fs.exists(hpath):
+    if data_kind == "none":
         if with_bucket.isEmpty():
             # an empty partitioned write emits NO schema-bearing file
             # (unlike the flat path), leaving a directory every later
             # read fails to infer — a first micro-batch with 0 rows
             # (zero-record file, batch-0 replay) would brick the sink.
-            # Leave the table absent; a later non-empty batch creates it.
+            # Leave the table absent (and unstamped); a later non-empty
+            # batch creates it.
             return
+        if stored is None:
+            # Stamp the layout BEFORE the first data write: the _layout
+            # dir is invisible to parquet readers, so a crash between
+            # stamp and data write leaves a harmless orphaned record that
+            # the retry re-uses — whereas data-before-stamp left a
+            # pre-metadata table whose NEXT upsert silently stamped that
+            # caller's bucket key (a keyed-only caller on a group-
+            # bucketed table would stamp the wrong key and later merges
+            # would silently strand/duplicate rows).
+            _write_upsert_layout(spark, path, n_buckets, bucket_src)
         (
+            # mode is append, not errorifexists: the path may already
+            # exist holding only the _layout record (this stamp, or a
+            # crashed create's). data_kind == "none" has already proven
+            # there are no data files to collide with; concurrent
+            # CREATORS are out of contract (single-writer at creation).
             with_bucket.repartition(F.col(BUCKET_COL))
-            .write.mode("errorifexists")
+            .write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
-        _write_upsert_layout(spark, path, n_buckets, bucket_src)
         return
     touched = sorted(
         r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
@@ -332,6 +368,24 @@ def _upsert_partitioned(
     )
 
 
+def _table_data_kind(fs, hpath) -> str:
+    """What DATA the table directory holds: 'partitioned' (any
+    ``_bucket=`` partition dir), 'flat' (bare parquet files at the top
+    level), or 'none' (absent, or metadata-only — a ``_layout`` record
+    from a create that crashed before its first data write). Drives the
+    create-vs-merge decision: bare path existence stopped being a data
+    signal once the layout record started committing BEFORE the data."""
+    for st in fs.listStatus(hpath):
+        if st.isDirectory() and st.getPath().getName().startswith(
+            BUCKET_COL + "="
+        ):
+            return "partitioned"
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().endswith(".parquet"):
+            return "flat"
+    return "none"
+
+
 def bucket_expr(bucket_cols, n_buckets: int):
     """THE bucket-hash formula — the one definition every consumer shares
     (the write path, the point-lookup read, the engine's pruned re-read):
@@ -353,11 +407,11 @@ def _write_upsert_layout(
 ) -> None:
     """Rename-as-commit (the module discipline): the record is staged
     beside the live dir and swapped in, so readers never observe a
-    half-written layout. Residual window, documented: on table CREATION
-    the data lands before the first layout commit, so a crash in between
-    leaves a pre-metadata partitioned table — the next upsert accepts
-    and re-stamps the caller's args (which that caller must pass
-    correctly once, as any pre-metadata table requires)."""
+    half-written layout. On table CREATION the record commits BEFORE the
+    first data write — the _layout dir is invisible to parquet readers,
+    so a crash in between leaves only a harmless orphaned record the
+    retried create re-uses; the reverse order left a pre-metadata table
+    whose next upsert silently stamped THAT caller's bucket key."""
     live = _layout_dir(path)
     staging = live + ".staging"
     local_df(spark, 
@@ -507,6 +561,71 @@ def compact_parquet(
     fs.delete(backup, True)
     after, _ = _list_parquet_sizes(fs, hpath, jvm)
     return {"files_before": len(sizes), "files_after": len(after), "bytes": total}
+
+
+def compact_partitioned_leaves(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_files_per_leaf: int = 1,
+) -> dict[str, int]:
+    """Leaf-level compaction for ANY single-level hive-partitioned
+    layout (``key=value`` directories) — the housekeeping
+    ``compact_parquet`` explicitly refuses (flat recompaction would
+    collapse the partitions). Who accretes: APPENDING partitioned
+    writers — the streaming IVF sink adds one file per touched inverted
+    list per micro-batch, and any foreign append-mode co-writer does the
+    same — until per-file open/footer/listing overhead dominates the
+    scan at 100 TB. (The bucket-partitioned UPSERT does not accrete: its
+    dynamic overwrite rewrites each touched bucket to one file — but its
+    buckets can OUTGROW the scan-efficient file size, which this splits
+    via ``target_file_bytes``.)
+
+    Each leaf compacts independently through ``compact_parquet`` (its
+    per-directory staging swap + crash recovery), skipping leaves already
+    at or under ``max_files_per_leaf`` — steady-state runs touch only the
+    leaves that grew. Directory names and any ``_layout``/``_manifests``
+    metadata are untouched, so readers, upserts, and partition pruning
+    are unaffected. Run it from the single writer's seat: compacting a
+    leaf races a concurrent writer of that same leaf (the upsert
+    disjointness contract applies to compaction like any writer).
+    Returns {leaves_seen, leaves_compacted, files_before, files_after}.
+    Flat directories (no ``key=value`` subdirs) raise — use
+    ``compact_parquet``."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    # partition leaves are `key=value` dirs — including `_bucket=N`
+    # (partition discovery accepts the underscore-named column); metadata
+    # dirs (_layout, _manifests — no "=") and dot-staging dirs are not
+    leaves = [
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+        and "=" in st.getPath().getName()
+        and not st.getPath().getName().startswith(".")
+    ]
+    if not leaves:
+        raise ValueError(
+            f"compact_partitioned_leaves: {path} has no key=value partition "
+            "directories — for a flat table use compact_parquet"
+        )
+    out = {"leaves_seen": len(leaves), "leaves_compacted": 0,
+           "files_before": 0, "files_after": 0}
+    for leaf in leaves:
+        n_files = sum(
+            1
+            for st in fs.listStatus(leaf)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        out["files_before"] += n_files
+        if n_files <= max_files_per_leaf:
+            out["files_after"] += n_files
+            continue
+        stats = compact_parquet(
+            spark, leaf.toString(), target_file_bytes=target_file_bytes
+        )
+        out["leaves_compacted"] += 1
+        out["files_after"] += stats["files_after"]
+    return out
 
 
 # --- S8: manifest-versioned snapshots (time travel on plain parquet) -------

@@ -195,23 +195,35 @@ def parse_articles(xml_df: DataFrame) -> DataFrame:
     return xml_df.mapInPandas(_parse, PARSED_SCHEMA)
 
 
-def fetch_articles(spark: SparkSession, pmcids: list[str]) -> DataFrame:
+def fetch_articles(
+    spark: SparkSession,
+    pmcids: list[str],
+    base_url: str = EUROPEPMC_URL,
+    timeout: float = 30.0,
+) -> DataFrame:
     """S5 online path: DataFrame of pmcids → HTTP fetch (mapInPandas, one
-    session per partition) → parse. Requires ``requests`` + network; the
-    offline path (download first, then ``parse_articles``) is preferred at
-    scale and is what tests exercise."""
+    session per partition) → parse. Requires ``requests``; the offline
+    path (download first, then ``parse_articles``) is preferred at scale.
+
+    ``base_url`` (a ``{}``-format template, default the EuropePMC REST
+    endpoint the reference calls — ``fetch_pmcid.py:9-10``) exists so the
+    HTTP leg itself is testable against an in-test ``http.server`` stub
+    with no external network (tests/test_pmc_http.py): request path,
+    timeout behavior, and HTTP-error → fetch-failed row all exercised
+    in-container. A fetch failure yields xml=NULL, which the parser turns
+    into a poison row (error column) — never a dropped pmcid."""
     pmcid_df = local_df(spark, [(p,) for p in pmcids], "pmcid string")
+    url_t, tmo = str(base_url), float(timeout)  # ship-by-value closure
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import requests
 
-        url = "https://www.ebi.ac.uk/europepmc/webservices/rest/{}/fullTextXML"
         session = requests.Session()
         for pdf in batches:
             xmls = []
             for pmcid in pdf["pmcid"]:
                 try:
-                    resp = session.get(url.format(pmcid), timeout=30)
+                    resp = session.get(url_t.format(pmcid), timeout=tmo)
                     resp.raise_for_status()
                     xmls.append(resp.text)
                 except Exception:

@@ -577,3 +577,225 @@ def test_flat_layout_merge_phases_match_partitioned(spark, tmp_path):
     assert by_id[0][3] == "text-0-v3"
     assert by_id[60][3] == "TEXT-60"
     assert 1 not in by_id
+
+
+def test_layout_record_commits_before_first_data_write(spark, tmp_path):
+    """The creation crash window (round-5 advice): the _layout record now
+    commits BEFORE the first data write, so the only possible orphan is a
+    stamped-but-dataless directory — harmless and re-used. A later upsert
+    into that orphan creates the table with the STORED key and validates
+    against it, instead of silently stamping its own."""
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+        _write_upsert_layout,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    # simulate a create that crashed between stamp and data write:
+    # group-bucketed layout, no data
+    _write_upsert_layout(spark, path, 4, ["grp"])
+
+    rows = spark.createDataFrame(
+        [("PMC1", "g0", "v1"), ("PMC2", "g0", "v1")],
+        "article_id string, grp string, payload string",
+    )
+    # a mismatched bucket count against the orphaned stamp still raises
+    with _pt.raises(ValueError, match="layout mismatch"):
+        upsert_parquet(spark, rows, path, key_cols=["article_id"], n_buckets=8)
+    # a keyed-only retry re-uses the STORED group key (grp rides in the
+    # batch) rather than stamping article_id
+    upsert_parquet(spark, rows, path, key_cols=["article_id"], n_buckets=4)
+    layout = _read_upsert_layout(spark, path)
+    assert layout["bucket_cols"] == "grp" and int(layout["n_buckets"]) == 4
+    got = {
+        r["article_id"]: r["payload"]
+        for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"PMC1": "v1", "PMC2": "v1"}
+    # and the merge path still works on the recovered table
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [("PMC2", "g0", "v2")], "article_id string, grp string, payload string"
+        ),
+        path,
+        key_cols=["article_id"],
+        n_buckets=4,
+    )
+    got = {
+        r["article_id"]: r["payload"]
+        for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"PMC1": "v1", "PMC2": "v2"}
+
+
+def test_engine_partitioned_nonstring_article_id_pools_all_docs(spark, tmp_path):
+    """Round-5 advice: the partition-pruned re-read used to hash
+    article_id AFTER a .cast('string') while the write side hashed the
+    chunks frame's NATIVE type — a non-string article_id (schema
+    violation the flat path tolerates) pruned to the wrong bucket and
+    doc vectors silently went missing. The read now casts the hash input
+    to the TABLE column's own type: every uploaded article must get a
+    doc vector."""
+    from pubmed_central_semantic_search_spark.api import SemanticSearchEngine
+
+    arts = spark.createDataFrame(
+        [
+            (101, ["Abstract"], [["thrombosis study"]]),
+            (102, ["Abstract"], [["protein folding"]]),
+            (103, ["Abstract"], [["graph joins"]]),
+        ],
+        "article_id long, section_names array<string>, sections array<array<string>>",
+    )
+    eng = SemanticSearchEngine(
+        spark, str(tmp_path / "intid"), encoder="fake", dim=16,
+        partition_buckets=4,
+    )
+    eng.upload_articles(arts)
+    vecs = read_upsert_table(spark, eng.doc_vectors_path)
+    assert vecs.count() == 3
+    assert vecs.filter(F.col("embedding").isNull()).count() == 0
+
+
+def test_concurrent_disjoint_bucket_upserts(spark, tmp_path):
+    """The concurrency contract (round-5 verdict #5): two writers
+    upserting DISJOINT bucket sets concurrently are safe — each prunes
+    its read to its own partitions, stages under its own job dir, and
+    dynamic-overwrites only its own directories. Both batches must land
+    exactly; untouched buckets stay byte-identical; the _layout record
+    survives."""
+    import threading
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+    )
+
+    path = str(tmp_path / "t")
+    n = 8
+    keys = [f"PMC{i}" for i in range(200)]
+    base = _rows(spark, [(k, "v1") for k in keys])
+    upsert_parquet(spark, base, path, key_cols=["article_id"], n_buckets=n)
+
+    # split keys into two DISJOINT bucket sets by their actual hash
+    bucket_of = {k: _bucket_of(spark, k, n) for k in keys}
+    set_a = {b for b in range(n) if b % 2 == 0}
+    keys_a = [k for k in keys if bucket_of[k] in set_a][:20]
+    keys_b = [k for k in keys if bucket_of[k] not in set_a][:20]
+    assert keys_a and keys_b
+    before = _file_snapshot(path)
+    touched_dirs = {
+        f"{BUCKET_COL}={bucket_of[k]}" for k in keys_a + keys_b
+    }
+
+    errs = []
+
+    def work(batch_keys, tag):
+        try:
+            upsert_parquet(
+                spark,
+                _rows(spark, [(k, tag) for k in batch_keys]),
+                path,
+                key_cols=["article_id"],
+                n_buckets=n,
+            )
+        except Exception as e:  # surface into the main thread
+            errs.append(e)
+
+    ta = threading.Thread(target=work, args=(keys_a, "A"))
+    tb = threading.Thread(target=work, args=(keys_b, "B"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+
+    state = _table_state(spark, path)
+    assert len(state) == 200
+    assert all(state[k] == "A" for k in keys_a)
+    assert all(state[k] == "B" for k in keys_b)
+    assert all(
+        state[k] == "v1" for k in keys if k not in set(keys_a) | set(keys_b)
+    )
+    # untouched partitions byte-identical even under concurrency
+    after = _file_snapshot(path)
+    before_un = {
+        p: v for p, v in before.items()
+        if not any(d in p for d in touched_dirs)
+    }
+    after_un = {
+        p: v for p, v in after.items()
+        if not any(d in p for d in touched_dirs)
+    }
+    assert before_un == after_un
+    layout = _read_upsert_layout(spark, path)
+    assert int(layout["n_buckets"]) == n
+
+
+def test_compact_partitioned_leaves(spark, tmp_path):
+    """Leaf-level compaction for hive layouts: APPENDING partitioned
+    writers (the streaming IVF sink's shape — one file per touched leaf
+    per micro-batch) accrete small files; compaction rewrites only the
+    grown leaves (staging swap per leaf), leaves metadata and
+    single-file leaves untouched, and the table reads back identical.
+    The self-managed upsert doesn't accrete (dynamic overwrite rewrites
+    touched buckets to one file) but its buckets can outgrow the target
+    file size — same tool, split direction."""
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+        compact_parquet,
+        compact_partitioned_leaves,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "v0") for i in range(40)]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=4,
+    )
+    # accrete: an appending co-writer (the IVF-sink shape) adds files
+    # into existing bucket directories without rewriting them
+    from pubmed_central_semantic_search_spark.sources.catalog import bucket_expr
+
+    extra = _rows(spark, [(f"NEW{i}", "a1") for i in range(8)]).withColumn(
+        BUCKET_COL, bucket_expr(["article_id"], 4)
+    )
+    for _ in range(2):
+        extra.repartition(F.col(BUCKET_COL)).write.mode("append").partitionBy(
+            BUCKET_COL
+        ).parquet(path)
+
+    before_state = _table_state(spark, path)
+    before_files = len(_file_snapshot(path))
+    stats = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert stats["leaves_seen"] == 4
+    assert stats["leaves_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"] == before_files
+    # every leaf is now at one file
+    per_leaf = {}
+    for root, _dirs, files in os.walk(path):
+        d = os.path.basename(root)
+        if d.startswith(f"{BUCKET_COL}="):
+            per_leaf[d] = sum(1 for f in files if f.endswith(".parquet"))
+    assert per_leaf and all(n == 1 for n in per_leaf.values()), per_leaf
+    # data + layout unchanged; upserts still work afterwards
+    assert _table_state(spark, path) == before_state
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 4
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "post")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    assert _table_state(spark, path)["PMC1"] == "post"
+    # steady state: a second compaction touches nothing
+    stats2 = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert stats2["leaves_compacted"] == 0
+    # flat tables are rejected (use compact_parquet) — and vice versa
+    flat = str(tmp_path / "flat")
+    upsert_parquet(spark, _rows(spark, [("a", "b")]), flat, key_cols=["article_id"])
+    with _pt.raises(ValueError, match="compact_parquet"):
+        compact_partitioned_leaves(spark, flat)
+    with _pt.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
