@@ -35,20 +35,58 @@ from .topk import grouped_top_k
 
 
 def score_documents(
-    doc_vectors: DataFrame, queries: DataFrame, k_docs: int = 5
+    doc_vectors: DataFrame,
+    queries: DataFrame,
+    k_docs: int = 5,
+    kernel: str = "hof",
 ) -> DataFrame:
     """Q1/Q3 — per-query top-k documents by cosine.
 
     ``queries``: (query_id, qvec) — the tiny side, broadcast.
     ``doc_vectors``: (article_id, embedding, ...).
     Returns (query_id, qvec, article_id, doc_score).
-    """
-    scored = doc_vectors.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "qvec",
-        ARTICLE_ID,
-        cosine_similarity("embedding", F.col("qvec")).alias("doc_score"),
-    )
+
+    ``kernel`` picks the scoring engine (the plan_topk_search contract):
+    ``hof`` (default) is the bit-exact Catalyst fold — every oracle row
+    stays here; ``blas`` scores all queries in ONE Arrow-batched matmul
+    pass (operators/vectorized.multi_query_scores_udf — at dim ≳ 256 the
+    interpreted HOF fold loses by ~an order of magnitude); ``auto``
+    resolves by query dimensionality at the measured crossover. Kernels
+    agree on rows at rounded scores (twin-pinned); raw doc_score differs
+    in last-ulp accumulation noise, so callers that hash exact floats
+    must not opt in."""
+    if kernel not in ("hof", "blas", "auto"):
+        raise ValueError(f"unknown kernel: {kernel}")
+    if kernel == "auto":
+        from ..plans.planner import _KERNEL_CROSSOVER_DIM
+
+        first = queries.select("qvec").first()
+        dim = len(first["qvec"]) if first is not None else 0
+        kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+    if kernel == "blas":
+        from ..operators.vectorized import multi_query_scores_udf
+
+        qrows = queries.select("query_id", "qvec").collect()  # k-row side
+        qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows])
+        scored = (
+            doc_vectors.withColumn(
+                "_s",
+                multi_query_scores_udf([list(r["qvec"]) for r in qrows])(
+                    F.col("embedding")
+                ),
+            )
+            .select(ARTICLE_ID, F.posexplode("_s").alias("_qi", "doc_score"))
+            .withColumn("query_id", F.element_at(qid_arr, F.col("_qi") + 1))
+            .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
+            .select("query_id", "qvec", ARTICLE_ID, "doc_score")
+        )
+    else:
+        scored = doc_vectors.crossJoin(F.broadcast(queries)).select(
+            "query_id",
+            "qvec",
+            ARTICLE_ID,
+            cosine_similarity("embedding", F.col("qvec")).alias("doc_score"),
+        )
     return grouped_top_k(
         scored, ["query_id"], "doc_score", k_docs, tiebreak=[ARTICLE_ID]
     )
@@ -216,15 +254,17 @@ def semantic_search(
     n_paragraphs: int = 1,
     highlight: bool = True,
     context_window: int = 1,
+    kernel: str = "hof",
 ) -> DataFrame:
     """The full reference query (qdrant.py:233-247 + responses.py), one plan.
 
     ``highlight=False`` skips chunk search entirely (Q4, qdrant.py:201) —
     conditional plan construction, the Spark analog of the reference's
     runtime flag. Defaults mirror the UI (k=5 docs, 1 paragraph,
-    app.py:113,118; app.py:21).
-    """
-    top_docs = score_documents(doc_vectors, queries, k_docs)
+    app.py:113,118; app.py:21). ``kernel`` routes the document-scoring
+    stage (see score_documents) — oracle callers stay on the default
+    bit-exact fold."""
+    top_docs = score_documents(doc_vectors, queries, k_docs, kernel=kernel)
     if not highlight:
         return top_docs.select("query_id", ARTICLE_ID, "doc_score")
     return highlight_with_context(chunks, top_docs, n_paragraphs, context_window)

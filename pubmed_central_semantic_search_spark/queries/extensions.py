@@ -338,7 +338,7 @@ _GOPHER_OUT_COLS = """
       JOIN lm_cu cu ON cu.w1 = b.w1
       CROSS JOIN lm_v v
       GROUP BY b.doc_id
-    ),{_GOPHER_CTES},
+    ),
     {_clf_ctes()}
     SELECT p.doc_id, p.labeled_lang, p.predicted_lang, p.quality_milli,
            p.n_bpe_tokens,
@@ -349,30 +349,42 @@ _GOPHER_OUT_COLS = """
                 ELSE 0 END AS BIGINT) AS rep_milli,
            coalesce(fp.fingerprint, -1) AS fingerprint,
            coalesce(lm.ppl, -1.0) AS ppl,
-           c.clf_label, c.clf_score_micro,{_GOPHER_OUT_COLS}
+           c.clf_label, c.clf_score_micro
     FROM panel p
     LEFT JOIN fp ON fp.doc_id = p.doc_id
     LEFT JOIN lm_ppl lm ON lm.doc_id = p.doc_id
-    JOIN gopher g ON g.doc_id = p.doc_id
     JOIN clf_score c ON c.doc_id = p.doc_id
     """,
     survey_rows="X4 panel: language-ID heuristic + integer-deterministic "
     "quality scoring + BPE-ish token counting + repetition ratio (Gopher) "
     "+ rolling-hash document fingerprint + bigram-LM perplexity "
-    "(CCNet-style quality filter, train+score certified) + the full Gopher "
-    "rule panel (word/line/top-n-gram/dup-n-gram char fractions + verdict) "
+    "(CCNet-style quality filter, train+score certified) "
     "+ fastText-style quality classifier (quantized-GD hashed-BoW logreg — "
     "EVERY training iteration and the scoring pass replayed value for "
-    "value by the oracle's unrolled integer-arithmetic CTEs)",
+    "value by the oracle's unrolled integer-arithmetic CTEs). The full "
+    "Gopher rule panel was DEMOTED from this row's driver replay after "
+    "two green rounds (the oracle-tower amortization policy): its DuckDB "
+    "parity now runs as pytest (tests/test_gopher.py gopher-vs-DuckDB) "
+    "over the same unrolled CTEs, and x_gopher_panel keeps the bench "
+    "number",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bigram_perplexity, train_bigram_lm
     from ..operators.textstats import (
-        gopher_panel,
         repetition_ratio,
         rolling_fingerprint_col,
     )
 
+    # ORACLE-TOWER AMORTIZATION POLICY (round-5 verdict #8, first
+    # execution): a fused arm that has been driver-green for TWO
+    # consecutive rounds may demote its unrolled-CTE replay out of the
+    # registry row — its DuckDB value parity moves to pytest over the
+    # SAME CTE text, its bench number stays as an extras entry, and the
+    # registry row keeps the still-maturing arms. The Gopher rule panel
+    # (green r4+r5) is demoted here: parity lives in
+    # tests/test_gopher.py::test_gopher_panel_duckdb_parity (reusing
+    # _GOPHER_CTES verbatim), the bench number in x_gopher_panel.
+    #
     # The panel is a CPU-heavy projection (per-row array algebra + the
     # Arrow gram stage); the test-scale documents file is ONE parquet
     # partition, which would serialize it on a single core. Rebalance to
@@ -382,7 +394,7 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    panel = gopher_panel(repetition_ratio(quality_score(d), "doc_id", "text", n=3)).select(
+    panel = repetition_ratio(quality_score(d), "doc_id", "text", n=3).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         language_id("text").alias("predicted_lang"),
@@ -392,22 +404,6 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "rep_milli",
         F.coalesce(rolling_fingerprint_col("text"), F.lit(-1)).alias("fingerprint"),
-        "n_words",
-        "mean_word_chars_milli",
-        "alpha_word_milli",
-        "symbol_word_milli",
-        "stop_hits",
-        "n_lines",
-        "dup_line_milli",
-        "dup_line_char_milli",
-        "bullet_line_milli",
-        "ellipsis_line_milli",
-        "top2_char_milli",
-        "top3_char_milli",
-        "top4_char_milli",
-        "dup5_char_milli",
-        "dup10_char_milli",
-        F.col("gopher_pass").cast("bigint").alias("gopher_pass"),
     )
     c_big, c_uni, vsz = train_bigram_lm(d)
     ppl = bigram_perplexity(d, c_big, c_uni, vsz).select(

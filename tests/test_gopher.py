@@ -174,3 +174,46 @@ def test_gram_metrics_match_python_reference_on_random_corpora(spark):
         exp = py_metrics(text)
         for k, v in exp.items():
             assert got[i][k] == v, (i, k, got[i][k], v, text)
+
+
+def test_gopher_panel_duckdb_parity(spark, sf_dir):
+    """The demoted q28 arm (oracle-tower amortization policy, round 6):
+    the Gopher panel's DuckDB value parity, previously replayed inside
+    q28's driver oracle every bench round, now runs HERE over the SAME
+    unrolled CTE text (_GOPHER_CTES imported verbatim) on the real
+    documents table — identical rigor, zero driver-bench seconds."""
+    import sys as _sys
+
+    import pyspark.sql.functions as F
+
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        gopher_panel,
+    )
+    from pubmed_central_semantic_search_spark.queries.extensions import (
+        _GOPHER_CTES,
+        _GOPHER_OUT_COLS,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = [
+        "n_words", "mean_word_chars_milli", "alpha_word_milli",
+        "symbol_word_milli", "stop_hits", "n_lines", "dup_line_milli",
+        "dup_line_char_milli", "bullet_line_milli", "ellipsis_line_milli",
+        "top2_char_milli", "top3_char_milli", "top4_char_milli",
+        "dup5_char_milli", "dup10_char_milli",
+    ]
+    got = gopher_panel(docs).select(
+        "doc_id",
+        *cols,
+        F.col("gopher_pass").cast("bigint").alias("gopher_pass"),
+    )
+    sql = f"""
+    WITH {_GOPHER_CTES}
+    SELECT g.doc_id,{_GOPHER_OUT_COLS}
+    FROM gopher g
+    """
+    con = duckdb_con(sf_dir)
+    compare_frames(got.toPandas(), con.execute(sql).df(), "gopher_demoted")

@@ -277,16 +277,16 @@ def test_text_analysis_panel_is_one_narrow_projection(spark, sf_dir):
 
 def test_text_analysis_fused_ppl_joins_are_disciplined(spark, sf_dir):
     """Fused q28: the perplexity arm's model joins ride broadcast, there
-    is no cartesian product, and the only Python stage is the single
-    Arrow-batched gram-stats kernel of the Gopher panel (HOFs are
-    CodegenFallback, so the vectorized kernel is the fast path; its
-    Catalyst twin is equivalence-pinned in tests/test_gopher.py) — never
-    a row-at-a-time BatchEvalPython."""
+    is no cartesian product, and — since the Gopher panel's Arrow gram
+    kernel was demoted to pytest parity (round 6, the oracle-tower
+    amortization policy) — the remaining plan is pure JVM: no Python
+    stage of either kind. The panel's own Arrow-kernel plan shape stays
+    pinned in tests/test_gopher.py."""
     plan = _q("q28_text_analysis", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
 
 
 def test_minhash_first_shuffle_is_the_candidate_join(spark, sf_dir):

@@ -213,3 +213,55 @@ def test_np_scores_zero_query_scores_zero_not_nan(spark):
         "vec_id", cosine_scores_udf([0.0, 0.0])(F.col("embedding")).alias("s")
     ).collect()
     assert all(r["s"] == 0.0 for r in rows)
+
+
+def test_score_documents_auto_kernel_choice_is_plan_pinned(spark, sf_dir):
+    """The auto kernel tier on the hot search path (round-5 verdict #7),
+    pinned on a REGISTRY query's own inputs: q20/q3's dim-64 frames must
+    resolve to the bit-exact HOF fold (no Python stage in the plan — the
+    oracle contract), and the reference-width dim-768 twin must resolve
+    to the Arrow/BLAS kernel (ArrowEvalPython, never BatchEvalPython) —
+    with both kernels agreeing on the returned (query_id, article_id)
+    rows at rounded scores."""
+    import pyspark.sql.functions as F
+
+    from pubmed_central_semantic_search_spark.operators.search import (
+        score_documents,
+    )
+    from pubmed_central_semantic_search_spark.queries.dim768 import (
+        _multiq_768,
+        corpus_768,
+    )
+    from pubmed_central_semantic_search_spark.registry import QUERY_VECS, load
+
+    # --- registry shape (q3's exact inputs, dim 64) → auto picks HOF
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("article_id"), "embedding"
+    )
+    q64 = spark.createDataFrame(
+        [(qid, v) for qid, v in QUERY_VECS.items()],
+        "query_id int, qvec array<double>",
+    )
+    auto64 = score_documents(emb, q64, k_docs=5, kernel="auto")
+    plan64 = auto64._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan64 and "BatchEvalPython" not in plan64
+    hof64 = score_documents(emb, q64, k_docs=5, kernel="hof")
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["article_id"], round(r["doc_score"], 6))
+        for r in df.collect()
+    }
+    assert key(auto64) == key(hof64)
+
+    # --- reference width (dim 768) → auto picks BLAS, rows agree w/ HOF
+    emb768 = corpus_768(spark, sf_dir).select(
+        F.col("vec_id").alias("article_id"), "embedding"
+    )
+    q768 = spark.createDataFrame(
+        _multiq_768()[:2], "query_id int, qvec array<double>"
+    )
+    auto768 = score_documents(emb768, q768, k_docs=5, kernel="auto")
+    plan768 = auto768._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan768, plan768[:2000]
+    assert "BatchEvalPython" not in plan768
+    hof768 = score_documents(emb768, q768, k_docs=5, kernel="hof")
+    assert key(auto768) == key(hof768)
