@@ -525,12 +525,34 @@ def compact_parquet(
     and drop the partition columns from the layout — compact each leaf
     partition directory instead. Returns {files_before, files_after,
     bytes}.
+
+    Staging/backup land beside ``path`` as ``<path>.compact.{staging,
+    old}`` — correct for a standalone directory. A PARTITION LEAF must
+    not stage beside itself: ``<table>/_bucket=3.compact.staging``
+    parses as a partition directory, so during the swap window — or
+    stranded by a crash — it would inject phantom rows AND flip the
+    partition column's inferred type to string (found by test).
+    ``compact_partitioned_leaves`` therefore routes through
+    ``_compact_dir`` with a dot-prefixed table-level work base, which
+    partition discovery ignores.
     """
     import math
 
     fs, hpath, jvm = _hadoop_fs(spark, path)
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.old")
-    staging_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.staging")
+    return _compact_dir(
+        spark, fs, hpath, jvm, path.rstrip("/"), path.rstrip("/"),
+        target_file_bytes, sort_cols, math,
+    )
+
+
+def _compact_dir(
+    spark, fs, hpath, jvm, path, work_base, target_file_bytes, sort_cols, math
+) -> dict[str, int]:
+    """compact_parquet's engine with a relocatable staging/backup base
+    (``work_base + .compact.{staging,old}``) — deterministic per target
+    directory so the entry-time crash recovery finds its own leftovers."""
+    backup = jvm.org.apache.hadoop.fs.Path(work_base + ".compact.old")
+    staging_p = jvm.org.apache.hadoop.fs.Path(work_base + ".compact.staging")
     # Crash recovery: a previous run that died between its two renames left
     # the data stranded in .compact.old — restore it before anything else.
     if fs.exists(backup):
@@ -595,34 +617,64 @@ def compact_partitioned_leaves(
     fs, hpath, jvm = _hadoop_fs(spark, path)
     # partition leaves are `key=value` dirs — including `_bucket=N`
     # (partition discovery accepts the underscore-named column); metadata
-    # dirs (_layout, _manifests — no "=") and dot-staging dirs are not
-    leaves = [
-        st.getPath()
-        for st in fs.listStatus(hpath)
-        if st.isDirectory()
-        and "=" in st.getPath().getName()
-        and not st.getPath().getName().startswith(".")
-    ]
-    if not leaves:
+    # dirs (_layout, _manifests — no "=") and dot-staging dirs are not.
+    # A leaf PARKED IN ITS CRASH BACKUP is invisible in the listing —
+    # recover its name from the orphaned `.{leaf}.compact.*` work dir,
+    # else the leaf's rows would stay parked forever.
+    leaf_names: set[str] = set()
+    for st in fs.listStatus(hpath):
+        nm = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if "=" in nm and not nm.startswith("."):
+            leaf_names.add(nm)
+        elif nm.startswith(".") and (
+            nm.endswith(".compact.old") or nm.endswith(".compact.staging")
+        ):
+            core = nm[1:].rsplit(".compact.", 1)[0]
+            if "=" in core:
+                leaf_names.add(core)
+    if not leaf_names:
         raise ValueError(
             f"compact_partitioned_leaves: {path} has no key=value partition "
             "directories — for a flat table use compact_parquet"
         )
-    out = {"leaves_seen": len(leaves), "leaves_compacted": 0,
+    import math
+
+    out = {"leaves_seen": len(leaf_names), "leaves_compacted": 0,
            "files_before": 0, "files_after": 0}
-    for leaf in leaves:
+    base = path.rstrip("/")
+    for leaf_name in sorted(leaf_names):
+        leaf = jvm.org.apache.hadoop.fs.Path(f"{base}/{leaf_name}")
+        # crash recovery for THIS leaf must run even when the leaf now
+        # looks small (the crash may have left it empty/missing), so the
+        # engine is entered before the file-count gate when leftovers
+        # from a previous run exist
+        work_base = f"{base}/.{leaf_name}"
+        leftovers = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(work_base + ".compact.old")
+        ) or fs.exists(
+            jvm.org.apache.hadoop.fs.Path(work_base + ".compact.staging")
+        )
         n_files = sum(
             1
             for st in fs.listStatus(leaf)
             if st.getPath().getName().endswith(".parquet")
-        )
-        out["files_before"] += n_files
-        if n_files <= max_files_per_leaf:
+        ) if fs.exists(leaf) else 0
+        if n_files <= max_files_per_leaf and not leftovers:
+            out["files_before"] += n_files
             out["files_after"] += n_files
             continue
-        stats = compact_parquet(
-            spark, leaf.toString(), target_file_bytes=target_file_bytes
+        # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
+        # `_bucket=3.compact.staging` dir inside the table parses as a
+        # partition directory — during the swap window or stranded by a
+        # crash it injects phantom rows and flips the partition column's
+        # inferred type to string (regression-pinned)
+        stats = _compact_dir(
+            spark, fs, leaf, jvm, leaf.toString(), work_base,
+            target_file_bytes, None, math,
         )
+        out["files_before"] += stats["files_before"]
         out["leaves_compacted"] += 1
         out["files_after"] += stats["files_after"]
     return out

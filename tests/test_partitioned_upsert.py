@@ -799,3 +799,60 @@ def test_compact_partitioned_leaves(spark, tmp_path):
         compact_partitioned_leaves(spark, flat)
     with _pt.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, path)
+
+
+def test_leaf_compaction_staging_is_hidden_and_crash_recoverable(spark, tmp_path):
+    """Round-6 self-review find: staging a leaf compaction BESIDE the
+    leaf (`_bucket=3.compact.staging`) parses as a partition directory —
+    it injected phantom rows AND flipped the partition column's inferred
+    type from int to string. Leaf compaction now stages under
+    dot-prefixed table-level names (hidden from discovery); a simulated
+    crash leftover is (a) invisible to readers and (b) recovered by the
+    next compaction run."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        bucket_expr,
+        compact_partitioned_leaves,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "v0") for i in range(40)]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=4,
+    )
+    extra = _rows(spark, [(f"NEW{i}", "a") for i in range(8)]).withColumn(
+        BUCKET_COL, bucket_expr(["article_id"], 4)
+    )
+    extra.repartition(F.col(BUCKET_COL)).write.mode("append").partitionBy(
+        BUCKET_COL
+    ).parquet(path)
+    state = _table_state(spark, path)
+
+    # simulate a compaction that crashed between its two renames: the
+    # leaf moved to the backup, the compacted output is still in staging
+    leaf = next(
+        d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+    )
+    import shutil
+
+    shutil.move(os.path.join(path, leaf), os.path.join(path, f".{leaf}.compact.old"))
+    os.makedirs(os.path.join(path, f".{leaf}.compact.staging"), exist_ok=True)
+
+    # the crash leftovers are INVISIBLE to a reader (dot-prefixed): the
+    # partition column still reads as its real type, no phantom rows
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)[BUCKET_COL] in ("int", "bigint"), df.dtypes
+    missing_rows = len(state) - df.count()
+    assert missing_rows > 0  # that leaf's rows are parked in the backup
+
+    # the next compaction run recovers the leaf, then compacts normally
+    compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert _table_state(spark, path) == state
+    assert not any(".compact." in d for d in os.listdir(path)), os.listdir(path)
+    # and at no point does a key=value-named staging dir exist at the top
+    assert not any(
+        d.startswith(f"{BUCKET_COL}=") and ".compact" in d
+        for d in os.listdir(path)
+    )
