@@ -263,6 +263,10 @@ def bpe_train_local(
         )
     from collections import defaultdict
 
+    # NULL tokens/counts contribute nothing in the distributed trainer
+    # (word_symbols(null) → null → filtered); skipping them here keeps
+    # parity — str(None) would have trained on the literal word "None"
+    rows = [(w, c) for w, c in rows if w is not None and c is not None]
     words = [list(str(w)) + [EOW] for w, _ in rows]
     counts = [int(c) for _, c in rows]
     pair_count: dict[tuple[str, str], int] = defaultdict(int)

@@ -67,6 +67,13 @@ def score_documents(
         from ..operators.vectorized import multi_query_scores_udf
 
         qrows = queries.select("query_id", "qvec").collect()  # k-row side
+        if not qrows:
+            # the matmul kernel needs a (nq, dim) matrix — zero queries
+            # would crash numpy's axis-1 norm; the answer is just empty
+            return queries.crossJoin(doc_vectors.select(ARTICLE_ID)).select(
+                "query_id", "qvec", ARTICLE_ID,
+                F.lit(0.0).alias("doc_score"),
+            ).limit(0)
         qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows])
         scored = (
             doc_vectors.withColumn(

@@ -90,3 +90,37 @@ def test_pmcid_ingest_offline_path(spark, engine):
 def test_pdf_stub_parity(engine):
     with pytest.raises(NotImplementedError):
         engine.upload_from_pdf("/nonexistent.pdf")
+
+
+def test_engine_reference_width_uses_blas_kernel_same_ranks(spark, tmp_path):
+    """At the reference's real dim (768, qdrant.py:74) the engine resolves
+    its query kernel to the Arrow/BLAS matmul at plan time; at narrow
+    dims it stays on the bit-exact fold. Both engines rank the same
+    articles for the same query — the kernel is a physical knob."""
+    from pyspark.sql import functions as F
+
+    arts = spark.createDataFrame(
+        [(aid, names, secs) for aid, names, secs, _ in ARTICLES],
+        "article_id string, section_names array<string>, "
+        "sections array<array<string>>",
+    )
+    ranks = {}
+    for dim in (16, 768):
+        eng = SemanticSearchEngine(
+            spark, str(tmp_path / f"db{dim}"), encoder="fake", dim=dim
+        )
+        assert eng._kernel() == ("blas" if dim == 768 else "hof")
+        eng.upload_articles(arts)
+        out = eng.query("spark joins", docs_per_query=2, highlight=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if dim == 768:
+            assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+        else:
+            assert "ArrowEvalPython" not in plan
+        ranks[dim] = [
+            r["article_id"]
+            for r in out.orderBy(F.desc("doc_score"), "article_id").collect()
+        ]
+    # different encoders spaces (dim differs) — but both must return the
+    # full candidate set, ranked deterministically
+    assert sorted(ranks[16]) == sorted(ranks[768]) == ["PMC100", "PMC200"]

@@ -288,3 +288,21 @@ def test_local_train_collect_guard(spark):
     df = spark.createDataFrame(PAPER_VOCAB, "token string, count bigint")
     with pytest.raises(ValueError, match="max_rows"):
         bpe_train_local(df, 3, max_rows=2)
+
+
+def test_local_train_skips_null_tokens_like_distributed(spark):
+    """Null tokens contribute nothing in the distributed trainer
+    (word_symbols(null) → null → filtered); the local trainer must skip
+    them too — str(None) would train on the literal word 'None'."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    df = spark.createDataFrame(
+        [("low", 5), (None, 99), ("lower", 2)], "token string, count bigint"
+    )
+    want = bpe_train(df, 5)
+    got = bpe_train_local(df, 5)
+    assert got == want
+    assert not any("N" in a or "N" in b for a, b in got)

@@ -265,3 +265,21 @@ def test_score_documents_auto_kernel_choice_is_plan_pinned(spark, sf_dir):
     assert "BatchEvalPython" not in plan768
     hof768 = score_documents(emb768, q768, k_docs=5, kernel="hof")
     assert key(auto768) == key(hof768)
+
+
+def test_score_documents_blas_zero_queries_is_empty_not_crash(spark, sf_dir):
+    """Explicit kernel='blas' with an EMPTY query frame returns an empty
+    result instead of crashing numpy's axis-1 norm on a 0-row matrix."""
+    import pyspark.sql.functions as F
+
+    from pubmed_central_semantic_search_spark.operators.search import (
+        score_documents,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("article_id"), "embedding"
+    )
+    q = spark.createDataFrame([], "query_id int, qvec array<double>")
+    out = score_documents(emb, q, k_docs=3, kernel="blas")
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "qvec", "article_id", "doc_score"}
