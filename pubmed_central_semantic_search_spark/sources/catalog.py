@@ -35,6 +35,21 @@ def reset_table(spark: SparkSession, name: str) -> None:
 BUCKET_COL = "_bucket"
 
 
+def _read_existing(spark, path, allow_schema_evolution):
+    """The merge's existing-side read. Under schema evolution the
+    PARTITIONED layout's files disagree (untouched buckets keep
+    pre-evolution footers), and plain inference SAMPLES a footer — a
+    later merge could silently read the table without the evolved
+    columns and rewrite its touched buckets WITHOUT them (found by
+    test). Evolution-aware merges therefore union all footer schemas;
+    once a table has evolved, keep passing allow_schema_evolution=True
+    on every later upsert."""
+    reader = spark.read
+    if allow_schema_evolution:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     df: DataFrame,
@@ -43,6 +58,7 @@ def upsert_parquet(
     version_col: str | None = None,
     replace_group_col: str | None = None,
     n_buckets: int | None = None,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """S7 — idempotent keyed write: new rows win over existing rows with
     the same key (the reference's content-keyed overwrite semantics).
@@ -68,7 +84,19 @@ def upsert_parquet(
     over key (new rows ranked first) → rewrite via a full staging swap.
     This path never does a partitioned overwrite, so it must not flip a
     session-wide setting that changes the overwrite semantics of
-    unrelated writes."""
+    unrelated writes.
+
+    ``allow_schema_evolution``: by default a batch whose columns differ
+    from the table's raises (unionByName's strict contract — a typo'd
+    column name must not silently fork the schema). Opting in unions
+    with ``allowMissingColumns=True``: columns NEW in the batch join the
+    table schema (existing rows read them as null), columns ABSENT from
+    the batch stay (a replaced key's new version carries null there —
+    the new row wins whole, the upsert law unchanged). Key, version, and
+    group columns must always ride in the batch. Both layouts support
+    it; in the partitioned layout untouched buckets keep their old
+    files, so readers see the union schema via parquet schema merging
+    only when asked — ``read_upsert_table`` handles it."""
     reserved = {"_is_new", "_rn"} & set(df.columns)
     if reserved:
         # the merge window's working columns are added then DROPPED — a
@@ -82,6 +110,7 @@ def upsert_parquet(
         _upsert_partitioned(
             spark, df, path, key_cols, n_buckets,
             version_col=version_col, replace_group_col=replace_group_col,
+            allow_schema_evolution=allow_schema_evolution,
         )
         return
     fs, hpath, jvm = _hadoop_fs(spark, path)
@@ -117,14 +146,15 @@ def upsert_parquet(
     # whole table with new-rows-only — silent data loss. Same rule as the
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
     if fs.exists(hpath):
-        existing = spark.read.parquet(path)
+        existing = _read_existing(spark, path, allow_schema_evolution)
         if replace_group_col is not None:
             groups = df.select(replace_group_col).distinct()
             existing = existing.join(
                 F.broadcast(groups), replace_group_col, "left_anti"
             )
         tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
-            df.withColumn("_is_new", F.lit(1))
+            df.withColumn("_is_new", F.lit(1)),
+            allowMissingColumns=allow_schema_evolution,
         )
     else:  # first write — nothing to merge
         tagged = df.withColumn("_is_new", F.lit(1))
@@ -158,6 +188,7 @@ def _upsert_partitioned(
     n_buckets: int,
     version_col: str | None = None,
     replace_group_col: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """S7 at scale — bucket-partitioned keyed upsert: merge and rewrite
     ONLY the partitions the incoming batch touches.
@@ -337,7 +368,9 @@ def _upsert_partitioned(
     touched = sorted(
         r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
     )
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    existing = _read_existing(spark, path, allow_schema_evolution).filter(
+        F.col(BUCKET_COL).isin(touched)
+    )
     if replace_group_col is not None:
         groups = df.select(replace_group_col).distinct()
         existing = existing.join(
@@ -348,7 +381,8 @@ def _upsert_partitioned(
     # (directory names are unaffected — same integer rendering).
     existing = existing.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("long"))
     tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
-        with_bucket.withColumn("_is_new", F.lit(1))
+        with_bucket.withColumn("_is_new", F.lit(1)),
+        allowMissingColumns=allow_schema_evolution,
     )
     order = [F.col("_is_new").desc()] + (
         [F.col(version_col).desc()] if version_col else []
@@ -439,6 +473,7 @@ def read_upsert_table(
     spark: SparkSession,
     path: str,
     key_equals: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read an upsert table in either layout, hiding the bucket column —
     consumers see the same schema whether the table was written flat or
@@ -452,8 +487,20 @@ def read_upsert_table(
     of n_buckets, plan-pinned in tests). Literals are cast to the
     column's own type before hashing — xxhash64 of an int literal and a
     long column differ, and the mismatch would silently prune to the
-    WRONG bucket."""
-    df = spark.read.parquet(path)
+    WRONG bucket.
+
+    ``merge_schema``: after a schema-evolving upsert into the
+    PARTITIONED layout, untouched buckets still hold pre-evolution files
+    — plain parquet inference may sample a footer without the new
+    columns and hide them. ``merge_schema=True`` unions all footer
+    schemas (parquet mergeSchema — pays a per-file footer read, so it's
+    an explicit opt-in, not the default scan), reading absent columns as
+    null. The flat layout rewrites the whole table each merge, so its
+    files always agree and the default read suffices."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if key_equals:
         if BUCKET_COL in df.columns:
             layout = _read_upsert_layout(spark, path)

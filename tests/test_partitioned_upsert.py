@@ -856,3 +856,55 @@ def test_leaf_compaction_staging_is_hidden_and_crash_recoverable(spark, tmp_path
         d.startswith(f"{BUCKET_COL}=") and ".compact" in d
         for d in os.listdir(path)
     )
+
+
+def test_schema_evolution_both_layouts(spark, tmp_path):
+    """allow_schema_evolution: a batch may ADD columns (existing rows
+    read null) or OMIT non-key columns (the replaced key's new version
+    carries null — the new row wins whole); without the opt-in a
+    mismatched batch raises (a typo'd column must not silently fork the
+    schema). Partitioned reads of evolved tables opt into footer schema
+    merging via read_upsert_table(merge_schema=True) — untouched buckets
+    still hold pre-evolution files."""
+    import pytest as _pt
+
+    v1 = _rows(spark, [(f"PMC{i}", "v1") for i in range(12)])
+    v2 = spark.createDataFrame(
+        [("PMC1", "v2", 0.9), ("PMCnew", "v2", 0.5)],
+        "article_id string, payload string, quality double",
+    )
+    for tag, buckets in (("flat", None), ("part", 4)):
+        path = str(tmp_path / tag)
+        upsert_parquet(
+            spark, v1, path, key_cols=["article_id"], n_buckets=buckets
+        )
+        # strict default: schema drift raises
+        with _pt.raises(Exception, match="quality|UNION|column"):
+            upsert_parquet(
+                spark, v2, path, key_cols=["article_id"], n_buckets=buckets
+            )
+        upsert_parquet(
+            spark, v2, path, key_cols=["article_id"], n_buckets=buckets,
+            allow_schema_evolution=True,
+        )
+        got = read_upsert_table(spark, path, merge_schema=True)
+        assert "quality" in got.columns
+        rows = {r["article_id"]: r for r in got.collect()}
+        assert len(rows) == 13
+        assert rows["PMC1"]["payload"] == "v2" and rows["PMC1"]["quality"] == 0.9
+        assert rows["PMCnew"]["quality"] == 0.5
+        assert rows["PMC2"]["quality"] is None  # pre-evolution row
+        # and a later batch OMITTING the new column still merges: the
+        # replaced key's new version carries null there
+        v3 = _rows(spark, [("PMC1", "v3")])
+        upsert_parquet(
+            spark, v3, path, key_cols=["article_id"], n_buckets=buckets,
+            allow_schema_evolution=True,
+        )
+        rows3 = {
+            r["article_id"]: r
+            for r in read_upsert_table(spark, path, merge_schema=True).collect()
+        }
+        assert rows3["PMC1"]["payload"] == "v3"
+        assert rows3["PMC1"]["quality"] is None
+        assert rows3["PMCnew"]["quality"] == 0.5  # untouched key keeps it
