@@ -230,9 +230,9 @@ class SemanticSearchEngine:
         rank-stable across kernels (rounded-score twin equivalence is
         test-pinned); callers hashing exact floats use the operators
         directly with kernel='hof'."""
-        from .plans.planner import _KERNEL_CROSSOVER_DIM
+        from .plans.planner import resolve_kernel
 
-        return "blas" if self.dim >= _KERNEL_CROSSOVER_DIM else "hof"
+        return resolve_kernel(self.dim)
 
     def query_html(
         self,

@@ -204,9 +204,10 @@ def bpe_train_batched(
             k += 1
             if r["a"] == r["b"]:
                 break
-        # rule 3: strict 4× boundary against the first excluded row
-        if k == len(rows) and not stats_complete:
-            k = len(rows) - 1  # unseen tail — keep an excluded witness
+        # rule 3: strict 4× boundary against the first excluded row.
+        # An excluded witness always exists when needed: the accept loop
+        # caps k at `want` and we collected want+1 rows, so k == len(rows)
+        # only when the stats ran dry (stats_complete) — next count 0.
         while k > 1:
             nxt = rows[k]["pair_count"] if k < len(rows) else 0
             if rows[k - 1]["pair_count"] > 4 * nxt:
@@ -260,6 +261,16 @@ def bpe_train_local(
             "the collect guard. Raise max_rows if the driver can hold it, "
             "or train on the count-ranked head (frequency truncation is "
             "the standard practice), or use bpe_train/bpe_train_batched."
+        )
+    if any(c is not None and int(c) <= 0 for _, c in rows):
+        # the incremental index cannot tell a true zero-count pair from a
+        # subtracted-stale one, so its liveness filter would diverge from
+        # the distributed trainer (which WILL merge a zero-count argmax);
+        # the parity contract's domain is positive counts — fail loudly
+        raise ValueError(
+            "bpe_train_local: vocabulary counts must be positive "
+            "(zero/negative counts are outside the parity domain; filter "
+            "them out or use bpe_train)"
         )
     from collections import defaultdict
 

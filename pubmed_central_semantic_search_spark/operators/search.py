@@ -58,11 +58,10 @@ def score_documents(
     if kernel not in ("hof", "blas", "auto"):
         raise ValueError(f"unknown kernel: {kernel}")
     if kernel == "auto":
-        from ..plans.planner import _KERNEL_CROSSOVER_DIM
+        from ..plans.planner import resolve_kernel
 
         first = queries.select("qvec").first()
-        dim = len(first["qvec"]) if first is not None else 0
-        kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+        kernel = resolve_kernel(len(first["qvec"]) if first is not None else 0)
     if kernel == "blas":
         from ..operators.vectorized import multi_query_scores_udf
 
@@ -75,11 +74,22 @@ def score_documents(
                 F.lit(0.0).alias("doc_score"),
             ).limit(0)
         qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows])
+        # a NULL embedding scores NULL against every query (the kernel
+        # returns a null array; coalescing to k nulls keeps the row) —
+        # posexplode of the bare null array would DROP the document while
+        # the HOF twin keeps it as a null-score row, and the kernels must
+        # agree on row sets, not just rounded scores (review find)
+        null_scores = F.array_repeat(
+            F.lit(None).cast("double"), len(qrows)
+        )
         scored = (
             doc_vectors.withColumn(
                 "_s",
-                multi_query_scores_udf([list(r["qvec"]) for r in qrows])(
-                    F.col("embedding")
+                F.coalesce(
+                    multi_query_scores_udf([list(r["qvec"]) for r in qrows])(
+                        F.col("embedding")
+                    ),
+                    null_scores,
                 ),
             )
             .select(ARTICLE_ID, F.posexplode("_s").alias("_qi", "doc_score"))

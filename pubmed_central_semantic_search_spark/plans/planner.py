@@ -30,6 +30,15 @@ from ..operators.ann import brute_force_topk, lsh_topk
 _KERNEL_CROSSOVER_DIM = 256
 
 
+def resolve_kernel(dim: int) -> str:
+    """THE kernel='auto' rule — one definition (review find: the peek +
+    crossover comparison had drifted into three copies): the Arrow/BLAS
+    matmul above the measured crossover, the bit-exact Catalyst fold at
+    or below it (including dim 0 — an empty/unknown query side must not
+    pay an Arrow stage)."""
+    return "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+
+
 def plan_topk_search(
     vectors: DataFrame,
     queries: DataFrame,
@@ -77,8 +86,9 @@ def plan_topk_search(
             # here would pay a job whose result is discarded when auto
             # routes to hof
             first = queries.select("qvec").first()
-            dim = len(first["qvec"]) if first is not None else 0
-            kernel = "blas" if dim >= _KERNEL_CROSSOVER_DIM else "hof"
+            kernel = resolve_kernel(
+                len(first["qvec"]) if first is not None else 0
+            )
         if kernel == "blas":
             from ..operators.vectorized import multi_query_topk_np
 

@@ -106,6 +106,23 @@ def upsert_parquet(
             f"upsert_parquet: input columns {sorted(reserved)} are "
             "reserved for the merge; rename them"
         )
+    required = set(key_cols)
+    if version_col:
+        required.add(version_col)
+    if replace_group_col:
+        required.add(replace_group_col)
+    missing_req = sorted(required - set(df.columns))
+    if missing_req:
+        # validated HERE, not left to the union: under
+        # allow_schema_evolution a batch missing (or typo-renaming) a key
+        # column would be silently null-keyed — the merge window would
+        # collapse the whole batch into one NULL-key row and drop the
+        # rest without an error (review find)
+        raise ValueError(
+            f"upsert_parquet: batch is missing required merge columns "
+            f"{missing_req} (key/version/group columns must ride in "
+            "every batch)"
+        )
     if n_buckets is not None:
         _upsert_partitioned(
             spark, df, path, key_cols, n_buckets,
@@ -147,6 +164,17 @@ def upsert_parquet(
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
     if fs.exists(hpath):
         existing = _read_existing(spark, path, allow_schema_evolution)
+        if BUCKET_COL in existing.columns:
+            # pre-metadata partitioned table (no _layout record): the
+            # strict union used to fail loudly on the column mismatch,
+            # but allow_schema_evolution would absorb _bucket as an
+            # "evolved" column and the staging swap would silently
+            # FLATTEN the layout (review find) — refuse by the data
+            raise ValueError(
+                f"upsert_parquet: table at {path} carries a {BUCKET_COL} "
+                "partition column — it is bucket-partitioned (even "
+                "without a _layout record); call with its n_buckets"
+            )
         if replace_group_col is not None:
             groups = df.select(replace_group_col).distinct()
             existing = existing.join(
@@ -326,7 +354,9 @@ def _upsert_partitioned(
         # caller's args once (backward compat) and stamp them. The
         # flat-table case was already rejected above from the directory
         # listing itself.
-        _write_upsert_layout(spark, path, n_buckets, bucket_src)
+        _write_upsert_layout(
+            spark, path, n_buckets, bucket_src, evolved=allow_schema_evolution
+        )
     # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
     # without it each of the N write tasks emits a file into every
     # partition directory it sees rows for — tasks × buckets small files,
@@ -352,7 +382,10 @@ def _upsert_partitioned(
             # caller's bucket key (a keyed-only caller on a group-
             # bucketed table would stamp the wrong key and later merges
             # would silently strand/duplicate rows).
-            _write_upsert_layout(spark, path, n_buckets, bucket_src)
+            _write_upsert_layout(
+                spark, path, n_buckets, bucket_src,
+                evolved=allow_schema_evolution,
+            )
         (
             # mode is append, not errorifexists: the path may already
             # exist holding only the _layout record (this stamp, or a
@@ -365,12 +398,37 @@ def _upsert_partitioned(
             .parquet(path)
         )
         return
+    # Evolution is TABLE-STICKY (review find): the opt-in is stamped into
+    # the _layout record, so after ONE evolved upsert every later merge —
+    # including a caller that forgets the flag — reads with footer schema
+    # merging. Without the stamp, plain inference could sample a
+    # pre-evolution footer and the strict merge would rewrite its touched
+    # buckets WITHOUT the evolved columns: silent, footer-sampling-order-
+    # dependent data loss. (The union stays strict for unflagged calls —
+    # adding NEW columns still requires the explicit flag.)
+    evolved = _layout_evolved(stored) if stored is not None else False
+    if allow_schema_evolution and stored is not None and not evolved:
+        _write_upsert_layout(spark, path, n_buckets, bucket_src, evolved=True)
+    effective_evolution = allow_schema_evolution or evolved
     touched = sorted(
         r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
     )
-    existing = _read_existing(spark, path, allow_schema_evolution).filter(
+    existing = _read_existing(spark, path, effective_evolution).filter(
         F.col(BUCKET_COL).isin(touched)
     )
+    if effective_evolution and not allow_schema_evolution:
+        # sticky evolution accepts OLD-schema batches from forgetful
+        # writers (their replaced keys carry null in the evolved
+        # columns), but widening the schema FURTHER still requires the
+        # explicit flag — a typo'd column on a strict call must not
+        # evolve the table
+        extra = sorted(set(with_bucket.columns) - set(existing.columns))
+        if extra:
+            raise ValueError(
+                f"upsert_parquet: batch adds new columns {extra} to an "
+                "evolved table — pass allow_schema_evolution=True to "
+                "widen the schema"
+            )
     if replace_group_col is not None:
         groups = df.select(replace_group_col).distinct()
         existing = existing.join(
@@ -382,7 +440,7 @@ def _upsert_partitioned(
     existing = existing.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("long"))
     tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
         with_bucket.withColumn("_is_new", F.lit(1)),
-        allowMissingColumns=allow_schema_evolution,
+        allowMissingColumns=effective_evolution,
     )
     order = [F.col("_is_new").desc()] + (
         [F.col(version_col).desc()] if version_col else []
@@ -437,7 +495,11 @@ def _layout_dir(path: str) -> str:
 
 
 def _write_upsert_layout(
-    spark: SparkSession, path: str, n_buckets: int, bucket_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    evolved: bool = False,
 ) -> None:
     """Rename-as-commit (the module discipline): the record is staged
     beside the live dir and swapped in, so readers never observe a
@@ -448,9 +510,9 @@ def _write_upsert_layout(
     whose next upsert silently stamped THAT caller's bucket key."""
     live = _layout_dir(path)
     staging = live + ".staging"
-    local_df(spark, 
-        [(int(n_buckets), ",".join(bucket_cols))],
-        "n_buckets int, bucket_cols string",
+    local_df(spark,
+        [(int(n_buckets), ",".join(bucket_cols), bool(evolved))],
+        "n_buckets int, bucket_cols string, evolved boolean",
     ).coalesce(1).write.mode("overwrite").json(staging)
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
@@ -458,6 +520,15 @@ def _write_upsert_layout(
     if fs.exists(live_p):
         fs.delete(live_p, True)
     fs.rename(staging_p, live_p)
+
+
+def _layout_evolved(stored) -> bool:
+    """The stored 'evolved' bit; legacy records (written before the field
+    existed) read as False."""
+    try:
+        return bool(stored["evolved"])
+    except Exception:
+        return False
 
 
 def _read_upsert_layout(spark: SparkSession, path: str):
@@ -492,14 +563,20 @@ def read_upsert_table(
     ``merge_schema``: after a schema-evolving upsert into the
     PARTITIONED layout, untouched buckets still hold pre-evolution files
     — plain parquet inference may sample a footer without the new
-    columns and hide them. ``merge_schema=True`` unions all footer
-    schemas (parquet mergeSchema — pays a per-file footer read, so it's
-    an explicit opt-in, not the default scan), reading absent columns as
-    null. The flat layout rewrites the whole table each merge, so its
-    files always agree and the default read suffices."""
+    columns and hide them. ``merge_schema=True`` forces footer-schema
+    union; tables whose ``_layout`` record carries the evolved stamp get
+    it AUTOMATICALLY (the stamp is why evolution is table-sticky — a
+    reader must not see a different schema depending on which footer
+    inference sampled). Per-file footer reads are the cost, which is why
+    unevolved tables keep the plain scan. The flat layout rewrites the
+    whole table each merge, so its files always agree."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    else:
+        layout = _read_upsert_layout(spark, path)
+        if layout is not None and _layout_evolved(layout):
+            reader = reader.option("mergeSchema", "true")
     df = reader.parquet(path)
     if key_equals:
         if BUCKET_COL in df.columns:

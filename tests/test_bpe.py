@@ -306,3 +306,18 @@ def test_local_train_skips_null_tokens_like_distributed(spark):
     got = bpe_train_local(df, 5)
     assert got == want
     assert not any("N" in a or "N" in b for a, b in got)
+
+
+def test_local_train_rejects_nonpositive_counts(spark):
+    """Review find: the incremental index cannot tell a true zero-count
+    pair from a subtracted-stale one, so zero/negative counts are outside
+    the parity domain — named error, never silent divergence."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.bpe import bpe_train_local
+
+    df = spark.createDataFrame(
+        [("ab", 0), ("cd", 3)], "token string, count bigint"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        bpe_train_local(df, 2)

@@ -908,3 +908,62 @@ def test_schema_evolution_both_layouts(spark, tmp_path):
         assert rows3["PMC1"]["payload"] == "v3"
         assert rows3["PMC1"]["quality"] is None
         assert rows3["PMCnew"]["quality"] == 0.5  # untouched key keeps it
+
+
+def test_evolution_review_fixes(spark, tmp_path):
+    """Round-6 code-review findings on schema evolution, all pinned:
+    (1) a batch missing a key column raises a named error instead of
+    being silently null-keyed under allowMissingColumns; (2) evolution
+    is TABLE-STICKY — a later merge that forgets the flag still reads
+    merged footers and cannot strip the evolved column; (3) a flat
+    upsert into a _bucket-bearing table without a _layout record raises
+    instead of silently flattening the layout; (4) read_upsert_table
+    auto-merges footers for stamped-evolved tables."""
+    import pytest as _pt
+
+    # (1) missing key column — named error, both layouts, evolved or not
+    bad = spark.createDataFrame([("x",)], "payload string")
+    for buckets in (None, 4):
+        with _pt.raises(ValueError, match="required merge columns"):
+            upsert_parquet(
+                spark, bad, str(tmp_path / "k"), key_cols=["article_id"],
+                n_buckets=buckets, allow_schema_evolution=True,
+            )
+
+    # (2)+(4) sticky evolution on the partitioned layout
+    path = str(tmp_path / "sticky")
+    v1 = _rows(spark, [(f"PMC{i}", "v1") for i in range(12)])
+    upsert_parquet(spark, v1, path, key_cols=["article_id"], n_buckets=4)
+    v2 = spark.createDataFrame(
+        [("PMC1", "v2", 0.9)], "article_id string, payload string, quality double"
+    )
+    upsert_parquet(
+        spark, v2, path, key_cols=["article_id"], n_buckets=4,
+        allow_schema_evolution=True,
+    )
+    # a FORGETFUL strict merge of an old-schema batch must not strip
+    # quality from the buckets it rewrites
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v3")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    got = read_upsert_table(spark, path)  # no merge_schema arg — auto
+    assert "quality" in got.columns
+    rows = {r["article_id"]: r for r in got.collect()}
+    assert rows["PMC1"]["payload"] == "v3" and rows["PMC1"]["quality"] is None
+    assert rows["PMC2"]["quality"] is None and len(rows) == 12
+
+    # (3) pre-metadata partitioned table + flat evolved call — named error
+    import shutil
+
+    pm = str(tmp_path / "premeta")
+    upsert_parquet(
+        spark, _rows(spark, [("a", "b")]), pm, key_cols=["article_id"],
+        n_buckets=4,
+    )
+    shutil.rmtree(os.path.join(pm, "_layout"))
+    with _pt.raises(ValueError, match="bucket-partitioned"):
+        upsert_parquet(
+            spark, _rows(spark, [("a", "c")]), pm, key_cols=["article_id"],
+            allow_schema_evolution=True,
+        )

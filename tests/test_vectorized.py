@@ -283,3 +283,32 @@ def test_score_documents_blas_zero_queries_is_empty_not_crash(spark, sf_dir):
     out = score_documents(emb, q, k_docs=3, kernel="blas")
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "qvec", "article_id", "doc_score"}
+
+
+def test_blas_kernel_keeps_null_embedding_rows_like_hof(spark):
+    """Review find: the blas arm's posexplode dropped NULL-embedding
+    documents while the fold kept them as null-score rows — the kernels
+    must agree on ROW SETS, not just rounded scores (visible whenever a
+    group has fewer than k non-null docs)."""
+    from pubmed_central_semantic_search_spark.operators.search import (
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", [1.0, 0.0]), ("B", [0.5, 0.5]), ("C", None)],
+        "article_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id int, qvec array<double>"
+    )
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["article_id"],
+         None if r["doc_score"] is None else round(r["doc_score"], 6))
+        for r in df.collect()
+    }
+    hof = score_documents(docs, q, k_docs=5, kernel="hof")
+    blas = score_documents(docs, q, k_docs=5, kernel="blas")
+    assert key(hof) == key(blas)
+    assert ("A" in {t[1] for t in key(blas)}) and (
+        "C" in {t[1] for t in key(blas)}
+    )
