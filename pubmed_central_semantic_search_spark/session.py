@@ -82,9 +82,16 @@ def local_df(spark: SparkSession, rows, schema):
 
     Semantics are unchanged (test-pinned): columns map POSITIONALLY to
     ``schema`` (DDL string or StructType), None stays null, arrays/
-    timestamps/dates round-trip. Rows may be tuples, lists, or Row
-    objects. Empty input falls back to the plain path (an empty pandas
-    frame carries no arity for positional mapping).
+    structs/timestamps/dates round-trip. Rows may be tuples, lists, or
+    Row objects. Empty input falls back to the plain path (an empty
+    pandas frame carries no arity for positional mapping).
+
+    ONE documented divergence from ``createDataFrame(list)``: a float
+    ``NaN`` cell arrives as NULL (pandas cannot carry the NaN-vs-None
+    distinction through an object column). The package designs NaN out
+    of every shipped value (the cosine zero-norm rule: degenerate math
+    scores 0.0, never NaN) — a caller that genuinely must ship NaN uses
+    the plain path. Pinned in test_imports.py.
     """
     rows = list(rows)
     if not rows:

@@ -517,6 +517,7 @@ def start_stream_upsert(
     key_cols: list[str],
     version_col: str | None = None,
     partition_buckets: int | None = None,
+    allow_schema_evolution: bool = False,
 ):
     """X6 — streaming KEYED UPSERT sink: each micro-batch merges into the
     parquet table through ``sources/catalog.upsert_parquet`` (new rows
@@ -538,7 +539,11 @@ def start_stream_upsert(
     ``partition_buckets`` selects the bucket-partitioned layout — each
     micro-batch merges only the key buckets it touches (O(batch) per
     trigger instead of O(table); crash-replay convergence argument in
-    catalog._upsert_partitioned)."""
+    catalog._upsert_partitioned). ``allow_schema_evolution`` passes
+    through to the merge (table-sticky once stamped — see
+    upsert_parquet); a structured stream's own schema is fixed at start,
+    so this matters when the SINK table predates the stream with a
+    narrower or wider schema."""
     from ..sources.catalog import upsert_parquet
 
     spark = stream_df.sparkSession
@@ -547,6 +552,7 @@ def start_stream_upsert(
         upsert_parquet(
             spark, batch_df, table_dir, key_cols, version_col,
             n_buckets=partition_buckets,
+            allow_schema_evolution=allow_schema_evolution,
         )
 
     return (

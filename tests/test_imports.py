@@ -38,3 +38,55 @@ def test_direct_import_in_fresh_interpreter(mod):
         [sys.executable, "-c", code], capture_output=True, text=True
     )
     assert proc.returncode == 0, f"{mod}: {proc.stderr[-800:]}"
+
+
+def test_local_df_semantics_match_plain_createdataframe(spark):
+    """local_df (the Arrow/pandas channel behind every driver-local frame)
+    is semantics-identical to createDataFrame(list) across the type grid
+    the package actually ships: ints, doubles, strings, booleans, arrays
+    (incl. nested), timestamps/dates, and None in EVERY position — the
+    25-call-site swap rides on this equivalence. The ONE documented
+    divergence is pinned too: a float NaN cell arrives as NULL through
+    the pandas channel (the package designs NaN out of every shipped
+    value — cosine's zero-norm rule — so no call site can hit it)."""
+    import datetime
+
+    from pubmed_central_semantic_search_spark.session import local_df
+
+    schema = (
+        "i bigint, d double, s string, b boolean, arr array<double>, "
+        "nested array<array<string>>, ts timestamp, dt date"
+    )
+    rows = [
+        (
+            1, 1.5, "x", True, [0.1, 0.2], [["a"], ["b", "c"]],
+            datetime.datetime(2024, 1, 2, 3, 4, 5), datetime.date(2024, 5, 6),
+        ),
+        (None, None, None, None, None, None, None, None),
+        (2, 2.5, "", False, [], [[]], None, None),
+    ]
+    via_list = spark.createDataFrame(rows, schema)
+    via_local = local_df(spark, rows, schema)
+    assert via_local.schema == via_list.schema
+
+    def canon(df):
+        out = []
+        for r in df.collect():
+            t = []
+            for v in r:
+                if isinstance(v, float) and v != v:
+                    t.append("NaN")
+                else:
+                    t.append(v)
+            out.append(tuple(t))
+        return sorted(out, key=repr)
+
+    assert canon(via_local) == canon(via_list)
+
+    # the documented NaN divergence, pinned: pandas channel → NULL,
+    # plain path → NaN
+    nan_rows = [(1, float("nan"))]
+    via_list_nan = spark.createDataFrame(nan_rows, "i bigint, d double").collect()
+    via_local_nan = local_df(spark, nan_rows, "i bigint, d double").collect()
+    assert via_list_nan[0]["d"] != via_list_nan[0]["d"]  # NaN survives
+    assert via_local_nan[0]["d"] is None  # pandas channel: NULL

@@ -1254,3 +1254,54 @@ def test_stream_ihist_grouped_fold(spark, tmp_path):
         for r in spark.read.parquet(sketch_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_schema_evolution_passthrough(spark, tmp_path):
+    """A stream whose sink table predates it with a NARROWER schema:
+    allow_schema_evolution passes through foreachBatch to the merge, the
+    stamp makes the table sticky-evolved, and pre-stream rows read the
+    new column as null."""
+    import json
+    import os
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_upsert,
+    )
+
+    table = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [("k1", "old"), ("k2", "old")], "doc_id string, payload string"
+        ),
+        table,
+        key_cols=["doc_id"],
+        n_buckets=4,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        fh.write(json.dumps({"doc_id": "k2", "payload": "new", "score": 0.5}) + "\n")
+        fh.write(json.dumps({"doc_id": "k3", "payload": "new", "score": 0.7}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id string, payload string, score double")
+        .json(src)
+    )
+    q = start_stream_upsert(
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        key_cols=["doc_id"],
+        partition_buckets=4,
+        allow_schema_evolution=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["doc_id"]: r for r in read_upsert_table(spark, table).collect()}
+    assert rows["k2"]["payload"] == "new" and rows["k2"]["score"] == 0.5
+    assert rows["k3"]["score"] == 0.7
+    assert rows["k1"]["payload"] == "old" and rows["k1"]["score"] is None
