@@ -718,14 +718,25 @@ def compact_partitioned_leaves(
     """Leaf-level compaction for ANY single-level hive-partitioned
     layout (``key=value`` directories) — the housekeeping
     ``compact_parquet`` explicitly refuses (flat recompaction would
-    collapse the partitions). Who accretes: APPENDING partitioned
-    writers — the streaming IVF sink adds one file per touched inverted
-    list per micro-batch, and any foreign append-mode co-writer does the
-    same — until per-file open/footer/listing overhead dominates the
-    scan at 100 TB. (The bucket-partitioned UPSERT does not accrete: its
-    dynamic overwrite rewrites each touched bucket to one file — but its
-    buckets can OUTGROW the scan-efficient file size, which this splits
-    via ``target_file_bytes``.)
+    collapse the partitions). Who accretes: manifest-less APPEND-mode
+    partitioned writers (one file per touched leaf per write) — until
+    per-file open/footer/listing overhead dominates the scan at 100 TB.
+    (The bucket-partitioned UPSERT does not accrete: its dynamic
+    overwrite rewrites each touched bucket to one file — but its buckets
+    can OUTGROW the scan-efficient file size, which this splits via
+    ``target_file_bytes``. The streaming IVF sink accretes too but is
+    manifest-pinned — refused below.)
+
+    STREAMING FILE-SINK OUTPUTS ARE REFUSED BY NAME: a table carrying a
+    ``_spark_metadata`` dir was written by a Structured Streaming file
+    sink, whose manifest pins EXACT file names — it is both the sink's
+    exactly-once mechanism and the authoritative file list for root
+    reads, so compacting underneath it orphans the manifest and every
+    later read of the table root throws FileNotFound (found by test).
+    Compact such a table only after retiring the manifest (stop the
+    stream, rewrite through a fresh non-streaming path), or keep the
+    small files — the streaming IVF sink's probes read partition
+    directories the manifest still covers.
 
     Each leaf compacts independently through ``compact_parquet`` (its
     per-directory staging swap + crash recovery), skipping leaves already
@@ -739,6 +750,16 @@ def compact_partitioned_leaves(
     Flat directories (no ``key=value`` subdirs) raise — use
     ``compact_parquet``."""
     fs, hpath, jvm = _hadoop_fs(spark, path)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_spark_metadata")
+    ):
+        raise ValueError(
+            f"compact_partitioned_leaves: {path} is a Structured Streaming "
+            "file-sink output (_spark_metadata manifest) — the manifest "
+            "pins exact file names, and compacting underneath it would "
+            "break every read of the table root. Retire the manifest "
+            "first (stop the stream and rewrite through a batch path)."
+        )
     # partition leaves are `key=value` dirs — including `_bucket=N`
     # (partition discovery accepts the underscore-named column); metadata
     # dirs (_layout, _manifests — no "=") and dot-staging dirs are not.

@@ -1305,3 +1305,54 @@ def test_stream_upsert_schema_evolution_passthrough(spark, tmp_path):
     assert rows["k2"]["payload"] == "new" and rows["k2"]["score"] == 0.5
     assert rows["k3"]["score"] == 0.7
     assert rows["k1"]["payload"] == "old" and rows["k1"]["score"] is None
+
+
+def test_stream_ivf_index_refuses_leaf_compaction_by_name(spark, tmp_path):
+    """The IVF streaming sink DOES accrete one file per touched list per
+    micro-batch — but its _spark_metadata manifest pins exact file names
+    (it is the sink's exactly-once mechanism AND the authoritative file
+    list for root reads), so compacting underneath it would orphan the
+    manifest and every later root read would throw FileNotFound (found
+    by test: the first draft of this test compacted the index and the
+    read-back died on a manifest-listed deleted file). The tool refuses
+    by name instead of corrupting; probing still prunes partitions."""
+    import pyspark.sql.functions as SF
+    import pytest as _pt
+
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        seed_centroids,
+    )
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        compact_partitioned_leaves,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        stream_ivf_append,
+    )
+
+    def vec(i):
+        base = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]][i % 3]
+        return [x + 0.01 * ((i * 7) % 5) for x in base]
+
+    all_vecs = spark.createDataFrame(
+        [(i, vec(i)) for i in range(12)], "vec_id long, embedding array<double>"
+    )
+    cents = seed_centroids(all_vecs, 3)
+    src = tmp_path / "vs"
+    src.mkdir()
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<double>"
+    for t, (lo, hi) in enumerate([(0, 6), (6, 12)]):
+        with open(src / f"t{t}.jsonl", "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+        q = stream_ivf_append(
+            spark.readStream.schema(schema).json(str(src)), cents, idx, ckpt
+        )
+        q.awaitTermination(120)
+
+    with _pt.raises(ValueError, match="_spark_metadata"):
+        compact_partitioned_leaves(spark, idx)
+    # the index is untouched and fully functional after the refusal
+    assert spark.read.parquet(idx).count() == 12
+    probe = spark.read.parquet(idx).filter(SF.col("cluster_id") == cents[0][0])
+    assert "PartitionFilters" in probe._jdf.queryExecution().executedPlan().toString()
