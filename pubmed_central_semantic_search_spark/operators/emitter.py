@@ -84,7 +84,12 @@ def emit_training_sequences(
     ).select(
         shard_col,
         order_col,
-        (F.col("_gpos") / ctx_len).cast("bigint").alias("seq_id"),
+        # integer `div`, not `/`: Spark's `/` is double division, which
+        # rounds the numerator at 2^53 — seq_id would then disagree with
+        # the exact integer `%` off and misplace tokens (beyond today's
+        # envelope, but the module promises exact integer stream
+        # arithmetic at any scale)
+        F.expr(f"_gpos div {int(ctx_len)}").alias("seq_id"),
         (F.col("_gpos") % ctx_len).cast("int").alias("off"),
         F.coalesce(F.col("vocab_id").cast("bigint"), F.lit(oov_id)).alias("vid"),
         (F.col("tpos") == 0).alias("is_doc_start"),

@@ -80,11 +80,18 @@ def _moment_partials(vec_col: str):
 
 def pca_fit(df: DataFrame, vec_col: str = "embedding", out_dim: int = 8) -> PCAModel:
     """Fit PCA on ``vec_col`` with one distributed moment pass (see module
-    docstring). Returns a dim-sized model; raises on an empty frame."""
+    docstring). Returns a dim-sized model; raises on an empty frame.
+    NULL embeddings are excluded from the fit (the projection twins
+    already pass nulls through; without this filter one null row fed
+    np.asarray(None) into the moment fold and the whole fit died in an
+    opaque executor traceback — review find)."""
     import numpy as np
+    from pyspark.sql import functions as F
 
-    partials = df.select(vec_col).mapInPandas(
-        _moment_partials(vec_col), _PARTIAL_SCHEMA
+    partials = (
+        df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(_moment_partials(vec_col), _PARTIAL_SCHEMA)
     )
 
     def combine(batches):
@@ -129,6 +136,21 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", out_dim: int = 8) -> PCAM
     return PCAModel(mean=mu.tolist(), components=comps, eigvals=vals, n=int(n))
 
 
+def _effective_components(model: PCAModel, whiten: bool, eps: float):
+    """THE whitening fold — one definition (review find: the identical
+    clamp+scale block had drifted into three copies): ``whiten=True``
+    folds 1/√(λ+eps) into the components; the clamp exists because eigh
+    returns tiny NEGATIVE eigenvalues for rank-deficient covariance and
+    (λ+eps)**0.5 would go complex. All three projection tiers (Catalyst,
+    Arrow/BLAS, driver-side query vector) call this, so the pinned twin
+    equivalence cannot silently break on a one-site convention change."""
+    comps = model.components
+    if whiten:
+        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
+        comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
+    return comps
+
+
 def pca_project(
     df: DataFrame,
     model: PCAModel,
@@ -141,12 +163,7 @@ def pca_project(
     (packed literals + zip_with/aggregate dots), narrow, zero shuffle.
     ``whiten=True`` folds 1/√(λ+eps) into the components driver-side so
     the plan is identical either way."""
-    comps = model.components
-    if whiten:
-        # clamp: eigh returns tiny NEGATIVE eigenvalues for rank-
-        # deficient covariance; (lam+eps)**0.5 would go complex
-        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
-        comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
+    comps = _effective_components(model, whiten, eps)
     centered = F.zip_with(
         as_double(vec_col), array_lit(model.mean), lambda a, b: a - b
     )
@@ -172,12 +189,7 @@ def pca_project_udf(model: PCAModel, whiten: bool = False, eps: float = 1e-9):
     Closure ships by VALUE (plain-list captures, imports in body)."""
     from pyspark.sql.functions import pandas_udf
 
-    comps = model.components
-    if whiten:
-        # clamp: eigh returns tiny NEGATIVE eigenvalues for rank-
-        # deficient covariance; (lam+eps)**0.5 would go complex
-        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
-        comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
+    comps = _effective_components(model, whiten, eps)
     mean_l = [float(x) for x in model.mean]
     comps_l = [[float(x) for x in row] for row in comps]
 
@@ -232,10 +244,7 @@ def project_vec(
     each query projects in O(dim·out_dim) on the driver and rides into the
     plan as a literal). Same centering/whitening math as the column
     expression."""
-    comps = model.components
-    if whiten:
-        scales = [1.0 / (max(lam, 0.0) + eps) ** 0.5 for lam in model.eigvals]
-        comps = [[x * sc for x in row] for row, sc in zip(comps, scales)]
+    comps = _effective_components(model, whiten, eps)
     centered = [float(x) - m for x, m in zip(vec, model.mean)]
     return [sum(w * c for w, c in zip(row, centered)) for row in comps]
 

@@ -50,16 +50,36 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     # pruning degrades to full scans with no error. Same fail-loudly rule
     # as the ncols*bits check above, but per ROW.
     bound = 1 << bits
-    ok = cs[0].cast("bigint").between(0, bound - 1)
+    # NULL dimensions are named explicitly: between() is NULL for null
+    # input, so when() fell through to the out-of-range error and sent
+    # the user hunting for bad integers instead of nulls (review find).
+    # A z-key must exist for every row (a null key scrambles the range
+    # partition), so nulls raise — with the right message.
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    ok = ~any_null & cs[0].cast("bigint").between(0, bound - 1)
     for c in cs[1:]:
         ok = ok & c.cast("bigint").between(0, bound - 1)
-    return F.when(ok, z).otherwise(
-        F.raise_error(
-            F.lit(
-                f"zvalue: input outside [0, {bound}) for bits={bits} — "
-                "rank/bucket the column upstream"
-            )
-        ).cast("bigint")
+    return (
+        F.when(ok, z)
+        .when(
+            any_null,
+            F.raise_error(
+                F.lit(
+                    "zvalue: NULL input dimension — a z-key must exist "
+                    "for every row; fill or filter nulls upstream"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"zvalue: input outside [0, {bound}) for bits={bits} — "
+                    "rank/bucket the column upstream"
+                )
+            ).cast("bigint")
+        )
     )
 
 

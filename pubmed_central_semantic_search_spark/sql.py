@@ -34,7 +34,13 @@ SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     ),
     "cos_sim": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
-        "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))",
+        # zero-norm guard, mirroring the DataFrame twin cosine_similarity:
+        # a degenerate vector scores 0.0 — the bare division raised
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode, so ONE empty
+        # document killed any pure-SQL search query (review find;
+        # hashed_features legitimately emits zero vectors for empty text)
+        "CASE WHEN vec_norm(a) * vec_norm(b) > 0D "
+        "THEN vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) ELSE 0D END",
     ),
     "embedding_d": (
         "(a ARRAY<FLOAT>) RETURNS ARRAY<DOUBLE>",

@@ -488,3 +488,83 @@ def test_read_jsonl_splits_empty_paths_raises(spark):
 
     with _pytest.raises(ValueError, match="empty paths"):
         read_jsonl_splits(spark, [])
+
+
+def test_sql_cos_sim_zero_vector_scores_zero_under_ansi(spark):
+    """Review find: the SQL cos_sim twin had no zero-norm guard — under
+    Spark 4's default ANSI mode one empty document (hashed_features emits
+    zero vectors for empty text) raised DIVIDE_BY_ZERO and killed any
+    pure-SQL search query, where the DataFrame twin scores 0.0."""
+    from pubmed_central_semantic_search_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT cos_sim(array(0D,0D), array(1D,2D)) AS z, "
+        "cos_sim(array(1D,0D), array(1D,0D)) AS one"
+    ).collect()[0]
+    assert row["z"] == 0.0 and abs(row["one"] - 1.0) < 1e-12
+
+
+def test_pca_fit_skips_null_embeddings(spark):
+    """Review find: one NULL embedding row killed the whole moment pass
+    in an opaque executor traceback; the fit now excludes nulls (the
+    projection twins already pass them through)."""
+    from pubmed_central_semantic_search_spark.operators.projection import (
+        pca_fit,
+        pca_project,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 1.0]), (4, [0.0, 4.0])],
+        "id long, embedding array<double>",
+    )
+    model = pca_fit(df, "embedding", out_dim=2)
+    assert model.n == 3  # the null row is not part of the fit
+    out = {r["id"]: r["proj"] for r in pca_project(df, model).collect()}
+    assert out[2] is None and out[1] is not None
+
+
+def test_dsir_null_text_scores_like_empty_doc(spark):
+    """Review find: NULL text propagated NULL through dsir_buckets into
+    the log-weight and Gumbel key — silently never selected and poisoning
+    downstream arithmetic, where the docstring promises empty docs score
+    0. Null text now pins to the empty-doc path."""
+    from pubmed_central_semantic_search_spark.operators.dsir import (
+        dsir_gumbel_key,
+        dsir_logweight_micro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, None), (3, "")], "id long, text string"
+    )
+    model = [0] * 256
+    got = {
+        r["id"]: (r["w"], r["k"])
+        for r in df.select(
+            "id",
+            dsir_logweight_micro("text", model).alias("w"),
+            dsir_gumbel_key(
+                dsir_logweight_micro("text", model), F.col("id").cast("string")
+            ).alias("k"),
+        ).collect()
+    }
+    assert got[2][0] == got[3][0] == 0  # null ≡ empty, never NULL
+    assert got[2][1] is not None  # the selection key exists for every doc
+
+
+def test_zvalue_null_input_raises_named_null_error(spark):
+    """Review find: a NULL dimension fell through between()'s NULL into
+    the out-of-range error — the message sent users hunting for bad
+    integers instead of nulls."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.plans.layout import zvalue
+
+    df = spark.createDataFrame([(1, None)], "x int, y int")
+    with pytest.raises(Exception, match="NULL input dimension"):
+        df.select(zvalue(["x", "y"], bits=4).alias("z")).collect()
+    # in-range rows still key correctly
+    ok = spark.createDataFrame([(1, 2)], "x int, y int").select(
+        zvalue(["x", "y"], bits=4).alias("z")
+    ).collect()[0]["z"]
+    assert ok == 0b1001  # interleave of x=01, y=10 at 2 cols
