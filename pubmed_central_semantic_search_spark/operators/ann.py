@@ -44,7 +44,17 @@ def bucket_signature(vec_col: Column | str, planes: list[list[float]]) -> Column
     The plane matrix rides as ONE folded plan leaf (``matrix_lit``) and
     the bit tests run as a ``zip_with`` loop — the unrolled per-plane form
     carried n_planes × dim literal leaves of driver-side plan work per
-    action. Same value: Σ over planes of (mask if dot>0 else 0)."""
+    action. Same value: Σ over planes of (mask if dot>0 else 0).
+
+    Row-level geometry guard (review find, the pq_encode rule): a vector
+    whose length differs from the planes' makes ``zip_with`` null-pad,
+    every dot folds to NULL, every bit falls through ``when`` to 0, and
+    ALL rows silently land in bucket 0 — the LSH tier degrades to one
+    full-cross-join bucket with correct-looking results (a 768-dim corpus
+    through the default dim=64 planes did exactly this). Wrong-length
+    vectors raise at evaluation; null vectors stay null."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dim = len(planes[0])
     masks = F.lit([1 << p for p in range(len(planes))])
     bits = F.zip_with(
         matrix_lit(planes),
@@ -53,7 +63,21 @@ def bucket_signature(vec_col: Column | str, planes: list[list[float]]) -> Column
             dot(vec_col, plane) > 0, mask.cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
+    sig = F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("bigint"))
+        .when(F.size(v) == dim, sig)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bucket_signature: vector length "),
+                    F.size(v).cast("string"),
+                    F.lit(f" != hyperplane dim {dim} — pass dim= matching "
+                          "the embedding width"),
+                )
+            ).cast("bigint")
+        )
+    )
 
 
 def with_lsh_bucket(

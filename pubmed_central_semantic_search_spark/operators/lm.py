@@ -61,7 +61,11 @@ def train_bigram_lm(
     partial-aggregated; V is one countDistinct over the token stream."""
     big = _bigram_stream(docs, id_col, text_col)
     c_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c_uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 is a marginal of c_big (every bigram row counted once either
+    # way) — aggregating the MODEL-sized bigram table instead of
+    # re-scanning and re-shuffling the corpus bigram stream a second
+    # time (review find: at 100 TB the second corpus pass was the cost)
+    c_uni = c_big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     toks = docs.select(
         F.explode(_tokens(text_col)).alias("t")
     )
@@ -87,6 +91,12 @@ def bigram_perplexity(
     broadcast comfort."""
     if vocab_size <= 0:
         raise ValueError("vocab_size must be positive")
+    if k <= 0:
+        # k=0 makes an unseen bigram's log-prob ln(0) = NULL under ANSI,
+        # and avg() silently SKIPS nulls — a junk document full of
+        # never-seen bigrams would score a finite, misleadingly GOOD
+        # perplexity over only its seen pairs (review find)
+        raise ValueError("bigram_perplexity: smoothing k must be > 0")
     wrap = F.broadcast if broadcast_model else (lambda d: d)
     big = _bigram_stream(docs, id_col, text_col)
     # unseen bigrams (scoring a corpus the model never saw) keep c12=0 /

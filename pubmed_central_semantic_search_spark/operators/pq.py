@@ -175,8 +175,20 @@ def train_pq(
 
 
 def adc_lut(query: list[float], books: Codebooks) -> list[list[float]]:
-    """Per-subspace dot-product lookup tables: lut[s][c] = q_s · books[s][c]."""
+    """Per-subspace dot-product lookup tables: lut[s][c] = q_s · books[s][c].
+
+    The query length is validated against the codebook geometry (review
+    find): ``zip()`` silently truncates, so a wrong-length query zeroed
+    the tail subspaces' LUT entries and the ADC ranking quietly used half
+    the space — the same silent-geometry class pq_encode guards loudly
+    on the vector side."""
     dsub = len(books[0][0])
+    dim = len(books) * dsub
+    if len(query) != dim:
+        raise ValueError(
+            f"adc_lut: query length {len(query)} != m*dsub = {dim} — the "
+            "query must live in the codebooks' space"
+        )
     return [
         [
             sum(q * c for q, c in zip(query[s * dsub : (s + 1) * dsub], cent))
@@ -184,6 +196,16 @@ def adc_lut(query: list[float], books: Codebooks) -> list[list[float]]:
         ]
         for s, book in enumerate(books)
     ]
+
+
+def adc_norm2_lut(books: Codebooks) -> list[list[float]]:
+    """Per-subspace squared-norm tables: lut2[s][c] = ‖books[s][c]‖² —
+    query-independent, so at scale it's computed once per codebook. With
+    it the ADC stage can rank by approximate COSINE:
+    ‖reconstructed(codes)‖² = Σ_s lut2[s][code_s] (subspaces are
+    orthogonal coordinate blocks), the same m lookups+adds shape as the
+    dot."""
+    return [[sum(c * c for c in cent) for cent in book] for book in books]
 
 
 def pq_adc_score(codes_col: Column | str, query: list[float], books: Codebooks) -> Column:
@@ -195,6 +217,33 @@ def pq_adc_score(codes_col: Column | str, query: list[float], books: Codebooks) 
         term = F.element_at(array_lit(lut), codes_col[s] + 1)
         score = term if score is None else score + term
     return score
+
+
+def pq_adc_cosine(
+    codes_col: Column | str, query: list[float], books: Codebooks
+) -> Column:
+    """Approximate COSINE(query, vector) from the codes alone: the ADC
+    dot divided by the RECONSTRUCTED vector's norm (Σ_s lut2[s][code_s],
+    one extra lookup table) and the query norm. Why it exists (review
+    find): the final search contract is cosine top-k, and ranking
+    candidates by the raw ADC dot systematically excludes small-norm true
+    neighbors on corpora whose vector norms vary — a norm-100 vector at
+    cosine 0.3 out-dots a norm-0.01 vector at cosine 1.0, and no exact
+    rerank can recover a candidate that never entered the list. Same
+    per-row cost shape: 2m lookups + adds. Degenerate rows (zero
+    reconstructed norm) and a zero query score 0.0, the package-wide
+    cosine convention."""
+    codes_col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    dot = pq_adc_score(codes_col, query, books)
+    n2 = None
+    for s, lut2 in enumerate(adc_norm2_lut(books)):
+        term = F.element_at(array_lit(lut2), codes_col[s] + 1)
+        n2 = term if n2 is None else n2 + term
+    qn = sum(x * x for x in query) ** 0.5
+    if qn == 0.0:
+        return F.lit(0.0)
+    denom = F.sqrt(n2) * F.lit(qn)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def pq_topk(
@@ -235,13 +284,20 @@ def _adc_rank_then_exact(
     rerank contract cannot drift between them): ADC top-``rerank`` over a
     ``(_codes, id)`` frame via TakeOrderedAndProject, broadcast the
     candidate ids back onto the full vectors, exact-cosine top-k with id
-    tie-break."""
+    tie-break. Candidates are RANKED by the approximate COSINE
+    (pq_adc_cosine — the final contract's metric; the raw dot loses
+    small-norm true neighbors on norm-varying corpora), while the
+    returned ``adc_score`` column stays the ADC dot, the value q47's
+    oracle replays."""
     cand = (
         codes.select(
-            id_col, pq_adc_score("_codes", query, books).alias("adc_score")
+            id_col,
+            pq_adc_score("_codes", query, books).alias("adc_score"),
+            pq_adc_cosine("_codes", query, books).alias("_adc_cos"),
         )
-        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .orderBy(F.desc("_adc_cos"), F.asc(id_col))
         .limit(rerank)
+        .drop("_adc_cos")
     )
     exact = vectors.join(F.broadcast(cand), id_col).select(
         id_col,
@@ -276,6 +332,15 @@ def ivfpq_topk(
     query is one vector; k×dim dots)."""
     from .clustering import _unit, nearest_centroid
 
+    # the coarse probe's zip() would silently truncate a wrong-length
+    # query (same class as the adc_lut guard) — validate by name
+    bad = [cid for cid, vec in centroids if len(list(vec)) != len(query)]
+    if bad:
+        raise ValueError(
+            f"ivfpq_topk: query length {len(query)} != coarse centroid "
+            f"dimensionality (centroids {bad[:3]}...) — the query must "
+            "live in the quantizer's space"
+        )
     # driver-side coarse probe: nprobe nearest coarse centroids by cosine
     scored = sorted(
         (

@@ -49,64 +49,41 @@ def render_hits(
     """Per chunk hit, the reference's rendered fragments:
 
     - ``marked_html``: the ±window in-section neighborhood, each paragraph
-      trimmed and ``<mark>``-wrapped (responses.py:80-87), newline-joined in
-      paragraph order.
+      stripped and ``<mark>``-wrapped (responses.py:80-87), newline-joined
+      in paragraph order.
     - ``most_relevant_html``: same window, raw paragraphs, newline-joined
       (responses.py:96-104).
     - ``article_link``: the PMC anchor.
 
-    Same one-pass range-join shape as ``search.expand_context`` — boundary
-    clamp falls out of the join (no neighbor row, no mark).
+    The window itself IS ``search.expand_context`` (review find: the
+    ~35-line range-join/collect contract used to be a verbatim copy here,
+    and the section-position-not-name fix had to be made twice) — this
+    function is now three column expressions over its output.
+
+    Stripping matches the reference's ``str.strip()`` — ALL whitespace,
+    not ``trim``'s ASCII spaces (responses.py:80: a paragraph with a
+    leading tab or trailing newline must not carry it into the markup);
+    the q39 oracle strips with the same regex class.
     """
-    hits = chunk_hits.select(
+    from .search import expand_context
+
+    ctx = expand_context(chunk_hits, chunks, window)
+    stripped = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    return ctx.select(
         "query_id",
-        F.col(ARTICLE_ID).alias("h_article_id"),
+        ARTICLE_ID,
         "doc_score",
-        F.col("section_id").alias("h_section_id"),
-        F.col("section_name").alias("h_section_name"),
-        F.col("paragraph_id").alias("h_paragraph_id"),
+        "section_name",
+        "paragraph_id",
         "chunk_score",
-    )
-    # Join on the section POSITION, not its name — same-named sections
-    # restart paragraph_id (see search.expand_context).
-    neighbors = chunks.select(
-        ARTICLE_ID, "section_id", "section_name", "paragraph_id", "paragraph"
-    )
-    joined = neighbors.join(
-        F.broadcast(hits),
-        (F.col(ARTICLE_ID) == F.col("h_article_id"))
-        & (F.col("section_id") == F.col("h_section_id"))
-        & (F.col("paragraph_id") >= F.col("h_paragraph_id") - window)
-        & (F.col("paragraph_id") <= F.col("h_paragraph_id") + window),
-    )
-    ctx = F.sort_array(F.collect_list(F.struct("paragraph_id", "paragraph")))
-    return (
-        joined.groupBy(
-            "query_id",
-            "h_article_id",
-            "doc_score",
-            "h_section_id",
-            "h_section_name",
-            "h_paragraph_id",
-            "chunk_score",
-        )
-        .agg(ctx.alias("_ctx"))
-        .select(
-            "query_id",
-            F.col("h_article_id").alias(ARTICLE_ID),
-            "doc_score",
-            F.col("h_section_name").alias("section_name"),
-            F.col("h_paragraph_id").alias("paragraph_id"),
-            "chunk_score",
-            F.array_join(
-                F.transform(
-                    F.col("_ctx"), lambda s: mark_html(F.trim(s["paragraph"]))
-                ),
-                "\n",
-            ).alias("marked_html"),
-            F.array_join(
-                F.transform(F.col("_ctx"), lambda s: s["paragraph"]), "\n"
-            ).alias("most_relevant_html"),
-            article_link_html(F.col("h_article_id")).alias("article_link"),
-        )
+        F.array_join(
+            F.transform(
+                F.col("context_paragraphs"), lambda p: mark_html(stripped(p))
+            ),
+            "\n",
+        ).alias("marked_html"),
+        F.array_join(F.col("context_paragraphs"), "\n").alias(
+            "most_relevant_html"
+        ),
+        article_link_html(F.col(ARTICLE_ID)).alias("article_link"),
     )

@@ -316,7 +316,7 @@ _LINK = (
     SELECT h.article_id,
            h.paragraph_id,
            round(h.chunk_score, 6) AS chunk_score,
-           string_agg('{_MARK}' || trim(n.paragraph) || '</mark>',
+           string_agg('{_MARK}' || regexp_replace(n.paragraph, '^\\s+|\\s+$', '', 'g') || '</mark>',
                       chr(10) ORDER BY n.paragraph_id) AS marked_html,
            string_agg(n.paragraph, chr(10) ORDER BY n.paragraph_id) AS most_relevant_html,
            '{_LINK}' || h.article_id || '/">View full article on external site: '

@@ -568,3 +568,133 @@ def test_zvalue_null_input_raises_named_null_error(spark):
         zvalue(["x", "y"], bits=4).alias("z")
     ).collect()[0]["z"]
     assert ok == 0b1001  # interleave of x=01, y=10 at 2 cols
+
+
+def test_render_strip_matches_reference_whitespace_class(spark):
+    """Review find: render used trim() (ASCII spaces) where the reference
+    strips ALL whitespace (responses.py:80 str.strip()) — a paragraph
+    with a leading tab leaked '\\t' inside the <mark> markup. Both
+    engines now strip the \\s class; render also reuses expand_context
+    instead of duplicating its range-join contract."""
+    from pubmed_central_semantic_search_spark.operators.chunking import (
+        explode_chunks,
+    )
+    from pubmed_central_semantic_search_spark.operators.render import render_hits
+
+    art = spark.createDataFrame(
+        [("A", ["Intro"], [["\tTabbed lead\n", "plain"]])],
+        "article_id string, section_names array<string>, sections array<array<string>>",
+    )
+    chunks = explode_chunks(art)
+    hit = chunks.filter(F.col("paragraph_id") == 0).select(
+        F.lit(0).alias("query_id"),
+        "article_id",
+        F.lit(1.0).alias("doc_score"),
+        "section_id",
+        "section_name",
+        "paragraph_id",
+        F.lit(0.9).alias("chunk_score"),
+    )
+    [row] = render_hits(hit, chunks, window=1).collect()
+    assert '<mark class="highlight-paragraph">Tabbed lead</mark>' in row["marked_html"]
+    assert "\t" not in row["marked_html"]
+    # the raw variant keeps the original text (the reference's
+    # most-relevant block is unstripped, responses.py:96-104)
+    assert "\tTabbed lead\n" in row["most_relevant_html"]
+
+
+def test_lsh_bucket_dim_mismatch_raises_not_bucket_zero(spark):
+    """Review find (verified empirically): a dim mismatch between the
+    vectors and the hyperplanes null-padded every dot and silently sent
+    ALL rows to bucket 0 — the LSH scale tier degraded to one full-cross-
+    join bucket with correct-looking results. Named error now."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.ann import (
+        with_lsh_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="hyperplane dim"):
+        with_lsh_bucket(df, dim=64).collect()  # planes at 64, vectors at 32
+    ok = with_lsh_bucket(df, dim=32).collect()
+    assert ok[0]["bucket"] is not None
+
+
+def test_pq_candidate_ranking_is_cosine_not_dot(spark):
+    """Review find: ADC candidates were ranked by approximate DOT while
+    the search contract is COSINE top-k — on a norm-varying corpus a
+    big-norm low-cosine vector crowded the true neighbor out of the
+    rerank set, unrecoverably. Candidates now rank by the reconstructed-
+    norm approximate cosine."""
+    from pubmed_central_semantic_search_spark.operators.pq import (
+        pq_topk,
+        train_pq,
+    )
+
+    dim, m = 8, 4
+    query = [1.0, 0.0] * (dim // 2)
+
+    def scaled(base, s):
+        return [x * s for x in base]
+
+    # one small-norm vector perfectly aligned with the query, many
+    # huge-norm vectors at a lower cosine
+    rows = [(0, scaled(query, 0.01))] + [
+        (i, scaled([1.0, 1.0] * (dim // 2), 100.0 + i)) for i in range(1, 12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq(vecs, m=m, ksub=4, dim=dim, n_iter=2)
+    got = pq_topk(vecs, query, books, k=1, rerank=3)
+    assert [r["vec_id"] for r in got.collect()] == [0]
+
+
+def test_adc_lut_and_ivfpq_validate_query_length(spark):
+    """Review find: zip() silently truncated a wrong-length query — half
+    the subspaces scored 0 and the ranking was garbage with no error."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.pq import (
+        adc_lut,
+        ivfpq_topk,
+        train_pq,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq(vecs, m=4, ksub=4, dim=8, n_iter=1)
+    with pytest.raises(ValueError, match="query length"):
+        adc_lut([1.0] * 4, books)
+    with pytest.raises(ValueError, match="query length"):
+        ivfpq_topk(vecs, [1.0] * 4, [(0, [0.0] * 8)], books)
+
+
+def test_bigram_lm_zero_smoothing_rejected_and_cuni_is_marginal(spark):
+    """Review finds: k=0 made unseen bigrams score ln(0)=NULL, which
+    avg() silently skipped — junk docs got misleadingly GOOD perplexity;
+    and c_uni is now the model-sized marginal of c_big (identical values,
+    one fewer corpus pass)."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.lm import (
+        bigram_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    c_big, c_uni, v = train_bigram_lm(docs)
+    # marginal identity: c1(w1) == sum of c12 over w2
+    marg = {r["w1"]: r["c1"] for r in c_uni.collect()}
+    direct = {
+        r["w1"]: r["s"]
+        for r in c_big.groupBy("w1").agg(F.sum("c12").alias("s")).collect()
+    }
+    assert marg == direct
+    with pytest.raises(ValueError, match="smoothing"):
+        bigram_perplexity(docs, c_big, c_uni, v, k=0)
