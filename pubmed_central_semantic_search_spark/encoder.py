@@ -172,7 +172,16 @@ def get_encoder_udf(kind: str = "fake", dim: int = DEFAULT_DIM, **kwargs):
             "model_name", "sentence-transformers/multi-qa-mpnet-base-dot-v1"
         )
         known = SBERT_MODEL_DIMS.get(model_name)
-        if known is not None and dim != known:
+        if known is None:
+            # silently skipping validation for an unlisted model would
+            # reinstate the exact all-NULL-cosine hazard this guard was
+            # added for (review find) — fail loud, ask for the fact
+            raise ValueError(
+                f"encoder kind='sbert': unknown model {model_name!r} — "
+                "add its output width to encoder.SBERT_MODEL_DIMS so the "
+                "engine dim can be validated eagerly"
+            )
+        if dim != known:
             raise ValueError(
                 f"encoder kind='sbert' model {model_name!r} emits "
                 f"{known}-dim vectors but dim={dim} was requested — "
@@ -182,7 +191,12 @@ def get_encoder_udf(kind: str = "fake", dim: int = DEFAULT_DIM, **kwargs):
     raise ValueError(f"unknown encoder kind: {kind}")
 
 
-def encode_column(col: Column | str, kind: str = "fake", dim: int = DEFAULT_DIM) -> Column:
-    """E1 as a column expression: ``encode_column("paragraph")``."""
+def encode_column(
+    col: Column | str, kind: str = "fake", dim: int = DEFAULT_DIM, **kwargs
+) -> Column:
+    """E1 as a column expression: ``encode_column("paragraph")``.
+    ``dim``/``kwargs`` thread through to the encoder (review find: the
+    streaming ingest path could not pass dim, so encoder='sbert' always
+    tripped the eager dim guard there)."""
     col = F.col(col) if isinstance(col, str) else col
-    return get_encoder_udf(kind, dim)(col)
+    return get_encoder_udf(kind, dim, **kwargs)(col)

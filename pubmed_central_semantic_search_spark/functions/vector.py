@@ -109,10 +109,15 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     degenerate embedding anywhere in a corpus would abort a whole
     search/decontamination/mining job. Zero vectors are legitimate here
     (``hashed_features`` emits them for empty text), and "no information
-    ⇒ no similarity" is the convention every consumer wants. Values for
-    all nonzero inputs are bit-identical to the plain formula."""
+    ⇒ no similarity" is the convention every consumer wants. NaN inputs
+    score 0.0 too (review find): Spark's binary comparison treats NaN as
+    GREATER than every double, so the bare ``n2 > 0`` guard let a NaN
+    embedding score NaN — which then sorted ABOVE every real hit in
+    descending top-k, silently making the corrupted row the #1 result.
+    Values for all finite nonzero inputs are bit-identical to the plain
+    formula."""
     n2 = l2_norm(a) * l2_norm(b)
-    return F.when(n2 > 0, dot(a, b) / n2).otherwise(
+    return F.when(~F.isnan(n2) & (n2 > 0), dot(a, b) / n2).otherwise(
         F.when(n2.isNotNull(), F.lit(0.0))
     )
 

@@ -58,27 +58,40 @@ def explode_chunks(articles: DataFrame, drop_empty: bool = True) -> DataFrame:
     paragraph). ``paragraph_id`` is the position within the section
     (enumerate semantics, qdrant.py:128); ``section_id`` preserves section
     order (the zip index). ``chunk_id`` is the deterministic H2 key
-    (xxhash64 of article_id/section/position — replaces the reference's
-    uuid4, qdrant.py:140-141, for reproducibility)."""
+    (``functions/text.chunk_key`` — THE one key formula; replaces the
+    reference's uuid4, qdrant.py:140-141, for reproducibility).
+
+    Empty chunks are dropped BEFORE position assignment (review find):
+    the reference cleans empties and THEN enumerates
+    (armac_scientific_papers.py:52 builds the stored section with "if j";
+    qdrant.py:128 enumerates the already-clean list), so in a section
+    ['Alpha.', '', 'Beta.'] the reference gives Beta paragraph_id 1 — a
+    filter AFTER posexplode left a gap (id 2) and the ±window context
+    join then missed real neighbors the reference includes."""
+    from ..functions.text import chunk_key
+
     zipped = articles.select(
         ARTICLE_ID,
         F.posexplode(F.arrays_zip(SECTION_NAMES, SECTIONS)).alias("section_id", "z"),
-    ).select(
+    )
+    section = F.col("z")[SECTIONS]
+    if drop_empty:
+        # armac_scientific_papers.py:52 drops empty chunks ("if j") —
+        # null elements are equally falsy there, so they drop too
+        section = F.filter(section, lambda p: p.isNotNull() & (p != ""))
+    exploded = zipped.select(
         ARTICLE_ID,
         "section_id",
         F.col("z")[SECTION_NAMES].alias("section_name"),
-        F.posexplode(F.col("z")[SECTIONS]).alias("paragraph_id", "paragraph"),
+        F.posexplode(section).alias("paragraph_id", "paragraph"),
     )
-    if drop_empty:
-        # armac_scientific_papers.py:52 drops empty chunks ("if j").
-        zipped = zipped.filter(F.col("paragraph") != "")
-    # chunk_id hashes section_id (the zip POSITION), not just the name:
+    # chunk_key hashes section_id (the zip POSITION), not just the name:
     # two sections with the same name (real JATS articles repeat 'Methods'
     # etc.) restart paragraph_id, and a name-based key would collide —
     # the keyed upsert in api.py would then silently drop the second
     # section's paragraphs.
-    return zipped.select(
-        F.xxhash64(ARTICLE_ID, "section_id", "section_name", "paragraph_id").alias(
+    return exploded.select(
+        chunk_key(ARTICLE_ID, "section_id", "section_name", "paragraph_id").alias(
             "chunk_id"
         ),
         ARTICLE_ID,
@@ -126,12 +139,20 @@ def prepend_abstract(
 ) -> DataFrame:
     """P6 — prepend "Abstract" to section_names and the chunked abstract to
     sections (data_fetcher.py:40, fetch_pmcid.py:20,
-    armac_scientific_papers.py:53)."""
+    armac_scientific_papers.py:53). A NULL abstract (common on real PMC
+    records) prepends an EMPTY section, not a null element (review find:
+    ``F.array(null)`` put ``[null]`` at sections[0] under the prepended
+    'Abstract' name — explode emitted nothing for section 0 and the
+    round-trip desynced from the stored nested form)."""
+    empty = F.array().cast("array<string>")
     return articles.withColumn(
         SECTION_NAMES, F.concat(F.array(F.lit("Abstract")), F.col(SECTION_NAMES))
     ).withColumn(
         SECTIONS,
-        F.concat(F.array(chunk_split(abstract_col, level)), F.col(SECTIONS)),
+        F.concat(
+            F.array(F.coalesce(chunk_split(abstract_col, level), empty)),
+            F.col(SECTIONS),
+        ),
     )
 
 
@@ -173,7 +194,8 @@ def semantic_chunk_ids(
     boundary = (
         F.col("cos_prev").isNull() | (F.col("cos_prev") < F.lit(threshold))
     ).cast("bigint")
-    run = Window.partitionBy(doc_col).orderBy(pos_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the framed window DERIVES from w (one spec definition — a second
+    # hand-built partitionBy/orderBy could drift and break the documented
+    # exchange reuse)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return out.withColumn("segment_id", F.sum(boundary).over(run) - 1)

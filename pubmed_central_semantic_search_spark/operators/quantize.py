@@ -33,15 +33,19 @@ def quantization_scale(vec: Column | str) -> Column:
     m = F.array_max(F.transform(v, lambda x: F.abs(x)))
     return (
         F.when(
-            F.isnan(m),
+            F.isnan(m) | (m == F.lit(float("inf"))),
             F.raise_error(
                 F.lit(
-                    "quantization_scale: vector contains NaN — clean or "
-                    "drop degenerate embeddings before quantizing"
+                    "quantization_scale: vector contains NaN/Inf — clean "
+                    "or drop degenerate embeddings before quantizing"
                 )
             ).cast("double"),
         )
-        .when(m > 0, m / F.lit(127.0))
+        # subnormal maxima underflow m/127 to 0.0, and x/0.0 = Inf would
+        # abort the write in the same opaque ANSI cast this guard exists
+        # to prevent (review find) — treat them like the all-zero vector
+        # (scale 1.0: every component rounds to 0, lossy but sane)
+        .when(m / F.lit(127.0) > 0, m / F.lit(127.0))
         .otherwise(F.lit(1.0))
     )
 

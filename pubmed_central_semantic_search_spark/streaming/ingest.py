@@ -40,12 +40,21 @@ def read_article_stream(
     )
 
 
-def article_stream_to_chunks(articles_stream: DataFrame, encoder: str = "fake") -> DataFrame:
+def article_stream_to_chunks(
+    articles_stream: DataFrame, encoder: str = "fake", dim: int | None = None
+) -> DataFrame:
     """The same chunk→encode pipeline as batch ingest (SURVEY §3.2), applied
     to a stream — Structured Streaming runs these stateless narrow ops
-    per micro-batch with no extra code."""
+    per micro-batch with no extra code. ``dim`` threads to the encoder
+    (review find: without it encoder='sbert' always tripped the eager
+    dim guard — the seam was unusable from the streaming path)."""
+    from ..encoder import DEFAULT_DIM
+
     chunks = explode_chunks(articles_stream)
-    return chunks.withColumn("embedding", encode_column("paragraph", kind=encoder))
+    return chunks.withColumn(
+        "embedding",
+        encode_column("paragraph", kind=encoder, dim=dim or DEFAULT_DIM),
+    )
 
 
 def start_ingest(
@@ -56,6 +65,7 @@ def start_ingest(
     checkpoint_path: str,
     encoder: str = "fake",
     partition_buckets: int | None = None,
+    dim: int | None = None,
 ):
     """X6 — end-to-end incremental ingest: stream → chunks + doc_vectors
     parquet, exactly-once RESULTS via checkpoint + idempotent keyed
@@ -83,7 +93,7 @@ def start_ingest(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # same transform as the streaming-side article_stream_to_chunks —
         # call it so the two paths cannot drift
-        chunks = article_stream_to_chunks(batch_df, encoder=encoder)
+        chunks = article_stream_to_chunks(batch_df, encoder=encoder, dim=dim)
         chunks.persist()
         # group-replacing, like the batch twin (api.upload_articles): a
         # keyed upsert alone cannot delete, so a re-dropped SHORTENED

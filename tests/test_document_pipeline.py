@@ -57,9 +57,15 @@ def test_explode_positions_and_empty_drop(articles):
     }
     assert rows[("PMC1", 0, "Intro", 1)] == "gamma delta"
     assert rows[("PMC1", 1, "Methods", 0)] == "zeta eta"
-    # empty chunks dropped (armac_scientific_papers.py:52 "if j")
-    assert ("PMC3", 0, "Intro", 1) not in rows
-    assert ("PMC3", 1, "Empty", 0) not in rows
+    # empty chunks dropped BEFORE enumerate (the reference cleans with
+    # "if j" and then enumerates the clean list — armac:52 + qdrant:128):
+    # 'three' sits at paragraph_id 1, NOT at a gapped 2, so the ±window
+    # context join sees it as 'one's neighbor exactly like the reference
+    assert rows[("PMC3", 0, "Intro", 0)] == "one"
+    assert rows[("PMC3", 0, "Intro", 1)] == "three"
+    assert ("PMC3", 0, "Intro", 2) not in rows
+    # a section of only empties emits nothing
+    assert not any(k[0] == "PMC3" and k[1] == 1 for k in rows)
     # chunk_id deterministic + unique
     ids = [r.chunk_id for r in chunks.collect()]
     assert len(ids) == len(set(ids))

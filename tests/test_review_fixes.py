@@ -698,3 +698,97 @@ def test_bigram_lm_zero_smoothing_rejected_and_cuni_is_marginal(spark):
     assert marg == direct
     with pytest.raises(ValueError, match="smoothing"):
         bigram_perplexity(docs, c_big, c_uni, v, k=0)
+
+
+def test_cosine_nan_embedding_scores_zero_not_top_hit(spark):
+    """Review find: Spark compares NaN as GREATER than any double, so the
+    bare n2 > 0 guard let a NaN embedding score NaN — which sorts above
+    every real score descending, silently making the corrupted row the
+    #1 result for every query."""
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pubmed_central_semantic_search_spark.operators.topk import top_k
+
+    docs = spark.createDataFrame(
+        [("good", [1.0, 0.0]), ("nan", [float("nan"), 1.0])],
+        "id string, embedding array<double>",
+    )
+    scored = docs.select(
+        "id",
+        cosine_similarity("embedding", F.array(F.lit(1.0), F.lit(0.0))).alias(
+            "score"
+        ),
+    )
+    got = {r["id"]: r["score"] for r in scored.collect()}
+    assert got["nan"] == 0.0  # never NaN
+    assert [r["id"] for r in top_k(scored, "score", 1, tiebreak=["id"]).collect()] == [
+        "good"
+    ]
+
+
+def test_quantization_scale_inf_and_subnormal(spark):
+    """Review find: the NaN guard missed ±Inf (scale inf → inf/inf = NaN
+    → opaque ANSI cast abort) and subnormal maxima (scale underflows to
+    0.0 → x/0.0 = Inf → same abort). Inf raises by name; subnormals fall
+    back to the all-zero convention."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.quantize import (
+        quantization_scale,
+        quantize,
+    )
+
+    inf_df = spark.createDataFrame(
+        [([1.0, float("inf")],)], "embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NaN/Inf"):
+        inf_df.select(quantization_scale("embedding")).collect()
+    sub = spark.createDataFrame([([5e-324, 0.0],)], "embedding array<double>")
+    [row] = sub.select(
+        quantize("embedding", quantization_scale("embedding")).alias("q")
+    ).collect()
+    assert list(row["q"]) == [0, 0]  # sane, no ANSI abort
+
+
+def test_prepend_abstract_null_abstract_keeps_alignment(spark):
+    """Review find: a NULL abstract prepended [null] under the 'Abstract'
+    name — explode emitted nothing for section 0 and the nested form
+    desynced from its exploded form. Null now prepends an EMPTY section."""
+    from pubmed_central_semantic_search_spark.operators.chunking import (
+        explode_chunks,
+        prepend_abstract,
+    )
+
+    art = spark.createDataFrame(
+        [("A", ["Body"], [["para one"]], None)],
+        "article_id string, section_names array<string>, "
+        "sections array<array<string>>, abstract_text string",
+    )
+    out = prepend_abstract(art).collect()[0]
+    assert out["section_names"] == ["Abstract", "Body"]
+    assert out["sections"][0] == [] and out["sections"][1] == ["para one"]
+    rows = explode_chunks(prepend_abstract(art)).collect()
+    assert [(r["section_id"], r["paragraph"]) for r in rows] == [(1, "para one")]
+
+
+def test_sbert_unknown_model_and_streaming_dim_seam(spark):
+    """Review finds: an unlisted sbert model silently skipped the dim
+    validation (reinstating the all-NULL-cosine hazard); and the
+    streaming ingest path had no way to pass dim, so encoder='sbert'
+    always tripped the eager guard there. Both seams now work by name."""
+    import inspect
+
+    import pytest
+
+    from pubmed_central_semantic_search_spark.encoder import get_encoder_udf
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        article_stream_to_chunks,
+        start_ingest,
+    )
+
+    with pytest.raises(ValueError, match="unknown model"):
+        get_encoder_udf("sbert", dim=384, model_name="not/a-listed-model")
+    # the streaming path exposes dim end to end
+    assert "dim" in inspect.signature(article_stream_to_chunks).parameters
+    assert "dim" in inspect.signature(start_ingest).parameters
