@@ -77,13 +77,33 @@ def mean_pool(
         pooled = staged.groupBy(*group).agg(
             *[F.avg(F.col("_gv")[i]).alias(f"_m{i}") for i in range(dim)]
         )
+        # a group whose every vector is NULL pools to NULL (null in →
+        # null out), not an array of dim nulls — and identically in BOTH
+        # branches (review find: the dim branch emitted [null]*dim while
+        # the dim-agnostic branch silently DROPPED the group, so the two
+        # call shapes produced different doc-vector row sets)
+        arr = F.array(*[f"_m{i}" for i in range(dim)])
         return pooled.select(
-            *group, F.array(*[f"_m{i}" for i in range(dim)]).alias(out_col)
+            *group,
+            F.when(F.col("_m0").isNotNull(), arr).alias(out_col),
         )
-    flat = mean_pool_flat(df, group, vec_col)
-    return flat.groupBy(*group).agg(
-        F.transform(
+    # posexplode_outer keeps all-null groups alive as a (null, null)
+    # component row; the assembly filters that cell back out and maps an
+    # empty result to NULL — same convention as the dim branch
+    exploded = df.select(
+        *group, F.posexplode_outer(as_double(vec_col)).alias("pos", "val")
+    )
+    flat = exploded.groupBy(*group, "pos").agg(F.avg("val").alias("mean_val"))
+    assembled = flat.groupBy(*group).agg(
+        F.filter(
             F.sort_array(F.collect_list(F.struct("pos", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias(out_col)
+            lambda s: s["pos"].isNotNull(),
+        ).alias("_cells")
+    )
+    return assembled.select(
+        *group,
+        F.when(
+            F.size("_cells") > 0,
+            F.transform(F.col("_cells"), lambda s: s["mean_val"]),
+        ).alias(out_col),
     )

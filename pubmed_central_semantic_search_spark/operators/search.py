@@ -60,33 +60,50 @@ def score_documents(
     if kernel == "auto":
         from ..plans.planner import resolve_kernel
 
-        first = queries.select("qvec").first()
+        # dim from the first NON-NULL query vector (len(None) crashed)
+        first = queries.select("qvec").where(F.col("qvec").isNotNull()).first()
         kernel = resolve_kernel(len(first["qvec"]) if first is not None else 0)
     if kernel == "blas":
         from ..operators.vectorized import multi_query_scores_udf
+        from ..session import local_df
 
+        # ONE evaluation of the (possibly encoder-bearing) query plan:
+        # the collected rows are both the kernel's matrix AND — via a
+        # local frame — the qvec column re-attached downstream (the old
+        # broadcast join against the original frame re-ran the query
+        # plan a second time per search; review find)
         qrows = queries.select("query_id", "qvec").collect()  # k-row side
-        if not qrows:
-            # the matmul kernel needs a (nq, dim) matrix — zero queries
-            # would crash numpy's axis-1 norm; the answer is just empty
-            return queries.crossJoin(doc_vectors.select(ARTICLE_ID)).select(
+        spark = doc_vectors.sparkSession
+        qframe = F.broadcast(
+            local_df(spark, qrows, "query_id int, qvec array<double>")
+        )
+        live = [r for r in qrows if r["qvec"] is not None]
+        if not live:
+            # the matmul kernel needs a (nq, dim) matrix — zero live
+            # queries crash numpy's axis-1 norm. NULL-qvec queries score
+            # NULL against every document (the HOF twin's semantics).
+            base = doc_vectors.select(ARTICLE_ID).crossJoin(qframe)
+            scored = base.select(
                 "query_id", "qvec", ARTICLE_ID,
-                F.lit(0.0).alias("doc_score"),
-            ).limit(0)
-        qid_arr = F.array(*[F.lit(r["query_id"]) for r in qrows])
+                F.lit(None).cast("double").alias("doc_score"),
+            )
+            if not qrows:
+                scored = scored.limit(0)
+            return grouped_top_k(
+                scored, ["query_id"], "doc_score", k_docs, tiebreak=[ARTICLE_ID]
+            )
+        qid_arr = F.array(*[F.lit(r["query_id"]) for r in live])
         # a NULL embedding scores NULL against every query (the kernel
         # returns a null array; coalescing to k nulls keeps the row) —
         # posexplode of the bare null array would DROP the document while
         # the HOF twin keeps it as a null-score row, and the kernels must
         # agree on row sets, not just rounded scores (review find)
-        null_scores = F.array_repeat(
-            F.lit(None).cast("double"), len(qrows)
-        )
+        null_scores = F.array_repeat(F.lit(None).cast("double"), len(live))
         scored = (
             doc_vectors.withColumn(
                 "_s",
                 F.coalesce(
-                    multi_query_scores_udf([list(r["qvec"]) for r in qrows])(
+                    multi_query_scores_udf([list(r["qvec"]) for r in live])(
                         F.col("embedding")
                     ),
                     null_scores,
@@ -94,9 +111,25 @@ def score_documents(
             )
             .select(ARTICLE_ID, F.posexplode("_s").alias("_qi", "doc_score"))
             .withColumn("query_id", F.element_at(qid_arr, F.col("_qi") + 1))
-            .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
+            .join(qframe, "query_id")
             .select("query_id", "qvec", ARTICLE_ID, "doc_score")
         )
+        if len(live) < len(qrows):
+            # NULL-qvec queries still return rows — null scores, exactly
+            # like the HOF crossJoin (another kernel row-set parity rule)
+            null_q = local_df(
+                spark,
+                [r for r in qrows if r["qvec"] is None],
+                "query_id int, qvec array<double>",
+            )
+            scored = scored.unionByName(
+                doc_vectors.select(ARTICLE_ID)
+                .crossJoin(F.broadcast(null_q))
+                .select(
+                    "query_id", "qvec", ARTICLE_ID,
+                    F.lit(None).cast("double").alias("doc_score"),
+                )
+            )
     else:
         scored = doc_vectors.crossJoin(F.broadcast(queries)).select(
             "query_id",

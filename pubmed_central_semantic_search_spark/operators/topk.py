@@ -50,6 +50,14 @@ def grouped_top_k(
     skew-join/partition handling keeps hot groups from stalling a task at
     scale. ``row_number`` (not ``rank``) so exactly k rows per group.
     """
+    if rank_col in df.columns:
+        # withColumn would silently REPLACE the caller's data column and
+        # keep_rank=False would then drop it entirely (the _bucket rule,
+        # applied to the ranking working column) — fail loudly instead
+        raise ValueError(
+            f"grouped_top_k: input already has a {rank_col!r} column — "
+            "pass rank_col= a fresh name"
+        )
     score = F.col(score) if isinstance(score, str) else score
     order = [score.desc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*group).orderBy(*order)

@@ -70,13 +70,20 @@ def cosine_scores_udf(query: list[float]):
             m = _np.array(vecs.tolist(), dtype=_np.float64)
             norms = _np.linalg.norm(m, axis=1)
             norms[norms == 0] = _np.inf  # 0-row → score 0.0
-            return _pd.Series((m @ q) / (norms * qn))
+            s = (m @ q) / (norms * qn)
+            # degenerate (NaN/Inf) inputs score 0.0 — the HOF twin's
+            # convention; without this a NaN row scored NULL here vs 0.0
+            # there and the kernels returned different top-k ROW SETS
+            s[~_np.isfinite(s)] = 0.0
+            return _pd.Series(s)
         out = _np.full(len(vecs), _np.nan)
         if mask.any():
             m = _np.array(vecs[mask].tolist(), dtype=_np.float64)
             norms = _np.linalg.norm(m, axis=1)
             norms[norms == 0] = _np.inf
-            out[mask] = (m @ q) / (norms * qn)
+            s = (m @ q) / (norms * qn)
+            s[~_np.isfinite(s)] = 0.0
+            out[mask] = s
         res = _pd.Series(out)
         return res.where(mask, None)
 
@@ -110,12 +117,19 @@ def nearest_centroid_udf(centroids: Centroids):
         mask = vecs.notna().to_numpy()
         if mask.all():
             m = _np.array(vecs.tolist(), dtype=_np.float64)
-            best = (m @ cu.T).argmax(axis=1)
+            sc = m @ cu.T
+            # degenerate rows (NaN components) score 0 to every centroid
+            # so argmax falls to the lowest id — the HOF twin's tie rule;
+            # raw NaN makes numpy argmax undefined-ish and diverges
+            sc[~_np.isfinite(sc)] = 0.0
+            best = sc.argmax(axis=1)
             return _pd.Series(ids[best])
         out = _np.full(len(vecs), None, dtype=object)
         if mask.any():
             m = _np.array(vecs[mask].tolist(), dtype=_np.float64)
-            best = (m @ cu.T).argmax(axis=1)
+            sc = m @ cu.T
+            sc[~_np.isfinite(sc)] = 0.0
+            best = sc.argmax(axis=1)
             out[mask] = ids[best]
         return _pd.Series(out)
 
@@ -165,6 +179,7 @@ def multi_query_scores_udf(query_vecs: list[list[float]]):
             norms = _np.linalg.norm(m, axis=1)
             norms[norms == 0] = _np.inf
             s = (m @ q.T) / _np.outer(norms, qn)
+            s[~_np.isfinite(s)] = 0.0  # HOF convention: degenerate → 0.0
             return _pd.Series(list(s))
         out = _np.full(len(vecs), None, dtype=object)
         if mask.any():
@@ -172,6 +187,7 @@ def multi_query_scores_udf(query_vecs: list[list[float]]):
             norms = _np.linalg.norm(m, axis=1)
             norms[norms == 0] = _np.inf
             s = (m @ q.T) / _np.outer(norms, qn)
+            s[~_np.isfinite(s)] = 0.0
             for idx, row in zip(_np.nonzero(mask)[0], s):
                 out[idx] = row
         return _pd.Series(out)

@@ -792,3 +792,109 @@ def test_sbert_unknown_model_and_streaming_dim_seam(spark):
     # the streaming path exposes dim end to end
     assert "dim" in inspect.signature(article_stream_to_chunks).parameters
     assert "dim" in inspect.signature(start_ingest).parameters
+
+
+def test_blas_kernels_score_nan_rows_zero_like_hof(spark):
+    """Review find (verified empirically before the fix): a NaN embedding
+    scored NULL through the Arrow kernels but 0.0 through the fold, so
+    the kernels returned different top-k ROW SETS. Both kernels now apply
+    the degenerate-input-scores-0.0 convention; assignment argmax falls
+    to the lowest centroid id like the HOF tie rule."""
+    from pubmed_central_semantic_search_spark.operators.search import (
+        score_documents,
+    )
+    from pubmed_central_semantic_search_spark.operators.vectorized import (
+        nearest_centroid_udf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.6, 0.8]),
+            ("c", [float("nan"), 1.0]),
+            ("d", [0.0, 1.0]),
+        ],
+        "article_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id int, qvec array<double>")
+    key = lambda df: {  # noqa: E731
+        (r["article_id"], None if r["doc_score"] is None else round(r["doc_score"], 6))
+        for r in df.collect()
+    }
+    hof3 = key(score_documents(docs, q, k_docs=3, kernel="hof"))
+    blas3 = key(score_documents(docs, q, k_docs=3, kernel="blas"))
+    assert hof3 == blas3
+    assert ("c", 0.0) in blas3  # NaN row scores 0.0, never NULL/NaN
+    # assignment: NaN row falls to the lowest centroid id
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    got = docs.select(
+        "article_id", nearest_centroid_udf(cents)(F.col("embedding")).alias("c")
+    ).collect()
+    assert {r["article_id"]: r["c"] for r in got}["c"] == 3
+
+
+def test_blas_null_qvec_matches_hof_and_single_eval(spark):
+    """Review find: kernel='blas'/'auto' crashed with TypeError on a NULL
+    query vector where the fold returned null scores; and the query plan
+    was evaluated twice (collect + re-join). NULL-qvec queries now return
+    null-score rows through both kernels."""
+    from pubmed_central_semantic_search_spark.operators.search import (
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "article_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "query_id int, qvec array<double>"
+    )
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["article_id"],
+         None if r["doc_score"] is None else round(r["doc_score"], 6))
+        for r in df.collect()
+    }
+    for kernel in ("blas", "auto"):
+        got = key(score_documents(docs, q, k_docs=5, kernel=kernel))
+        assert got == key(score_documents(docs, q, k_docs=5, kernel="hof"))
+        assert (1, "a", None) in got  # the null-qvec query still returns rows
+    # all queries null — no crash, null scores
+    qn = spark.createDataFrame([(9, None)], "query_id int, qvec array<double>")
+    out = score_documents(docs, qn, k_docs=5, kernel="blas").collect()
+    assert len(out) == 2 and all(r["doc_score"] is None for r in out)
+
+
+def test_mean_pool_all_null_group_is_null_in_both_branches(spark):
+    """Review find: an all-null-vector group pooled to [null]*dim with dim
+    set but silently VANISHED in the dim-agnostic branch — different
+    doc-vector row sets per call shape. Both branches now emit the group
+    with a NULL vector (null in → null out)."""
+    from pubmed_central_semantic_search_spark.operators.pooling import mean_pool
+
+    df = spark.createDataFrame(
+        [("A", [1.0, 3.0]), ("A", [3.0, 5.0]), ("B", None), ("B", None)],
+        "article_id string, embedding array<double>",
+    )
+    for dim in (2, None):
+        rows = {
+            r["article_id"]: r["embedding"]
+            for r in mean_pool(df, ["article_id"], dim=dim).collect()
+        }
+        assert rows["A"] == [2.0, 4.0], (dim, rows)
+        assert "B" in rows and rows["B"] is None, (dim, rows)
+
+
+def test_grouped_top_k_rejects_rank_column_collision(spark):
+    """Review find: a pre-existing 'rank' column was silently replaced
+    then dropped — caller data lost with no error."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.topk import grouped_top_k
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 99)], "g string, score double, rank int"
+    )
+    with pytest.raises(ValueError, match="rank"):
+        grouped_top_k(df, ["g"], "score", 1)
+    out = grouped_top_k(df, ["g"], "score", 1, rank_col="_rn2")
+    assert out.collect()[0]["rank"] == 99  # caller's column survives
