@@ -205,11 +205,16 @@ def bpe_train_batched(
             if r["a"] == r["b"]:
                 break
         # rule 3: strict 4× boundary against the first excluded row.
-        # An excluded witness always exists when needed: the accept loop
-        # caps k at `want` and we collected want+1 rows, so k == len(rows)
-        # only when the stats ran dry (stats_complete) — next count 0.
         while k > 1:
-            nxt = rows[k]["pair_count"] if k < len(rows) else 0
+            if k < len(rows):
+                nxt = rows[k]["pair_count"]
+            else:
+                # an excluded witness always exists when needed: the
+                # accept loop caps k at `want` and we collected want+1
+                # rows, so running past the end means the stats ran dry
+                # — the next pair count is genuinely 0
+                assert stats_complete, "k==len(rows) with a full tail"
+                nxt = 0
             if rows[k - 1]["pair_count"] > 4 * nxt:
                 break
             k -= 1

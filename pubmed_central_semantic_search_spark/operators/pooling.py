@@ -52,6 +52,8 @@ def mean_pool(
     pipelines.
     """
     if dim is not None:
+        if dim < 1:
+            raise ValueError(f"mean_pool: dim must be >= 1, got {dim}")
         # row-level geometry guard (the k-means/PQ/PCA rule): a vector
         # LONGER than dim would silently truncate into the pooled mean
         # (wrong doc vectors, no error — e.g. an engine reconstructed
@@ -81,12 +83,15 @@ def mean_pool(
         # null out), not an array of dim nulls — and identically in BOTH
         # branches (review find: the dim branch emitted [null]*dim while
         # the dim-agnostic branch silently DROPPED the group, so the two
-        # call shapes produced different doc-vector row sets)
+        # call shapes produced different doc-vector row sets). The gate
+        # is ALL dim components null (coalesce), not component 0 alone:
+        # a group whose vectors carry element-level NULL at position 0
+        # but real values elsewhere pools to [null, m1, ...] in both
+        # branches (second review find — the _m0 sentinel nulled it here
+        # while the dim-agnostic branch kept the surviving cells)
         arr = F.array(*[f"_m{i}" for i in range(dim)])
-        return pooled.select(
-            *group,
-            F.when(F.col("_m0").isNotNull(), arr).alias(out_col),
-        )
+        alive = F.coalesce(*[F.col(f"_m{i}") for i in range(dim)]).isNotNull()
+        return pooled.select(*group, F.when(alive, arr).alias(out_col))
     # posexplode_outer keeps all-null groups alive as a (null, null)
     # component row; the assembly filters that cell back out and maps an
     # empty result to NULL — same convention as the dim branch

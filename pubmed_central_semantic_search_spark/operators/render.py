@@ -25,6 +25,18 @@ from ..schemas import ARTICLE_ID
 
 MARK_OPEN = '<mark class="highlight-paragraph">'
 
+# Python str.strip()'s whitespace set (responses.py:80 strips Unicode
+# whitespace — NBSP, thin space, line/paragraph separators — while Java's
+# bare \s is ASCII-only, so a Unicode-padded paragraph diverged from the
+# reference). \x{...} escapes and \s parse in BOTH Java regex (Spark) and
+# RE2 (the DuckDB oracle); \x{000B} is explicit because RE2's \s lacks
+# vertical tab while Java's includes it.
+UNICODE_WS = (
+    r"[\s\x{000B}\x{001C}-\x{001F}\x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+STRIP_RE = f"^{UNICODE_WS}+|{UNICODE_WS}+$"
+
 
 def mark_html(paragraph: Column | str) -> Column:
     """responses.py:77-79 — highlight wrapper."""
@@ -60,15 +72,16 @@ def render_hits(
     and the section-position-not-name fix had to be made twice) — this
     function is now three column expressions over its output.
 
-    Stripping matches the reference's ``str.strip()`` — ALL whitespace,
-    not ``trim``'s ASCII spaces (responses.py:80: a paragraph with a
-    leading tab or trailing newline must not carry it into the markup);
-    the q39 oracle strips with the same regex class.
+    Stripping matches the reference's ``str.strip()`` — ALL whitespace
+    including Unicode (``UNICODE_WS``), not ``trim``'s ASCII spaces
+    (responses.py:80: a paragraph with a leading tab, NBSP, or trailing
+    newline must not carry it into the markup); the q39 oracle strips
+    with the same regex class verbatim.
     """
     from .search import expand_context
 
     ctx = expand_context(chunk_hits, chunks, window)
-    stripped = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    stripped = lambda c: F.regexp_replace(c, STRIP_RE, "")  # noqa: E731
     return ctx.select(
         "query_id",
         ARTICLE_ID,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..functions.vector import cosine_similarity
 from ..schemas import ARTICLE_ID
@@ -74,9 +75,13 @@ def score_documents(
         # plan a second time per search; review find)
         qrows = queries.select("query_id", "qvec").collect()  # k-row side
         spark = doc_vectors.sparkSession
-        qframe = F.broadcast(
-            local_df(spark, qrows, "query_id int, qvec array<double>")
+        # the local frame keeps the CALLER's query_id type (string/64-bit
+        # ids work under every kernel — a hardcoded `query_id int` made
+        # kernel choice silently change the accepted input domain)
+        q_schema = StructType(
+            [queries.schema["query_id"], queries.schema["qvec"]]
         )
+        qframe = F.broadcast(local_df(spark, qrows, q_schema))
         live = [r for r in qrows if r["qvec"] is not None]
         if not live:
             # the matmul kernel needs a (nq, dim) matrix — zero live
@@ -118,9 +123,7 @@ def score_documents(
             # NULL-qvec queries still return rows — null scores, exactly
             # like the HOF crossJoin (another kernel row-set parity rule)
             null_q = local_df(
-                spark,
-                [r for r in qrows if r["qvec"] is None],
-                "query_id int, qvec array<double>",
+                spark, [r for r in qrows if r["qvec"] is None], q_schema
             )
             scored = scored.unionByName(
                 doc_vectors.select(ARTICLE_ID)

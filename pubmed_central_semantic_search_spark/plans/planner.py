@@ -20,6 +20,7 @@ library-level rewrite is idiomatic and debuggable):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.ann import brute_force_topk, lsh_topk
 
@@ -82,22 +83,41 @@ def plan_topk_search(
         )
     if mode == "exact":
         if kernel == "auto":
-            # peek ONE query row for the dim — collecting the whole frame
-            # here would pay a job whose result is discarded when auto
-            # routes to hof
-            first = queries.select("qvec").first()
+            # peek ONE NON-NULL query row for the dim — collecting the
+            # whole frame here would pay a job whose result is discarded
+            # when auto routes to hof, and len(None) crashed (the same
+            # null-peek fix score_documents carries)
+            first = (
+                queries.select("qvec")
+                .where(F.col("qvec").isNotNull())
+                .first()
+            )
             kernel = resolve_kernel(
                 len(first["qvec"]) if first is not None else 0
             )
         if kernel == "blas":
             from ..operators.vectorized import multi_query_topk_np
 
-            # queries are a handful of rows by contract — driver-side list
+            # queries are a handful of rows by contract — driver-side
+            # list. NULL-qvec rows can't enter the matmul; they score
+            # NULL against every vector via the HOF arm (cosine of a
+            # null query is null), keeping the kernels row-set-equal.
+            qrows = queries.select("query_id", "qvec").collect()
             qlist = [
                 (r["query_id"], [float(x) for x in r["qvec"]])
-                for r in queries.collect()
+                for r in qrows
+                if r["qvec"] is not None
             ]
-            return multi_query_topk_np(vectors, qlist, k)
+            if not qlist:
+                return brute_force_topk(vectors, queries, k)
+            out = multi_query_topk_np(vectors, qlist, k)
+            if len(qlist) < len(qrows):
+                out = out.unionByName(
+                    brute_force_topk(
+                        vectors, queries.where(F.col("qvec").isNull()), k
+                    )
+                )
+            return out
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":
         return lsh_topk(vectors, queries, k, **lsh_kwargs)

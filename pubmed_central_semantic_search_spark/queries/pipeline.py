@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..encoder import DEFAULT_DIM, encode_column, fake_encode_one
 from ..operators.chunking import explode_chunks
 from ..operators.pooling import mean_pool
-from ..operators.render import render_hits
+from ..operators.render import STRIP_RE, render_hits
 from ..operators.search import (
     highlight_chunks,
     score_documents,
@@ -316,7 +316,7 @@ _LINK = (
     SELECT h.article_id,
            h.paragraph_id,
            round(h.chunk_score, 6) AS chunk_score,
-           string_agg('{_MARK}' || regexp_replace(n.paragraph, '^\\s+|\\s+$', '', 'g') || '</mark>',
+           string_agg('{_MARK}' || regexp_replace(n.paragraph, '{STRIP_RE}', '', 'g') || '</mark>',
                       chr(10) ORDER BY n.paragraph_id) AS marked_html,
            string_agg(n.paragraph, chr(10) ORDER BY n.paragraph_id) AS most_relevant_html,
            '{_LINK}' || h.article_id || '/">View full article on external site: '
