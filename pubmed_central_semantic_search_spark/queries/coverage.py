@@ -402,23 +402,29 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline reports.
 
 
-@register(
-    "q46_token_percentiles",
-    """
-    WITH t AS (
+# the per-document token-count CTE — shared verbatim by the q46 registry
+# oracle and the demoted ihist-sketch replay (tests/test_sketch.py)
+_Q46_TOK_CTE = """t AS (
       SELECT source,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                   AS BIGINT) AS n_tok
       FROM documents
-    ),
-    -- integer log-histogram quantile sketch (operators/sketch.py ihist_*):
-    -- pure-integer bucketing (exponent + top-3 mantissa bits) so the cells
-    -- are bit-identical cross-engine — a float log_gamma bucketing could
-    -- flip floor at a boundary and break the hash
+    )"""
+
+# The DEMOTED q46 'sketch' arm (oracle-tower amortization policy, round 7;
+# driver-green r5+r6): the integer log-histogram quantile sketch
+# (operators/sketch.py ihist_*) replayed in SQL — pure-integer bucketing
+# (exponent + top-3 mantissa bits) so the cells are bit-identical
+# cross-engine (a float log_gamma bucketing could flip floor at a boundary
+# and break the hash). NULL n_tok is SKIPPED like Spark's ihist_build (an
+# unfiltered null would inflate tot/cum and shift every quantile rank here
+# while the Spark side dropped the row). Its DuckDB value parity now runs
+# as pytest (tests/test_sketch.py::test_ihist_quantiles_duckdb_parity_demoted)
+# over this SAME text; the bench number is the x_ihist_quantiles extras
+# entry.
+_Q46_IHIST_PARITY_SQL = f"""
+    WITH {_Q46_TOK_CTE},
     ihist AS (
-      -- NULL n_tok is SKIPPED like Spark's ihist_build (an unfiltered
-      -- null would inflate tot/cum and shift every quantile rank here
-      -- while the Spark side dropped the row)
       SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT source,
                CASE WHEN n_tok < 16 THEN n_tok
@@ -448,50 +454,65 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                   END AS DOUBLE) AS v
       FROM ipick
     )
-    SELECT 'exact' AS kind, source,
-           round(quantile_cont(n_tok, 0.5), 6)  AS p50,
-           round(quantile_cont(n_tok, 0.9), 6)  AS p90,
-           round(quantile_cont(n_tok, 0.99), 6) AS p99
-    FROM t GROUP BY source
-    UNION ALL
-    SELECT 'sketch' AS kind, source,
+    SELECT source,
            round(max(CASE WHEN q = 0.5 THEN v END), 6)  AS p50,
            round(max(CASE WHEN q = 0.9 THEN v END), 6)  AS p90,
            round(max(CASE WHEN q = 0.99 THEN v END), 6) AS p99
     FROM isk GROUP BY source
-    """,
-    survey_rows="§2.10 exposure: exact interpolated percentiles, X4 corpus "
-    "profiling + mergeable integer log-histogram quantile sketch "
-    "(DDSketch-shaped, bit-identical cross-engine cells, constant "
-    "≤488-cell state, streaming-foldable — the distribution member of the "
-    "CMS/HLL/Bloom family; build + cumulative walk + lower-bound "
-    "representative all value-certified)",
-)
-def q46_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def ihist_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q46 sketch arm's Spark side — also the
+    x_ihist_quantiles bench entry."""
     from ..operators.sketch import ihist_build, ihist_quantiles
 
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     t = d.select("source", n_tok.cast("long").alias("n_tok"))
-    exact = t.groupBy("source").agg(
-        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
-    ).select(F.lit("exact").alias("kind"), "*")
     sq = ihist_quantiles(
         ihist_build(t, "n_tok", group_cols=["source"]),
         [0.5, 0.9, 0.99],
         group_cols=["source"],
     )
-    sketch = sq.groupBy("source").agg(
+    return sq.groupBy("source").agg(
         *[
             F.round(
                 F.max(F.when(F.col("q") == q, F.col("value"))).cast("double"), 6
             ).alias(f"p{int(q * 100)}")
             for q in (0.5, 0.9, 0.99)
         ]
-    ).select(F.lit("sketch").alias("kind"), "*")
-    return exact.unionByName(sketch)
+    )
+
+
+@register(
+    "q46_token_percentiles",
+    f"""
+    WITH {_Q46_TOK_CTE}
+    SELECT source,
+           round(quantile_cont(n_tok, 0.5), 6)  AS p50,
+           round(quantile_cont(n_tok, 0.9), 6)  AS p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS p99
+    FROM t GROUP BY source
+    """,
+    survey_rows="§2.10 exposure: exact interpolated percentiles, X4 corpus "
+    "profiling. The mergeable integer log-histogram quantile sketch arm "
+    "(DDSketch-shaped, bit-identical cross-engine cells, constant "
+    "≤488-cell state, streaming-foldable) was DEMOTED from this row's "
+    "driver replay after two green rounds (amortization policy): its "
+    "DuckDB parity runs as pytest "
+    "(tests/test_sketch.py::test_ihist_quantiles_duckdb_parity_demoted) "
+    "over the same CTE text, and x_ihist_quantiles keeps the bench number",
+)
+def q46_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("source", n_tok.cast("long").alias("n_tok"))
+    return t.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("p99"),
+    )
 
 
 # ---------------------------------------------------------------------------

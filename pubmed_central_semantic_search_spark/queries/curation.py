@@ -22,7 +22,6 @@ from ..operators.curation import (
 from ..operators.retrieval import bm25_rank, rrf_fuse
 from ..operators.textstats import build_vocab, tfidf_top_terms
 from ..registry import QUERY_VEC, load, register, sql_vec
-from ..session import local_df
 
 BM25_TERMS = ("join", "hash", "window", "vector")
 _TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
@@ -722,14 +721,32 @@ def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 12
 
+# the vocabulary CTEs — shared verbatim by the q55 registry oracle and
+# the demoted BPE-training replay (tests/test_bpe.py)
+_Q55_VOCAB_CTES = """tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token
+    ),
+    vocab AS (SELECT * FROM counts WHERE n_occurrences >= 5)"""
 
-def _q55_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """q55's oracle: the vocabulary arm plus a FULL SQL replay of BPE
-    training over that vocabulary — the n_merges iterations unrolled as
+
+def _q55_bpe_parity_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """The DEMOTED q55 'bpe' arm (oracle-tower amortization policy,
+    round 7; driver-green r5+r6): a FULL SQL replay of BPE training over
+    the q55 vocabulary — the n_merges iterations unrolled as
     MATERIALIZED CTEs (the q38 Lloyd-unroll precedent; MATERIALIZED is
     load-bearing: each iteration references the previous symbol table
     several times, and inlining would double the tree per round — the
     same 2^n blowup pagerank's lineage truncation guards against).
+    Its DuckDB value parity now runs as pytest
+    (tests/test_bpe.py::test_bpe_train_duckdb_parity_demoted) over this
+    SAME CTE text; the bench number stays as the x_bpe_train extras
+    entry.
 
     Per iteration over the symbol table s{{i}}(wid, cnt, pos, sym):
     pair counts (self-join on pos+1, count-weighted) → argmax with the
@@ -743,16 +760,8 @@ def _q55_oracle(n_merges: int = _BPE_MERGES) -> str:
     take the merged symbol, consumed positions (pos−1 matched) drop,
     positions renumber."""
     parts = [
-        """tok AS (
-      SELECT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-      ) WHERE token <> ''
-    ),
-    counts AS (
-      SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
-      FROM tok GROUP BY token
-    ),
-    vocab AS (SELECT * FROM counts WHERE n_occurrences >= 5),
+        _Q55_VOCAB_CTES
+        + """,
     s0 AS MATERIALIZED (
       SELECT token AS wid, n_occurrences AS cnt,
              generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
@@ -799,71 +808,38 @@ def _q55_oracle(n_merges: int = _BPE_MERGES) -> str:
       )
     )""")
     bpe_union = "\n    UNION ALL\n    ".join(
-        f"""SELECT 'bpe' AS kind, CAST(NULL AS VARCHAR) AS token,
-           CAST(NULL AS BIGINT) AS n_occurrences,
-           CAST(NULL AS BIGINT) AS n_docs,
-           CAST(NULL AS BIGINT) AS vocab_id,
-           CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym
+        f"""SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym
     FROM b{i}"""
         for i in range(n_merges)
     )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + """
-    SELECT 'vocab' AS kind, token, n_occurrences, n_docs,
-           row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id,
-           CAST(NULL AS BIGINT) AS merge_rank,
-           CAST(NULL AS VARCHAR) AS left_sym,
-           CAST(NULL AS VARCHAR) AS right_sym
-    FROM vocab
-    UNION ALL
-    """
-        + bpe_union
-    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + bpe_union
 
 
 @register(
     "q55_vocab_build",
-    _q55_oracle(),
-    survey_rows="X4 (vocabulary build — tokenizer-training prep) + BPE "
-    "merge-table training over that vocabulary (operators/bpe.bpe_train — "
-    "the Sennrich algorithm, merge-for-merge value-certified by an "
-    "unrolled-CTE SQL replay of all 12 iterations)",
+    f"""
+    WITH {_Q55_VOCAB_CTES}
+    SELECT token, n_occurrences, n_docs,
+           row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id
+    FROM vocab
+    """,
+    survey_rows="X4 (vocabulary build — tokenizer-training prep). The BPE "
+    "merge-table arm (operators/bpe.bpe_train, 12 sequential argmax "
+    "actions) was DEMOTED from this row's driver replay after two green "
+    "rounds (the oracle-tower amortization policy, the q28 Gopher "
+    "precedent): its merge-for-merge DuckDB parity now runs as pytest "
+    "(tests/test_bpe.py::test_bpe_train_duckdb_parity_demoted) over the "
+    "SAME unrolled-CTE text, and x_bpe_train keeps the bench number",
 )
 def q55_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import bpe_train
-
     docs = load(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "doc_id", "text", min_count=5)
-    vocab_arm = vocab.select(
-        F.lit("vocab").alias("kind"),
+    return vocab.select(
         "token",
         "n_occurrences",
         "n_docs",
         F.col("vocab_id").cast("bigint").alias("vocab_id"),
-        F.lit(None).cast("bigint").alias("merge_rank"),
-        F.lit(None).cast("string").alias("left_sym"),
-        F.lit(None).cast("string").alias("right_sym"),
     )
-    # the merge table is vocab-sized training state (12 one-row argmax
-    # round-trips over the distinct-words frame — never the corpus); it
-    # rides back in as literal rows, the DSIR/k-means packed-model rule
-    merges = bpe_train(vocab, _BPE_MERGES, count_col="n_occurrences")
-    bpe_arm = local_df(docs.sparkSession, 
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_rank bigint, left_sym string, right_sym string",
-    ).select(
-        F.lit("bpe").alias("kind"),
-        F.lit(None).cast("string").alias("token"),
-        F.lit(None).cast("bigint").alias("n_occurrences"),
-        F.lit(None).cast("bigint").alias("n_docs"),
-        F.lit(None).cast("bigint").alias("vocab_id"),
-        "merge_rank",
-        "left_sym",
-        "right_sym",
-    )
-    return vocab_arm.unionByName(bpe_arm)
 
 
 @register(

@@ -642,9 +642,32 @@ def x_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import gate_audit_report
+
+    return gate_audit_report(spark, sf_dir)
+
+
+def _x_ihist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .coverage import ihist_token_percentiles
+
+    return ihist_token_percentiles(spark, sf_dir)
+
+
+def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_pack import pagerank_report
+
+    return pagerank_report(spark, sf_dir)
+
+
 BENCH_EXTRAS = {
     "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
+    # round-7 demoted registry arms keep their bench numbers here (the
+    # amortization policy): q41 'audit', q46 'sketch', q53 'pagerank'
+    "x_gate_audit": _x_gate_audit,
+    "x_ihist_quantiles": _x_ihist_quantiles,
+    "x_pagerank": _x_pagerank,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
     "x_bpe_segment": x_bpe_segment,

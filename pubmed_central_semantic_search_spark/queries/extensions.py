@@ -457,10 +457,10 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is oracle-checked end to end.
 
 
-@register(
-    "q41_data_prep_pipeline",
-    f"""
-    WITH feat AS (
+# q41's CTE chain (quality/lang scoring → gates + exact dedup →
+# ExactSubstr span location → span cut) — shared verbatim by the q41
+# registry oracle and the demoted gate-audit replay (tests/test_curation.py)
+_Q41_CTES = f"""feat AS (
       SELECT doc_id, text, source,
              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
              len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
@@ -568,38 +568,67 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> d.toks[i + 1]),
                ' ') AS text_cut
       FROM span_d d LEFT JOIN cuts c USING (doc_id) LEFT JOIN keeps kp USING (doc_id)
-    )
-    SELECT 'stats' AS kind, k.source, CAST(NULL AS VARCHAR) AS gate,
+    )"""
+
+# The DEMOTED q41 'audit' arm (oracle-tower amortization policy, round 7;
+# driver-green r5+r6) — gate audit (operators/curation.py gate_audit):
+# every document attributed to the FIRST pipeline gate that dropped it,
+# in pipeline order; per-gate counts sum to total drops. Fail-closed like
+# gate_audit: a NULL predicate counts as FAILED (NOT COALESCE(pass,
+# FALSE)), so a null metric is attributed to its own gate, never
+# misattributed downstream. DuckDB parity runs as pytest
+# (tests/test_curation.py::test_gate_audit_duckdb_parity_demoted) over
+# the SAME CTE text; the bench number is the x_gate_audit extras entry.
+_Q41_AUDIT_PARITY_SQL = f"""
+    WITH {_Q41_CTES}
+    SELECT s.source,
+           CASE WHEN NOT COALESCE(s.quality_milli >= 600, FALSE) THEN 'quality'
+                WHEN NOT COALESCE(s.predicted_lang = 'en', FALSE) THEN 'lang'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                ELSE 'kept' END AS gate,
+           count(*) AS n_docs
+    FROM scored s LEFT JOIN kept k USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q41_data_prep_pipeline",
+    f"""
+    WITH {_Q41_CTES}
+    SELECT k.source,
            count(*) AS n_docs,
            CAST(sum(len(regexp_extract_all(cd.text_cut, '{BPE_PATTERN}'))) AS BIGINT) AS total_bpe_tokens,
            CAST(sum(k.quality_milli) AS BIGINT) AS sum_quality_milli
     FROM kept k JOIN cutdocs cd USING (doc_id)
     GROUP BY k.source
-    UNION ALL
-    -- gate audit (operators/curation.py gate_audit): every document
-    -- attributed to the FIRST pipeline gate that dropped it, in pipeline
-    -- order — per-gate counts sum to total drops
-    SELECT 'audit' AS kind, s.source,
-           -- fail-closed like gate_audit: a NULL predicate counts as
-           -- FAILED (NOT COALESCE(pass, FALSE)), so a null metric is
-           -- attributed to its own gate, never misattributed downstream
-           CASE WHEN NOT COALESCE(s.quality_milli >= 600, FALSE) THEN 'quality'
-                WHEN NOT COALESCE(s.predicted_lang = 'en', FALSE) THEN 'lang'
-                WHEN k.doc_id IS NULL THEN 'exact_dup'
-                ELSE 'kept' END AS gate,
-           count(*) AS n_docs,
-           CAST(NULL AS BIGINT) AS total_bpe_tokens,
-           CAST(NULL AS BIGINT) AS sum_quality_milli
-    FROM scored s LEFT JOIN kept k USING (doc_id)
-    GROUP BY 1, 2, 3
     """,
     survey_rows="X1+X4 composition — full data-prep pipeline (quality → "
-    "lang → doc-dedup → ExactSubstr span-cut → stats), one plan, plus the "
+    "lang → doc-dedup → ExactSubstr span-cut → stats), one plan. The "
     "gate-audit observability arm (first-failed-gate attribution per "
-    "document; per-gate drop counts sum to total drops)",
+    "document; per-gate drop counts sum to total drops) was DEMOTED from "
+    "this row's driver replay after two green rounds (amortization "
+    "policy): its DuckDB parity runs as pytest "
+    "(tests/test_curation.py::test_gate_audit_duckdb_parity_demoted) over "
+    "the same CTE text, and x_gate_audit keeps the bench number",
 )
 def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import cut_spans, exact_dedup, repeated_ngram_spans
+    from ..operators.dedup import cut_spans, repeated_ngram_spans
+
+    _scored, kept = _q41_scored_kept(spark, sf_dir)
+    spans = repeated_ngram_spans(kept, "doc_id", "text", window=8, min_docs=2)
+    cut = cut_spans(kept, spans, "doc_id", "text")
+    return cut.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text_cut")).alias("total_bpe_tokens"),
+        F.sum("quality_milli").alias("sum_quality_milli"),
+    )
+
+
+def _q41_scored_kept(spark: SparkSession, sf_dir: str):
+    """q41's gate stages (quality/lang scoring + gates + exact dedup) —
+    shared by the registry row and the demoted gate-audit arm."""
+    from ..operators.dedup import exact_dedup
 
     d = load(spark, sf_dir, "documents")
     scored = quality_score(d).withColumn("predicted_lang", language_id("text"))
@@ -610,27 +639,19 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_cols=["text"],
         order_col="doc_id",
     )
-    spans = repeated_ngram_spans(kept, "doc_id", "text", window=8, min_docs=2)
-    cut = cut_spans(kept, spans, "doc_id", "text")
-    stats = cut.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(bpe_token_count("text_cut")).alias("total_bpe_tokens"),
-        F.sum("quality_milli").alias("sum_quality_milli"),
-    ).select(
-        F.lit("stats").alias("kind"),
-        "source",
-        F.lit(None).cast("string").alias("gate"),
-        "n_docs",
-        "total_bpe_tokens",
-        "sum_quality_milli",
-    )
-    # gate-audit arm: attribute every document to the first gate that
-    # dropped it. The per-row gates audit as predicates; dedup survival
-    # needs pipeline context, so it joins in as a flag column first (the
-    # gate_audit docstring's pattern) — one keyed join, the audit's whole
-    # extra cost.
+    return scored, kept
+
+
+def gate_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q41 'audit' arm's Spark side — also the x_gate_audit
+    bench entry: attribute every document to the first gate that dropped
+    it. The per-row gates audit as predicates; dedup survival needs
+    pipeline context, so it joins in as a flag column first (the
+    gate_audit docstring's pattern) — one keyed join, the audit's whole
+    extra cost."""
     from ..operators.curation import gate_audit
 
+    scored, kept = _q41_scored_kept(spark, sf_dir)
     audited = gate_audit(
         scored.join(
             kept.select("doc_id", F.lit(1).alias("_k")), "doc_id", "left"
@@ -641,21 +662,9 @@ def q41_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("exact_dup", F.col("_k").isNotNull()),
         ],
     )
-    audit = (
-        audited.groupBy(
-            "source", F.coalesce("first_failed", F.lit("kept")).alias("gate")
-        )
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            F.lit("audit").alias("kind"),
-            "source",
-            "gate",
-            "n_docs",
-            F.lit(None).cast("bigint").alias("total_bpe_tokens"),
-            F.lit(None).cast("bigint").alias("sum_quality_milli"),
-        )
-    )
-    return stats.unionByName(audit)
+    return audited.groupBy(
+        "source", F.coalesce("first_failed", F.lit("kept")).alias("gate")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 # ---------------------------------------------------------------------------

@@ -203,16 +203,23 @@ def _q21_oracle() -> str:
     "§3.1 query path",
 )
 def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import prepend_abstract
+
     docs = load(spark, sf_dir, "documents")
     # Articles from flat documents: "Abstract" = first 8 tokens, "Body" =
     # the rest in 16-token paragraphs (slice on the token array — narrow,
-    # no shuffle).
+    # no shuffle). The abstract rides in through the REAL P6 operator
+    # (prepend_abstract, round-7 backfill: P6 was U-only before — the
+    # arm now drives data_fetcher.py:40's prepend semantics through the
+    # driver's value oracle; 'paragraph' level because the synthetic
+    # corpus is single-line, so the abstract stays one chunk like the
+    # oracle's paras CTE).
     toks = F.split("text", " ")
-    articles = docs.select(
+    body = docs.select(
         F.col("doc_id").cast("string").alias("article_id"),
-        F.array(F.lit("Abstract"), F.lit("Body")).alias("section_names"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("abstract_text"),
+        F.array(F.lit("Body")).alias("section_names"),
         F.array(
-            F.array(F.array_join(F.slice(toks, 1, 8), " ")),
             F.transform(
                 F.sequence(
                     F.lit(0),
@@ -224,6 +231,7 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sections"),
     )
+    articles = prepend_abstract(body, "abstract_text", level="paragraph")
     # E1 is the expensive stage: persist the embedded chunks so the plan's
     # two consumers (mean-pool → doc vectors; chunk-highlight scoring) run
     # the encoder ONCE (SURVEY §4 physical-execution notes — at 100 TB this

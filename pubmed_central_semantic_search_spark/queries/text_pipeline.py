@@ -33,17 +33,115 @@ def _tokens(df: DataFrame) -> DataFrame:
 @register(
     "q13_tokenize_explode",
     """
-    SELECT doc_id, pos, token FROM (
-      SELECT doc_id,
-             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-             unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ) WHERE token <> ''
+    WITH tokarm AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    -- P6+N1-N3 chunk arm: articles rebuilt from the flat corpus
+    -- (abstract = first 8 tokens prepended as section 0 'Abstract' —
+    -- prepend_abstract's contract; body = 16-token paragraphs), then the
+    -- nested→flat explode with CLEAN-THEN-ENUMERATE positions (P5)
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    paras AS (
+      SELECT doc_id, 0 AS section_id, 'Abstract' AS section_name,
+             0 AS idx, array_to_string(toks[1:8], ' ') AS paragraph
+      FROM d
+      UNION ALL
+      SELECT doc_id, 1, 'Body', CAST(i AS INT),
+             array_to_string(toks[i * 16 + 9 : i * 16 + 24], ' ')
+      FROM d, UNNEST(range(0,
+             CAST(floor(greatest((len(toks) - 9) / 16.0, 0)) AS BIGINT) + 1)) AS t(i)
+    ),
+    chunkarm AS (
+      SELECT doc_id, section_id, section_name,
+             row_number() OVER (PARTITION BY doc_id, section_id ORDER BY idx)
+               - 1 AS paragraph_id,
+             paragraph
+      FROM paras WHERE paragraph <> ''
+    ),
+    -- H2 arm: chunk_key (xxhash64 over the position-qualified natural
+    -- key) has no DuckDB twin, so the oracle certifies its INJECTIVITY
+    -- on the real corpus: the Spark side counts DISTINCT chunk ids, the
+    -- oracle counts chunks — any collision hash-mismatches the row
+    h2 AS (SELECT count(*) AS n FROM chunkarm)
+    SELECT 'tok' AS kind, doc_id, CAST(pos AS BIGINT) AS pos, token
+    FROM tokarm
+    UNION ALL
+    SELECT 'chunk' AS kind, doc_id, CAST(paragraph_id AS BIGINT) AS pos,
+           section_id || ':' || section_name || ':' || paragraph AS token
+    FROM chunkarm
+    UNION ALL
+    SELECT 'h2' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS pos, CAST(n AS VARCHAR) AS token
+    FROM h2
     """,
-    survey_rows="F1, N2, P5",
+    survey_rows="F1, N2, P5 + P6 (prepend_abstract → section 0 "
+    "'Abstract', value-certified through the chunk arm) + H2 (chunk_key "
+    "injectivity on the real corpus: countDistinct(chunk_id) vs the "
+    "oracle's chunk count — round-7 backfill of the two U-only rows)",
 )
 def q13_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tokens(load(spark, sf_dir, "documents"))
+    from ..operators.chunking import explode_chunks, prepend_abstract
+
+    docs = load(spark, sf_dir, "documents")
+    tok = _tokens(docs).select(
+        F.lit("tok").alias("kind"),
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "token",
+    )
+    # the q21 article builder, P6 routed through the real operator
+    toks = F.split("text", " ")
+    body = docs.select(
+        F.col("doc_id"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("abstract_text"),
+        F.array(F.lit("Body")).alias("section_names"),
+        F.array(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest((F.size(toks) - 9) / 16, F.lit(0)).cast("int"),
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 9, 16), " "),
+            ),
+        ).alias("sections"),
+    )
+    articles = prepend_abstract(
+        body.withColumn("article_id", F.col("doc_id").cast("string")),
+        "abstract_text",
+        level="paragraph",
+    )
+    # no persist: the explode is narrow (recomputing it for the h2 arm is
+    # cheaper than a cache entry this query would never unpersist — the
+    # bench re-executes each query, and a leaked cache accretes)
+    chunks = explode_chunks(
+        articles.select("article_id", "section_names", "sections")
+    )
+    chunk = chunks.select(
+        F.lit("chunk").alias("kind"),
+        F.col("article_id").cast("bigint").alias("doc_id"),
+        F.col("paragraph_id").cast("bigint").alias("pos"),
+        F.concat_ws(
+            ":",
+            F.col("section_id").cast("string"),
+            "section_name",
+            "paragraph",
+        ).alias("token"),
+    )
+    h2 = chunks.agg(
+        F.countDistinct("chunk_id").alias("n_distinct"),
+        F.count(F.lit(1)).cast("string").alias("n_str"),
+    ).select(
+        F.lit("h2").alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("n_distinct").alias("pos"),
+        F.col("n_str").alias("token"),
+    )
+    return tok.unionByName(chunk).unionByName(h2)
 
 
 # ---------------------------------------------------------------------------

@@ -57,20 +57,35 @@ from ..sources.jsonl import write_sharded_parquet
 from ..session import local_df
 
 
+# the point-lookup arm's probe keys: a group-replace survivor (0), an
+# upserted key (60), a phase-2 insert (199), AND a deleted odd member of
+# a re-uploaded group (1 — must return NOTHING; a lookup that still finds
+# it means the bucket-pruned read missed the group-replace delete)
+_LOOKUP_KEYS = (0, 1, 60, 199)
+
+
 @register(
     "q62_write_path_roundtrip",
-    """
-    SELECT doc_id, source, lang,
-           md5(CASE WHEN doc_id < 50 THEN text || '-v3'
-                    ELSE upper(text) END) AS content_key,
-           length(CASE WHEN doc_id < 50 THEN text || '-v3'
-                       ELSE upper(text) END) AS n_chars
-    FROM documents
-    WHERE doc_id < 200 AND NOT (doc_id < 50 AND doc_id % 2 = 1)
+    f"""
+    WITH final AS (
+      SELECT doc_id, source, lang,
+             md5(CASE WHEN doc_id < 50 THEN text || '-v3'
+                      ELSE upper(text) END) AS content_key,
+             length(CASE WHEN doc_id < 50 THEN text || '-v3'
+                         ELSE upper(text) END) AS n_chars
+      FROM documents
+      WHERE doc_id < 200 AND NOT (doc_id < 50 AND doc_id % 2 = 1)
+    )
+    SELECT 'table' AS kind, * FROM final
+    UNION ALL
+    SELECT 'lookup' AS kind, * FROM final
+    WHERE doc_id IN {tuple(_LOOKUP_KEYS)}
     """,
     survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
-    "group-replacing upsert + bucket-partitioned layout), S9 (collection "
-    "DDL), S8 (durable parquet snapshot read-back)",
+    "group-replacing upsert + bucket-partitioned layout + POINT-LOOKUP "
+    "read: read_upsert_table(key_equals=...) prunes to the one bucket "
+    "directory the key hashes into — round-7 backfill, previously U-only), "
+    "S9 (collection DDL), S8 (durable parquet snapshot read-back)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -147,8 +162,9 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     finally:
         reset_table(spark, tname)
 
-    def read_back(path: str) -> DataFrame:
-        return read_upsert_table(spark, path).select(
+    def project(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
             "doc_id",
             "source",
             "lang",
@@ -156,9 +172,27 @@ def _roundtrip(spark, base, docs) -> DataFrame:
             F.length("text").cast("bigint").alias("n_chars"),
         )
 
-    part_out = read_back(part_path)
+    part_out = project(read_upsert_table(spark, part_path), "table")
     part_rows = part_out.collect()  # materialize before the temp dir goes
-    return local_df(spark, part_rows, part_out.schema)
+    # S7 point-lookup arm (round-7 backfill): each probe key reads ONE
+    # bucket directory out of n_buckets (key_equals covers exactly the
+    # stored bucket key → PartitionFilters pruning, plan-pinned in
+    # tests/test_partitioned_upsert.py); key 1 is a group-replace-deleted
+    # row and must come back EMPTY through the pruned path too
+    # each probe is an independent tiny job — run them concurrently so
+    # the arm pays ONE job-latency round, not four (the q53 threading
+    # pattern; Spark accepts concurrent submission on one session)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(k):
+        return project(
+            read_upsert_table(spark, part_path, key_equals={"doc_id": k}),
+            "lookup",
+        ).collect()
+
+    with ThreadPoolExecutor(len(_LOOKUP_KEYS)) as pool:
+        lookup_rows = [r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows]
+    return local_df(spark, part_rows + lookup_rows, part_out.schema)
 
 
 # --- bench pair: flat vs bucket-partitioned streaming-style upsert ---------

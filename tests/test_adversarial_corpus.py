@@ -52,17 +52,39 @@ _TIE_CORPUS = [
 
 
 def test_q55_bpe_oracle_replay_on_tie_dense_corpus(spark, tmp_path):
+    """The tie-dense replay of the (round-7 demoted) q55 'bpe' arm: the
+    vocabulary arm still goes through the registry oracle; the BPE
+    training parity runs over the demoted arm's own unrolled-CTE text
+    (the same SQL the driver used to replay)."""
+    from pubmed_central_semantic_search_spark.operators.bpe import bpe_train
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        build_vocab,
+    )
+    from pubmed_central_semantic_search_spark.queries.curation import (
+        _BPE_MERGES,
+        _q55_bpe_parity_oracle,
+    )
+
     sf_dir = _synthetic_sf_dir(spark, _TIE_CORPUS, tmp_path)
     qd = REGISTRY["q55_vocab_build"]
     got = qd.spark(spark, sf_dir).toPandas()
     want = _oracle_con(sf_dir).execute(qd.oracle).df()
+    compare_frames(got, want, "q55-adversarial")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, "doc_id", "text", min_count=5)
+    merges = bpe_train(vocab, _BPE_MERGES, count_col="n_occurrences")
+    want_bpe = (
+        _oracle_con(sf_dir)
+        .execute(_q55_bpe_parity_oracle())
+        .df()
+        .sort_values("merge_rank")
+    )
     # sanity: the corpus produced merges, decided under ties (tiny
     # alphabet -> many equal pair counts), AND ran the vocabulary dry
     # before the 12-merge budget — so the Spark break and the oracle's
     # empty-argmax arms must agree on early termination too
-    n_merges = (got["kind"] == "bpe").sum()
-    assert 5 <= n_merges < 12, n_merges
-    compare_frames(got, want, "q55-adversarial")
+    assert 5 <= len(merges) < 12, merges
+    assert merges == list(zip(want_bpe["left_sym"], want_bpe["right_sym"]))
 
 
 _SKEW_CORPUS = (

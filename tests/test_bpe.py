@@ -321,3 +321,38 @@ def test_local_train_rejects_nonpositive_counts(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         bpe_train_local(df, 2)
+
+
+def test_bpe_train_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q55 'bpe' arm (oracle-tower amortization policy,
+    round 7; driver-green r5+r6): merge-for-merge DuckDB value parity of
+    bpe_train over the q55 vocabulary, previously replayed inside q55's
+    driver oracle every bench round, now runs HERE over the SAME
+    unrolled-CTE text (_q55_bpe_parity_oracle imported verbatim) on the
+    real documents table — identical rigor, zero driver-bench seconds.
+    The bench number stays as the x_bpe_train extras entry."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.operators.bpe import bpe_train
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        build_vocab,
+    )
+    from pubmed_central_semantic_search_spark.queries.curation import (
+        _BPE_MERGES,
+        _q55_bpe_parity_oracle,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import duckdb_con
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, "doc_id", "text", min_count=5)
+    got = bpe_train(vocab, _BPE_MERGES, count_col="n_occurrences")
+    want_rows = (
+        duckdb_con(sf_dir)
+        .execute(_q55_bpe_parity_oracle())
+        .df()
+        .sort_values("merge_rank")
+    )
+    want = list(zip(want_rows["left_sym"], want_rows["right_sym"]))
+    assert got == want

@@ -500,3 +500,25 @@ def test_gate_audit_first_failure_attribution_and_fail_closed(spark):
     assert out == {1: None, 2: "quality", 3: "quality", 4: "lang", 5: "quality"}
     # sum property: drops per gate add up to total drops
     assert sum(1 for v in out.values() if v is not None) == 4
+
+
+def test_gate_audit_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q41 'audit' arm (oracle-tower amortization policy,
+    round 7; driver-green r5+r6): the gate-audit attribution's DuckDB
+    value parity, previously replayed inside q41's driver oracle every
+    bench round, now runs HERE over the SAME CTE text
+    (_Q41_AUDIT_PARITY_SQL imported verbatim) on the real documents table
+    — identical rigor, zero driver-bench seconds. Bench: x_gate_audit."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.extensions import (
+        _Q41_AUDIT_PARITY_SQL,
+        gate_audit_report,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = gate_audit_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(_Q41_AUDIT_PARITY_SQL).df()
+    compare_frames(got, want, "q41-audit-demoted")

@@ -138,3 +138,26 @@ def test_empty_graph_returns_empty_ranking_both_modes(spark):
         assert out.columns == ["id", "pagerank"], mode
         rows = out.collect()
         assert rows == [], (mode, rows)
+
+
+def test_pagerank_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q53 'pagerank' arm (oracle-tower amortization policy,
+    round 7; driver-green r4+r5+r6): the damped-random-surfer replay with
+    dangling-mass redistribution, previously unrolled inside q53's driver
+    oracle every bench round, now runs HERE over the SAME CTE text
+    (_Q53_PAGERANK_PARITY_SQL imported verbatim) on the real documents
+    table — identical rigor, zero driver-bench seconds. Bench:
+    x_pagerank."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.dedup_pack import (
+        _Q53_PAGERANK_PARITY_SQL,
+        pagerank_report,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = pagerank_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(_Q53_PAGERANK_PARITY_SQL).df()
+    compare_frames(got, want, "q53-pagerank-demoted")

@@ -605,3 +605,26 @@ def test_ihist_scale_fixed_point_for_doubles(spark):
     for q in (0.5, 0.9):
         true = sorted(vals)[int(q * (len(vals) - 1))]
         assert abs(got[q] - true) <= true * 0.125 + 1e-3 + 1e-9, (q, got[q], true)
+
+
+def test_ihist_quantiles_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q46 'sketch' arm (oracle-tower amortization policy,
+    round 7; driver-green r5+r6): the integer log-histogram quantile
+    sketch's DuckDB value parity, previously replayed inside q46's driver
+    oracle every bench round, now runs HERE over the SAME CTE text
+    (_Q46_IHIST_PARITY_SQL imported verbatim) on the real documents table
+    — identical rigor, zero driver-bench seconds. Bench number:
+    x_ihist_quantiles."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.coverage import (
+        _Q46_IHIST_PARITY_SQL,
+        ihist_token_percentiles,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = ihist_token_percentiles(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(_Q46_IHIST_PARITY_SQL).df()
+    compare_frames(got, want, "q46-ihist-demoted")
