@@ -87,21 +87,83 @@ DECODED_SCHEMA = (
 )
 
 
+def _ppm_decode_fn():
+    """Factory for the pure-Python binary-P6-PPM parser — the
+    no-dependency tier of the codec seam (round-7: the first REAL decode
+    value-certified in this container; the PIL seam is unchanged).
+
+    A FACTORY, not a plain module function, for the package-wide
+    self-contained-closure rule (see encoder.py): the returned function's
+    qualname is not importable, so cloudpickle ships it BY VALUE into
+    mapInPandas closures and executors never need this package
+    importable. ``decode_ppm`` below is the driver-side public instance.
+
+    The parser returns ``(width, height, pixels)`` with ``pixels`` an
+    (h, w, 3) uint8 numpy array. Standard header grammar: ``P6``, then
+    width, height, maxval as whitespace-separated ASCII decimals with
+    ``#`` comments allowed between tokens, then EXACTLY ONE whitespace
+    byte, then ``w*h*3`` raw RGB bytes. Only maxval 255 (1 byte/sample)
+    is supported; anything else raises ValueError — per-row error
+    isolation is the caller's mapInPandas contract."""
+
+    def _parse(blob: bytes):
+        import numpy as _np
+
+        if not blob.startswith(b"P6"):
+            raise ValueError("decode_ppm: not a binary P6 PPM")
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(blob) and blob[pos : pos + 1].isspace():
+                pos += 1
+            if blob[pos : pos + 1] == b"#":
+                while pos < len(blob) and blob[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(blob) and not blob[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("decode_ppm: truncated header")
+            vals.append(int(blob[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError(f"decode_ppm: unsupported maxval {maxval}")
+        if w < 1 or h < 1:
+            raise ValueError(f"decode_ppm: bad dimensions {w}x{h}")
+        need = w * h * 3
+        data = blob[pos : pos + need]
+        if len(data) < need:
+            raise ValueError("decode_ppm: truncated pixel data")
+        return w, h, _np.frombuffer(data, dtype=_np.uint8).reshape(h, w, 3)
+
+    return _parse
+
+
+decode_ppm = _ppm_decode_fn()
+
+
 def extract_features(df: DataFrame, dim: int = 16, real_decode: bool = False) -> DataFrame:
     """X5 decode + feature-extract stage (mapInPandas, Arrow-batched).
 
-    ``real_decode=True`` is the codec seam, import-gated like the sbert
-    encoder seam (encoder.py): if PIL is importable the IMAGE arm decodes
-    for real (grid-pooled RGB means as the feature; audio/video still
-    route to the error column — torchaudio/ffmpeg have no gate yet), and
-    if not it raises ImportError EAGERLY so callers can fall back — the
-    stub auto-upgrades the moment the codec lib lands in the container.
+    ``real_decode=True`` is the codec seam: if PIL is importable the
+    IMAGE arm decodes every image format PIL knows (grid-pooled RGB means
+    as the feature; audio/video still route to the error column —
+    torchaudio/ffmpeg have no gate yet); without PIL the NO-DEPENDENCY
+    tier decodes binary P6 PPM via ``decode_ppm`` (round-7: real pixels,
+    zero libraries) and routes other formats to the error column — the
+    seam auto-upgrades the moment PIL lands in the container. The two
+    real tiers share shape/schema but NOT bit-level features (PIL's
+    resize resampling vs. the PPM tier's center-sample grid); each is
+    value-pinned by its own tests.
     The default path computes a deterministic fake feature (hash-seeded,
     like encoder.py) from the raw bytes, so downstream plumbing (ANN over
     media embeddings, dedup by feature) is testable end to end."""
     if real_decode:
-        import PIL.Image  # noqa: F401  (gate: raises if PIL absent)
-
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            return _extract_features_ppm(df, dim)
         return _extract_features_pil(df, dim)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,6 +267,103 @@ def _extract_features_pil(df: DataFrame, dim: int) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, DECODED_SCHEMA)
+
+
+def _extract_features_ppm(df: DataFrame, dim: int) -> DataFrame:
+    """The NO-DEPENDENCY real-codec arm of ``extract_features`` (used
+    when PIL is absent): decode binary P6 PPM bytes with the pure-Python
+    parser, center-sample a g×g pixel grid (g = ceil(sqrt(dim/3)) — cell
+    (i, j) reads the pixel at (floor((i+.5)·h/g), floor((j+.5)·w/g))),
+    L2-normalize the flattened RGB samples truncated/padded to ``dim``.
+    Same mapInPandas shape, schema, and per-row error isolation as the
+    PIL/fake arms; features are NOT bit-equal to PIL's (different
+    resampling) — each tier is value-pinned by its own tests."""
+    parse = _ppm_decode_fn()  # by-value shippable (self-contained rule)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        import numpy as _np
+
+        g = max(1, _math.ceil(_math.sqrt(dim / 3.0)))
+
+        def _feature(content: bytes):
+            w, h, px = parse(content)
+            rows = [int((i + 0.5) * h / g) for i in range(g)]
+            cols = [int((j + 0.5) * w / g) for j in range(g)]
+            v = (px[_np.ix_(rows, cols)].astype(_np.float64) / 255.0).reshape(-1)[:dim]
+            if v.size < dim:
+                v = _np.pad(v, (0, dim - v.size))
+            n = float(_np.linalg.norm(v))
+            return (v / n if n > 0 else v).astype(_np.float32)
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    if modality != "image":
+                        out.append((mid, modality, None, None, None,
+                                    f"real decode not implemented for: {modality}"))
+                        continue
+                    blob = bytes(content) if content is not None else b""
+                    out.append(
+                        (mid, modality, len(blob),
+                         _hashlib.md5(blob).hexdigest(), _feature(blob), None)
+                    )
+                except Exception as ex:
+                    out.append((mid, modality, None, None, None, repr(ex)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "modality", "n_bytes", "content_md5",
+                         "feature", "error"],
+            )
+
+    return df.mapInPandas(_extract, DECODED_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id string, n_bytes bigint, width int, height int, sum_r bigint, "
+    "sum_g bigint, sum_b bigint, error string"
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Integer channel statistics from REAL decoded pixels (pure-Python
+    P6 PPM tier — no codec libraries): per image, (width, height) from
+    the header and the exact per-channel pixel-value sums. All-integer
+    output so the q42 'decode' arm is hash-certifiable against a DuckDB
+    oracle that recomputes the sums from the image GENERATOR's formula —
+    the round-7 closure of the oldest gated gap (a real decode had never
+    been value-certified in this container). Malformed blobs land in the
+    error column, never poison the batch."""
+    parse = _ppm_decode_fn()  # by-value shippable (self-contained rule)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    w, h, px = parse(blob)
+                    sums = px.astype("int64").sum(axis=(0, 1))
+                    out.append(
+                        (mid, len(blob), w, h,
+                         int(sums[0]), int(sums[1]), int(sums[2]), None)
+                    )
+                except Exception as ex:
+                    out.append(
+                        (mid, None, None, None, None, None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_bytes", "width", "height", "sum_r",
+                         "sum_g", "sum_b", "error"],
+            )
+
+    return df.mapInPandas(_stats, IMAGE_STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -5,6 +5,7 @@ analysis").
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -720,21 +721,78 @@ def _q42_oracle() -> str:
         ORDER BY round(list_cosine_similarity(emb, {qv}), 6) DESC,
                  media_id) <= 5
     )
+    ,
+    pdec AS (
+      -- the 'decode' arm's image GENERATOR formula (round-7: real pixel
+      -- decode, value-certified): doc_id < 32 → a P6 PPM of
+      -- w = 4 + doc_id%3, h = 3 + doc_id%2, pixel byte i =
+      -- (doc_id*7 + i) % 256. The Spark side BUILDS those bytes and
+      -- DECODES them with the pure-Python PPM tier; this oracle
+      -- recomputes the expected channel sums and byte length from the
+      -- formula alone — a decoder bug cannot cancel against the
+      -- generator without also matching this closed form
+      SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+      FROM documents WHERE doc_id < 32
+    ),
+    psum AS (
+      SELECT doc_id, w, h,
+             CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_g,
+             CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_b
+      FROM pdec, UNNEST(range(0, w * h * 3)) AS t(i)
+      GROUP BY doc_id, w, h
+    )
     SELECT 'feat' AS kind, media_id, modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
            CAST(NULL AS VARCHAR) AS error,
            CAST(NULL AS DOUBLE) AS score,
-           CAST(NULL AS BIGINT) AS xm_rank
+           CAST(NULL AS BIGINT) AS xm_rank,
+           CAST(NULL AS VARCHAR) AS decoded
     FROM m
     UNION ALL
     SELECT 'xmodal' AS kind, media_id, modality,
            CAST(NULL AS BIGINT) AS n_bytes,
            CAST(NULL AS VARCHAR) AS content_md5,
            CAST(NULL AS VARCHAR) AS error,
-           score, CAST(xm_rank AS BIGINT) AS xm_rank
+           score, CAST(xm_rank AS BIGINT) AS xm_rank,
+           CAST(NULL AS VARCHAR) AS decoded
     FROM xm
+    UNION ALL
+    SELECT 'decode' AS kind, concat('p', doc_id) AS media_id,
+           'image' AS modality,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank,
+           w || 'x' || h || ':' || sum_r || ':' || sum_g || ':' || sum_b
+             AS decoded
+    FROM psum
     """
+
+
+def _gen_ppm_udf():
+    """Deterministic P6 PPM image generator for the q42 'decode' arm —
+    builds the exact bytes the oracle's pdec/psum formula describes.
+    Self-contained closure (the package-wide UDF rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        def mk(d):
+            d = int(d)
+            w, h = 4 + d % 3, 3 + d % 2
+            header = f"P6\n{w} {h}\n255\n".encode()
+            px = ((d * 7 + _np.arange(w * h * 3)) % 256).astype(_np.uint8)
+            return header + px.tobytes()
+
+        return ids.map(mk)
+
+    return _gen
 
 
 @register(
@@ -743,12 +801,15 @@ def _q42_oracle() -> str:
     survey_rows="X5 (binary columns, mapInPandas feature extraction, "
     "stubbed decode) + cross-modal retrieval (text query → top-k images "
     "through the shared encoder over decoded media bytes, value-certified "
-    "end to end)",
+    "end to end) + REAL pixel decode (round-7: generated P6 PPM bytes → "
+    "pure-Python decode_ppm → integer channel sums, hash-certified "
+    "against the generator formula recomputed in SQL — closes the "
+    "'no real decode value-certified in-container' gap)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
     from ..functions.vector import cosine_similarity
-    from ..operators.multimodal import extract_features
+    from ..operators.multimodal import decode_image_stats, extract_features
 
     d = load(spark, sf_dir, "documents")
     media = d.select(
@@ -765,6 +826,32 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error",
         F.lit(None).cast("double").alias("score"),
         F.lit(None).cast("bigint").alias("xm_rank"),
+        F.lit(None).cast("string").alias("decoded"),
+    )
+    # 'decode' arm: generate P6 PPM bytes from the oracle's formula, then
+    # REALLY decode them (pure-Python tier — no codec libs) and emit the
+    # all-integer channel sums the oracle recomputes in closed form
+    ppm = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("p"), F.col("doc_id")).alias("media_id"),
+        _gen_ppm_udf()(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_image_stats(ppm).select(
+        F.lit("decode").alias("kind"),
+        "media_id",
+        F.lit("image").alias("modality"),
+        "n_bytes",
+        F.lit(None).cast("string").alias("content_md5"),
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+        F.concat_ws(
+            ":",
+            F.concat(F.col("width").cast("string"), F.lit("x"),
+                     F.col("height").cast("string")),
+            F.col("sum_r").cast("string"),
+            F.col("sum_g").cast("string"),
+            F.col("sum_b").cast("string"),
+        ).alias("decoded"),
     )
     qv = _xmodal_query_vec()
     xm = (
@@ -795,8 +882,9 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.orderBy(F.desc("_c"), F.asc("media_id")))
             .cast("bigint")
             .alias("xm_rank"),
+            F.lit(None).cast("string").alias("decoded"),
         )
     )
-    return feats.unionByName(xm)
+    return feats.unionByName(xm).unionByName(dec)
 
 

@@ -576,8 +576,10 @@ def test_resize_images_stage(spark):
 
 def test_real_codec_seam_gated(spark):
     """The PIL codec seam (import-gated like the sbert seam): when PIL is
-    present, real_decode=True must decode/resize an actual PNG end to end;
-    when absent (this container), the gate raises ImportError eagerly."""
+    present, real_decode=True must decode/resize an actual PNG end to end.
+    When absent (this container), resize's gate still raises ImportError
+    eagerly, but extract_features falls back to the pure-Python PPM tier
+    (round 7) — a non-PPM blob routes to the error column, never raises."""
     import pytest
 
     from pubmed_central_semantic_search_spark.operators.multimodal import (
@@ -591,9 +593,10 @@ def test_real_codec_seam_gated(spark):
     except ImportError:
         with pytest.raises(ImportError):
             resize_images(df, width=4, height=4, real_decode=True)
-        with pytest.raises(ImportError):
-            extract_features(df, dim=8, real_decode=True)
-        pytest.skip("PIL not installed — gate verified, live path skipped")
+        [r] = extract_features(df, dim=8, real_decode=True).collect()
+        assert "not a binary P6" in r["error"]
+        pytest.skip("PIL not installed — gate + PPM fallback verified, "
+                    "live PIL path skipped")
     # live path (runs automatically once PIL lands in the container)
     import io
 
