@@ -487,6 +487,81 @@ def x_bpe_train_local100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# vocab rows for the 10k-merge BPE pair, built once per process: the
+# synthetic corpus has only 31 distinct tokens (a 10k-merge train
+# exhausts at ~107), so these entries derive a REALISTIC 27k-word
+# vocabulary from corpus 3-gram compounds ('tok_tok_tok') — deterministic,
+# corpus-derived, Zipf-ish. Cached so the timed passes measure TRAINING
+# (resp. SEGMENTATION), not the vocabulary build.
+_BPE10K_STATE: dict[str, tuple] = {}
+
+
+def _bpe10k_vocab_rows(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE10K_STATE:
+        from pyspark.sql import Window
+
+        docs = load(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+        ).filter(F.col("t") != "")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        comp = tok.select(
+            F.concat_ws(
+                "_", "t", F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("token"),
+            F.lead("t", 2).over(w).alias("_ok"),
+        ).filter(F.col("_ok").isNotNull())
+        rows = (
+            comp.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .collect()
+        )
+        _BPE10K_STATE[sf_dir] = (rows, None)
+    return _BPE10K_STATE[sf_dir][0]
+
+
+def x_bpe_train_local10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production merge count for the local BPE tier (round-6 verdict #4):
+    10,000 merges over the 27k-word compound vocabulary. The round-7
+    lazy-max-heap argmax makes this ~0.5 ms/merge — the naive
+    full-pair-scan argmax was O(live pairs) per merge and would have put
+    10k merges at minutes, invisible at the 100-merge bench."""
+    from ..operators.bpe import bpe_train_local
+
+    rows = _bpe10k_vocab_rows(spark, sf_dir)
+    vocab = local_df(spark, rows, "token string, count bigint")
+    merges = bpe_train_local(vocab, 10_000)
+    _BPE10K_STATE[sf_dir] = (rows, merges)
+    return local_df(spark,
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    )
+
+
+def x_bpe_segment10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow segmenter under a LEARNED 10k-merge table (round-6
+    verdict #4): segment the DISTINCT vocabulary (27k words — the
+    production shape: segmentation is per-word, so dedup-then-broadcast
+    beats per-occurrence work) and expand to corpus token counts by the
+    occurrence weights. Pins the rank-skipping rewrite: the naive
+    all-rules-per-word loop took 274 s on this input; rank skipping is
+    O(word_len²) independent of table size."""
+    from ..operators.bpe import bpe_segment_udf, bpe_train_local
+
+    rows = _bpe10k_vocab_rows(spark, sf_dir)
+    merges = _BPE10K_STATE[sf_dir][1]
+    if merges is None:
+        vocab = local_df(spark, rows, "token string, count bigint")
+        merges = bpe_train_local(vocab, 10_000)
+        _BPE10K_STATE[sf_dir] = (rows, merges)
+    vocab = local_df(spark, rows, "token string, count bigint")
+    seg = vocab.withColumn("bpe", bpe_segment_udf(merges)(F.col("token")))
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("bpe") * F.col("count")).alias("corpus_bpe_tokens"),
+    )
+
+
 def x_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted-index phrase search over the documents table:
     posexplode → broadcast (term, offset) join → anchor vote →
@@ -689,6 +764,8 @@ BENCH_EXTRAS = {
     "x_phrase_search": x_phrase_search,
     "x_bpe_train": x_bpe_train,
     "x_bpe_train_local100": x_bpe_train_local100,
+    "x_bpe_train_local10k": x_bpe_train_local10k,
+    "x_bpe_segment10k": x_bpe_segment10k,
     "x_quality_classifier": x_quality_classifier,
     "x_quality_classifier_sampled": x_quality_classifier_sampled,
 }

@@ -356,3 +356,29 @@ def test_bpe_train_duckdb_parity_demoted(spark, sf_dir):
     )
     want = list(zip(want_rows["left_sym"], want_rows["right_sym"]))
     assert got == want
+
+
+def test_segment_udf_duplicate_rule_reapplies_like_fold(spark):
+    """Round-7 segmenter rewrite (rank-skipping in-order): a DUPLICATE
+    merge rule must re-fire at its own rank when an intermediate merge
+    creates its pair after the first occurrence's turn passed — rules
+    [(ab,c), (a,b), (ab,c)] on 'abc': rank 0 finds no ('ab','c') pair,
+    rank 1 creates it, rank 2 merges it. A first-wins rank dict would
+    stop at ['ab', 'c', '</w>']; the stacked folds (and therefore the
+    udf) give ['abc', '</w>']."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_udf,
+    )
+
+    rules = [("ab", "c"), ("a", "b"), ("ab", "c")]
+    words = spark.createDataFrame([("abc",), ("cab",)], "token string")
+    fold = {r["token"]: r["bpe"] for r in bpe_segment(words, rules).collect()}
+    udf = {
+        r["token"]: r["bpe"]
+        for r in words.withColumn(
+            "bpe", bpe_segment_udf(rules)(F.col("token"))
+        ).collect()
+    }
+    assert fold == udf
+    assert fold["abc"] == ["abc", "</w>"]
