@@ -259,14 +259,11 @@ def bpe_train_local(
     containing the merged pair (inverted index) — milliseconds; a 100-
     merge train runs ~100× faster than the distributed per-merge loop
     (bench entry ``x_bpe_train_local100``)."""
-    rows = vocab.select(word_col, count_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        raise ValueError(
-            f"bpe_train_local: vocabulary exceeds max_rows={max_rows} — "
-            "the collect guard. Raise max_rows if the driver can hold it, "
-            "or train on the count-ranked head (frequency truncation is "
-            "the standard practice), or use bpe_train/bpe_train_batched."
-        )
+    from ..session import collect_bounded
+
+    rows = collect_bounded(
+        vocab.select(word_col, count_col), max_rows, "bpe_train_local vocabulary"
+    )
     if any(c is not None and int(c) <= 0 for _, c in rows):
         # the incremental index cannot tell a true zero-count pair from a
         # subtracted-stale one, so its liveness filter would diverge from

@@ -143,7 +143,10 @@ def seed_centroids(
 
 
 def recompute_centroids(
-    assigned: DataFrame, dim: int, vec_col: str = "embedding"
+    assigned: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    max_clusters: int = 4096,
 ) -> Centroids:
     """Per-cluster element-wise mean, collected to the driver (k × dim
     rows — never data-sized). Clusters that lost all members disappear.
@@ -155,13 +158,18 @@ def recompute_centroids(
     Spark's codegen field limit at dim=768 and fell back to interpreted
     per-row evaluation of dim element_at calls — 20× slower; this form
     stays inside whole-stage codegen at any dimensionality."""
-    rows = (
+    from ..session import collect_bounded
+
+    # ≤ k × dim cells by the groupBy key; ``max_clusters`` fences a caller
+    # that hands per-row "cluster" ids (a data-sized collect otherwise)
+    rows = collect_bounded(
         assigned.select(
             "cluster_id", F.posexplode(as_double(vec_col)).alias("_pos", "_val")
         )
         .groupBy("cluster_id", "_pos")
-        .agg(F.avg("_val").alias("_m"))
-        .collect()
+        .agg(F.avg("_val").alias("_m")),
+        max_clusters * dim,
+        "k-means centroid cells",
     )
     by_cluster: dict[int, dict[int, float]] = {}
     for r in rows:

@@ -75,7 +75,11 @@ def dsir_fit(
     single pass: conditional aggregation). Returns a plain Python list of
     length ``n_buckets`` — the driver-sized model (B ≪ corpus), the same
     contract as the k-means centroids / logreg weights."""
-    counts = (
+    from ..session import collect_bounded
+
+    # ≤ n_buckets rows by the groupBy key's construction — guarded anyway
+    # (the package's k-sized-collect rule)
+    counts = collect_bounded(
         df.select(
             target_col.cast("int").alias("_t"),
             F.explode(dsir_buckets(text_col, n_buckets)).alias("b"),
@@ -84,8 +88,9 @@ def dsir_fit(
         .agg(
             F.count(F.lit(1)).alias("c_all"),
             F.sum("_t").alias("c_t"),
-        )
-        .collect()
+        ),
+        n_buckets,
+        "dsir bucket counts",
     )
     c_all = {int(r["b"]): int(r["c_all"]) for r in counts}
     c_t = {int(r["b"]): int(r["c_t"]) for r in counts}

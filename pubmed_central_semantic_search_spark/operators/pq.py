@@ -156,8 +156,13 @@ def train_pq(
             (F.col("_pos") % dsub).alias("_sp"),
             "_val",
         )
-        rows = (
-            comp.groupBy("_s", "_c", "_sp").agg(F.avg("_val").alias("_m")).collect()
+        from ..session import collect_bounded
+
+        # ≤ m × ksub × dsub = dim × ksub cells by the groupBy key
+        rows = collect_bounded(
+            comp.groupBy("_s", "_c", "_sp").agg(F.avg("_val").alias("_m")),
+            dim * ksub,
+            "pq codebook cells",
         )
         means: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:

@@ -241,7 +241,13 @@ def mmr_rerank(
         f"{id_col} {id_type}, mmr_rank int, relevance double, "
         "redundancy double, mmr_score double"
     )
-    rows = candidates.select(id_col, vec_col).collect()
+    from ..session import collect_bounded
+
+    # the candidate side is a top-N by construction; the guard keeps a
+    # future caller from feeding a corpus into the O(k·n) driver greedy
+    rows = collect_bounded(
+        candidates.select(id_col, vec_col), 100_000, "mmr candidates"
+    )
     if not rows:
         return local_df(candidates.sparkSession, [], out_schema)
 

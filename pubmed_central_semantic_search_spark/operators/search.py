@@ -73,7 +73,12 @@ def score_documents(
         # local frame — the qvec column re-attached downstream (the old
         # broadcast join against the original frame re-ran the query
         # plan a second time per search; review find)
-        qrows = queries.select("query_id", "qvec").collect()  # k-row side
+        from ..session import collect_bounded
+
+        # k-row side by contract — fenced (the k-sized-collect rule)
+        qrows = collect_bounded(
+            queries.select("query_id", "qvec"), 65_536, "blas query side"
+        )
         spark = doc_vectors.sparkSession
         # the local frame keeps the CALLER's query_id type (string/64-bit
         # ids work under every kernel — a hardcoded `query_id int` made

@@ -112,8 +112,12 @@ def cms_estimate(
     explicit ``depth``/``width`` and get the out-of-range cell guard."""
     from .curation import md5_prefix_long_py
 
+    from ..session import collect_bounded
+
     has_meta = "depth" in sketch.columns and "width" in sketch.columns
-    rows = sketch.collect()
+    # constant-state by the CMS contract (≤ depth × width cells); the
+    # bound is roomy — a frame that trips it is not a sketch
+    rows = collect_bounded(sketch, 1_048_576, "cms sketch cells")
     if has_meta:
         geoms = {(r["depth"], r["width"]) for r in rows}
         if len(geoms) > 1:

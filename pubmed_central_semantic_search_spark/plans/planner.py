@@ -99,10 +99,15 @@ def plan_topk_search(
             from ..operators.vectorized import multi_query_topk_np
 
             # queries are a handful of rows by contract — driver-side
-            # list. NULL-qvec rows can't enter the matmul; they score
-            # NULL against every vector via the HOF arm (cosine of a
-            # null query is null), keeping the kernels row-set-equal.
-            qrows = queries.select("query_id", "qvec").collect()
+            # list, fenced (the k-sized-collect rule). NULL-qvec rows
+            # can't enter the matmul; they score NULL against every
+            # vector via the HOF arm (cosine of a null query is null),
+            # keeping the kernels row-set-equal.
+            from ..session import collect_bounded
+
+            qrows = collect_bounded(
+                queries.select("query_id", "qvec"), 65_536, "blas query side"
+            )
             qlist = [
                 (r["query_id"], [float(x) for x in r["qvec"]])
                 for r in qrows

@@ -101,3 +101,28 @@ def local_df(spark: SparkSession, rows, schema):
     return spark.createDataFrame(
         pd.DataFrame([tuple(r) for r in rows]), schema=schema
     )
+
+
+def collect_bounded(df, max_rows: int, what: str = ""):
+    """Collect a frame the CALLER asserts is k-sized — with the guard the
+    assertion deserves (round-6 verdict #7: ``bpe_train_local`` carried a
+    named ``max_rows`` fence while every other audited k-row collect was
+    bounded only by construction, so a future caller could silently scale
+    a "k-row" side into a driver OOM).
+
+    Reads ``max_rows + 1`` rows (a LIMIT — never more than the bound
+    crosses the wire even when the frame is huge) and raises a NAMED
+    error when the bound is exceeded. Row order is whatever the plan
+    yields, same as plain ``collect()`` on an unordered frame — callers
+    that need order sort first (LIMIT after a sort is TakeOrdered and
+    preserves it)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        label = f" ({what})" if what else ""
+        raise ValueError(
+            f"collect_bounded{label}: result exceeds max_rows={max_rows} — "
+            "this side was asserted driver-sized. Raise the bound if the "
+            "driver can genuinely hold it, or restructure the operator so "
+            "the large side stays distributed."
+        )
+    return rows

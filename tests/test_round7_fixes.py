@@ -158,3 +158,28 @@ def test_blas_kernel_preserves_query_id_type(spark):
         blas = score_documents(docs, q, k_docs=5, kernel="blas")
         assert blas.schema["query_id"].dataType == q.schema["query_id"].dataType
         assert key(blas) == key(score_documents(docs, q, k_docs=5, kernel="hof"))
+
+
+def test_collect_bounded_guard_and_call_sites(spark):
+    """Round-6 verdict #7: the k-sized-collect guard is now a shared
+    helper (session.collect_bounded) routed through the audited sites
+    (BPE vocab, DSIR model, k-means centroids, PQ codebook, CMS cells,
+    MMR candidates, blas query sides) — a caller that silently scales a
+    'k-row' side gets a NAMED error, never a driver OOM."""
+    from pubmed_central_semantic_search_spark.session import collect_bounded
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    rows = collect_bounded(df, 100, "test")
+    assert len(rows) == 100
+    with pytest.raises(ValueError, match="max_rows=99"):
+        collect_bounded(df, 99, "test")
+    # a converted site: recompute_centroids fences per-row cluster ids
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        recompute_centroids,
+    )
+
+    assigned = spark.range(50).selectExpr(
+        "id AS cluster_id", "array(1.0, 2.0) AS embedding"
+    )
+    with pytest.raises(ValueError, match="centroid cells"):
+        recompute_centroids(assigned, dim=2, max_clusters=10)
