@@ -714,6 +714,7 @@ def compact_partitioned_leaves(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_files_per_leaf: int = 1,
+    max_concurrency: int = 8,
 ) -> dict[str, int]:
     """Leaf-level compaction for ANY single-level hive-partitioned
     layout (``key=value`` directories) — the housekeeping
@@ -785,11 +786,19 @@ def compact_partitioned_leaves(
             "directories — for a flat table use compact_parquet"
         )
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
-    out = {"leaves_seen": len(leaf_names), "leaves_compacted": 0,
-           "files_before": 0, "files_after": 0}
     base = path.rstrip("/")
-    for leaf_name in sorted(leaf_names):
+
+    def _one_leaf(leaf_name: str) -> tuple[int, int, int]:
+        """(files_before, files_after, compacted) for one leaf —
+        independent of every other leaf (own directory, own dot-staging
+        siblings), so distinct leaves compact CONCURRENTLY (round-7: the
+        sequential loop paid ~0.3-0.4 s of driver job latency PER LEAF —
+        155 s for a 512-leaf table; the pool overlaps the tiny per-leaf
+        jobs the way q53's arms overlap). The single-writer contract is
+        per leaf and is preserved: each leaf still has exactly one
+        compacting writer."""
         leaf = jvm.org.apache.hadoop.fs.Path(f"{base}/{leaf_name}")
         # crash recovery for THIS leaf must run even when the leaf now
         # looks small (the crash may have left it empty/missing), so the
@@ -807,9 +816,7 @@ def compact_partitioned_leaves(
             if st.getPath().getName().endswith(".parquet")
         ) if fs.exists(leaf) else 0
         if n_files <= max_files_per_leaf and not leftovers:
-            out["files_before"] += n_files
-            out["files_after"] += n_files
-            continue
+            return n_files, n_files, 0
         # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
         # `_bucket=3.compact.staging` dir inside the table parses as a
         # partition directory — during the swap window or stranded by a
@@ -819,10 +826,16 @@ def compact_partitioned_leaves(
             spark, fs, leaf, jvm, leaf.toString(), work_base,
             target_file_bytes, None, math,
         )
-        out["files_before"] += stats["files_before"]
-        out["leaves_compacted"] += 1
-        out["files_after"] += stats["files_after"]
-    return out
+        return stats["files_before"], stats["files_after"], 1
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        results = list(pool.map(_one_leaf, sorted(leaf_names)))
+    return {
+        "leaves_seen": len(leaf_names),
+        "leaves_compacted": sum(c for _, _, c in results),
+        "files_before": sum(b for b, _, _ in results),
+        "files_after": sum(a for _, a, _ in results),
+    }
 
 
 # --- S8: manifest-versioned snapshots (time travel on plain parquet) -------
