@@ -108,3 +108,109 @@ def test_sql_ihist_twins_match_column_api(spark, sf_dir):
 
     with _pt.raises(Exception, match="negative"):
         spark.sql("SELECT ihist_bucket(-5)").collect()
+
+
+def test_sql_doc_key_point_lookup_prunes_partitions(spark, sf_dir, tmp_path):
+    """Round-6 verdict #8: the doc_key SQL UDF composes with the
+    bucket-partitioned layout for a pure-SQL point lookup — the predicate
+    `_bucket = pmod(doc_key(<id>), n)` is partition pruning (the plan's
+    parquet scan carries PartitionFilters), and the looked-up row
+    matches. The hash formula is catalog.bucket_expr's, shared verbatim:
+    xxhash64 over the STRING key."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        upsert_parquet,
+    )
+
+    register_sql_surface(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT CAST(doc_id AS STRING) AS article_id, text "
+        "FROM documents WHERE doc_id < 64"
+    )
+    path = str(tmp_path / "bucketed")
+    upsert_parquet(spark, docs, path, key_cols=["article_id"], n_buckets=8)
+    spark.read.parquet(path).createOrReplaceTempView("chunk_store")
+    df = spark.sql(
+        """
+        SELECT article_id, text FROM chunk_store
+        WHERE _bucket = pmod(doc_key('7'), 8) AND article_id = '7'
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["article_id"] == "7"
+
+
+def test_sql_pure_semantic_search_composition(spark, sf_dir):
+    """Round-6 verdict #8: the FULL semantic-search pipeline — mean-pooled
+    doc vectors → top-k docs by cosine → best chunk per hit — expressed
+    in one pure-SQL statement over the registered views and UDFs, with
+    zero Python stages, matching the DataFrame operators row for row at
+    rounded scores."""
+    from pubmed_central_semantic_search_spark.operators.pooling import mean_pool
+    from pubmed_central_semantic_search_spark.operators.search import (
+        highlight_chunks,
+        score_documents,
+    )
+    from pubmed_central_semantic_search_spark.queries.pipeline import (
+        _synthetic_chunks,
+    )
+    from pubmed_central_semantic_search_spark.session import local_df
+
+    register_sql_surface(spark, sf_dir)
+    qv = _sql_vec(QUERY_VEC)
+    sql_df = spark.sql(
+        f"""
+        WITH chunk AS (
+          SELECT CAST(vec_id % 50 AS STRING) AS article_id,
+                 CAST(vec_id DIV 50 AS INT) AS paragraph_id,
+                 concat('p', vec_id) AS paragraph,
+                 embedding_d(embedding) AS emb
+          FROM embeddings
+        ),
+        docvec AS (
+          SELECT article_id, pos, avg(val) AS m
+          FROM (SELECT article_id, posexplode(emb) AS (pos, val) FROM chunk)
+          GROUP BY article_id, pos
+        ),
+        dv AS (
+          SELECT article_id,
+                 transform(array_sort(collect_list(struct(pos, m))), s -> s.m)
+                   AS emb
+          FROM docvec GROUP BY article_id
+        ),
+        top_docs AS (
+          SELECT article_id, round(cos_sim(emb, {qv}), 6) AS doc_score
+          FROM dv
+          ORDER BY doc_score DESC, article_id LIMIT 5
+        ),
+        hits AS (
+          SELECT t.article_id, t.doc_score, c.paragraph_id,
+                 round(cos_sim(c.emb, {qv}), 6) AS chunk_score,
+                 row_number() OVER (
+                   PARTITION BY t.article_id
+                   ORDER BY round(cos_sim(c.emb, {qv}), 6) DESC, c.paragraph_id
+                 ) AS rk
+          FROM chunk c JOIN top_docs t USING (article_id)
+        )
+        SELECT article_id, doc_score, paragraph_id, chunk_score
+        FROM hits WHERE rk = 1
+        """
+    )
+    plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    chunks = _synthetic_chunks(spark, sf_dir)
+    dv = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+    q = local_df(spark, [(0, QUERY_VEC)], "query_id int, qvec array<double>")
+    top = score_documents(dv, q, k_docs=5)
+    df_rows = {
+        (r["article_id"], round(r["doc_score"], 6), r["paragraph_id"],
+         round(r["chunk_score"], 6))
+        for r in highlight_chunks(chunks, top, n_paragraphs=1).collect()
+    }
+    sql_rows = {
+        (r["article_id"], r["doc_score"], r["paragraph_id"], r["chunk_score"])
+        for r in sql_df.collect()
+    }
+    assert sql_rows == df_rows
