@@ -554,11 +554,19 @@ def temperature_mix(
     and membership is the same narrow content-addressed per-row
     expression as ``with_sample_flag`` — re-run/re-shard stable, zero
     shuffles beyond the k-row count, no corpus-sized join or broadcast."""
+    from ..session import collect_bounded
+
+    # k = number of DOMAINS by contract; the guard catches a caller that
+    # hands a data-sized group column (doc_id as "source")
     counts = {
         r[group_col]: r["_n"]
-        for r in df.groupBy(group_col)
-        .agg(F.sum(F.size(_tokens(text_col)).cast("bigint")).alias("_n"))
-        .collect()
+        for r in collect_bounded(
+            df.groupBy(group_col).agg(
+                F.sum(F.size(_tokens(text_col)).cast("bigint")).alias("_n")
+            ),
+            100_000,
+            "temperature_mix domain counts",
+        )
     }
     if None in counts:
         # with_sample_flag's equality predicate can never match NULL, so

@@ -385,7 +385,12 @@ def _fold_sketch_batch(
         merged = merge_fn(spark.read.parquet(sketch_dir), batch_sketch)
     else:
         merged = batch_sketch
-    rows = merged.collect()
+    from ..session import collect_bounded
+
+    # driver-sized BY CONSTRUCTION (sketch cells) — fenced anyway (the
+    # k-sized-collect rule; a caller wiring a data-sized frame through
+    # the sketch sink gets a named error, not a driver OOM)
+    rows = collect_bounded(merged, 1_048_576, "streaming sketch cells")
     local_df(spark, rows, merged.schema).write.mode("overwrite").parquet(
         staging_p.toString()
     )
