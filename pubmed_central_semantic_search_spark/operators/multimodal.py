@@ -366,6 +366,55 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_stats, IMAGE_STATS_SCHEMA)
 
 
+def _resize_images_ppm(df: DataFrame, width: int, height: int) -> DataFrame:
+    """The NO-DEPENDENCY real-codec arm of ``resize_images`` (used when
+    PIL is absent): decode binary P6 PPM with the pure-Python parser,
+    nearest-neighbor resample to (width, height) — source pixel for
+    output cell (i, j) is (floor((i+.5)·h/H), floor((j+.5)·w/W)), the
+    same center-sample rule as the PPM feature tier — and re-encode as a
+    P6 PPM (`P6\\n{W} {H}\\n255\\n` + raw RGB). Round-trippable: the
+    output decodes with ``decode_ppm``. Same mapInPandas shape, schema,
+    and per-row error isolation as the PIL/fake arms."""
+    parse = _ppm_decode_fn()  # by-value shippable (self-contained rule)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def _resize(content: bytes) -> bytes:
+            w, h, px = parse(content)
+            rows = [int((i + 0.5) * h / height) for i in range(height)]
+            cols = [int((j + 0.5) * w / width) for j in range(width)]
+            out = px[_np.ix_(rows, cols)]
+            return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+        for pdf in batches:
+            out = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                try:
+                    if modality != "image":
+                        out.append((mid, width, height, None, None, None,
+                                    f"real resize not implemented for: {modality}"))
+                        continue
+                    blob = bytes(content) if content is not None else b""
+                    thumb = _resize(blob)
+                    out.append(
+                        (mid, width, height, len(blob), len(thumb), thumb, None)
+                    )
+                except Exception as ex:
+                    out.append(
+                        (mid, width, height, None, None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_bytes_in",
+                         "n_bytes_out", "content", "error"],
+            )
+
+    return df.mapInPandas(_run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """X5 video frame-sampling *plan*: one output row per planned frame
     timestamp (sequence over duration) — the explode happens JVM-side;
@@ -397,9 +446,12 @@ def resize_images(
     """X5 resize stage (mapInPandas, Arrow-batched) — the remaining stub
     of the decode / feature-extract / RESIZE / frame-sample quartet.
 
-    ``real_decode=True`` is the PIL seam (decode → resize → re-encode as
-    PNG), import-gated like the sbert encoder seam: ImportError EAGERLY
-    when PIL is absent, live codec the moment it lands in the container.
+    ``real_decode=True`` is the codec seam: with PIL importable, decode →
+    resize → re-encode as PNG for every format PIL knows; without it
+    (this container) the NO-DEPENDENCY tier decodes binary P6 PPM,
+    nearest-neighbor resamples, and re-encodes as P6 PPM (round-7 —
+    real pixels end to end, zero libraries), routing other formats to
+    the error column. The seam auto-upgrades the moment PIL lands.
     The default path emits a deterministic fake: a content-addressed byte
     payload whose size scales like a real thumbnail (proportional to
     width × height), so everything AROUND the codec — binary-in/
@@ -408,8 +460,10 @@ def resize_images(
     aren't images pass to the error column rather than poisoning the
     batch."""
     if real_decode:
-        import PIL.Image  # noqa: F401  (gate: raises if PIL absent)
-
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            return _resize_images_ppm(df, width, height)
         return _resize_images_pil(df, width, height)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

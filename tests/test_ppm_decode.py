@@ -89,3 +89,38 @@ def test_extract_features_real_decode_ppm_tier(spark):
     assert np.allclose(got, want, atol=1e-6)
     assert "not a binary P6" in rows["notppm"]["error"]
     assert "real decode not implemented" in rows["aud"]["error"]
+
+
+def test_resize_images_ppm_tier_roundtrip(spark):
+    """Without PIL, resize_images(real_decode=True) routes through the
+    pure-Python PPM tier: nearest-neighbor center sampling, P6 re-encode
+    that round-trips through decode_ppm with exact expected pixels."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the PPM tier is shadowed by the PIL arm")
+    except ImportError:
+        pass
+    from pubmed_central_semantic_search_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    # 4x2 image: left half red, right half green
+    px = bytes([255, 0, 0] * 2 + [0, 255, 0] * 2) * 2
+    media = spark.createDataFrame(
+        [("img", "image", _ppm(4, 2, px)), ("aud", "audio", b"RIFF")],
+        "media_id string, modality string, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(media, width=2, height=1, real_decode=True).collect()
+    }
+    img = rows["img"]
+    assert img["error"] is None
+    assert img["n_bytes_in"] == len(_ppm(4, 2, px))
+    w, h, out = decode_ppm(bytes(img["content"]))
+    assert (w, h) == (2, 1)
+    # center samples: row floor(0.5*2/1)=1; cols floor(0.5*4/2)=1 (red),
+    # floor(1.5*4/2)=3 (green)
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]]]
+    assert "real resize not implemented" in rows["aud"]["error"]

@@ -577,9 +577,9 @@ def test_resize_images_stage(spark):
 def test_real_codec_seam_gated(spark):
     """The PIL codec seam (import-gated like the sbert seam): when PIL is
     present, real_decode=True must decode/resize an actual PNG end to end.
-    When absent (this container), resize's gate still raises ImportError
-    eagerly, but extract_features falls back to the pure-Python PPM tier
-    (round 7) — a non-PPM blob routes to the error column, never raises."""
+    When absent (this container), BOTH stages fall back to the
+    pure-Python PPM tier (round 7) — a non-PPM blob routes to the error
+    column, never raises."""
     import pytest
 
     from pubmed_central_semantic_search_spark.operators.multimodal import (
@@ -591,11 +591,11 @@ def test_real_codec_seam_gated(spark):
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with pytest.raises(ImportError):
-            resize_images(df, width=4, height=4, real_decode=True)
+        [r] = resize_images(df, width=4, height=4, real_decode=True).collect()
+        assert "not a binary P6" in r["error"]
         [r] = extract_features(df, dim=8, real_decode=True).collect()
         assert "not a binary P6" in r["error"]
-        pytest.skip("PIL not installed — gate + PPM fallback verified, "
+        pytest.skip("PIL not installed — PPM fallbacks verified, "
                     "live PIL path skipped")
     # live path (runs automatically once PIL lands in the container)
     import io
