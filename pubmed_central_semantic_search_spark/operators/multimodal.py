@@ -442,6 +442,7 @@ def resize_images(
     width: int = 64,
     height: int = 64,
     real_decode: bool = False,
+    codec: str = "auto",
 ) -> DataFrame:
     """X5 resize stage (mapInPandas, Arrow-batched) — the remaining stub
     of the decode / feature-extract / RESIZE / frame-sample quartet.
@@ -459,10 +460,21 @@ def resize_images(
     downstream writes — runs and is testable end to end. Rows that
     aren't images pass to the error column rather than poisoning the
     batch."""
+    if codec not in ("auto", "pil", "ppm"):
+        raise ValueError(f"resize_images: unknown codec {codec!r}")
     if real_decode:
+        # codec='ppm' pins the pure-Python tier REGARDLESS of PIL (the
+        # q42 'resize' arm's determinism: its oracle replays the PPM
+        # tier's center-sample arithmetic, which must not silently switch
+        # to PIL's resampling the day the library lands); 'pil' demands
+        # PIL (eager ImportError); 'auto' prefers PIL, falls back to PPM.
+        if codec == "ppm":
+            return _resize_images_ppm(df, width, height)
         try:
             import PIL.Image  # noqa: F401
         except ImportError:
+            if codec == "pil":
+                raise
             return _resize_images_ppm(df, width, height)
         return _resize_images_pil(df, width, height)
 

@@ -770,6 +770,40 @@ def _q42_oracle() -> str:
            w || 'x' || h || ':' || sum_r || ':' || sum_g || ':' || sum_b
              AS decoded
     FROM psum
+    UNION ALL
+    -- 'resize' arm: the same generated images through the pure-Python
+    -- resize tier (nearest-neighbor CENTER sampling to 3x2: source pixel
+    -- for output cell (i, j) is row floor((i+.5)h/2), col floor((j+.5)w/3))
+    -- then REAL decode of the re-encoded thumb; the oracle replays the
+    -- sampling arithmetic and the generator formula in closed form
+    SELECT 'resize' AS kind, concat('p', doc_id) AS media_id,
+           'image' AS modality,
+           CAST(29 AS BIGINT) AS n_bytes,  -- 'P6\\n3 2\\n255\\n' (11) + 18 px
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank,
+           '3x2:' || sum_r || ':' || sum_g || ':' || sum_b AS decoded
+    FROM (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ch = 0 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN ch = 1 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_g,
+             CAST(sum(CASE WHEN ch = 2 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_b
+      FROM pdec,
+           UNNEST(range(0, 2)) ti(i),
+           UNNEST(range(0, 3)) tj(j),
+           UNNEST(range(0, 3)) tc(ch)
+      GROUP BY doc_id
+    )
     """
 
 
@@ -835,6 +869,33 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("doc_id")).alias("media_id"),
         _gen_ppm_udf()(F.col("doc_id")).alias("content"),
     )
+    # 'resize' arm: generated PPM → pure-Python resize tier (codec='ppm'
+    # pins the center-sample arithmetic the oracle replays, even after
+    # PIL lands) → REAL decode of the re-encoded thumb → channel sums
+    from ..operators.multimodal import resize_images
+
+    thumbs = resize_images(
+        ppm.withColumn("modality", F.lit("image")),
+        width=3, height=2, real_decode=True, codec="ppm",
+    ).select("media_id", "content")
+    rsz = decode_image_stats(thumbs).select(
+        F.lit("resize").alias("kind"),
+        "media_id",
+        F.lit("image").alias("modality"),
+        "n_bytes",
+        F.lit(None).cast("string").alias("content_md5"),
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+        F.concat_ws(
+            ":",
+            F.concat(F.col("width").cast("string"), F.lit("x"),
+                     F.col("height").cast("string")),
+            F.col("sum_r").cast("string"),
+            F.col("sum_g").cast("string"),
+            F.col("sum_b").cast("string"),
+        ).alias("decoded"),
+    )
     dec = decode_image_stats(ppm).select(
         F.lit("decode").alias("kind"),
         "media_id",
@@ -885,6 +946,6 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("decoded"),
         )
     )
-    return feats.unionByName(xm).unionByName(dec)
+    return feats.unionByName(xm).unionByName(dec).unionByName(rsz)
 
 
