@@ -83,3 +83,143 @@ def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
     )
     return extract_pdf_text(binary)
+
+
+def _pdf_textlite_fn():
+    """Factory for the NO-DEPENDENCY text extractor over UNCOMPRESSED
+    PDFs (round-7, the decode_ppm pattern: the pypdf seam stays gated,
+    but a real PDF parse is now value-testable in this container).
+
+    Scope — the honest subset: content streams with NO stream filters
+    (no /FlateDecode), literal-string show operators ``(…) Tj`` and
+    ``[(…) (…)] TJ`` inside ``BT…ET`` blocks, standard escapes
+    (\\\\ \\( \\) \\n \\r \\t and octal). Anything filtered/compressed is
+    OUTSIDE the subset — callers needing real-world PDFs use the pypdf
+    tier. Page count = ``/Type /Page`` object occurrences.
+
+    A factory (not a module function) so the returned parser's qualname
+    is unimportable and cloudpickle ships it BY VALUE into mapInPandas
+    closures (the package's self-contained-closure rule)."""
+
+    def _extract(blob: bytes):
+        import re as _re
+
+        if not blob.startswith(b"%PDF-"):
+            raise ValueError("pdf_textlite: not a PDF (missing %PDF- header)")
+        if _re.search(rb"/Filter\s*/", blob):
+            raise ValueError(
+                "pdf_textlite: filtered/compressed content stream — "
+                "outside the uncompressed subset (use the pypdf tier)"
+            )
+        n_pages = len(_re.findall(rb"/Type\s*/Page(?![a-zA-Z])", blob))
+
+        def _unescape(s: bytes) -> str:
+            out, i = [], 0
+            while i < len(s):
+                c = s[i : i + 1]
+                if c != b"\\":
+                    out.append(c)
+                    i += 1
+                    continue
+                nxt = s[i + 1 : i + 2]
+                simple = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                          b"(": b"(", b")": b")", b"\\": b"\\"}
+                if nxt in simple:
+                    out.append(simple[nxt])
+                    i += 2
+                elif nxt.isdigit():
+                    j = i + 1
+                    while j < len(s) and j < i + 4 and s[j : j + 1].isdigit():
+                        j += 1
+                    out.append(bytes([int(s[i + 1 : j], 8) & 0xFF]))
+                    i = j
+                else:  # lone backslash: dropped, like the spec says
+                    i += 1
+            return b"".join(out).decode("latin-1")
+
+        texts = []
+        for block in _re.findall(rb"BT(.*?)ET", blob, _re.DOTALL):
+            # literal strings followed by Tj, or TJ arrays of them
+            for m in _re.finditer(
+                rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+                block,
+                _re.DOTALL,
+            ):
+                if m.group(1) is not None:
+                    texts.append(_unescape(m.group(1)))
+                else:
+                    for sm in _re.finditer(
+                        rb"\(((?:[^()\\]|\\.)*)\)", m.group(2), _re.DOTALL
+                    ):
+                        texts.append(_unescape(sm.group(1)))
+        return n_pages, "\n".join(texts)
+
+    return _extract
+
+
+pdf_textlite = _pdf_textlite_fn()
+
+
+def make_minimal_pdf(lines: list[str]) -> bytes:
+    """Deterministic generator of a minimal single-page UNCOMPRESSED PDF
+    (catalog → pages → page → Helvetica font → one content stream with a
+    ``Tj`` per line) — the test fixture for the lite tier, built from the
+    spec alone. Round-trips through BOTH ``pdf_textlite`` and pypdf
+    (the gated twin test)."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    body = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+        f"({esc(ln)}) Tj" for ln in lines
+    ) + " ET"
+    stream = body.encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def extract_pdf_text_lite(binary_df: DataFrame) -> DataFrame:
+    """The no-dependency tier of ``extract_pdf_text`` (uncompressed PDFs
+    only — see ``pdf_textlite``): same mapInPandas shape, PDF_SCHEMA, and
+    per-row error isolation; filtered/compressed PDFs land in the error
+    column with a named reason instead of wrong-empty text."""
+    parse = _pdf_textlite_fn()  # by-value shippable
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    n_pages, text = parse(
+                        bytes(content) if content is not None else b""
+                    )
+                    out.append((path, n_pages, text, None))
+                except Exception as ex:
+                    out.append((path, None, None, repr(ex)[:500]))
+            yield pd.DataFrame(
+                out, columns=["path", "n_pages", "text", "error"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_run, PDF_SCHEMA)

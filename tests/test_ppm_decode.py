@@ -124,3 +124,62 @@ def test_resize_images_ppm_tier_roundtrip(spark):
     # floor(1.5*4/2)=3 (green)
     assert out.tolist() == [[[255, 0, 0], [0, 255, 0]]]
     assert "real resize not implemented" in rows["aud"]["error"]
+
+
+def test_pdf_lite_tier_extracts_generated_pdf(spark):
+    """Round-7 S6 closure (the decode_ppm pattern): a REAL PDF parse is
+    value-tested in-container — generate a minimal uncompressed PDF,
+    extract through the no-dependency lite tier (escapes, TJ arrays,
+    page count), with per-row error isolation for out-of-subset blobs."""
+    from pubmed_central_semantic_search_spark.sources.pdf import (
+        extract_pdf_text_lite,
+        make_minimal_pdf,
+        pdf_textlite,
+    )
+
+    lines = ["Hello (spark) world", "back\\slash", "tab\tand) paren"]
+    blob = make_minimal_pdf(lines)
+    # driver-side parser contract
+    n_pages, text = pdf_textlite(blob)
+    assert n_pages == 1 and text == "\n".join(lines)
+    # TJ-array form parses too
+    tj = blob.replace(
+        b"(Hello \\(spark\\) world) Tj", b"[(Hello ) (\\(spark\\) world)] TJ"
+    )
+    assert pdf_textlite(tj)[1].startswith("Hello \n(spark) world")
+    # Spark stage: same schema + error isolation
+    df = spark.createDataFrame(
+        [
+            ("a.pdf", blob),
+            ("zip.pdf", b"%PDF-1.4 /Filter /FlateDecode garbage"),
+            ("not.pdf", b"GIF89a"),
+        ],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in extract_pdf_text_lite(df).collect()}
+    assert rows["a.pdf"]["error"] is None
+    assert rows["a.pdf"]["text"] == "\n".join(lines)
+    assert rows["a.pdf"]["n_pages"] == 1
+    assert "uncompressed subset" in rows["zip.pdf"]["error"]
+    assert "not a PDF" in rows["not.pdf"]["error"]
+
+
+def test_pdf_lite_matches_pypdf_when_available(spark):
+    """The gated twin: with pypdf installed, the generated minimal PDF
+    must extract the same text through BOTH tiers (modulo pypdf's
+    layout-driven line joining)."""
+    pytest.importorskip("pypdf")
+    from pubmed_central_semantic_search_spark.sources.pdf import (
+        make_minimal_pdf,
+        pdf_textlite,
+    )
+    import io
+
+    from pypdf import PdfReader
+
+    lines = ["alpha", "beta (x)"]
+    blob = make_minimal_pdf(lines)
+    got_pypdf = PdfReader(io.BytesIO(blob)).pages[0].extract_text()
+    _, got_lite = pdf_textlite(blob)
+    assert got_lite.split("\n") == lines
+    assert "alpha" in got_pypdf and "beta (x)" in got_pypdf
