@@ -1,0 +1,162 @@
+"""Property-based pins for the round-7 surfaces: PPM encode/decode
+round-trip, the rank-skipping segmenter's equivalence to the stacked
+Catalyst folds on RANDOM merge tables (including duplicates and shared
+symbols — the rank-revisit shapes hand-written cases miss), PDF literal-
+string escaping, and the heap trainer vs a brute-force Python argmax.
+
+Pure-Python properties run at full hypothesis budget; Spark-backed ones
+are capped like tests/test_properties.py."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pubmed_central_semantic_search_spark.operators.multimodal import decode_ppm
+from pubmed_central_semantic_search_spark.sources.pdf import (
+    make_minimal_pdf,
+    pdf_textlite,
+)
+
+PY_PROP = settings(max_examples=100, deadline=None)
+
+
+@PY_PROP
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    data=st.data(),
+)
+def test_ppm_encode_decode_roundtrip(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    blob = f"P6\n{w} {h}\n255\n".encode() + px
+    got_w, got_h, arr = decode_ppm(blob)
+    assert (got_w, got_h) == (w, h)
+    assert arr.tobytes() == px
+
+
+# printable latin-1 minus control chars; backslash and parens included so
+# the escape paths are exercised constantly
+_pdf_char = st.characters(
+    min_codepoint=32, max_codepoint=255, exclude_characters="\x7f"
+)
+
+
+@PY_PROP
+@given(lines=st.lists(st.text(_pdf_char, min_size=0, max_size=30),
+                      min_size=1, max_size=5))
+def test_pdf_generator_textlite_roundtrip(lines):
+    n_pages, text = pdf_textlite(make_minimal_pdf(lines))
+    assert n_pages == 1
+    assert text == "\n".join(lines)
+
+
+def _fold_reference(word, merges, eow="</w>"):
+    """The stacked-fold semantics in plain Python: apply every rule once,
+    in order, all occurrences left-to-right."""
+    syms = list(word) + [eow]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+_sym = st.sampled_from(["a", "b", "c", "ab", "bc", "abc", "aa", "</w>"])
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    word=st.text(st.sampled_from("abc"), min_size=0, max_size=10),
+    merges=st.lists(st.tuples(_sym, _sym), min_size=0, max_size=12),
+)
+def test_segmenter_rank_skip_equals_fold_reference(spark, word, merges):
+    """The rank-skipping algorithm inside bpe_segment_udf must equal the
+    all-rules in-order fold on ANY table — duplicates, self-pairs, rules
+    over compound symbols, rules whose pair only exists after a later
+    merge. Exercised via the udf's own inner function (extracted through
+    .func — udf REGISTRATION needs the session fixture, but no Spark job
+    runs per example)."""
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_segment_udf,
+    )
+    import pandas as pd
+
+    fn = bpe_segment_udf(merges).func
+    [got] = fn(pd.Series([word])).tolist()
+    assert got == _fold_reference(word, merges)
+
+
+SPARK_PROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SPARK_PROP
+@given(
+    vocab=st.dictionaries(
+        st.text(st.sampled_from("abcd"), min_size=1, max_size=6),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 8),
+)
+def test_heap_trainer_argmax_equals_scan_reference(spark, vocab, n_merges):
+    """The lazy-heap argmax inside bpe_train_local must pick the same
+    merge sequence as a brute-force (count desc, a, b) scan — the
+    property the round-7 heap rewrite must not have broken. Reference is
+    a plain-Python sequential trainer."""
+
+    def reference(vocab_items, n):
+        words = {w: list(w) + ["</w>"] for w, _ in vocab_items}
+        counts = dict(vocab_items)
+        merges = []
+        for _ in range(n):
+            pc = {}
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + counts[w]
+            live = [(c, p) for p, c in pc.items() if c > 0]
+            if not live:
+                break
+            best = min(live, key=lambda cp: (-cp[0], cp[1][0], cp[1][1]))[1]
+            merges.append(best)
+            a, b = best
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    from pubmed_central_semantic_search_spark.operators.bpe import (
+        bpe_train_local,
+    )
+
+    items = sorted(vocab.items())
+    df = spark.createDataFrame(items, "token string, count bigint")
+    got = bpe_train_local(df, n_merges)
+    assert got == reference(items, n_merges)
