@@ -217,7 +217,11 @@ def lloyd_kmeans(
         assigned = vectors.withColumn(
             "cluster_id", nearest_centroid(vec_col, centroids)
         )
-        centroids = recompute_centroids(assigned, dim, vec_col)
+        # the caller's k IS the bound (review find: the guard's default
+        # would otherwise refuse a legitimate k > 4096 coarse quantizer)
+        centroids = recompute_centroids(
+            assigned, dim, vec_col, max_clusters=max(k, 1)
+        )
     final = vectors.select(
         F.col(id_col),
         nearest_centroid(vec_col, centroids).alias("cluster_id"),

@@ -102,8 +102,14 @@ def plan_topk_search(
             # list, fenced (the k-sized-collect rule). NULL-qvec rows
             # can't enter the matmul; they score NULL against every
             # vector via the HOF arm (cosine of a null query is null),
-            # keeping the kernels row-set-equal.
-            from ..session import collect_bounded
+            # keeping the kernels row-set-equal. The null arm rebuilds
+            # its query side from the COLLECTED rows (review find: a
+            # .where() on the original frame re-executed the possibly
+            # encoder-bearing query plan per search — the plan-doubling
+            # pattern score_documents already fixed).
+            from pyspark.sql.types import StructType
+
+            from ..session import collect_bounded, local_df
 
             qrows = collect_bounded(
                 queries.select("query_id", "qvec"), 65_536, "blas query side"
@@ -113,15 +119,20 @@ def plan_topk_search(
                 for r in qrows
                 if r["qvec"] is not None
             ]
+            q_schema = StructType(
+                [queries.schema["query_id"], queries.schema["qvec"]]
+            )
             if not qlist:
-                return brute_force_topk(vectors, queries, k)
+                local_q = local_df(vectors.sparkSession, qrows, q_schema)
+                return brute_force_topk(vectors, local_q, k)
             out = multi_query_topk_np(vectors, qlist, k)
             if len(qlist) < len(qrows):
-                out = out.unionByName(
-                    brute_force_topk(
-                        vectors, queries.where(F.col("qvec").isNull()), k
-                    )
+                null_q = local_df(
+                    vectors.sparkSession,
+                    [r for r in qrows if r["qvec"] is None],
+                    q_schema,
                 )
+                out = out.unionByName(brute_force_topk(vectors, null_q, k))
             return out
         return brute_force_topk(vectors, queries, k)
     if mode == "approx":

@@ -549,12 +549,11 @@ def x_bpe_segment10k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_segment_udf, bpe_train_local
 
     rows = _bpe10k_vocab_rows(spark, sf_dir)
+    vocab = local_df(spark, rows, "token string, count bigint")
     merges = _BPE10K_STATE[sf_dir][1]
     if merges is None:
-        vocab = local_df(spark, rows, "token string, count bigint")
         merges = bpe_train_local(vocab, 10_000)
         _BPE10K_STATE[sf_dir] = (rows, merges)
-    vocab = local_df(spark, rows, "token string, count bigint")
     seg = vocab.withColumn("bpe", bpe_segment_udf(merges)(F.col("token")))
     return seg.agg(
         F.count(F.lit(1)).alias("n_words"),

@@ -127,9 +127,14 @@ def _pdf_textlite_fn():
                 if nxt in simple:
                     out.append(simple[nxt])
                     i += 2
-                elif nxt.isdigit():
+                elif nxt and nxt in b"01234567":
+                    # octal digits ONLY (review find: bytes.isdigit also
+                    # accepts 8/9, so the valid escape \1 followed by a
+                    # literal '8' crashed int(..., 8) and errored the row)
                     j = i + 1
-                    while j < len(s) and j < i + 4 and s[j : j + 1].isdigit():
+                    while (
+                        j < len(s) and j < i + 4 and s[j : j + 1] in b"01234567"
+                    ):
                         j += 1
                     out.append(bytes([int(s[i + 1 : j], 8) & 0xFF]))
                     i = j

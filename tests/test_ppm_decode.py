@@ -183,3 +183,17 @@ def test_pdf_lite_matches_pypdf_when_available(spark):
     _, got_lite = pdf_textlite(blob)
     assert got_lite.split("\n") == lines
     assert "alpha" in got_pypdf and "beta (x)" in got_pypdf
+
+
+def test_pdf_lite_octal_escapes():
+    """Review find: bytes.isdigit accepts 8/9, so the valid one-digit
+    octal escape \\1 followed by a literal '8' crashed int(..., 8) and
+    errored the whole row. Octal scanning now consumes 0-7 only."""
+    from pubmed_central_semantic_search_spark.sources.pdf import pdf_textlite
+
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"BT (a\\18b \\101 \\0418) Tj ET\n%%EOF")
+    n_pages, text = pdf_textlite(blob)
+    assert n_pages == 1
+    # \1 -> \x01 then literal '8'; \101 -> 'A'; \041 -> '!' then '8'
+    assert text == "a\x018b A !8"
