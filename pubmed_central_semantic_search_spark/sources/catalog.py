@@ -162,6 +162,13 @@ def upsert_parquet(
     # "nothing to merge" and the staging swap below would then replace the
     # whole table with new-rows-only — silent data loss. Same rule as the
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
+    # group-replace consumes the batch subtree TWICE inside the write's
+    # one plan (the group set + the union side) — persist so an expensive
+    # upstream (encoder stage) runs once (review find, same rule as the
+    # partitioned arm's with_bucket persist)
+    persisted = None
+    if replace_group_col is not None:
+        persisted = df = df.persist()
     if fs.exists(hpath):
         existing = _read_existing(spark, path, allow_schema_evolution)
         if BUCKET_COL in existing.columns:
@@ -201,7 +208,11 @@ def upsert_parquet(
     # delete + rename): every crash window leaves either the old table or
     # the merged one recoverable — the recovery block on entry restores
     # the backup if the live path went missing mid-swap.
-    merged.write.mode("overwrite").parquet(staging)
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     if fs.exists(hpath):
         fs.rename(hpath, backup_p)
     fs.rename(staging_p, hpath)
@@ -345,9 +356,15 @@ def _upsert_partitioned(
             )
     else:
         bucket_src = [replace_group_col] if replace_group_col else key_cols
+    # The batch plan is consumed by SEVERAL actions below (the isEmpty
+    # probe or the touched-buckets collect, the group set, the final
+    # write) — persist it for the upsert's duration or an expensive
+    # upstream (api.upload_articles' encoder stage) re-runs per action
+    # (review find, the q21-persist rule applied to the write path; the
+    # batch is ingest-sized by contract, never table-sized).
     with_bucket = df.withColumn(
         BUCKET_COL, bucket_expr(bucket_src, n_buckets)
-    )
+    ).persist()
     if data_kind == "partitioned" and stored is None:
         # pre-metadata PARTITIONED table (written before the _layout
         # record existed, or by a layout write that crashed) — accept the
@@ -364,100 +381,104 @@ def _upsert_partitioned(
     # later read (listing + footer overhead). Hash-partitioning on the
     # bucket value routes each bucket to one task → one file per
     # directory per write.
-    if data_kind == "none":
-        if with_bucket.isEmpty():
-            # an empty partitioned write emits NO schema-bearing file
-            # (unlike the flat path), leaving a directory every later
-            # read fails to infer — a first micro-batch with 0 rows
-            # (zero-record file, batch-0 replay) would brick the sink.
-            # Leave the table absent (and unstamped); a later non-empty
-            # batch creates it.
-            return
-        if stored is None:
-            # Stamp the layout BEFORE the first data write: the _layout
-            # dir is invisible to parquet readers, so a crash between
-            # stamp and data write leaves a harmless orphaned record that
-            # the retry re-uses — whereas data-before-stamp left a
-            # pre-metadata table whose NEXT upsert silently stamped that
-            # caller's bucket key (a keyed-only caller on a group-
-            # bucketed table would stamp the wrong key and later merges
-            # would silently strand/duplicate rows).
-            _write_upsert_layout(
-                spark, path, n_buckets, bucket_src,
-                evolved=allow_schema_evolution,
+    try:
+        if data_kind == "none":
+            if with_bucket.isEmpty():
+                # an empty partitioned write emits NO schema-bearing file
+                # (unlike the flat path), leaving a directory every later
+                # read fails to infer — a first micro-batch with 0 rows
+                # (zero-record file, batch-0 replay) would brick the sink.
+                # Leave the table absent (and unstamped); a later non-empty
+                # batch creates it.
+                return
+            if stored is None:
+                # Stamp the layout BEFORE the first data write: the _layout
+                # dir is invisible to parquet readers, so a crash between
+                # stamp and data write leaves a harmless orphaned record that
+                # the retry re-uses — whereas data-before-stamp left a
+                # pre-metadata table whose NEXT upsert silently stamped that
+                # caller's bucket key (a keyed-only caller on a group-
+                # bucketed table would stamp the wrong key and later merges
+                # would silently strand/duplicate rows).
+                _write_upsert_layout(
+                    spark, path, n_buckets, bucket_src,
+                    evolved=allow_schema_evolution,
+                )
+            (
+                # mode is append, not errorifexists: the path may already
+                # exist holding only the _layout record (this stamp, or a
+                # crashed create's). data_kind == "none" has already proven
+                # there are no data files to collide with; concurrent
+                # CREATORS are out of contract (single-writer at creation).
+                with_bucket.repartition(F.col(BUCKET_COL))
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
             )
+            return
+        # Evolution is TABLE-STICKY (review find): the opt-in is stamped into
+        # the _layout record, so after ONE evolved upsert every later merge —
+        # including a caller that forgets the flag — reads with footer schema
+        # merging. Without the stamp, plain inference could sample a
+        # pre-evolution footer and the strict merge would rewrite its touched
+        # buckets WITHOUT the evolved columns: silent, footer-sampling-order-
+        # dependent data loss. (The union stays strict for unflagged calls —
+        # adding NEW columns still requires the explicit flag.)
+        evolved = _layout_evolved(stored) if stored is not None else False
+        if allow_schema_evolution and stored is not None and not evolved:
+            _write_upsert_layout(spark, path, n_buckets, bucket_src, evolved=True)
+        effective_evolution = allow_schema_evolution or evolved
+        touched = sorted(
+            r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
+        )
+        existing = _read_existing(spark, path, effective_evolution).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        if effective_evolution and not allow_schema_evolution:
+            # sticky evolution accepts OLD-schema batches from forgetful
+            # writers (their replaced keys carry null in the evolved
+            # columns), but widening the schema FURTHER still requires the
+            # explicit flag — a typo'd column on a strict call must not
+            # evolve the table
+            extra = sorted(set(with_bucket.columns) - set(existing.columns))
+            if extra:
+                raise ValueError(
+                    f"upsert_parquet: batch adds new columns {extra} to an "
+                    "evolved table — pass allow_schema_evolution=True to "
+                    "widen the schema"
+                )
+        if replace_group_col is not None:
+            # from the CACHED frame — df's plan would re-run upstream here
+            groups = with_bucket.select(replace_group_col).distinct()
+            existing = existing.join(
+                F.broadcast(groups), replace_group_col, "left_anti"
+            )
+        # Partition-column read-back types as INT; cast both sides to the
+        # write-side BIGINT so unionByName never widens into a new column type
+        # (directory names are unaffected — same integer rendering).
+        existing = existing.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("long"))
+        tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
+            with_bucket.withColumn("_is_new", F.lit(1)),
+            allowMissingColumns=effective_evolution,
+        )
+        order = [F.col("_is_new").desc()] + (
+            [F.col(version_col).desc()] if version_col else []
+        )
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_new")
+        )
         (
-            # mode is append, not errorifexists: the path may already
-            # exist holding only the _layout record (this stamp, or a
-            # crashed create's). data_kind == "none" has already proven
-            # there are no data files to collide with; concurrent
-            # CREATORS are out of contract (single-writer at creation).
-            with_bucket.repartition(F.col(BUCKET_COL))
-            .write.mode("append")
+            merged.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
-        return
-    # Evolution is TABLE-STICKY (review find): the opt-in is stamped into
-    # the _layout record, so after ONE evolved upsert every later merge —
-    # including a caller that forgets the flag — reads with footer schema
-    # merging. Without the stamp, plain inference could sample a
-    # pre-evolution footer and the strict merge would rewrite its touched
-    # buckets WITHOUT the evolved columns: silent, footer-sampling-order-
-    # dependent data loss. (The union stays strict for unflagged calls —
-    # adding NEW columns still requires the explicit flag.)
-    evolved = _layout_evolved(stored) if stored is not None else False
-    if allow_schema_evolution and stored is not None and not evolved:
-        _write_upsert_layout(spark, path, n_buckets, bucket_src, evolved=True)
-    effective_evolution = allow_schema_evolution or evolved
-    touched = sorted(
-        r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
-    )
-    existing = _read_existing(spark, path, effective_evolution).filter(
-        F.col(BUCKET_COL).isin(touched)
-    )
-    if effective_evolution and not allow_schema_evolution:
-        # sticky evolution accepts OLD-schema batches from forgetful
-        # writers (their replaced keys carry null in the evolved
-        # columns), but widening the schema FURTHER still requires the
-        # explicit flag — a typo'd column on a strict call must not
-        # evolve the table
-        extra = sorted(set(with_bucket.columns) - set(existing.columns))
-        if extra:
-            raise ValueError(
-                f"upsert_parquet: batch adds new columns {extra} to an "
-                "evolved table — pass allow_schema_evolution=True to "
-                "widen the schema"
-            )
-    if replace_group_col is not None:
-        groups = df.select(replace_group_col).distinct()
-        existing = existing.join(
-            F.broadcast(groups), replace_group_col, "left_anti"
-        )
-    # Partition-column read-back types as INT; cast both sides to the
-    # write-side BIGINT so unionByName never widens into a new column type
-    # (directory names are unaffected — same integer rendering).
-    existing = existing.withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("long"))
-    tagged = existing.withColumn("_is_new", F.lit(0)).unionByName(
-        with_bucket.withColumn("_is_new", F.lit(1)),
-        allowMissingColumns=effective_evolution,
-    )
-    order = [F.col("_is_new").desc()] + (
-        [F.col(version_col).desc()] if version_col else []
-    )
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    merged = (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_new")
-    )
-    (
-        merged.repartition(F.col(BUCKET_COL))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(path)
-    )
+    finally:
+        with_bucket.unpersist()
 
 
 def _table_data_kind(fs, hpath) -> str:
