@@ -100,6 +100,10 @@ class SemanticSearchEngine:
             key_cols=["chunk_id"],
             replace_group_col="article_id",
             n_buckets=self.partition_buckets,
+            # the batch carries the ENCODER stage — persist it across the
+            # merge's actions so E1 runs once per upload, not per
+            # consumption (the upsert consumes the batch plan 2-3×)
+            persist_batch=True,
         )
         batch_ids = articles.select(
             F.col("article_id").cast("string").alias("article_id")

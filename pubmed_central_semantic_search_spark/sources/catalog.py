@@ -59,9 +59,19 @@ def upsert_parquet(
     replace_group_col: str | None = None,
     n_buckets: int | None = None,
     allow_schema_evolution: bool = False,
+    persist_batch: bool = False,
 ) -> None:
     """S7 — idempotent keyed write: new rows win over existing rows with
     the same key (the reference's content-keyed overwrite semantics).
+
+    ``persist_batch``: the merge consumes the batch plan MORE THAN ONCE
+    (the partitioned arm's empty-probe/touched-buckets actions + the
+    final write; group-replace adds the group-set subtree). A batch with
+    an EXPENSIVE upstream (an encoder stage — api.upload_articles) should
+    pass True so the upstream runs once; the default stays False because
+    for cheap batches re-reading the source beats materializing a cache
+    (measured: persisting q62's thin projections cost ~1.4 s/roundtrip).
+    The operator cannot know the upstream's cost — the caller does.
 
     ``replace_group_col`` upgrades the merge to GROUP-REPLACING: every
     existing row whose group value appears in ``df`` is dropped before
@@ -128,6 +138,7 @@ def upsert_parquet(
             spark, df, path, key_cols, n_buckets,
             version_col=version_col, replace_group_col=replace_group_col,
             allow_schema_evolution=allow_schema_evolution,
+            persist_batch=persist_batch,
         )
         return
     fs, hpath, jvm = _hadoop_fs(spark, path)
@@ -163,11 +174,11 @@ def upsert_parquet(
     # whole table with new-rows-only — silent data loss. Same rule as the
     # streaming CMS fold (streaming/ingest.py). Real read errors propagate.
     # group-replace consumes the batch subtree TWICE inside the write's
-    # one plan (the group set + the union side) — persist so an expensive
-    # upstream (encoder stage) runs once (review find, same rule as the
-    # partitioned arm's with_bucket persist)
+    # one plan (the group set + the union side) — opt-in persist so an
+    # expensive upstream (encoder stage) runs once (review find; see the
+    # persist_batch docstring for why it is not the default)
     persisted = None
-    if replace_group_col is not None:
+    if persist_batch and replace_group_col is not None:
         persisted = df = df.persist()
     if fs.exists(hpath):
         existing = _read_existing(spark, path, allow_schema_evolution)
@@ -228,6 +239,7 @@ def _upsert_partitioned(
     version_col: str | None = None,
     replace_group_col: str | None = None,
     allow_schema_evolution: bool = False,
+    persist_batch: bool = False,
 ) -> None:
     """S7 at scale — bucket-partitioned keyed upsert: merge and rewrite
     ONLY the partitions the incoming batch touches.
@@ -358,13 +370,13 @@ def _upsert_partitioned(
         bucket_src = [replace_group_col] if replace_group_col else key_cols
     # The batch plan is consumed by SEVERAL actions below (the isEmpty
     # probe or the touched-buckets collect, the group set, the final
-    # write) — persist it for the upsert's duration or an expensive
-    # upstream (api.upload_articles' encoder stage) re-runs per action
-    # (review find, the q21-persist rule applied to the write path; the
-    # batch is ingest-sized by contract, never table-sized).
-    with_bucket = df.withColumn(
-        BUCKET_COL, bucket_expr(bucket_src, n_buckets)
-    ).persist()
+    # write) — opt-in persist so an expensive upstream
+    # (api.upload_articles' encoder stage) runs once per upsert
+    # (review find; see the persist_batch docstring for why the default
+    # stays False — persisting a CHEAP batch is a net loss, measured).
+    with_bucket = df.withColumn(BUCKET_COL, bucket_expr(bucket_src, n_buckets))
+    if persist_batch:
+        with_bucket = with_bucket.persist()
     if data_kind == "partitioned" and stored is None:
         # pre-metadata PARTITIONED table (written before the _layout
         # record existed, or by a layout write that crashed) — accept the
@@ -478,7 +490,8 @@ def _upsert_partitioned(
             .parquet(path)
         )
     finally:
-        with_bucket.unpersist()
+        if persist_batch:
+            with_bucket.unpersist()
 
 
 def _table_data_kind(fs, hpath) -> str:
