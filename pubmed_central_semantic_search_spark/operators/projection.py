@@ -65,6 +65,19 @@ def _moment_partials(vec_col: str):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # row-level geometry guard (the mean_pool/bucket_signature
+            # rule): one wrong-length embedding otherwise dies in an
+            # opaque numpy inhomogeneous-shape error (or, across
+            # partitions, an unaligned partial-sum broadcast) deep in an
+            # executor — name the actual defect instead
+            lens = sorted({len(v) for v in pdf[col]})
+            if len(lens) > 1 or (s is not None and lens[0] != s.shape[0]):
+                seen = lens if len(lens) > 1 else [s.shape[0], lens[0]]
+                raise ValueError(
+                    f"pca_fit: mixed embedding lengths {seen} — the "
+                    "moment fold needs one fixed dim; filter or re-encode "
+                    "the off-width rows first"
+                )
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
@@ -104,6 +117,14 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", out_dim: int = 8) -> PCAM
                 n += int(row["n"])
                 rs = np.asarray(row["s"], dtype=np.float64)
                 rg = np.asarray(row["g"], dtype=np.float64)
+                if s is not None and rs.shape != s.shape:
+                    # per-partition-uniform but cross-partition-mixed dims
+                    # (each partition's guard passed locally)
+                    raise ValueError(
+                        "pca_fit: partitions disagree on embedding dim "
+                        f"({s.shape[0]} vs {rs.shape[0]}) — the corpus "
+                        "mixes embedding widths; filter or re-encode first"
+                    )
                 s = rs if s is None else s + rs
                 g = rg if g is None else g + rg
         if n:

@@ -342,3 +342,27 @@ def test_project_vec_matches_column_expression(spark):
             want = project_vec(model, list(r["embedding"]), whiten=whiten)
             got = list(r["p"])
             assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), whiten
+
+
+def test_pca_fit_mixed_dims_raise_named_error(spark):
+    """Geometry guard (the mean_pool/bucket_signature rule): a corpus
+    mixing embedding widths must fail pca_fit with a NAMED error, not an
+    opaque executor numpy traceback (within-partition) or a partial-sum
+    broadcast error (cross-partition)."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.projection import (
+        pca_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="mixed embedding lengths"):
+        pca_fit(df, out_dim=2)
+    # cross-partition: each partition internally uniform
+    a = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>").coalesce(1)
+    b = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>").coalesce(1)
+    with pytest.raises(Exception, match="embedding"):
+        pca_fit(a.union(b), out_dim=2)
