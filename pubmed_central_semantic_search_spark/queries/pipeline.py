@@ -84,7 +84,7 @@ def _synthetic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY list_cosine_similarity(c.emb, {sql_vec(QUERY_VEC)}) DESC, c.paragraph_id
       ) <= 1
     )
-    SELECT h.article_id,
+    SELECT 'hl' AS kind, h.article_id,
            round(h.doc_score, 6) AS doc_score,
            h.paragraph_id,
            round(h.chunk_score, 6) AS chunk_score,
@@ -93,27 +93,51 @@ def _synthetic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN chunk n ON n.article_id = h.article_id
                AND n.paragraph_id BETWEEN h.paragraph_id - 1 AND h.paragraph_id + 1
     GROUP BY h.article_id, h.doc_score, h.paragraph_id, h.chunk_score
+    UNION ALL
+    -- Q4 highlight=False arm (round-7 backfill, previously unit-only):
+    -- the toggle skips chunk search entirely — doc hits alone
+    SELECT 'nohl' AS kind, article_id,
+           round(doc_score, 6) AS doc_score,
+           CAST(NULL AS INT) AS paragraph_id,
+           CAST(NULL AS DOUBLE) AS chunk_score,
+           CAST(NULL AS VARCHAR) AS context
+    FROM top_docs
     """,
-    survey_rows="Q1, Q2, Q5, Q6, Q7, E3, A1, A4, §2.8 joins — full §3.1 path",
+    survey_rows="Q1, Q2, Q4 (highlight toggle — BOTH branches driver-"
+    "certified since round 7: the 'nohl' arm runs highlight=False's "
+    "doc-only conditional plan), Q5, Q6, Q7, E3, A1, A4, §2.8 joins — "
+    "full §3.1 path",
 )
 def q20_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = _synthetic_chunks(spark, sf_dir)
     doc_vectors = mean_pool(
         chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
     )
-    queries = local_df(spark, 
+    queries = local_df(spark,
         [(0, QUERY_VEC)], "query_id int, qvec array<double>"
     )
     out = semantic_search(
         doc_vectors, chunks, queries, k_docs=5, n_paragraphs=1, context_window=1
     )
-    return out.select(
+    hl = out.select(
+        F.lit("hl").alias("kind"),
         "article_id",
         F.round("doc_score", 6).alias("doc_score"),
         "paragraph_id",
         F.round("chunk_score", 6).alias("chunk_score"),
         F.array_join("context_paragraphs", "|").alias("context"),
     )
+    nohl = semantic_search(
+        doc_vectors, chunks, queries, k_docs=5, highlight=False
+    ).select(
+        F.lit("nohl").alias("kind"),
+        "article_id",
+        F.round("doc_score", 6).alias("doc_score"),
+        F.lit(None).cast("int").alias("paragraph_id"),
+        F.lit(None).cast("double").alias("chunk_score"),
+        F.lit(None).cast("string").alias("context"),
+    )
+    return hl.unionByName(nohl)
 
 
 def _sql_fake_encode(src: str, text_col: str, dim: int = DEFAULT_DIM) -> str:
