@@ -967,3 +967,41 @@ def test_evolution_review_fixes(spark, tmp_path):
             spark, _rows(spark, [("a", "c")]), pm, key_cols=["article_id"],
             allow_schema_evolution=True,
         )
+
+
+def test_compact_partitioned_leaves_concurrent_with_crash_leftover(spark, tmp_path):
+    """Round-7: leaf compaction runs distinct leaves through a thread
+    pool. Pin the pooled path end to end — many leaves, several appended
+    files each, one leaf PARKED in its crash backup (a previous run died
+    between its renames) — rows and values must survive exactly, the
+    parked leaf must be recovered AND compacted, and a steady-state
+    re-run touches nothing."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        compact_partitioned_leaves,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(240).selectExpr(
+        "CAST(id % 12 AS INT) AS part", "id AS v"
+    )
+    for i in range(3):
+        df.withColumn("v", F.col("v") + i * 1000).repartition("part") \
+          .write.mode("append").partitionBy("part").parquet(path)
+    want = sorted(
+        (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    # simulate a crash: one leaf moved to its .compact.old backup
+    import os
+    import shutil
+
+    leaf = os.path.join(path, "part=3")
+    shutil.move(leaf, os.path.join(path, ".part=3.compact.old"))
+    stats = compact_partitioned_leaves(spark, path, max_concurrency=6)
+    assert stats["leaves_seen"] == 12
+    assert stats["leaves_compacted"] == 12  # incl. the recovered leaf
+    got = sorted((r["part"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == want
+    # steady state: pooled re-run compacts nothing
+    stats2 = compact_partitioned_leaves(spark, path, max_concurrency=6)
+    assert stats2["leaves_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"] == stats["files_after"]
