@@ -155,3 +155,34 @@ def test_q37_q38_replay_on_duplicate_vectors_exact_cosine_ties(spark, tmp_path):
         got = qd.spark(spark, sf_dir).toPandas()
         want = _oracle_con_with(sf_dir, ["embeddings"]).execute(qd.oracle).df()
         compare_frames(got, want, f"{qname}-adversarial")
+
+
+_EDGE_CORPUS = [
+    ("", "en", "s1"),                                  # empty text
+    ("one", "en", "s1"),                               # single token
+    ("a b c d e f g h", "en", "s1"),                   # exactly the abstract
+    ("a b c d e f g h i", "en", "s1"),                 # 1-token body
+    ("t1  t2   t3 t4", "en", "s2"),                    # multi-space runs
+    (" lead trail ", "en", "s2"),                      # edge spaces
+    (("w " * 25).strip(), "en", "s2"),                 # body spans 2 slices
+    (("x " * 41).strip(), "en", "s3"),                 # body spans 3 slices
+]
+
+
+def test_q13_chunk_arm_on_edge_shape_corpus(spark, tmp_path):
+    """The round-7 q13 'chunk'/'h2' arms (P6 prepend + clean-then-
+    enumerate + chunk-id injectivity) replayed on shapes the driver
+    corpus lacks: empty docs, abstract-only docs, empty-token runs from
+    multi-space text, and bodies spanning several 16-token slices. Both
+    engines must agree row for row."""
+    sf_dir = _synthetic_sf_dir(spark, _EDGE_CORPUS, tmp_path)
+    qd = REGISTRY["q13_tokenize_explode"]
+    got = qd.spark(spark, sf_dir).toPandas()
+    want = _oracle_con(sf_dir).execute(qd.oracle).df()
+    compare_frames(got, want, "q13-edge-shapes")
+    # sanity: the corpus exercised both sections and the h2 arm is live
+    kinds = set(got["kind"])
+    assert {"tok", "chunk", "h2"} <= kinds
+    chunk_rows = got[got["kind"] == "chunk"]
+    assert (chunk_rows["token"].str.startswith("0:Abstract:")).any()
+    assert (chunk_rows["token"].str.startswith("1:Body:")).any()
