@@ -605,16 +605,20 @@ def read_upsert_table(
     unevolved tables keep the plain scan. The flat layout rewrites the
     whole table each merge, so its files always agree."""
     reader = spark.read
+    layout = None
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     else:
+        # read the layout record ONCE per call (round-7: the point-lookup
+        # path re-read it a second time — one extra driver job per probe)
         layout = _read_upsert_layout(spark, path)
         if layout is not None and _layout_evolved(layout):
             reader = reader.option("mergeSchema", "true")
     df = reader.parquet(path)
     if key_equals:
         if BUCKET_COL in df.columns:
-            layout = _read_upsert_layout(spark, path)
+            if layout is None:
+                layout = _read_upsert_layout(spark, path)
             if layout is not None and set(key_equals) == set(
                 layout["bucket_cols"].split(",")
             ):
@@ -623,12 +627,13 @@ def read_upsert_table(
                     F.lit(key_equals[c]).cast(df.schema[c].dataType)
                     for c in layout["bucket_cols"].split(",")
                 ]
-                bucket = (
-                    spark.range(1)
-                    .select(bucket_expr(lits, nb))
-                    .collect()[0][0]
-                )
-                df = df.filter(F.col(BUCKET_COL) == bucket)
+                # the bucket predicate stays an EXPRESSION over literals:
+                # pmod(xxhash64(lit), lit) is foldable, so Catalyst
+                # constant-folds it before partition pruning and the scan
+                # still carries PartitionFilters (plan-pinned) — the old
+                # spark.range(1).collect() paid a whole driver job per
+                # probe just to pre-evaluate the same constant (round-7)
+                df = df.filter(F.col(BUCKET_COL) == bucket_expr(lits, nb))
         for c, v in key_equals.items():
             df = df.filter(F.col(c) == v)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
