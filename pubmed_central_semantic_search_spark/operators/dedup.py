@@ -28,6 +28,8 @@ Everything below is pure DataFrame/Catalyst — no UDFs, no driver loops.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -763,20 +765,36 @@ def assign_components(
     src: str = "id_a",
     dst: str = "id_b",
     check_every: int = 1,
+    survivor_order: Sequence[Column] = (),
 ) -> DataFrame:
     """Label every row of ``df`` with its duplicate-cluster id: nodes absent
     from ``pairs`` are their own singleton component. Adds ``component`` and
-    ``is_survivor`` (true for the cluster's minimum id — the deterministic
-    keeper, mirroring exact_dedup's min-winner rule)."""
+    ``is_survivor``.
+
+    Default keeper = the cluster's minimum id (deterministic, mirroring
+    exact_dedup's min-winner rule, zero extra shuffle — the component IS
+    the min id). ``survivor_order`` switches to QUALITY-AWARE survivor
+    election (the production near-dup rule: keep the best duplicate, not
+    the oldest — e.g. ``[F.desc("quality_milli")]`` or
+    ``[F.desc(F.length("text"))]``): the survivor is each component's
+    first row under (survivor_order…, id asc) — the id tiebreak keeps the
+    election total, so equal-quality duplicates elect deterministically.
+    Cost: one extra hash-partition window on ``component`` (components
+    are duplicate clusters — tiny fan-in; the shuffle is corpus-sized in
+    rows but carries only the order columns)."""
     labels = connected_components(pairs, src, dst, check_every=check_every)
-    return (
-        df.join(labels, df[id_col] == labels["id"], "left")
-        .select(
-            *df.columns,
-            F.coalesce("component", F.col(id_col).cast("bigint")).alias("component"),
-        )
-        .withColumn("is_survivor", F.col(id_col).cast("bigint") == F.col("component"))
+    out = df.join(labels, df[id_col] == labels["id"], "left").select(
+        *df.columns,
+        F.coalesce("component", F.col(id_col).cast("bigint")).alias("component"),
     )
+    if not survivor_order:
+        return out.withColumn(
+            "is_survivor", F.col(id_col).cast("bigint") == F.col("component")
+        )
+    w = Window.partitionBy("component").orderBy(
+        *survivor_order, F.col(id_col).asc()
+    )
+    return out.withColumn("is_survivor", F.row_number().over(w) == 1)
 
 
 def embedding_near_dup(

@@ -81,3 +81,53 @@ def test_assign_components_singletons_and_survivors(spark):
         4: (2, False),
         5: (2, False),
     }
+
+
+def test_assign_components_quality_survivor(spark):
+    """Quality-aware survivor election (round-7): with survivor_order,
+    the keeper is each duplicate cluster's BEST row (order + id
+    tiebreak), not the minimum id — and exactly one survivor exists per
+    component, pinned against a DuckDB replay of the same election."""
+    import duckdb
+
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        assign_components,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 300), (2, 900), (3, 900),   # cluster {1,2,3}: 2 wins (tie→min id)
+            (10, 50), (11, 40),             # cluster {10,11}: 10 wins
+            (20, 5),                        # singleton: survives
+        ],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    from pyspark.sql import functions as F
+
+    got = assign_components(
+        docs, "doc_id", pairs, survivor_order=[F.desc("quality")]
+    )
+    rows = {r["doc_id"]: (r["component"], r["is_survivor"]) for r in got.collect()}
+    assert rows == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True),
+    }
+    # DuckDB replay of the election over the same components
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (1,300,1),(2,900,1),(3,900,1),(10,50,10),(11,40,10),(20,5,20)) t(doc_id, quality, component)")
+    want = {
+        r[0]: bool(r[1])
+        for r in con.execute(
+            "SELECT doc_id, row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 FROM d"
+        ).fetchall()
+    }
+    assert {k: v[1] for k, v in rows.items()} == want
+    # exactly one survivor per component
+    per = {}
+    for _id, (comp, surv) in rows.items():
+        per[comp] = per.get(comp, 0) + int(surv)
+    assert all(v == 1 for v in per.values())
