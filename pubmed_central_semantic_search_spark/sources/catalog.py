@@ -592,7 +592,11 @@ def read_upsert_table(
     of n_buckets, plan-pinned in tests). Literals are cast to the
     column's own type before hashing — xxhash64 of an int literal and a
     long column differ, and the mismatch would silently prune to the
-    WRONG bucket.
+    WRONG bucket. A LIST value ({col: [v1, v2, ...]}) is a BATCH lookup
+    (round-7 — the serving shape: fetch k articles in one read): the
+    scan prunes to the union of the keys' buckets (an OR of foldable
+    bucket equalities) and filters with IN; single-column bucket keys
+    only.
 
     ``merge_schema``: after a schema-evolving upsert into the
     PARTITIONED layout, untouched buckets still hold pre-evolution files
@@ -616,26 +620,50 @@ def read_upsert_table(
             reader = reader.option("mergeSchema", "true")
     df = reader.parquet(path)
     if key_equals:
+        multi = {c for c, v in key_equals.items() if isinstance(v, (list, tuple, set))}
         if BUCKET_COL in df.columns:
             if layout is None:
                 layout = _read_upsert_layout(spark, path)
-            if layout is not None and set(key_equals) == set(
-                layout["bucket_cols"].split(",")
-            ):
+            bcols = layout["bucket_cols"].split(",") if layout is not None else []
+            if layout is not None and set(key_equals) == set(bcols):
                 nb = int(layout["n_buckets"])
-                lits = [
-                    F.lit(key_equals[c]).cast(df.schema[c].dataType)
-                    for c in layout["bucket_cols"].split(",")
-                ]
+                if multi and len(bcols) > 1:
+                    raise ValueError(
+                        "read_upsert_table: list-valued key_equals (batch "
+                        "lookup) supports single-column bucket keys only — "
+                        f"this table buckets on {bcols}"
+                    )
                 # the bucket predicate stays an EXPRESSION over literals:
                 # pmod(xxhash64(lit), lit) is foldable, so Catalyst
                 # constant-folds it before partition pruning and the scan
                 # still carries PartitionFilters (plan-pinned) — the old
                 # spark.range(1).collect() paid a whole driver job per
                 # probe just to pre-evaluate the same constant (round-7)
-                df = df.filter(F.col(BUCKET_COL) == bucket_expr(lits, nb))
+                if multi:
+                    # batch lookup: prune to the UNION of the keys'
+                    # buckets (an OR of foldable equalities — partition
+                    # pruning handles the disjunction)
+                    c = bcols[0]
+                    vals = list(key_equals[c])
+                    pred = None
+                    for v in vals:
+                        term = F.col(BUCKET_COL) == bucket_expr(
+                            [F.lit(v).cast(df.schema[c].dataType)], nb
+                        )
+                        pred = term if pred is None else (pred | term)
+                    if pred is not None:
+                        df = df.filter(pred)
+                else:
+                    lits = [
+                        F.lit(key_equals[c]).cast(df.schema[c].dataType)
+                        for c in bcols
+                    ]
+                    df = df.filter(F.col(BUCKET_COL) == bucket_expr(lits, nb))
         for c, v in key_equals.items():
-            df = df.filter(F.col(c) == v)
+            if c in multi:
+                df = df.filter(F.col(c).isin(list(v)))
+            else:
+                df = df.filter(F.col(c) == v)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 

@@ -1005,3 +1005,26 @@ def test_compact_partitioned_leaves_concurrent_with_crash_leftover(spark, tmp_pa
     stats2 = compact_partitioned_leaves(spark, path, max_concurrency=6)
     assert stats2["leaves_compacted"] == 0
     assert stats2["files_before"] == stats2["files_after"] == stats["files_after"]
+
+
+def test_batch_point_lookup_prunes_to_key_union(spark, tmp_path):
+    """Round-7 batch lookup: key_equals with a LIST prunes the scan to
+    the union of the keys' bucket directories (PartitionFilters) and
+    returns exactly those keys' rows — incl. absent keys returning
+    nothing."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id AS k", "CAST(id * 3 AS STRING) AS v")
+    upsert_parquet(spark, df, path, key_cols=["k"], n_buckets=16)
+    got = read_upsert_table(spark, path, key_equals={"k": [5, 77, 900, 999999]})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bucket" in plan
+    rows = sorted((r["k"], r["v"]) for r in got.collect())
+    assert rows == [(5, "15"), (77, "231"), (900, "2700")]
+    # single-value form unchanged
+    one = read_upsert_table(spark, path, key_equals={"k": 5}).collect()
+    assert [(r["k"], r["v"]) for r in one] == [(5, "15")]
