@@ -160,3 +160,40 @@ def test_heap_trainer_argmax_equals_scan_reference(spark, vocab, n_merges):
     df = spark.createDataFrame(items, "token string, count bigint")
     got = bpe_train_local(df, n_merges)
     assert got == reference(items, n_merges)
+
+
+@SPARK_PROP
+@given(
+    keys=st.lists(st.integers(-5, 2100), min_size=0, max_size=12, unique=True)
+)
+def test_batch_lookup_equals_full_scan_filter(spark, tmp_path_factory, keys):
+    """The pruned batch lookup must return EXACTLY the full-scan filter's
+    rows for any key set — including absent, negative, and empty keys
+    (empty set → empty result, no crash)."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators import topk  # noqa: F401
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    global _BL_PATH
+    try:
+        path = _BL_PATH
+    except NameError:
+        path = str(tmp_path_factory.mktemp("bl") / "t")
+        df = spark.range(2048).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        upsert_parquet(spark, df, path, key_cols=["k"], n_buckets=16)
+        _BL_PATH = path
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_upsert_table(spark, path, key_equals={"k": keys}).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in read_upsert_table(spark, path)
+        .filter(F.col("k").isin(keys) if keys else F.lit(False))
+        .collect()
+    )
+    assert got == want
