@@ -70,6 +70,16 @@ def _moment_partials(vec_col: str):
             # opaque numpy inhomogeneous-shape error (or, across
             # partitions, an unaligned partial-sum broadcast) deep in an
             # executor — name the actual defect instead
+            # NULL cells get their own named error BEFORE len(None)
+            # turns into an opaque TypeError (round-8 ADVICE): pca_fit
+            # filters nulls ahead of the fold, so a None here means the
+            # caller wired the fold up without that filter
+            if any(v is None for v in pdf[col]):
+                raise ValueError(
+                    f"pca_fit: NULL {col!r} reached the moment fold — "
+                    "filter null embeddings before folding (pca_fit does "
+                    "this; a direct caller must too)"
+                )
             lens = sorted({len(v) for v in pdf[col]})
             if len(lens) > 1 or (s is not None and lens[0] != s.shape[0]):
                 seen = lens if len(lens) > 1 else [s.shape[0], lens[0]]

@@ -511,10 +511,17 @@ def _bpe10k_vocab_rows(spark: SparkSession, sf_dir: str) -> list:
             ).alias("token"),
             F.lead("t", 2).over(w).alias("_ok"),
         ).filter(F.col("_ok").isNotNull())
-        rows = (
-            comp.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("count"))
-            .collect()
+        # corpus-derived vocabulary: bounded like every other driver-side
+        # collect (round-8 ADVICE — this was the last raw unbounded
+        # .collect() over a frame that scales with sf); 2M distinct
+        # compounds is far past anything the bench corpus produces and
+        # still driver-sized
+        from ..session import collect_bounded
+
+        rows = collect_bounded(
+            comp.groupBy("token").agg(F.count(F.lit(1)).alias("count")),
+            2_000_000,
+            "bpe10k compound vocabulary",
         )
         _BPE10K_STATE[sf_dir] = (rows, None)
     return _BPE10K_STATE[sf_dir][0]

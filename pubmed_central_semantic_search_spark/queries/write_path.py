@@ -175,18 +175,24 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     part_out = project(read_upsert_table(spark, part_path), "table")
     part_rows = part_out.collect()  # materialize before the temp dir goes
     # S7 point-lookup arm (round-7 backfill): each probe key reads ONE
-    # bucket directory out of n_buckets (key_equals covers exactly the
-    # stored bucket key → PartitionFilters pruning, plan-pinned in
-    # tests/test_partitioned_upsert.py); key 1 is a group-replace-deleted
-    # row and must come back EMPTY through the pruned path too
-    # each probe is an independent tiny job — run them concurrently so
+    # bucket directory out of n_buckets. The table buckets on 'grp' (the
+    # group-replace key takes bucket precedence), so the probe must COVER
+    # the stored bucket key — {'grp': k // 10, 'doc_id': k}; a bare
+    # doc_id probe full-scanned (round-8 ADVICE: the prune condition
+    # demanded exact key_equals == bucket_cols and silently fell back).
+    # PartitionFilters pruning on this exact probe shape is plan-pinned
+    # in tests/test_partitioned_upsert.py; key 1 is a group-replace-
+    # deleted row and must come back EMPTY through the pruned path too.
+    # Each probe is an independent tiny job — run them concurrently so
     # the arm pays ONE job-latency round, not four (the q53 threading
     # pattern; Spark accepts concurrent submission on one session)
     from concurrent.futures import ThreadPoolExecutor
 
     def probe(k):
         return project(
-            read_upsert_table(spark, part_path, key_equals={"doc_id": k}),
+            read_upsert_table(
+                spark, part_path, key_equals={"grp": k // 10, "doc_id": k}
+            ),
             "lookup",
         ).collect()
 

@@ -586,17 +586,23 @@ def read_upsert_table(
     data contract).
 
     ``key_equals`` ({col: value}) applies equality filters; when they
-    cover EXACTLY the partitioned table's stored bucket key, the read
-    additionally prunes to the one bucket directory the key hashes into
+    COVER the partitioned table's stored bucket key (the bucket cols may
+    be a strict subset — e.g. a group-bucketed table probed by
+    ``{'grp': g, 'doc_id': k}``; round-8, the prune used to demand exact
+    equality and silently full-scanned otherwise), the read additionally
+    prunes to the one bucket directory the key hashes into
     (PartitionFilters — the point-lookup path: one directory scanned out
-    of n_buckets, plan-pinned in tests). Literals are cast to the
+    of n_buckets, plan-pinned in tests); the non-bucket columns stay
+    ordinary post-scan filters. Literals are cast to the
     column's own type before hashing — xxhash64 of an int literal and a
     long column differ, and the mismatch would silently prune to the
     WRONG bucket. A LIST value ({col: [v1, v2, ...]}) is a BATCH lookup
     (round-7 — the serving shape: fetch k articles in one read): the
     scan prunes to the union of the keys' buckets (an OR of foldable
-    bucket equalities) and filters with IN; single-column bucket keys
-    only.
+    bucket equalities) and filters with IN; list-valued BUCKET columns
+    are supported for single-column bucket keys only. An EMPTY list
+    short-circuits to an empty frame (filter(false) — Catalyst folds the
+    scan away) instead of listing the whole table to filter everything.
 
     ``merge_schema``: after a schema-evolving upsert into the
     PARTITIONED layout, untouched buckets still hold pre-evolution files
@@ -621,13 +627,21 @@ def read_upsert_table(
     df = reader.parquet(path)
     if key_equals:
         multi = {c for c, v in key_equals.items() if isinstance(v, (list, tuple, set))}
+        if any(len(list(key_equals[c])) == 0 for c in multi):
+            # a batch lookup over ZERO keys is a correct empty result —
+            # return it without listing/scanning the table (pred stayed
+            # None pre-fix, so the empty isin() paid a FULL scan);
+            # filter(false) propagates to an empty relation in Catalyst
+            df = df.filter(F.lit(False))
+            return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
         if BUCKET_COL in df.columns:
             if layout is None:
                 layout = _read_upsert_layout(spark, path)
             bcols = layout["bucket_cols"].split(",") if layout is not None else []
-            if layout is not None and set(key_equals) == set(bcols):
+            if layout is not None and bcols and set(bcols) <= set(key_equals):
                 nb = int(layout["n_buckets"])
-                if multi and len(bcols) > 1:
+                bmulti = [c for c in bcols if c in multi]
+                if bmulti and len(bcols) > 1:
                     raise ValueError(
                         "read_upsert_table: list-valued key_equals (batch "
                         "lookup) supports single-column bucket keys only — "
@@ -639,7 +653,7 @@ def read_upsert_table(
                 # still carries PartitionFilters (plan-pinned) — the old
                 # spark.range(1).collect() paid a whole driver job per
                 # probe just to pre-evaluate the same constant (round-7)
-                if multi:
+                if bmulti:
                     # batch lookup: prune to the UNION of the keys'
                     # buckets (an OR of foldable equalities — partition
                     # pruning handles the disjunction)
@@ -651,8 +665,7 @@ def read_upsert_table(
                             [F.lit(v).cast(df.schema[c].dataType)], nb
                         )
                         pred = term if pred is None else (pred | term)
-                    if pred is not None:
-                        df = df.filter(pred)
+                    df = df.filter(pred)
                 else:
                     lits = [
                         F.lit(key_equals[c]).cast(df.schema[c].dataType)

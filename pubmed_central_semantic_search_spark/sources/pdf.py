@@ -93,9 +93,14 @@ def _pdf_textlite_fn():
     Scope — the honest subset: content streams with NO stream filters
     (no /FlateDecode), literal-string show operators ``(…) Tj`` and
     ``[(…) (…)] TJ`` inside ``BT…ET`` blocks, standard escapes
-    (\\\\ \\( \\) \\n \\r \\t and octal). Anything filtered/compressed is
-    OUTSIDE the subset — callers needing real-world PDFs use the pypdf
-    tier. Page count = ``/Type /Page`` object occurrences.
+    (\\\\ \\( \\) \\n \\r \\t and octal), BALANCED nested parens and
+    ``]`` inside literal strings (round-8: the scanner replaced the
+    regex that silently dropped both shapes). Anything filtered/
+    compressed, hex-string operands (``<…> Tj``) and the ``'``/``\"``
+    show operators are OUTSIDE the subset and raise BY NAME — the
+    per-row error column catches them, never wrong-empty text — callers
+    needing real-world PDFs use the pypdf tier. Page count =
+    ``/Type /Page`` object occurrences.
 
     A factory (not a module function) so the returned parser's qualname
     is unimportable and cloudpickle ships it BY VALUE into mapInPandas
@@ -142,21 +147,80 @@ def _pdf_textlite_fn():
                     i += 1
             return b"".join(out).decode("latin-1")
 
+        def _parse_literal(s: bytes, i: int):
+            # s[i] == '(' — returns (raw contents with escapes intact,
+            # index past the closing paren). Tracks BALANCED nested
+            # parens, which the spec says need no escaping, and treats
+            # ']' as an ordinary byte — the round-7 regex dropped text on
+            # both shapes (round-8 ADVICE: a silent-wrong, not a raise)
+            depth, j, out = 1, i + 1, []
+            while j < len(s):
+                c = s[j : j + 1]
+                if c == b"\\":
+                    out.append(s[j : j + 2])
+                    j += 2
+                    continue
+                if c == b"(":
+                    depth += 1
+                elif c == b")":
+                    depth -= 1
+                    if depth == 0:
+                        return b"".join(out), j + 1
+                out.append(c)
+                j += 1
+            raise ValueError("pdf_textlite: unterminated literal string")
+
+        _DELIM = b" \t\r\n\f\0()<>[]{}/%"
+
+        def _is_op(s: bytes, i: int, op: bytes) -> bool:
+            # token-boundary check so 'Tj' inside a longer token never
+            # counts as the operator
+            before = s[i - 1 : i] if i else b" "
+            after = s[i + len(op) : i + len(op) + 1] or b" "
+            return (
+                s[i : i + len(op)] == op
+                and before in _DELIM
+                and after in _DELIM
+            )
+
         texts = []
         for block in _re.findall(rb"BT(.*?)ET", blob, _re.DOTALL):
-            # literal strings followed by Tj, or TJ arrays of them
-            for m in _re.finditer(
-                rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
-                block,
-                _re.DOTALL,
-            ):
-                if m.group(1) is not None:
-                    texts.append(_unescape(m.group(1)))
-                else:
-                    for sm in _re.finditer(
-                        rb"\(((?:[^()\\]|\\.)*)\)", m.group(2), _re.DOTALL
-                    ):
-                        texts.append(_unescape(sm.group(1)))
+            # a left-to-right scan, not a regex: literal strings are
+            # parsed with full escape/nesting semantics, and every show
+            # operator the subset cannot represent raises BY NAME (the
+            # per-row error column catches it) instead of dropping text
+            i, pending = 0, []
+            while i < len(block):
+                c = block[i : i + 1]
+                if c == b"(":
+                    raw, i = _parse_literal(block, i)
+                    pending.append(raw)
+                    continue
+                if c == b"<" and block[i + 1 : i + 2] != b"<":
+                    raise ValueError(
+                        "pdf_textlite: hex-string show operand — outside "
+                        "the literal-string subset (use the pypdf tier)"
+                    )
+                if c in (b"'", b'"'):
+                    raise ValueError(
+                        "pdf_textlite: ' / \" show operator — outside the "
+                        "Tj/TJ subset (use the pypdf tier)"
+                    )
+                if _is_op(block, i, b"Tj"):
+                    if not pending:
+                        raise ValueError(
+                            "pdf_textlite: Tj with no literal-string operand"
+                        )
+                    texts.append(_unescape(pending[-1]))
+                    pending, i = [], i + 2
+                    continue
+                if _is_op(block, i, b"TJ"):
+                    # kerning-only arrays ([ -120 ] TJ) legally show no
+                    # text — empty pending is fine here, unlike Tj
+                    texts.extend(_unescape(p) for p in pending)
+                    pending, i = [], i + 2
+                    continue
+                i += 1
         return n_pages, "\n".join(texts)
 
     return _extract

@@ -1028,3 +1028,72 @@ def test_batch_point_lookup_prunes_to_key_union(spark, tmp_path):
     # single-value form unchanged
     one = read_upsert_table(spark, path, key_equals={"k": 5}).collect()
     assert [(r["k"], r["v"]) for r in one] == [(5, "15")]
+
+
+def _bucket_partition_filter(df) -> str:
+    """The PartitionFilters clause of the scan, '' when absent/empty."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marker = "PartitionFilters: ["
+    if marker not in plan:
+        return ""
+    return plan.split(marker, 1)[1].split("]", 1)[0]
+
+
+def test_superset_probe_prunes_group_bucketed_table(spark, tmp_path):
+    """Round-8 ADVICE fix: a table bucketed on the GROUP column, probed
+    with key_equals covering {group, key}, must prune on the group's
+    bucket (the old condition demanded key_equals == bucket_cols exactly
+    and silently FULL-SCANNED — q62's lookup arm was the false claim)."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "doc_id long, grp long, payload string"
+    base = spark.createDataFrame(
+        [(i, i // 10, f"v-{i}") for i in range(200)], schema
+    )
+    upsert_parquet(
+        spark, base, path, key_cols=["doc_id"],
+        replace_group_col="grp", n_buckets=8,
+    )
+    # the q62 probe shape: bucket col (grp) is a strict SUBSET of the probe
+    out = read_upsert_table(
+        spark, path, key_equals={"grp": 6, "doc_id": 63}
+    )
+    assert "_bucket" in _bucket_partition_filter(out), (
+        "superset probe did not prune on the stored bucket key"
+    )
+    assert [(r.doc_id, r.payload) for r in out.collect()] == [(63, "v-63")]
+    # bare-doc_id probe cannot prune (doc_id is not the bucket key) but
+    # stays a correct ordinary filter
+    bare = read_upsert_table(spark, path, key_equals={"doc_id": 63})
+    assert "_bucket" not in _bucket_partition_filter(bare)
+    assert [r.doc_id for r in bare.collect()] == [63]
+
+
+def test_empty_list_probe_short_circuits(spark, tmp_path):
+    """Round-8 (verdict what's-wrong #2): key_equals={k: []} used to
+    leave the bucket predicate unset and pay a FULL list+scan to filter
+    everything; it now folds to an empty relation before the scan."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(500).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet(spark, df, path, key_cols=["k"], n_buckets=8)
+    out = read_upsert_table(spark, path, key_equals={"k": []})
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]  # schema intact, bucket col hidden
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scan itself is folded away (PropagateEmptyRelation)
+    assert "FileScan" not in plan, plan
+    # flat tables short-circuit too
+    flat = str(tmp_path / "flat")
+    upsert_parquet(spark, df, flat, key_cols=["k"])
+    out_flat = read_upsert_table(spark, flat, key_equals={"k": []})
+    assert out_flat.count() == 0
+    assert "FileScan" not in out_flat._jdf.queryExecution().executedPlan().toString()

@@ -197,3 +197,49 @@ def test_pdf_lite_octal_escapes():
     assert n_pages == 1
     # \1 -> \x01 then literal '8'; \101 -> 'A'; \041 -> '!' then '8'
     assert text == "a\x018b A !8"
+
+
+def test_pdf_lite_scanner_nested_parens_and_bracket_in_tj():
+    """Round-8 ADVICE: the regex tier silently DROPPED (a) strings with
+    unescaped balanced nested parens ('((nested)) Tj' is legal — the
+    spec says balanced pairs need no escaping) and (b) TJ arrays whose
+    strings contain an unescaped ']'. The scanner parses both."""
+    from pubmed_central_semantic_search_spark.sources.pdf import pdf_textlite
+
+    blob = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"BT ((nested) parens) Tj [ (a]b) -120 (c) ] TJ ET\n%%EOF")
+    n_pages, text = pdf_textlite(blob)
+    assert n_pages == 1
+    assert text == "(nested) parens\na]b\nc"
+
+
+def test_pdf_lite_out_of_subset_shapes_raise_by_name(spark):
+    """Round-8 ADVICE: out-of-subset show shapes must land in the error
+    column BY NAME, never as wrong-empty text — hex-string operands and
+    the '/\" move-and-show operators; kerning-only TJ arrays are legal
+    and show nothing."""
+    from pubmed_central_semantic_search_spark.sources.pdf import (
+        extract_pdf_text_lite,
+        pdf_textlite,
+    )
+
+    head = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+    df = spark.createDataFrame(
+        [
+            ("hex.pdf", head + b"BT <48656C6C6F> Tj ET\n%%EOF"),
+            ("apos.pdf", head + b"BT (x) ' ET\n%%EOF"),
+            ("kern.pdf", head + b"BT [ -120 ] TJ (ok) Tj ET\n%%EOF"),
+        ],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in extract_pdf_text_lite(df).collect()}
+    assert "hex-string" in rows["hex.pdf"]["error"]
+    assert "show operator" in rows["apos.pdf"]["error"]
+    assert rows["kern.pdf"]["error"] is None
+    assert rows["kern.pdf"]["text"] == "ok"
+    # a Tj with no string operand is malformed, not silently empty
+    try:
+        pdf_textlite(head + b"BT Tj ET\n%%EOF")
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "no literal-string operand" in str(ex)
