@@ -441,7 +441,14 @@ def near_dup_minhash(
     band-key view feeds both candidate sides, so the corpus parquet is
     scanned (and the md5 shingle/signature work computed) ONCE per view
     instead of once per join side — at 100 TB these persists become the
-    intermediate parquet tables of the docstring's scale recipe."""
+    intermediate parquet tables of the docstring's scale recipe.
+
+    Cache contract (round-8): both persists are ATTACHED to the returned
+    frame — after the consuming action, call
+    ``session.release_cached_deps(result)`` (or clear the cache); without
+    it repeated invocations in one long session accrete storage memory."""
+    from ..session import attach_cached_deps
+
     sh = shingles(df, id_col, text_col, shingle_n).persist()
     band_keys = minhash_band_keys(
         df, id_col, text_col, n_hashes, bands, shingle_n
@@ -470,7 +477,9 @@ def near_dup_minhash(
             6,
         ).alias("jaccard"),
     )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+    return attach_cached_deps(
+        out.filter(F.col("jaccard") >= min_jaccard), [sh, band_keys]
+    )
 
 
 def ngram_jaccard_pairs(
@@ -501,7 +510,11 @@ def ngram_jaccard_pairs(
     only be missed, never falsely promoted past the threshold by the
     cap). Exact values need ``max_doc_freq=None``. The shingle view is
     persisted — it feeds both join sides (and the doc-freq aggregate when
-    capped), so the corpus is scanned and shingled once."""
+    capped), so the corpus is scanned and shingled once. Cache contract
+    (round-8): the persist is ATTACHED to the returned frame — call
+    ``session.release_cached_deps(result)`` after the consuming action."""
+    from ..session import attach_cached_deps
+
     sh = shingles(df, id_col, text_col, shingle_n).persist()
     joinable = sh
     if max_doc_freq is not None:
@@ -536,7 +549,7 @@ def ngram_jaccard_pairs(
             6,
         ).alias("jaccard"),
     )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+    return attach_cached_deps(out.filter(F.col("jaccard") >= min_jaccard), [sh])
 
 
 def simhash32(
@@ -885,8 +898,15 @@ def semantic_dedup(
     partitioned by cluster so the self-join is partition-local);
     components run on candidate pairs only (O(log n) star rounds); the
     survivor election is one window over components (vanishingly small
-    vs the corpus)."""
+    vs the corpus).
+
+    Cache contract (round-8): the persisted assigned view is ATTACHED to
+    the returned frame — call ``session.release_cached_deps(result)``
+    after the consuming action (the near-dup/CC scans inside this
+    function already consumed it; releasing costs at most one narrow
+    re-projection if the result is re-collected)."""
     from .clustering import _ranked_centroids, nearest_centroid
+    from ..session import attach_cached_deps
 
     # persisted: both near-dup join sides, the component labeling, and
     # the survivor election all read the assigned view — at rest this is
@@ -901,7 +921,7 @@ def semantic_dedup(
         assigned, id_col, pairs, check_every=check_every
     )
     if keep == "min_id":
-        return labeled
+        return attach_cached_deps(labeled, [assigned])
     if keep != "far_from_centroid":
         raise ValueError(f"unknown keep rule: {keep}")
     best = F.element_at(_ranked_centroids(vec_col, centroids), 1)
@@ -912,11 +932,12 @@ def semantic_dedup(
     w = Window.partitionBy("component").orderBy(
         F.asc("_cent_cos"), F.col(id_col).cast("bigint")
     )
-    return (
+    return attach_cached_deps(
         labeled.drop("is_survivor")
         .withColumn("_cent_cos", cent_cos)
         .withColumn("is_survivor", F.row_number().over(w) == 1)
-        .drop("_cent_cos")
+        .drop("_cent_cos"),
+        [assigned],
     )
 
 

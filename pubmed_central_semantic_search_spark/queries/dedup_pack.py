@@ -22,7 +22,12 @@ from ..operators.dedup import (
     simhash_near_dup,
 )
 from ..registry import QUERY_VECS, load, register, sql_vec
-from ..session import local_df
+from ..session import (
+    cached_deps,
+    local_df,
+    release_cached_deps,
+    swap_tracked_caches,
+)
 
 N_BASE = 200  # planted-corpus size cap (keeps pair joins bounded at any SF)
 COPY_OFFSET = 100000
@@ -131,9 +136,15 @@ _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 )
 def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_text_corpus(spark, sf_dir)
-    return near_dup_minhash(
+    out = near_dup_minhash(
         corpus, "doc_id", "text", n_hashes=8, bands=4, min_jaccard=0.3
     )
+    # the returned plan still reads the operator's persists at the
+    # driver's collect, so the query can't release them here; track them
+    # per query key instead — a repeat invocation releases the previous
+    # set (round-8 verdict #2: bounded, never accreting)
+    swap_tracked_caches("q23_minhash_near_dup", cached_deps(out))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -192,9 +203,13 @@ _FUZZY_N, _FUZZY_LEN, _FUZZY_D = 120, 24, 3
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_text_corpus(spark, sf_dir)
-    jac = ngram_jaccard_pairs(
+    jac_raw = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5
-    ).select(
+    )
+    # capture the operator's cache deps BEFORE projecting (attachments
+    # don't survive transformations) and track per query key
+    swap_tracked_caches("q36_ngram_jaccard", cached_deps(jac_raw))
+    jac = jac_raw.select(
         F.lit("jaccard").alias("kind"),
         "id_a",
         "id_b",
@@ -682,11 +697,10 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build the pair plan once and persist it, so the shingle self-join
     # runs a single time across both arms (and across CC's star rounds).
     corpus = _chained_text_corpus(spark, sf_dir)
-    shared_pairs = (
-        ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55)
-        .select("id_a", "id_b")
-        .persist()
+    pairs_raw = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
     )
+    shared_pairs = pairs_raw.select("id_a", "id_b").persist()
     # NOT materialized eagerly: CC checkpoints its edge frame on entry
     # (populating this cache as a side effect) and a serial count up
     # front measured as a net cost — the arms' first concurrent actions
@@ -703,10 +717,12 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_survivor",
         )
 
+    sem_deps: list = []
+
     def build_semantic() -> None:
         vec = _planted_vec_corpus(spark, sf_dir)
         cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
-        out["semantic"] = semantic_dedup(
+        sem = semantic_dedup(
             vec,
             cents,
             id_col="vec_id",
@@ -714,7 +730,9 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_cosine=0.99,
             keep="far_from_centroid",
             check_every=2,
-        ).select(
+        )
+        sem_deps.extend(cached_deps(sem))
+        out["semantic"] = sem.select(
             F.lit("semantic").alias("kind"),
             F.col("vec_id").alias("doc_id"),
             F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -738,6 +756,15 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.start()
     for t in threads:
         t.join()
+    # shared_pairs was fully consumed inside the arms (CC checkpoints its
+    # edge frame on entry — the returned plans are checkpoint-backed, not
+    # pair-plan-backed), so it releases HERE, not on some later caller
+    # (round-8 verdict #2). The semantic arm's assigned view is still
+    # referenced by the returned plan (labels join + survivor window), so
+    # it's tracked per query key — a repeat invocation releases it.
+    shared_pairs.unpersist()
+    release_cached_deps(pairs_raw)  # the operator's shingle view
+    swap_tracked_caches("q53_dup_clusters", sem_deps)
     if errors:
         raise errors[0]
     return out["lexical"].unionByName(out["semantic"])
@@ -753,9 +780,11 @@ def pagerank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank, symmetrize
 
     corpus = _chained_text_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
+    pairs_raw = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
-    ).select("id_a", "id_b")
+    )
+    swap_tracked_caches("x_pagerank", cached_deps(pairs_raw))
+    pairs = pairs_raw.select("id_a", "id_b")
     return pagerank(
         corpus.select("doc_id"),
         symmetrize(pairs),

@@ -243,8 +243,13 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize eagerly so both pinned caches (this one and
     # semantic_dedup's internal assigned view) release before returning —
     # the no-pinned-RDD-outlives-the-entry rule the sibling entries follow
+    # (round-8: the assigned view now actually releases via the operator's
+    # attached-deps contract; before, this comment claimed it and leaked)
+    from ..session import release_cached_deps
+
     rows = agg.collect()
     emb.unpersist()
+    release_cached_deps(out)
     return local_df(spark, rows, agg.schema)
 
 

@@ -263,12 +263,17 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition ahead of E1: the source parquet is a single small file
     # locally (one scan partition → one python worker for the whole model
     # stage); at 100 TB the scan is already thousands of partitions.
+    from ..session import swap_tracked_caches
+
     chunks = (
         explode_chunks(articles)
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("embedding", encode_column("paragraph"))
         .persist()
     )
+    # the returned plan reads the cache at the driver's collect; tracked
+    # per query key so repeat invocations release it (round-8 verdict #2)
+    swap_tracked_caches("q21_document_pipeline", [chunks])
     doc_vectors = mean_pool(
         chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
     )

@@ -259,8 +259,12 @@ def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # both unioned arms (int8, pq) decode the full embeddings column —
     # persist so the parquet scan + float->double cast runs once (the
-    # q37/q38 multi-consumer pattern; bench clears the cache per query)
+    # q37/q38 multi-consumer pattern). Tracked per query key so repeat
+    # invocations release the previous cache (round-8 verdict #2).
+    from ..session import swap_tracked_caches
+
     emb = load(spark, sf_dir, "embeddings").persist()
+    swap_tracked_caches("q47_quantization_error", [emb])
     d = with_quantized(emb).withColumn(
         "deq", dequantize("q_vec", F.col("q_scale"))
     )

@@ -126,3 +126,55 @@ def collect_bounded(df, max_rows: int, what: str = ""):
             "the large side stays distributed."
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Cache-lifetime discipline (round-8 verdict #2): operators that persist
+# intermediates whose lifetime outlives the function (the returned lazy
+# plan still references them) must hand the caller a RELEASE PATH —
+# "bench clears the cache between entries" is a harness fact, not a
+# library contract, and a long-session caller invoking such operators
+# repeatedly accretes executor storage memory without one.
+
+def attach_cached_deps(df, deps):
+    """Record persisted intermediates on the frame that references them.
+    Returns ``df``; later transformations produce NEW frames that do not
+    carry the attachment — capture deps (``cached_deps``) before
+    projecting if you need to release downstream."""
+    df._pmc_cached_deps = list(getattr(df, "_pmc_cached_deps", ())) + list(deps)
+    return df
+
+
+def cached_deps(df) -> list:
+    """The persisted intermediates attached to ``df`` ([] when none)."""
+    return list(getattr(df, "_pmc_cached_deps", ()))
+
+
+def release_cached_deps(df, blocking: bool = False) -> None:
+    """Unpersist every intermediate attached to ``df`` — call after the
+    action that consumed the frame. Safe to call twice (second is a
+    no-op); already-unpersisted deps don't raise."""
+    for d in getattr(df, "_pmc_cached_deps", ()):
+        try:
+            d.unpersist(blocking)
+        except Exception:
+            pass
+    df._pmc_cached_deps = []
+
+
+_TRACKED_CACHES: dict[str, list] = {}
+
+
+def swap_tracked_caches(key: str, deps) -> None:
+    """Bound cache accretion for REGISTRY queries whose returned plan
+    still needs its persists at the driver's collect (so the query
+    function itself cannot release them): release whatever the PREVIOUS
+    invocation tracked under ``key``, then track ``deps``. Repeated
+    invocations hold at most one live cache set per query — the
+    double-invocation regression contract."""
+    for d in _TRACKED_CACHES.get(key, ()):
+        try:
+            d.unpersist(False)
+        except Exception:
+            pass
+    _TRACKED_CACHES[key] = list(deps)

@@ -95,30 +95,36 @@ def start_ingest(
         # call it so the two paths cannot drift
         chunks = article_stream_to_chunks(batch_df, encoder=encoder, dim=dim)
         chunks.persist()
-        # group-replacing, like the batch twin (api.upload_articles): a
-        # keyed upsert alone cannot delete, so a re-dropped SHORTENED
-        # article would leave its removed paragraphs searchable while the
-        # doc vector reflects the new text — permanent chunk/doc skew
-        upsert_parquet(
-            spark,
-            chunks,
-            chunks_path,
-            key_cols=["chunk_id"],
-            replace_group_col="article_id",
-            n_buckets=partition_buckets,
-        )
-        vecs = mean_pool(chunks, group=["article_id"], vec_col="embedding")
-        # keyed on article_id (the batch twin's key): keying on the
-        # xxhash64 doc_pk made a 64-bit collision silently replace
-        # another article's vector; doc_pk still rides along as payload
-        upsert_parquet(
-            spark,
-            vecs.withColumn("doc_pk", F.xxhash64("article_id")),
-            doc_vectors_path,
-            key_cols=["article_id"],
-            n_buckets=partition_buckets,
-        )
-        chunks.unpersist()
+        try:
+            # group-replacing, like the batch twin (api.upload_articles):
+            # a keyed upsert alone cannot delete, so a re-dropped
+            # SHORTENED article would leave its removed paragraphs
+            # searchable while the doc vector reflects the new text —
+            # permanent chunk/doc skew
+            upsert_parquet(
+                spark,
+                chunks,
+                chunks_path,
+                key_cols=["chunk_id"],
+                replace_group_col="article_id",
+                n_buckets=partition_buckets,
+            )
+            vecs = mean_pool(chunks, group=["article_id"], vec_col="embedding")
+            # keyed on article_id (the batch twin's key): keying on the
+            # xxhash64 doc_pk made a 64-bit collision silently replace
+            # another article's vector; doc_pk still rides along as payload
+            upsert_parquet(
+                spark,
+                vecs.withColumn("doc_pk", F.xxhash64("article_id")),
+                doc_vectors_path,
+                key_cols=["article_id"],
+                n_buckets=partition_buckets,
+            )
+        finally:
+            # try/finally (round-8 verdict #2): a failed upsert followed
+            # by the sink's retry otherwise re-persists a fresh frame
+            # each attempt and accretes storage across replays
+            chunks.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_sink)

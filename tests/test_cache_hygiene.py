@@ -1,0 +1,124 @@
+"""Round-8 verdict #2 — operator/query persist sites must carry a
+release path: repeated invocations in one long session must not accrete
+executor storage memory ("bench clears the cache" is a harness fact, not
+a library contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubmed_central_semantic_search_spark.session import (
+    attach_cached_deps,
+    cached_deps,
+    release_cached_deps,
+)
+
+
+def _n_cached(spark) -> int:
+    """Count persisted RDDs EXCLUDING localCheckpoint storage: checkpoint
+    blocks are lineage truncation (unpersisting them would destroy data
+    no plan can recompute — the ContextCleaner reclaims them when the
+    last reference drops), so the release-path contract is scoped to the
+    persist() sites the package controls."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return sum(
+        1 for r in m.values() if not r.rdd().isLocallyCheckpointed()
+    )
+
+
+def test_near_dup_minhash_attaches_releasable_deps(spark):
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        near_dup_minhash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + str(i % 3))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = _n_cached(spark)
+    out = near_dup_minhash(df, "doc_id", "text", min_jaccard=0.5)
+    out.count()  # consume — both persists materialize
+    assert len(cached_deps(out)) == 2
+    assert _n_cached(spark) == before + 2
+    release_cached_deps(out, blocking=True)
+    assert _n_cached(spark) == before
+    # second release is a harmless no-op
+    release_cached_deps(out, blocking=True)
+    assert _n_cached(spark) == before
+
+
+def test_ngram_jaccard_and_semantic_dedup_attach_deps(spark):
+    from pubmed_central_semantic_search_spark.operators.clustering import (
+        seed_centroids,
+    )
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "one two three four five six " + str(i % 2))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    before = _n_cached(spark)
+    out = ngram_jaccard_pairs(df, "doc_id", "text")
+    out.count()
+    assert len(cached_deps(out)) == 1
+    release_cached_deps(out, blocking=True)
+    assert _n_cached(spark) == before
+
+    vec = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 2)]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = seed_centroids(vec, 2)
+    for keep in ("min_id", "far_from_centroid"):
+        sem = semantic_dedup(vec, cents, min_cosine=0.99, keep=keep)
+        sem.count()
+        assert len(cached_deps(sem)) == 1
+        release_cached_deps(sem, blocking=True)
+        assert _n_cached(spark) == before
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q23_minhash_near_dup",
+        "q36_ngram_jaccard",
+        "q53_dup_clusters",
+        "q37_ivf_topk",
+        "q38_kmeans_topics",
+        "q47_quantization_error",
+        "q21_document_pipeline",
+    ],
+)
+def test_double_invocation_does_not_accrete_caches(spark, sf_dir, name):
+    """The verdict's acceptance check verbatim: invoking a persisting
+    registry query twice must not grow getPersistentRDDs — the second
+    invocation's swap releases the first's tracked set."""
+    from pubmed_central_semantic_search_spark.registry import REGISTRY
+
+    REGISTRY[name].spark(spark, sf_dir).count()
+    first = _n_cached(spark)
+    REGISTRY[name].spark(spark, sf_dir).count()
+    # unpersist in swap_tracked_caches is non-blocking; poll briefly
+    import time
+
+    for _ in range(40):
+        if _n_cached(spark) <= first:
+            break
+        time.sleep(0.25)
+    assert _n_cached(spark) <= first
+
+
+def test_attach_release_helpers_roundtrip(spark):
+    base = spark.range(10)
+    dep = spark.range(5).persist()
+    dep.count()
+    before = _n_cached(spark)
+    out = attach_cached_deps(base, [dep])
+    assert cached_deps(out) == [dep]
+    release_cached_deps(out, blocking=True)
+    assert _n_cached(spark) == before - 1
+    assert cached_deps(out) == []
