@@ -512,7 +512,15 @@ def temperature_fractions(
     No upsampling: a source whose share exceeds its size caps at 1.0 and
     the shortfall is water-filled over the uncapped sources (iteratively, at
     most len(sources) rounds — k is the number of DOMAINS, driver-trivial).
-    Deterministic: pure arithmetic over the counts."""
+    Deterministic: pure arithmetic over the counts, with the weight sum
+    accumulated in SORTED source order (round-8: dict order follows the
+    collect's row order, and a different float-summation order could
+    flip a keep-threshold by one bucket across runs — the
+    design-the-float-trap-out rule; sorted-order folding also makes the
+    recipe engine-replayable, which q50's 'tmix' arm certifies).
+    ``budget`` stays integer-valued throughout (float(target) minus
+    integer counts — exact in a double), so the cap-subtraction order
+    over a set cannot drift."""
     if not token_counts or target_tokens <= 0:
         return {s: 0.0 for s in token_counts}
     capped: dict[str, float] = {}
@@ -520,7 +528,9 @@ def temperature_fractions(
     budget = float(target_tokens)
     while remaining:
         weights = {s: (n ** alpha if n > 0 else 0.0) for s, n in remaining.items()}
-        wsum = sum(weights.values())
+        wsum = 0.0
+        for s in sorted(weights):
+            wsum += weights[s]
         if wsum <= 0:
             capped.update({s: 0.0 for s in remaining})
             break

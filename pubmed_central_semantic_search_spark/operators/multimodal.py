@@ -559,3 +559,151 @@ def _resize_images_pil(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInPandas(_run, RESIZED_SCHEMA)
+
+
+# --- WAV/PCM real-decode tier (round-8: the last fake-only modality with
+# a pure-Python format worth parsing — video stays fake-tier, documented)
+
+
+def _wav_decode_fn():
+    """Factory for the pure-Python RIFF/WAVE PCM-16 parser — the audio
+    member of the no-dependency codec family (``decode_ppm``'s pattern:
+    real bytes, zero libraries, value-certifiable in this container).
+
+    A FACTORY for the self-contained-closure rule (see ``_ppm_decode_fn``):
+    cloudpickle ships the returned parser BY VALUE into mapInPandas
+    closures. ``decode_wav`` below is the public driver-side instance.
+
+    Subset (the honest contract): canonical RIFF container — ``RIFF``
+    size ``WAVE``, then chunks walked in order; ``fmt `` must declare
+    format 1 (integer PCM) with 16 bits/sample; the ``data`` chunk holds
+    little-endian int16 frames. Compressed/float/extensible formats and
+    other bit depths raise BY NAME (per-row error isolation is the
+    caller's mapInPandas contract — never wrong-empty audio). Returns
+    ``(sample_rate, n_channels, frames)`` with ``frames`` an
+    (n_frames, n_channels) int16 numpy array."""
+
+    def _parse(blob: bytes):
+        import struct as _struct
+
+        import numpy as _np
+
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise ValueError("decode_wav: not a RIFF/WAVE file")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            (size,) = _struct.unpack("<I", blob[pos + 4 : pos + 8])
+            body = blob[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                raise ValueError(f"decode_wav: truncated {cid!r} chunk")
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("decode_wav: missing fmt/data chunk")
+        audio_fmt, ch, rate, _br, _ba, bits = _struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if audio_fmt != 1:
+            raise ValueError(
+                f"decode_wav: non-PCM format {audio_fmt} — outside the "
+                "PCM-16 subset"
+            )
+        if bits != 16:
+            raise ValueError(
+                f"decode_wav: {bits}-bit samples — only 16-bit PCM supported"
+            )
+        if ch < 1:
+            raise ValueError(f"decode_wav: bad channel count {ch}")
+        n = len(data) // (2 * ch)
+        frames = _np.frombuffer(
+            data[: n * 2 * ch], dtype="<i2"
+        ).reshape(n, ch)
+        return int(rate), int(ch), frames
+
+    return _parse
+
+
+decode_wav = _wav_decode_fn()
+
+
+def make_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Deterministic canonical-WAV generator (the ``make_minimal_pdf``
+    discipline: the test/oracle fixture is built from the spec alone).
+    ``samples``: (n_frames, n_channels) int array. Round-trips through
+    ``decode_wav`` AND any standards-compliant reader (stdlib ``wave``
+    is the gated twin in tests)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    out = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return out
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id string, n_bytes bigint, sample_rate int, n_channels int, "
+    "n_frames bigint, sum_c0 bigint, sum_c1 bigint, error string"
+)
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Integer sample statistics from REAL decoded PCM (pure-Python
+    RIFF/WAVE tier — no codec libraries): per clip, (sample_rate,
+    n_channels, n_frames) from the header and exact int64 sums of the
+    first two channels (``sum_c1`` NULL for mono). All-integer output so
+    the q42 'audio' arm is hash-certifiable against a DuckDB oracle that
+    recomputes the sums from the clip GENERATOR's formula — the same
+    decoder-bug-cannot-cancel-against-the-generator construction as the
+    image 'decode' arm. Malformed/out-of-subset blobs land in the error
+    column, never poison the batch."""
+    parse = _wav_decode_fn()  # by-value shippable (self-contained rule)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    rate, ch, frames = parse(blob)
+                    sums = frames.astype("int64").sum(axis=0)
+                    out.append(
+                        (
+                            mid,
+                            len(blob),
+                            rate,
+                            ch,
+                            frames.shape[0],
+                            int(sums[0]) if ch >= 1 else None,
+                            int(sums[1]) if ch >= 2 else None,
+                            None,
+                        )
+                    )
+                except Exception as ex:
+                    out.append(
+                        (mid, None, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_bytes", "sample_rate", "n_channels",
+                         "n_frames", "sum_c0", "sum_c1", "error"],
+            )
+
+    return df.mapInPandas(_stats, AUDIO_STATS_SCHEMA)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .curation import _tokens
+from ..functions.vector import array_lit
 from ..session import local_df
 
 
@@ -337,7 +338,8 @@ def mine_hard_negatives(
         if bm25 is not None
         else bm25_rank(docs, terms, k=n_candidates, id_col=id_col, text_col=text_col)
     )
-    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    # array_lit (round-8 literal hygiene): one constant-folded Literal
+    qv = array_lit([float(v) for v in query_vec])
     # positive selection ranks on the 6-dp-ROUNDED cosine, id tiebreak —
     # the repo's round-before-rank discipline (q49 cos_top): DuckDB's
     # sqrt(x*y) vs Spark's sqrt(x)*sqrt(y) differ in the last ulp, and a

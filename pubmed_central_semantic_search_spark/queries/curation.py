@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import array_lit, cosine_similarity
 from ..operators.curation import (
     decontaminate,
     hash_split,
@@ -72,6 +72,85 @@ _BM25_CTE = f"""
 # same token stream).
 
 PHRASE = ("hash", "join")
+
+# --- q49 'mmr' + 'xrank' arms (round-8 backfill: both re-rankers were
+# U-only). 'mmr': greedy maximal-marginal-relevance over the top-20
+# cosine candidates — the selection chain is inherently sequential, so
+# the oracle UNROLLS the k=5 picks as CTEs (the Lloyd/BPE pattern);
+# every quantity compared is 6-dp-rounded before selection in BOTH
+# engines (the operator's own float-noise-proofing), so rel/red/score
+# and the pick order replay exactly. 'xrank': the fake-tier
+# cross-encoder pair scorer — md5-derived, DuckDB recomputes every score
+# bit for bit (the E1 fake-encoder convention).
+_MMR_K, _MMR_N, _MMR_LAM = 5, 20, 0.6
+_XRANK_QUERY, _XRANK_K = "spark join strategies", 10
+
+
+def _mmr_ctes(qvec_sql: str) -> str:
+    lam, lamc = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    parts = [f"""
+    mcand AS (
+      SELECT doc_id, emb, rel FROM (
+        SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {qvec_sql}), 6) AS rel
+        FROM embeddings
+      ) ORDER BY rel DESC, doc_id LIMIT {_MMR_N}
+    ),
+    mpair AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS c
+      FROM mcand a JOIN mcand b ON a.doc_id <> b.doc_id
+    ),
+    m_sel1 AS (
+      SELECT doc_id, rel, CAST(0.0 AS DOUBLE) AS red,
+             round({lam} * rel - {lamc} * 0.0, 6) AS score
+      FROM mcand
+      ORDER BY round({lam} * rel - {lamc} * 0.0, 6) DESC, doc_id LIMIT 1
+    )"""]
+    prev_rem = "mcand"
+    for i in range(2, _MMR_K + 1):
+        red_expr = "p.c" if i == 2 else "greatest(t.red, p.c)"
+        src = "c" if i == 2 else "t"
+        alias = "c" if i == 2 else "t"
+        parts.append(f"""
+    m_rem{i - 1} AS (
+      SELECT {alias}.doc_id, {alias}.rel, {red_expr} AS red
+      FROM {prev_rem} {alias}
+      JOIN m_sel{i - 1} s ON {alias}.doc_id <> s.doc_id
+      JOIN mpair p ON p.ia = {alias}.doc_id AND p.ib = s.doc_id
+    ),
+    m_sel{i} AS (
+      SELECT doc_id, rel, red,
+             round({lam} * rel - {lamc} * red, 6) AS score
+      FROM m_rem{i - 1}
+      ORDER BY round({lam} * rel - {lamc} * red, 6) DESC, doc_id LIMIT 1
+    )""")
+        prev_rem = f"m_rem{i - 1}"
+    sel_union = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, doc_id, rel, red, score FROM m_sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    parts.append(f"""
+    m_out AS ({sel_union})""")
+    return ",".join(parts)
+
+
+_XRANK_CTES = f"""
+    xr AS (
+      SELECT b.doc_id,
+             round(CAST(('0x' || substr(md5('{_XRANK_QUERY}' || chr(30)
+                        || coalesce(d.text, '')), 1, 8)) AS BIGINT)
+                   / 4294967296.0, 6) AS ce_score
+      FROM bm25_top b JOIN documents d USING (doc_id)
+    ),
+    xr_top AS (
+      SELECT doc_id, ce_score,
+             row_number() OVER (ORDER BY ce_score DESC, doc_id) AS ce_rank
+      FROM xr
+      QUALIFY row_number() OVER (ORDER BY ce_score DESC, doc_id) <= {_XRANK_K}
+    )
+"""
 
 
 @register(
@@ -147,12 +226,20 @@ PHRASE = ("hash", "join")
                                          p.pemb), 6) <= 0.95
       ORDER BY b.bm25_rank
       LIMIT 10
-    )
+    ),
+    {_mmr_ctes(sql_vec(QUERY_VEC))},
+    {_XRANK_CTES}
     SELECT 'rrf' AS kind, doc_id, rrf_score, fused_rank,
            bm25_rank, cos_rank, bm25_score,
            CAST(NULL AS BIGINT) AS n_matches,
            CAST(NULL AS DOUBLE) AS cos_pos,
-           CAST(NULL AS BIGINT) AS pos_doc_id
+           CAST(NULL AS BIGINT) AS pos_doc_id,
+           CAST(NULL AS DOUBLE) AS mmr_relevance,
+           CAST(NULL AS DOUBLE) AS mmr_redundancy,
+           CAST(NULL AS DOUBLE) AS mmr_score,
+           CAST(NULL AS BIGINT) AS mmr_rank,
+           CAST(NULL AS DOUBLE) AS ce_score,
+           CAST(NULL AS BIGINT) AS ce_rank
     FROM (
       SELECT doc_id, round(rrf, 6) AS rrf_score,
              row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
@@ -169,7 +256,13 @@ PHRASE = ("hash", "join")
            CAST(NULL AS DOUBLE) AS bm25_score,
            CAST(COUNT(*) AS BIGINT) AS n_matches,
            CAST(NULL AS DOUBLE) AS cos_pos,
-           CAST(NULL AS BIGINT) AS pos_doc_id
+           CAST(NULL AS BIGINT) AS pos_doc_id,
+           CAST(NULL AS DOUBLE) AS mmr_relevance,
+           CAST(NULL AS DOUBLE) AS mmr_redundancy,
+           CAST(NULL AS DOUBLE) AS mmr_score,
+           CAST(NULL AS BIGINT) AS mmr_rank,
+           CAST(NULL AS DOUBLE) AS ce_score,
+           CAST(NULL AS BIGINT) AS ce_rank
     FROM pstarts GROUP BY doc_id
     UNION ALL
     SELECT 'hardneg' AS kind, doc_id,
@@ -179,14 +272,58 @@ PHRASE = ("hash", "join")
            CAST(NULL AS BIGINT) AS cos_rank,
            bm25_score,
            CAST(NULL AS BIGINT) AS n_matches,
-           cos_pos, pos_doc_id
+           cos_pos, pos_doc_id,
+           CAST(NULL AS DOUBLE) AS mmr_relevance,
+           CAST(NULL AS DOUBLE) AS mmr_redundancy,
+           CAST(NULL AS DOUBLE) AS mmr_score,
+           CAST(NULL AS BIGINT) AS mmr_rank,
+           CAST(NULL AS DOUBLE) AS ce_score,
+           CAST(NULL AS BIGINT) AS ce_rank
     FROM hardneg
+    UNION ALL
+    SELECT 'mmr' AS kind, doc_id,
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS BIGINT) AS fused_rank,
+           CAST(NULL AS BIGINT) AS bm25_rank,
+           CAST(NULL AS BIGINT) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS bm25_score,
+           CAST(NULL AS BIGINT) AS n_matches,
+           CAST(NULL AS DOUBLE) AS cos_pos,
+           CAST(NULL AS BIGINT) AS pos_doc_id,
+           rel AS mmr_relevance,
+           red AS mmr_redundancy,
+           score AS mmr_score,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           CAST(NULL AS DOUBLE) AS ce_score,
+           CAST(NULL AS BIGINT) AS ce_rank
+    FROM m_out
+    UNION ALL
+    SELECT 'xrank' AS kind, doc_id,
+           CAST(NULL AS DOUBLE) AS rrf_score,
+           CAST(NULL AS BIGINT) AS fused_rank,
+           CAST(NULL AS BIGINT) AS bm25_rank,
+           CAST(NULL AS BIGINT) AS cos_rank,
+           CAST(NULL AS DOUBLE) AS bm25_score,
+           CAST(NULL AS BIGINT) AS n_matches,
+           CAST(NULL AS DOUBLE) AS cos_pos,
+           CAST(NULL AS BIGINT) AS pos_doc_id,
+           CAST(NULL AS DOUBLE) AS mmr_relevance,
+           CAST(NULL AS DOUBLE) AS mmr_redundancy,
+           CAST(NULL AS DOUBLE) AS mmr_score,
+           CAST(NULL AS BIGINT) AS mmr_rank,
+           ce_score,
+           CAST(ce_rank AS BIGINT) AS ce_rank
+    FROM xr_top
     """,
     survey_rows="X4 (BM25 lexical ranking, scores exposed) + Q1 fusion "
     "(hybrid lexical+vector retrieval), A4 + exact-phrase search over a "
     "positional inverted index (term order + adjacency) + DPR-style "
     "hard-negative mining (BM25 candidates, positive-similarity guard, "
-    "lexically-hardest cut) for contrastive training pairs",
+    "lexically-hardest cut) for contrastive training pairs + round-8 "
+    "backfill arms: MMR diversification (greedy λ-tradeoff, the k picks "
+    "unrolled by the oracle — rel/red/score and selection order certified "
+    "value for value) and cross-encoder re-rank (fake tier, md5-derived "
+    "pair scores DuckDB recomputes bit for bit)",
 )
 def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import mine_hard_negatives, phrase_match_counts
@@ -202,7 +339,9 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.round(
-            cosine_similarity("embedding", F.array(*[F.lit(v) for v in QUERY_VEC])),
+            # array_lit (round-8 literal hygiene): the query vector rides
+            # as ONE constant-folded Literal, never an element-wise tree
+            cosine_similarity("embedding", array_lit(QUERY_VEC)),
             6,
         ).alias("cos_score"),
     )
@@ -223,6 +362,8 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = fused.join(
         F.broadcast(bm25_top.select("doc_id", "bm25_score")), "doc_id", "left"
     ).withColumn("bm25_score", F.coalesce("bm25_score", F.lit(-1.0)))
+    # the six round-8 columns (mmr/xrank arms) as typed NULLs, appended
+    # uniformly to every arm via allowMissingColumns below
     rrf = rrf.select(
         F.lit("rrf").alias("kind"),
         *[F.col(c) for c in rrf.columns],
@@ -257,7 +398,48 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_pos",
         "pos_doc_id",
     )
-    return rrf.unionByName(phrase).unionByName(hardneg)
+    # round-8 backfill arms: MMR diversification over the top-20 cosine
+    # candidates (greedy selection runs driver-side over the bounded
+    # list — mmr_rerank's contract) and the fake-tier cross-encoder
+    # re-rank over the shared BM25 candidate list (one Arrow batch).
+    from ..operators.retrieval import cross_encoder_rerank, mmr_rerank
+
+    mmr_cand = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(
+                cosine_similarity("embedding", array_lit(QUERY_VEC)), 6
+            ).alias("_c"),
+        )
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(_MMR_N)
+    )
+    mmr = mmr_rerank(
+        mmr_cand, QUERY_VEC, k=_MMR_K, lam=_MMR_LAM,
+        id_col="doc_id", vec_col="embedding",
+    ).select(
+        F.lit("mmr").alias("kind"),
+        "doc_id",
+        F.col("relevance").alias("mmr_relevance"),
+        F.col("redundancy").alias("mmr_redundancy"),
+        F.col("mmr_score"),
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+    )
+    xrank = cross_encoder_rerank(
+        bm25_top.select("doc_id").join(docs.select("doc_id", "text"), "doc_id"),
+        _XRANK_QUERY,
+        k=_XRANK_K,
+    ).select(
+        F.lit("xrank").alias("kind"),
+        "doc_id",
+        "ce_score",
+        F.col("ce_rank").cast("bigint").alias("ce_rank"),
+    )
+    out = rrf.unionByName(phrase).unionByName(hardneg)
+    return out.unionByName(mmr, allowMissingColumns=True).unionByName(
+        xrank, allowMissingColumns=True
+    )
 
 
 # Content-addressed sampling pack in ONE per-doc frame: the md5-bucket
@@ -265,6 +447,75 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (en downsampled to 25%, tail kept at 60%). Both are narrow per-row
 # bucket computations — zero shuffles at any corpus size; re-runs,
 # re-shards, and cluster-size changes never move a document.
+
+
+# --- q50 'tmix' arm (round-8 backfill: temperature_mix was U-only) --------
+#
+# Temperature-based source mixing over a SKEWED derived domain (tiny/mid/
+# big by doc_id range — the natural sources are balanced, which never
+# exercises water-filling): per-domain token totals → w^alpha shares →
+# caps at 1.0 with the shortfall water-filled over uncapped domains →
+# 16-bit content-addressed membership. The oracle unrolls the (≤ k-round)
+# water-filling loop as CTEs — st_i/bud_i mirror temperature_fractions'
+# loop state EXACTLY: the weight sum folds in sorted-source order from
+# 0.0 (the operator accumulates the same way — round-8 determinism fix),
+# budget stays integer-valued (exact in a double), and pow(n, 0.5) is
+# correctly rounded in both engines' libm. Four unrolled rounds cover
+# k=3 domains; settled rounds are no-ops by construction (no new caps →
+# same weight set → same fractions).
+_TMIX_ALPHA, _TMIX_TARGET = 0.5, 20000
+_TMIX_SRC = "CASE WHEN doc_id < 10 THEN 'tiny' WHEN doc_id < 100 THEN 'mid' ELSE 'big' END"
+
+
+def _tmix_ctes(rounds: int = 4) -> str:
+    parts = [f"""
+    tm_cnt AS (
+      SELECT {_TMIX_SRC} AS msrc,
+             CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    tm_st0 AS (SELECT msrc, n, FALSE AS capped FROM tm_cnt),
+    tm_bud0 AS (SELECT CAST({_TMIX_TARGET} AS DOUBLE) AS budget)"""]
+    prev, prevb = "tm_st0", "tm_bud0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    tm_ws{i} AS (
+      SELECT COALESCE(list_reduce(list_prepend(0.0e0,
+               list(pow(CAST(n AS DOUBLE), {_TMIX_ALPHA}) ORDER BY msrc)
+                 FILTER (WHERE NOT capped)),
+               (acc, t) -> acc + t), 0.0e0) AS ws
+      FROM {prev}
+    ),
+    tm_st{i} AS (
+      SELECT s.msrc, s.n,
+             CASE WHEN s.capped THEN TRUE
+                  WHEN w.ws > 0 THEN b.budget * pow(CAST(s.n AS DOUBLE), {_TMIX_ALPHA}) / w.ws >= s.n
+                  ELSE FALSE END AS capped
+      FROM {prev} s CROSS JOIN {prevb} b CROSS JOIN tm_ws{i} w
+    ),
+    tm_bud{i} AS (
+      SELECT b.budget - COALESCE((
+        SELECT CAST(sum(s1.n) AS DOUBLE) FROM tm_st{i} s1 JOIN {prev} s0 USING (msrc)
+        WHERE s1.capped AND NOT s0.capped), 0.0e0) AS budget
+      FROM {prevb} b
+    )""")
+        prev, prevb = f"tm_st{i}", f"tm_bud{i}"
+    parts.append(f"""
+    tm_wsF AS (
+      SELECT COALESCE(list_reduce(list_prepend(0.0e0,
+               list(pow(CAST(n AS DOUBLE), {_TMIX_ALPHA}) ORDER BY msrc)
+                 FILTER (WHERE NOT capped)),
+               (acc, t) -> acc + t), 0.0e0) AS ws
+      FROM {prev}
+    ),
+    tm_cut AS (
+      SELECT s.msrc,
+             CAST(CASE WHEN s.capped THEN 65536.0
+                  WHEN w.ws > 0 THEN (b.budget * pow(CAST(s.n AS DOUBLE), {_TMIX_ALPHA}) / w.ws) / s.n * 65536.0
+                  ELSE 0.0 END AS BIGINT) AS cut
+      FROM {prev} s CROSS JOIN {prevb} b CROSS JOIN tm_wsF w
+    )""")
+    return ",".join(parts)
 
 
 _DSIR_CTES = """
@@ -309,8 +560,9 @@ _DSIR_CTES = """
 @register(
     "q50_split_and_sample",
     f"""
-    WITH {_DSIR_CTES}, b AS (
+    WITH {_DSIR_CTES}, {_tmix_ctes()}, b AS (
       SELECT doc_id, lang, source,
+             {_TMIX_SRC} AS mix_src,
              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
              AS bucket,
@@ -327,6 +579,8 @@ _DSIR_CTES = """
                 WHEN bucket < 230 THEN 'val'
                 ELSE 'test' END AS split,
            bucket16 < CASE lang WHEN 'en' THEN 16384 ELSE 39322 END AS in_sample,
+           mix_src,
+           bucket16 < tc.cut AS in_tmix,
            CAST(sh % 8 AS INT) AS shard,
            CAST(row_number() OVER (PARTITION BY sh % 8 ORDER BY sh, doc_id) - 1
                 AS BIGINT) AS shard_pos,
@@ -347,6 +601,7 @@ _DSIR_CTES = """
                          AS BIGINT) AS sh
           FROM b)
     LEFT JOIN dsir_w w USING (doc_id)
+    JOIN tm_cut tc ON tc.msrc = mix_src
     """,
     survey_rows="X1/H1 analog — content-addressed train/val/test split + "
     "deterministic stratified sampling (language rebalancing) + "
@@ -355,17 +610,40 @@ _DSIR_CTES = """
     "by this column IS a length-proportional sample without replacement) "
     "+ DSIR importance weights (hashed uni+bigram log-ratio model fit on "
     "lang='en' as the target domain, integer micro-units, Gumbel top-k "
-    "key — fit AND scoring certified value for value)",
+    "key — fit AND scoring certified value for value) + temperature_mix "
+    "(round-8 backfill, previously U-only: w^0.5 source reweighting with "
+    "water-filled caps over a skewed derived domain, the ≤k-round "
+    "water-filling loop unrolled as CTEs and the membership threshold "
+    "certified value for value)",
 )
 def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import (
         deterministic_shuffle,
+        temperature_mix,
         with_sample_flag,
         wrs_key,
     )
     from ..operators.dsir import dsir_fit, dsir_gumbel_key, dsir_logweight_micro
 
     raw = load(spark, sf_dir, "documents")
+    # tmix arm (round-8 backfill): temperature-based mixing membership
+    # over the skewed derived domain — one k-row count collect inside
+    # temperature_mix (like dsir_fit's model collect below), then the
+    # flag is a narrow per-row expression riding the same projection.
+    raw = temperature_mix(
+        raw.withColumn(
+            "mix_src",
+            F.when(F.col("doc_id") < 10, "tiny")
+            .when(F.col("doc_id") < 100, "mid")
+            .otherwise("big"),
+        ),
+        alpha=_TMIX_ALPHA,
+        target_tokens=_TMIX_TARGET,
+        group_col="mix_src",
+        id_col="doc_id",
+        text_col="text",
+        flag_col="in_tmix",
+    )
     # DSIR arm: fit the hashed uni+bigram importance model in ONE pass
     # (target domain = lang='en'); the model rides back as a packed
     # literal, so scoring below stays a narrow projection.
@@ -374,6 +652,8 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        "mix_src",
+        "in_tmix",
         F.greatest(F.length("text"), F.lit(1)).alias("_wlen"),
         dsir_logweight_micro("text", ratios).alias("dsir_logw_micro"),
     )
@@ -400,7 +680,7 @@ def q50_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_src = Window.partitionBy("source").orderBy(wk.desc(), F.asc("doc_id"))
     return deterministic_shuffle(flagged, "doc_id", n_shards=8, seed=7).select(
         "doc_id", "lang", "source", "bucket", "bucket16", "split",
-        "in_sample", "shard", "shard_pos",
+        "in_sample", "mix_src", "in_tmix", "shard", "shard_pos",
         wk.alias("wrs_key"),
         F.row_number().over(w_src).cast("bigint").alias("wrs_rank_in_source"),
         "dsir_logw_micro",

@@ -645,129 +645,98 @@ _Q53_PAGERANK_PARITY_SQL = f"""
     """
 
 
-@register(
-    "q53_dup_clusters",
-    f"""
+# The DEMOTED q53 'lexical' arm (oracle-tower amortization policy,
+# round 8; driver-green r2-r7): whole-corpus lexical duplicate-cluster
+# resolution — 3-gram Jaccard pair generation + large-star/small-star
+# connected components + min-id survivor election — over the chained
+# corpus (A≈B≈C with A,C below the pair threshold: transitivity is the
+# point). DuckDB parity runs as pytest
+# (tests/test_components.py::test_lexical_cc_duckdb_parity_demoted) over
+# this SAME text; the bench number is the x_lexical_cc extras entry. CC
+# itself STAYS driver-certified every round through q53's semantic arm
+# (semantic_dedup runs assign_components on the vector pairs).
+_Q53_LEXICAL_PARITY_SQL = f"""
     WITH RECURSIVE
     {_Q53_EDGE_CTES},
     reach(id, lbl) AS (
       SELECT doc_id, doc_id FROM corpus
       UNION
       SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
-    ),
-    {_SQL_VEC_CORPUS},
-    {_SQL_SEM_ARM}
-    SELECT 'lexical' AS kind, id AS doc_id,
-           CAST(NULL AS INT) AS cluster_id,
-           min(lbl) AS component,
+    )
+    SELECT id AS doc_id, min(lbl) AS component,
            id = min(lbl) AS is_survivor
     FROM reach GROUP BY id
-    UNION ALL
+    """
+
+
+def lexical_cc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q53 'lexical' arm's Spark side — also the x_lexical_cc
+    bench entry: ngram-Jaccard pair generation over the chained corpus,
+    alternating-star connected components (localCheckpoint-truncated
+    lineage, fixpoint signature every 2 rounds), min-id survivors."""
+    corpus = _chained_text_corpus(spark, sf_dir)
+    pairs_raw = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
+    )
+    out = assign_components(
+        corpus.select("doc_id"), "doc_id", pairs_raw, check_every=2
+    ).select("doc_id", "component", "is_survivor")
+    # the pair plan was consumed by CC's entry checkpoint; the shingle
+    # view releases here (round-8 cache contract)
+    release_cached_deps(pairs_raw)
+    return out
+
+
+@register(
+    "q53_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_SQL_VEC_CORPUS},
+    {_SQL_SEM_ARM}
     SELECT 'semantic' AS kind, doc_id,
            CAST(cluster_id AS INT) AS cluster_id,
            component, is_survivor
     FROM ssurv
     """,
     survey_rows="X1/X2 (duplicate-cluster resolution, large-star/small-"
-    "star CC) + X2/X7 SemDeDup (k-means-blocked semantic dedup, "
-    "far-from-centroid survivor rule). The PageRank centrality arm "
-    "(damped random surfer with dangling-mass redistribution, "
-    "unrolled-CTE oracle) was DEMOTED from this row's driver replay after "
-    "three green rounds (amortization policy): its DuckDB parity runs as "
-    "pytest (tests/test_graph.py::test_pagerank_duckdb_parity_demoted) "
-    "over the same CTE text, and x_pagerank keeps the bench number",
+    "star CC — driver-certified through the semantic arm's "
+    "assign_components) + X2/X7 SemDeDup (k-means-blocked semantic dedup, "
+    "far-from-centroid survivor rule). TWO arms demoted under the "
+    "amortization policy: 'pagerank' (round 7, green r4-r6 — pytest "
+    "tests/test_graph.py::test_pagerank_duckdb_parity_demoted, bench "
+    "x_pagerank) and 'lexical' CC (round 8, green r2-r7 — pytest "
+    "tests/test_components.py::test_lexical_cc_duckdb_parity_demoted over "
+    "the same recursive-CTE text, bench x_lexical_cc)",
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import threading
-
     from ..operators.clustering import seed_centroids
     from ..operators.dedup import semantic_dedup
 
-    # Both arms run iterative connected components, whose cost HERE is
-    # driver-action latency, not data (the star rounds shuffle hundreds of
-    # edges). check_every=2 halves the round-trips per arm (at 100 TB
-    # callers keep the default per-round check — see connected_components
-    # docstring), and the two INDEPENDENT arms build on separate threads
-    # so their alternating driver round-trips interleave on the shared
-    # scheduler instead of serializing — plan construction is thread-safe
-    # and Spark accepts concurrent job submission on one session.
-    out: dict[str, DataFrame] = {}
-
-    # The lexical-CC and PageRank arms share the similarity edge set:
-    # build the pair plan once and persist it, so the shingle self-join
-    # runs a single time across both arms (and across CC's star rounds).
-    corpus = _chained_text_corpus(spark, sf_dir)
-    pairs_raw = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
+    # Single arm since the round-8 lexical demotion: SemDeDup on the
+    # planted vector corpus. check_every=2 halves CC's driver round-trips
+    # (the cost here is job-launch latency on hundreds of edges, not
+    # data; at 100 TB callers keep the default per-round check).
+    vec = _planted_vec_corpus(spark, sf_dir)
+    cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
+    sem = semantic_dedup(
+        vec,
+        cents,
+        id_col="vec_id",
+        vec_col="emb",
+        min_cosine=0.99,
+        keep="far_from_centroid",
+        check_every=2,
     )
-    shared_pairs = pairs_raw.select("id_a", "id_b").persist()
-    # NOT materialized eagerly: CC checkpoints its edge frame on entry
-    # (populating this cache as a side effect) and a serial count up
-    # front measured as a net cost — the arms' first concurrent actions
-    # overlap instead.
-
-    def build_lexical() -> None:
-        out["lexical"] = assign_components(
-            corpus.select("doc_id"), "doc_id", shared_pairs, check_every=2
-        ).select(
-            F.lit("lexical").alias("kind"),
-            "doc_id",
-            F.lit(None).cast("int").alias("cluster_id"),
-            "component",
-            "is_survivor",
-        )
-
-    sem_deps: list = []
-
-    def build_semantic() -> None:
-        vec = _planted_vec_corpus(spark, sf_dir)
-        cents = seed_centroids(vec, _SEM_K, id_col="vec_id", vec_col="emb")
-        sem = semantic_dedup(
-            vec,
-            cents,
-            id_col="vec_id",
-            vec_col="emb",
-            min_cosine=0.99,
-            keep="far_from_centroid",
-            check_every=2,
-        )
-        sem_deps.extend(cached_deps(sem))
-        out["semantic"] = sem.select(
-            F.lit("semantic").alias("kind"),
-            F.col("vec_id").alias("doc_id"),
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            "component",
-            "is_survivor",
-        )
-
-    errors: list[BaseException] = []
-
-    def run(fn) -> None:
-        try:
-            fn()
-        except BaseException as exc:  # propagate to the caller's thread
-            errors.append(exc)
-
-    threads = [
-        threading.Thread(target=run, args=(build_lexical,)),
-        threading.Thread(target=run, args=(build_semantic,)),
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    # shared_pairs was fully consumed inside the arms (CC checkpoints its
-    # edge frame on entry — the returned plans are checkpoint-backed, not
-    # pair-plan-backed), so it releases HERE, not on some later caller
-    # (round-8 verdict #2). The semantic arm's assigned view is still
-    # referenced by the returned plan (labels join + survivor window), so
-    # it's tracked per query key — a repeat invocation releases it.
-    shared_pairs.unpersist()
-    release_cached_deps(pairs_raw)  # the operator's shingle view
-    swap_tracked_caches("q53_dup_clusters", sem_deps)
-    if errors:
-        raise errors[0]
-    return out["lexical"].unionByName(out["semantic"])
+    # the assigned view is still read by the returned plan (labels join +
+    # survivor window) — tracked per query key (round-8 verdict #2)
+    swap_tracked_caches("q53_dup_clusters", cached_deps(sem))
+    return sem.select(
+        F.lit("semantic").alias("kind"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "component",
+        "is_survivor",
+    )
 
 
 def pagerank_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -746,6 +746,18 @@ def _x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_report(spark, sf_dir)
 
 
+def _x_lexical_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_pack import lexical_cc_report
+
+    return lexical_cc_report(spark, sf_dir)
+
+
+def _x_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import pq_adc_report
+
+    return pq_adc_report(spark, sf_dir)
+
+
 BENCH_EXTRAS = {
     "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
@@ -754,6 +766,9 @@ BENCH_EXTRAS = {
     "x_gate_audit": _x_gate_audit,
     "x_ihist_quantiles": _x_ihist_quantiles,
     "x_pagerank": _x_pagerank,
+    # round-8 demoted arms: q53 'lexical' CC, q47 'pq'
+    "x_lexical_cc": _x_lexical_cc,
+    "x_pq_adc": _x_pq_adc,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
     "x_bpe_segment": x_bpe_segment,

@@ -741,6 +741,26 @@ def _q42_oracle() -> str:
              CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_b
       FROM pdec, UNNEST(range(0, w * h * 3)) AS t(i)
       GROUP BY doc_id, w, h
+    ),
+    wdec AS (
+      -- the 'audio' arm's clip GENERATOR formula (round-8: real PCM
+      -- decode, value-certified): doc_id < 32 -> a canonical PCM-16 WAV
+      -- of ch = 1 + doc_id%2 channels, nf = 40 + doc_id%5 frames at
+      -- 8000 Hz, interleaved sample j = ((doc_id*31 + j) * 97) % 65536
+      -- - 32768. The Spark side BUILDS those bytes and DECODES them
+      -- with the pure-Python RIFF/WAVE tier; this oracle recomputes the
+      -- per-channel sums from the formula alone
+      SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 32
+    ),
+    wsum AS (
+      SELECT doc_id, ch, nf,
+             CAST(sum(CASE WHEN j % ch = 0
+                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN ch = 2 AND j % ch = 1
+                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s1
+      FROM wdec, UNNEST(range(0, nf * ch)) t(j)
+      GROUP BY doc_id, ch, nf
     )
     SELECT 'feat' AS kind, media_id, modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -804,6 +824,18 @@ def _q42_oracle() -> str:
            UNNEST(range(0, 3)) tc(ch)
       GROUP BY doc_id
     )
+    UNION ALL
+    SELECT 'audio' AS kind, concat('w', doc_id) AS media_id,
+           'audio' AS modality,
+           CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank,
+           concat_ws(':', CAST(8000 AS VARCHAR), CAST(ch AS VARCHAR),
+                     CAST(nf AS VARCHAR), CAST(s0 AS VARCHAR),
+                     CAST(s1 AS VARCHAR)) AS decoded
+    FROM wsum
     """
 
 
@@ -829,6 +861,36 @@ def _gen_ppm_udf():
     return _gen
 
 
+def _gen_wav_udf():
+    """Deterministic canonical-WAV PCM-16 generator for the q42 'audio'
+    arm — builds the exact bytes the oracle's wdec/wsum formula
+    describes. Self-contained closure (the package-wide UDF rule: the
+    RIFF layout is inlined, no package imports executor-side)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        import struct as _struct
+
+        import numpy as _np
+
+        def mk(d):
+            d = int(d)
+            ch, nf = 1 + d % 2, 40 + d % 5
+            j = _np.arange(nf * ch, dtype=_np.int64)
+            v = ((d * 31 + j) * 97) % 65536 - 32768
+            data = v.astype("<i2").tobytes()
+            fmt = _struct.pack("<HHIIHH", 1, ch, 8000, 8000 * ch * 2,
+                               ch * 2, 16)
+            return (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data)
+
+        return ids.map(mk)
+
+    return _gen
+
+
 @register(
     "q42_multimodal_features",
     _q42_oracle(),
@@ -838,11 +900,16 @@ def _gen_ppm_udf():
     "end to end) + REAL pixel decode (round-7: generated P6 PPM bytes → "
     "pure-Python decode_ppm → integer channel sums, hash-certified "
     "against the generator formula recomputed in SQL — closes the "
-    "'no real decode value-certified in-container' gap)",
+    "'no real decode value-certified in-container' gap) + REAL PCM "
+    "audio decode (round-8: generated canonical RIFF/WAVE PCM-16 clips "
+    "-> pure-Python decode_wav -> per-channel int64 sample sums, "
+    "certified against the clip generator formula — the last fake-only "
+    "modality with a parseable pure-Python format; video stays "
+    "fake-tier, documented)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import array_lit, cosine_similarity
     from ..operators.multimodal import decode_image_stats, extract_features
 
     d = load(spark, sf_dir, "documents")
@@ -914,6 +981,33 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_b").cast("string"),
         ).alias("decoded"),
     )
+    # 'audio' arm (round-8): generate canonical PCM-16 WAV bytes from
+    # the oracle's formula, REALLY decode them (pure-Python RIFF tier)
+    # and emit the all-integer per-channel sums the oracle recomputes
+    from ..operators.multimodal import decode_audio_stats
+
+    wav = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("w"), F.col("doc_id")).alias("media_id"),
+        _gen_wav_udf()(F.col("doc_id")).alias("content"),
+    )
+    aud = decode_audio_stats(wav).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.lit("audio").alias("modality"),
+        "n_bytes",
+        F.lit(None).cast("string").alias("content_md5"),
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+        F.concat_ws(
+            ":",
+            F.col("sample_rate").cast("string"),
+            F.col("n_channels").cast("string"),
+            F.col("n_frames").cast("string"),
+            F.col("sum_c0").cast("string"),
+            F.col("sum_c1").cast("string"),
+        ).alias("decoded"),
+    )
     qv = _xmodal_query_vec()
     xm = (
         media.filter(F.col("modality") == "image")
@@ -926,7 +1020,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round-before-rank (ADVICE r4): rank on the 6-dp cosine so a
             # last-ulp near-tie can't order differently across engines
             F.round(
-                cosine_similarity("emb", F.array(*[F.lit(v) for v in qv])), 6
+                cosine_similarity("emb", array_lit(qv)), 6
             ).alias("_c"),
         )
         .orderBy(F.desc("_c"), F.asc("media_id"))
@@ -946,6 +1040,9 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("decoded"),
         )
     )
-    return feats.unionByName(xm).unionByName(dec).unionByName(rsz)
+    return (
+        feats.unionByName(xm).unionByName(dec).unionByName(rsz)
+        .unionByName(aud)
+    )
 
 

@@ -51,6 +51,8 @@ from ..sources.catalog import (
     ensure_table,
     read_upsert_table,
     reset_table,
+    snapshot_diff,
+    snapshot_write,
     upsert_parquet,
 )
 from ..sources.jsonl import write_sharded_parquet
@@ -80,12 +82,34 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     UNION ALL
     SELECT 'lookup' AS kind, * FROM final
     WHERE doc_id IN {tuple(_LOOKUP_KEYS)}
+    UNION ALL
+    -- 'diff' arm (round-8 backfill): snapshot CDC between v1 (the seeded
+    -- phase-1 state, docs 0-149 original) and v2 (the final merged
+    -- table). Expected matrix, stated directly: 150-199 inserted
+    -- (phase-2 inserts), odd ids < 50 deleted (group-replace dropped
+    -- them), everything else changed — EXCEPT 50-149 rows whose text is
+    -- its own uppercase (the keyed upsert rewrote them with an equal
+    -- payload, so the fingerprint matches and the diff omits them).
+    SELECT 'diff' AS kind, doc_id,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS VARCHAR) AS lang,
+           CASE WHEN doc_id >= 150 THEN 'inserted'
+                WHEN doc_id < 50 AND doc_id % 2 = 1 THEN 'deleted'
+                ELSE 'changed' END AS content_key,
+           CAST(NULL AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 200
+      AND NOT (doc_id >= 50 AND doc_id < 150 AND upper(text) = text)
     """,
     survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
     "group-replacing upsert + bucket-partitioned layout + POINT-LOOKUP "
-    "read: read_upsert_table(key_equals=...) prunes to the one bucket "
-    "directory the key hashes into — round-7 backfill, previously U-only), "
-    "S9 (collection DDL), S8 (durable parquet snapshot read-back)",
+    "read: read_upsert_table(key_equals=...) covers the stored bucket key "
+    "so the probe prunes to the key's bucket directory — round-8 fix: the "
+    "probe now passes the group key the table buckets on), "
+    "S9 (collection DDL), S8 (durable parquet snapshots + snapshot_diff "
+    "CDC between two pinned versions — round-8 backfill, previously "
+    "U-only: the inserted/deleted/changed matrix is driver-certified, "
+    "including the omit-unchanged rule for idempotent rewrites)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -141,6 +165,19 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     write_sharded_parquet(batch1, seed_path, max_records_per_file=40)
     seed = spark.read.parquet(seed_path)
 
+    # S8 'diff' arm setup: pin the phase-1 state as snapshot v1 on a
+    # BACKGROUND thread — the v1 write only reads the seed parquet, so
+    # it overlaps the first upsert below instead of serializing ahead of
+    # it (the q53 concurrent-submission pattern); the diff leg joins the
+    # future before reading v1
+    from concurrent.futures import ThreadPoolExecutor
+
+    snap_dir = os.path.join(base, "snap_tbl")
+    _snap_pool = ThreadPoolExecutor(1)
+    v1_future = _snap_pool.submit(
+        snapshot_write, spark, seed, snap_dir, mode="overwrite"
+    )
+
     # --- bucket-partitioned layout (the 100 TB shape): all three phases
     part_path = os.path.join(base, "docs_part")
     upsert_parquet(
@@ -185,9 +222,12 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     # deleted row and must come back EMPTY through the pruned path too.
     # Each probe is an independent tiny job — run them concurrently so
     # the arm pays ONE job-latency round, not four (the q53 threading
-    # pattern; Spark accepts concurrent submission on one session)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # pattern; Spark accepts concurrent submission on one session). The
+    # S8 'diff' leg (round-8 backfill: pin the merged table as v2, CDC
+    # against the phase-1 pin — inserted/deleted/changed certified, with
+    # unchanged rows omitted by fingerprint match) rides the SAME pool:
+    # its jobs interleave with the probes instead of serializing after
+    # them (+1.5 s of registry wall when first landed sequentially).
     def probe(k):
         return project(
             read_upsert_table(
@@ -196,9 +236,35 @@ def _roundtrip(spark, base, docs) -> DataFrame:
             "lookup",
         ).collect()
 
-    with ThreadPoolExecutor(len(_LOOKUP_KEYS)) as pool:
-        lookup_rows = [r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows]
-    return local_df(spark, part_rows + lookup_rows, part_out.schema)
+    def diff_leg():
+        v1 = v1_future.result()
+        v2 = snapshot_write(
+            spark, read_upsert_table(spark, part_path), snap_dir,
+            mode="overwrite",
+        )
+        return (
+            snapshot_diff(spark, snap_dir, v1, v2, key_cols=["doc_id"])
+            .select(
+                F.lit("diff").alias("kind"),
+                "doc_id",
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("string").alias("lang"),
+                F.col("change").alias("content_key"),
+                F.lit(None).cast("bigint").alias("n_chars"),
+            )
+            .collect()
+        )
+
+    with ThreadPoolExecutor(len(_LOOKUP_KEYS) + 1) as pool:
+        diff_future = pool.submit(diff_leg)
+        lookup_rows = [
+            r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows
+        ]
+        diff_rows = diff_future.result()
+    _snap_pool.shutdown()
+    return local_df(
+        spark, part_rows + lookup_rows + diff_rows, part_out.schema
+    )
 
 
 # --- bench pair: flat vs bucket-partitioned streaming-style upsert ---------

@@ -98,8 +98,14 @@ def local_df(spark: SparkSession, rows, schema):
         return spark.createDataFrame([], schema)
     import pandas as pd
 
+    # dtype=object: pandas otherwise coerces an int column that contains
+    # ANY None to float64 (None -> NaN), and a LongType field then
+    # receives 217.0 — found round-8 when q62's diff arm put NULL
+    # n_chars next to the table arm's ints. Object columns keep Python
+    # ints and None as-is; Arrow still infers the correct types from the
+    # explicit schema.
     return spark.createDataFrame(
-        pd.DataFrame([tuple(r) for r in rows]), schema=schema
+        pd.DataFrame([tuple(r) for r in rows], dtype=object), schema=schema
     )
 
 

@@ -521,6 +521,55 @@ def bucket_expr(bucket_cols, n_buckets: int):
     return F.pmod(F.xxhash64(*cols), F.lit(int(n_buckets)))
 
 
+def _read_small_json_lines(spark: SparkSession, dir_path: str) -> list[dict]:
+    """DRIVER-SIDE read of a tiny json-lines record directory (layout
+    records, snapshot manifests — a handful of lines BY DESIGN). The
+    previous ``spark.read.json(...).collect()`` paid a whole Spark job
+    per read: one job per point-lookup probe for the layout record, one
+    per snapshot read for the manifest (round-8). Hadoop FS API
+    throughout — HDFS/S3A/local alike."""
+    import json as _json
+
+    fs, hpath, jvm = _hadoop_fs(spark, dir_path)
+    rows: list[dict] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if (not st.isFile()) or name.startswith(("_", ".")):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            line = reader.readLine()
+            while line is not None:
+                if line.strip():
+                    rows.append(_json.loads(line))
+                line = reader.readLine()
+        finally:
+            stream.close()
+    return rows
+
+
+def _write_small_json_lines(
+    spark: SparkSession, dir_path: str, rows: list[dict], filename: str
+) -> None:
+    """DRIVER-SIDE write of a tiny json-lines record directory (same
+    directory-with-one-file layout the old ``coalesce(1).write.json``
+    produced, so existing tables read back unchanged) — no Spark job."""
+    import json as _json
+
+    fs, hpath, jvm = _hadoop_fs(spark, dir_path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{filename}"), True)
+    try:
+        payload = "".join(_json.dumps(r) + "\n" for r in rows)
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _layout_dir(path: str) -> str:
     # underscore-prefixed dir INSIDE the table: invisible to parquet
     # listing (hidden-file convention), copies/moves with the table, and
@@ -544,10 +593,16 @@ def _write_upsert_layout(
     whose next upsert silently stamped THAT caller's bucket key."""
     live = _layout_dir(path)
     staging = live + ".staging"
-    local_df(spark,
-        [(int(n_buckets), ",".join(bucket_cols), bool(evolved))],
-        "n_buckets int, bucket_cols string, evolved boolean",
-    ).coalesce(1).write.mode("overwrite").json(staging)
+    _write_small_json_lines(
+        spark,
+        staging,
+        [{
+            "n_buckets": int(n_buckets),
+            "bucket_cols": ",".join(bucket_cols),
+            "evolved": bool(evolved),
+        }],
+        "layout.json",
+    )
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     live_p, staging_p = P(live), P(staging)
@@ -566,11 +621,13 @@ def _layout_evolved(stored) -> bool:
 
 
 def _read_upsert_layout(spark: SparkSession, path: str):
-    """The stored layout record, or None for flat / pre-metadata tables."""
+    """The stored layout record (a dict), or None for flat /
+    pre-metadata tables. Driver-side IO — no Spark job (round-8: the
+    point-lookup path used to pay one job per probe just for this)."""
     fs, _, jvm = _hadoop_fs(spark, path)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(_layout_dir(path))):
         return None
-    rows = spark.read.json(_layout_dir(path)).collect()
+    rows = _read_small_json_lines(spark, _layout_dir(path))
     return rows[0] if rows else None
 
 
@@ -952,8 +1009,10 @@ def snapshot_versions(spark: SparkSession, table_dir: str) -> list[int]:
 
 
 def _manifest_paths(spark: SparkSession, table_dir: str, version: int) -> list[str]:
-    rows = spark.read.json(f"{_manifest_dir(table_dir)}/v{version}").collect()
-    return [r["path"] for r in sorted(rows, key=lambda r: r["path"])]
+    rows = _read_small_json_lines(
+        spark, f"{_manifest_dir(table_dir)}/v{version}"
+    )
+    return sorted(r["path"] for r in rows)
 
 
 def snapshot_write(
@@ -1004,12 +1063,14 @@ def snapshot_write(
     prior = _manifest_paths(spark, table_dir, latest) if (
         mode == "append" and latest
     ) else []
-    manifest = local_df(spark, 
-        [(version, p) for p in prior + [data_path]], "version int, path string"
-    )
     mdir = _manifest_dir(table_dir)
     staging = f"{mdir}/.v{version}.staging"
-    manifest.coalesce(1).write.mode("overwrite").json(staging)
+    _write_small_json_lines(
+        spark,
+        staging,
+        [{"version": version, "path": p} for p in prior + [data_path]],
+        "manifest.json",
+    )
     fs, _, jvm = _hadoop_fs(spark, mdir)
     committed = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{version}")
     if fs.exists(committed):  # a peer committed this version first

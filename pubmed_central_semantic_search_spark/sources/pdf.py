@@ -183,20 +183,35 @@ def _pdf_textlite_fn():
                 and after in _DELIM
             )
 
+        # ONE left-to-right scan of the whole blob, not a BT(.*?)ET
+        # regex: the regex ended a block at the first 'ET' BYTES even
+        # inside a literal string (hypothesis found lines=['ET'] — the
+        # block then held an unterminated '(ET'), so the scanner owns
+        # the block boundaries too. Outside BT blocks only strings are
+        # parsed (so 'BT' inside a title string can't open a phantom
+        # block) and BT is detected at token boundaries; inside a block,
+        # strings parse with full escape/nesting semantics and every
+        # show shape the subset cannot represent raises BY NAME (the
+        # per-row error column catches it) instead of dropping text.
         texts = []
-        for block in _re.findall(rb"BT(.*?)ET", blob, _re.DOTALL):
-            # a left-to-right scan, not a regex: literal strings are
-            # parsed with full escape/nesting semantics, and every show
-            # operator the subset cannot represent raises BY NAME (the
-            # per-row error column catches it) instead of dropping text
-            i, pending = 0, []
-            while i < len(block):
-                c = block[i : i + 1]
+        i, n = 0, len(blob)
+        while i < n:
+            c = blob[i : i + 1]
+            if c == b"(":
+                _, i = _parse_literal(blob, i)
+                continue
+            if not _is_op(blob, i, b"BT"):
+                i += 1
+                continue
+            i += 2  # inside a text block
+            pending = []
+            while i < n and not _is_op(blob, i, b"ET"):
+                c = blob[i : i + 1]
                 if c == b"(":
-                    raw, i = _parse_literal(block, i)
+                    raw, i = _parse_literal(blob, i)
                     pending.append(raw)
                     continue
-                if c == b"<" and block[i + 1 : i + 2] != b"<":
+                if c == b"<" and blob[i + 1 : i + 2] != b"<":
                     raise ValueError(
                         "pdf_textlite: hex-string show operand — outside "
                         "the literal-string subset (use the pypdf tier)"
@@ -206,7 +221,7 @@ def _pdf_textlite_fn():
                         "pdf_textlite: ' / \" show operator — outside the "
                         "Tj/TJ subset (use the pypdf tier)"
                     )
-                if _is_op(block, i, b"Tj"):
+                if _is_op(blob, i, b"Tj"):
                     if not pending:
                         raise ValueError(
                             "pdf_textlite: Tj with no literal-string operand"
@@ -214,13 +229,14 @@ def _pdf_textlite_fn():
                     texts.append(_unescape(pending[-1]))
                     pending, i = [], i + 2
                     continue
-                if _is_op(block, i, b"TJ"):
+                if _is_op(blob, i, b"TJ"):
                     # kerning-only arrays ([ -120 ] TJ) legally show no
                     # text — empty pending is fine here, unlike Tj
                     texts.extend(_unescape(p) for p in pending)
                     pending, i = [], i + 2
                     continue
                 i += 1
+            i += 2  # past ET
         return n_pages, "\n".join(texts)
 
     return _extract

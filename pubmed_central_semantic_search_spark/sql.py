@@ -102,3 +102,125 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
     register_sql_functions(spark)
+
+
+# --- pure-SQL write-path surface (round-8 stretch) -------------------------
+#
+# S7/S8 for SQL-only users: Spark has no UPSERT/SNAPSHOT DDL, so the
+# catalog's write path is exposed as a documented CALL-pattern — one
+# statement string, parsed by a deliberately tiny grammar, with every
+# SELECT body executed through ``spark.sql`` (full Catalyst, same plans
+# as the DataFrame API). The grammar is five commands, nothing more —
+# this is a thin veneer over sources/catalog.py, not a SQL dialect:
+#
+#   UPSERT INTO '<path>' KEY (k1[, k2...]) [REPLACE GROUP g]
+#       [BUCKETS n] AS <select>
+#   UPSERT READ '<path>' [LOOKUP (k1 = lit1[, k2 = lit2...])] AS VIEW v
+#   SNAPSHOT WRITE '<dir>' [MODE append|overwrite] AS <select>
+#   SNAPSHOT READ '<dir>' [VERSION n] AS VIEW v
+#   SNAPSHOT DIFF '<dir>' FROM v1 TO v2 KEY (k1[, k2...]) AS VIEW v
+#
+# Write commands return what their Python twins return (upsert: None;
+# snapshot write: the committed version). Read commands register a temp
+# view (so follow-up statements are plain SQL) AND return its DataFrame.
+# LOOKUP values parse as Python literals (ints/floats/quoted strings) and
+# go through read_upsert_table's key_equals — a lookup covering the
+# stored bucket key prunes to the key's bucket directory, exactly like
+# the Python path (plan-pinned in tests/test_sql_surface.py).
+
+import ast as _ast
+import re as _re
+
+
+def _parse_keys(s: str) -> list[str]:
+    return [c.strip() for c in s.split(",") if c.strip()]
+
+
+def _parse_lookup(s: str) -> dict:
+    out = {}
+    for part in s.split(","):
+        col, _, lit = part.partition("=")
+        if not _.strip() and not lit:
+            raise ValueError(f"catalog_sql: bad LOOKUP term {part!r}")
+        out[col.strip()] = _ast.literal_eval(lit.strip())
+    return out
+
+
+def catalog_sql(spark: SparkSession, statement: str):
+    """Execute one write-path catalog statement (grammar above)."""
+    from .sources.catalog import (
+        read_upsert_table,
+        snapshot_diff,
+        snapshot_read,
+        snapshot_write,
+        upsert_parquet,
+    )
+
+    stmt = statement.strip().rstrip(";")
+    m = _re.match(
+        r"(?is)^UPSERT\s+INTO\s+'([^']+)'\s+KEY\s*\(([^)]+)\)"
+        r"(?:\s+REPLACE\s+GROUP\s+(\w+))?(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$",
+        stmt,
+    )
+    if m:
+        path, keys, grp, buckets, select = m.groups()
+        upsert_parquet(
+            spark,
+            spark.sql(select),
+            path,
+            key_cols=_parse_keys(keys),
+            replace_group_col=grp,
+            n_buckets=int(buckets) if buckets else None,
+        )
+        return None
+    m = _re.match(
+        r"(?is)^UPSERT\s+READ\s+'([^']+)'"
+        r"(?:\s+LOOKUP\s*\(([^)]+)\))?\s+AS\s+VIEW\s+(\w+)$",
+        stmt,
+    )
+    if m:
+        path, lookup, view = m.groups()
+        df = read_upsert_table(
+            spark, path, key_equals=_parse_lookup(lookup) if lookup else None
+        )
+        df.createOrReplaceTempView(view)
+        return df
+    m = _re.match(
+        r"(?is)^SNAPSHOT\s+WRITE\s+'([^']+)'"
+        r"(?:\s+MODE\s+(append|overwrite))?\s+AS\s+(.+)$",
+        stmt,
+    )
+    if m:
+        path, mode, select = m.groups()
+        return snapshot_write(
+            spark, spark.sql(select), path, mode=(mode or "append").lower()
+        )
+    m = _re.match(
+        r"(?is)^SNAPSHOT\s+READ\s+'([^']+)'"
+        r"(?:\s+VERSION\s+(\d+))?\s+AS\s+VIEW\s+(\w+)$",
+        stmt,
+    )
+    if m:
+        path, version, view = m.groups()
+        df = snapshot_read(
+            spark, path, version=int(version) if version else None
+        )
+        df.createOrReplaceTempView(view)
+        return df
+    m = _re.match(
+        r"(?is)^SNAPSHOT\s+DIFF\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)"
+        r"\s+KEY\s*\(([^)]+)\)\s+AS\s+VIEW\s+(\w+)$",
+        stmt,
+    )
+    if m:
+        path, v1, v2, keys, view = m.groups()
+        df = snapshot_diff(
+            spark, path, int(v1), int(v2), key_cols=_parse_keys(keys)
+        )
+        df.createOrReplaceTempView(view)
+        return df
+    raise ValueError(
+        "catalog_sql: unrecognized statement — supported forms: UPSERT INTO, "
+        "UPSERT READ, SNAPSHOT WRITE, SNAPSHOT READ, SNAPSHOT DIFF "
+        f"(got: {stmt[:80]!r})"
+    )

@@ -89,7 +89,6 @@ def test_ngram_jaccard_and_semantic_dedup_attach_deps(spark):
         "q53_dup_clusters",
         "q37_ivf_topk",
         "q38_kmeans_topics",
-        "q47_quantization_error",
         "q21_document_pipeline",
     ],
 )

@@ -131,3 +131,27 @@ def test_assign_components_quality_survivor(spark):
     for _id, (comp, surv) in rows.items():
         per[comp] = per.get(comp, 0) + int(surv)
     assert all(v == 1 for v in per.values())
+
+
+def test_lexical_cc_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q53 'lexical' arm (oracle-tower amortization policy,
+    round 8; driver-green r2-r7): 3-gram Jaccard pair generation +
+    alternating-star connected components + min-id survivors over the
+    chained corpus, previously replayed inside q53's driver oracle every
+    bench round, now runs HERE over the SAME recursive-CTE text
+    (_Q53_LEXICAL_PARITY_SQL imported verbatim) on the real documents
+    table — identical rigor, zero driver-bench seconds. Bench:
+    x_lexical_cc. CC stays driver-certified through q53's semantic arm."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.dedup_pack import (
+        _Q53_LEXICAL_PARITY_SQL,
+        lexical_cc_report,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = lexical_cc_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(_Q53_LEXICAL_PARITY_SQL).df()
+    compare_frames(got, want, "q53-lexical-demoted")

@@ -243,3 +243,59 @@ def test_pdf_lite_out_of_subset_shapes_raise_by_name(spark):
         raise AssertionError("expected ValueError")
     except ValueError as ex:
         assert "no literal-string operand" in str(ex)
+
+
+def test_wav_decode_roundtrip_and_subset_errors(spark):
+    """Round-8 S6-style closure for AUDIO (the decode_ppm pattern): a
+    REAL PCM decode is value-tested in-container — generate canonical
+    RIFF/WAVE PCM-16, decode through the no-dependency tier, with the
+    stdlib `wave` module as the always-available spec twin; out-of-subset
+    shapes land in the error column by name."""
+    import struct
+
+    import numpy as np
+
+    from pubmed_central_semantic_search_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_wav,
+        make_wav_pcm16,
+    )
+
+    stereo = np.arange(-6, 6).reshape(6, 2)
+    blob = make_wav_pcm16(stereo, 8000)
+    rate, ch, frames = decode_wav(blob)
+    assert (rate, ch) == (8000, 2) and (frames == stereo).all()
+    # stdlib wave agrees on the container metadata AND the samples
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(blob))
+    assert (w.getframerate(), w.getnchannels(), w.getnframes()) == (8000, 2, 6)
+    assert np.frombuffer(w.readframes(6), dtype="<i2").reshape(6, 2).tolist() \
+        == stereo.tolist()
+    # mono 1-D input
+    mono = make_wav_pcm16([1, -2, 3], 16000)
+    rate, ch, frames = decode_wav(mono)
+    assert (rate, ch, frames.ravel().tolist()) == (16000, 1, [1, -2, 3])
+    # out-of-subset: float format (3) and 8-bit raise by name
+    fl = bytearray(blob)
+    fl[20:22] = struct.pack("<H", 3)
+    b8 = bytearray(blob)
+    b8[34:36] = struct.pack("<H", 8)
+    df = spark.createDataFrame(
+        [
+            ("ok", bytes(blob)),
+            ("float", bytes(fl)),
+            ("8bit", bytes(b8)),
+            ("junk", b"RIFFxxxxNOPE"),
+        ],
+        "media_id string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio_stats(df).collect()}
+    ok = rows["ok"]
+    assert (ok["sample_rate"], ok["n_channels"], ok["n_frames"]) == (8000, 2, 6)
+    assert ok["sum_c0"] == int(stereo[:, 0].sum())
+    assert ok["sum_c1"] == int(stereo[:, 1].sum())
+    assert "non-PCM" in rows["float"]["error"]
+    assert "16-bit" in rows["8bit"]["error"]
+    assert "RIFF/WAVE" in rows["junk"]["error"]

@@ -164,3 +164,25 @@ def test_ragged_codebooks_rejected(spark):
         pq_encode("v", [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0]]])  # unequal ksub
     with _pt.raises(ValueError, match="ragged"):
         pq_encode("v", [[[0.0, 0.0], [1.0]]])  # unequal dsub
+
+
+def test_q47_pq_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q47 'pq' arm (oracle-tower amortization policy, round
+    8; driver-green r3-r7): PQ encode argmin + ADC lookup scoring against
+    deterministic codebook/LUT literals, previously replayed inside q47's
+    driver oracle every bench round, now runs HERE over the SAME CTE text
+    (q47_pq_parity_sql() — the template the registry oracle carried) on
+    the real embeddings table. Bench: x_pq_adc."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.similarity import (
+        pq_adc_report,
+        q47_pq_parity_sql,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = pq_adc_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(q47_pq_parity_sql()).df()
+    compare_frames(got, want, "q47-pq-demoted")

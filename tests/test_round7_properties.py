@@ -7,7 +7,7 @@ string escaping, and the heap trainer vs a brute-force Python argmax.
 Pure-Python properties run at full hypothesis budget; Spark-backed ones
 are capped like tests/test_properties.py."""
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, given, settings, example
 from hypothesis import strategies as st
 
 from pubmed_central_semantic_search_spark.operators.multimodal import decode_ppm
@@ -49,6 +49,9 @@ _pdf_char = st.characters(
 @PY_PROP
 @given(lines=st.lists(st.text(_pdf_char, min_size=0, max_size=30),
                       min_size=1, max_size=5))
+@example(lines=["ET"])  # round-8 find: 'ET' INSIDE a literal string used
+# to terminate the BT(.*?)ET block regex mid-string (unterminated '(ET')
+@example(lines=["BT", "x ET y"])
 def test_pdf_generator_textlite_roundtrip(lines):
     n_pages, text = pdf_textlite(make_minimal_pdf(lines))
     assert n_pages == 1

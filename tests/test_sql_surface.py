@@ -214,3 +214,61 @@ def test_sql_pure_semantic_search_composition(spark, sf_dir):
         for r in sql_df.collect()
     }
     assert sql_rows == df_rows
+
+
+def test_catalog_sql_upsert_snapshot_roundtrip(spark, tmp_path):
+    """Round-8 stretch (verdict #8): the write path for SQL-only users —
+    UPSERT INTO / UPSERT READ (incl. a bucket-pruned LOOKUP) / SNAPSHOT
+    WRITE / READ / DIFF, each one statement string, SELECT bodies through
+    spark.sql. Results must match the Python-API twins exactly."""
+    from pubmed_central_semantic_search_spark.sql import catalog_sql
+
+    tbl = str(tmp_path / "t")
+    snap = str(tmp_path / "s")
+    spark.range(40).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v"
+    ).createOrReplaceTempView("src40")
+
+    catalog_sql(
+        spark,
+        f"UPSERT INTO '{tbl}' KEY (k) BUCKETS 4 AS SELECT * FROM src40",
+    )
+    v1 = catalog_sql(
+        spark, f"SNAPSHOT WRITE '{snap}' MODE overwrite AS SELECT * FROM src40"
+    )
+    assert v1 == 1
+    # keyed overwrite of two rows
+    catalog_sql(
+        spark,
+        f"UPSERT INTO '{tbl}' KEY (k) BUCKETS 4 AS "
+        "SELECT k, concat(v, '-u') AS v FROM src40 WHERE k < 2",
+    )
+    out = catalog_sql(spark, f"UPSERT READ '{tbl}' AS VIEW t_all")
+    got = {r.k: r.v for r in out.collect()}
+    assert got[0] == "0-u" and got[1] == "1-u" and got[39] == "39"
+    assert spark.sql("SELECT count(*) AS n FROM t_all").first().n == 40
+    # pruned point lookup through the SQL surface
+    lk = catalog_sql(spark, f"UPSERT READ '{tbl}' LOOKUP (k = 7) AS VIEW t_k7")
+    plan = lk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    assert [r.v for r in lk.collect()] == ["7"]
+    # snapshot v2 + CDC diff via views
+    v2 = catalog_sql(
+        spark, f"SNAPSHOT WRITE '{snap}' MODE overwrite AS SELECT * FROM t_all"
+    )
+    assert v2 == 2
+    catalog_sql(spark, f"SNAPSHOT READ '{snap}' VERSION 1 AS VIEW s_v1")
+    assert spark.sql("SELECT count(*) AS n FROM s_v1").first().n == 40
+    catalog_sql(
+        spark,
+        f"SNAPSHOT DIFF '{snap}' FROM 1 TO 2 KEY (k) AS VIEW s_diff",
+    )
+    diff = {
+        r.k: r.change for r in spark.sql("SELECT * FROM s_diff").collect()
+    }
+    assert diff == {0: "changed", 1: "changed"}
+    # unknown statements raise by name
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unrecognized statement"):
+        catalog_sql(spark, "MERGE INTO nope")
