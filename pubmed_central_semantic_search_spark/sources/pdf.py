@@ -90,17 +90,21 @@ def _pdf_textlite_fn():
     PDFs (round-7, the decode_ppm pattern: the pypdf seam stays gated,
     but a real PDF parse is now value-testable in this container).
 
-    Scope — the honest subset: content streams with NO stream filters
-    (no /FlateDecode), literal-string show operators ``(…) Tj`` and
+    Scope — the honest subset: content streams UNCOMPRESSED or
+    ``/FlateDecode``-compressed (round-8: stdlib zlib inflates them —
+    the overwhelmingly common real-PDF case; object dicts and the xref
+    stay uncompressed, so page counting and stream discovery read the
+    raw bytes), literal-string show operators ``(…) Tj`` and
     ``[(…) (…)] TJ`` inside ``BT…ET`` blocks, standard escapes
     (\\\\ \\( \\) \\n \\r \\t and octal), BALANCED nested parens and
     ``]`` inside literal strings (round-8: the scanner replaced the
-    regex that silently dropped both shapes). Anything filtered/
-    compressed, hex-string operands (``<…> Tj``) and the ``'``/``\"``
-    show operators are OUTSIDE the subset and raise BY NAME — the
-    per-row error column catches them, never wrong-empty text — callers
-    needing real-world PDFs use the pypdf tier. Page count =
-    ``/Type /Page`` object occurrences.
+    regex that silently dropped both shapes). Any OTHER stream filter
+    (LZW, DCT, crypt chains), a corrupt deflate body, hex-string
+    operands (``<…> Tj``) and the ``'``/``\"`` show operators are
+    OUTSIDE the subset and raise BY NAME — the per-row error column
+    catches them, never wrong-empty text — callers needing full
+    real-world PDFs use the pypdf tier. Page count = ``/Type /Page``
+    object occurrences.
 
     A factory (not a module function) so the returned parser's qualname
     is unimportable and cloudpickle ships it BY VALUE into mapInPandas
@@ -111,12 +115,87 @@ def _pdf_textlite_fn():
 
         if not blob.startswith(b"%PDF-"):
             raise ValueError("pdf_textlite: not a PDF (missing %PDF- header)")
-        if _re.search(rb"/Filter\s*/", blob):
-            raise ValueError(
-                "pdf_textlite: filtered/compressed content stream — "
-                "outside the uncompressed subset (use the pypdf tier)"
-            )
         n_pages = len(_re.findall(rb"/Type\s*/Page(?![a-zA-Z])", blob))
+
+        # Segment the blob into non-stream spans (scanned raw — some
+        # generators inline content) and stream BODIES, inflating
+        # /FlateDecode streams via stdlib zlib (round-8: this converts
+        # the tier from uncompressed-only to real-PDF content streams);
+        # any other filter raises BY NAME instead of yielding wrong-empty
+        # text. Stream bodies are delimited by the endstream keyword, so
+        # a wrong or compressed /Length cannot derail the walk.
+        segments: list[bytes] = []
+        pos, nb = 0, len(blob)
+        while pos < nb:
+            s = blob.find(b"stream", pos)
+            if s == -1:
+                segments.append(blob[pos:])
+                break
+            prev = blob[s - 1 : s]
+            nxt = blob[s + 6 : s + 7]
+            if prev.isalnum() or nxt not in (b"\r", b"\n"):
+                # 'endstream' remnants or 'stream' inside a token/string
+                segments.append(blob[pos : s + 6])
+                pos = s + 6
+                continue
+            body_start = s + 6
+            if blob[body_start : body_start + 2] == b"\r\n":
+                body_start += 2
+            elif blob[body_start : body_start + 1] in (b"\n", b"\r"):
+                body_start += 1
+            dict_start = blob.rfind(b"obj", 0, s)
+            head = blob[dict_start if dict_start != -1 else pos : s]
+            # Prefer the dict's direct /Length to delimit the body (the
+            # spec requires it to be exact): a shown string containing
+            # the BYTES 'endstream' otherwise truncates the body
+            # (hypothesis find). Indirect lengths (/Length 4 0 R) and
+            # lying lengths fall back to the keyword search.
+            e = -1
+            lm = _re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            if lm:
+                cand = body_start + int(lm.group(1))
+                tail = blob[cand : cand + 11]
+                tail = tail.lstrip(b"\r\n")
+                if tail.startswith(b"endstream"):
+                    body = blob[body_start:cand]
+                    e = blob.find(b"endstream", cand)
+            if e == -1:
+                e = blob.find(b"endstream", body_start)
+                if e == -1:
+                    raise ValueError(
+                        "pdf_textlite: stream without endstream"
+                    )
+                body = blob[body_start:e]
+                if body.endswith(b"\r\n"):
+                    body = body[:-2]
+                elif body.endswith((b"\n", b"\r")):
+                    body = body[:-1]
+            filters = _re.findall(
+                rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])", head
+            )
+            if filters:
+                spec = filters[-1]
+                names = _re.findall(rb"/([A-Za-z0-9]+)", spec)
+                if names == [b"FlateDecode"]:
+                    import zlib as _zlib
+
+                    try:
+                        body = _zlib.decompress(body)
+                    except Exception as ex:
+                        raise ValueError(
+                            f"pdf_textlite: FlateDecode stream failed to "
+                            f"inflate ({ex}) — corrupt or not raw zlib"
+                        ) from ex
+                else:
+                    raise ValueError(
+                        "pdf_textlite: unsupported stream filter chain "
+                        f"{spec!r} — only /FlateDecode or uncompressed "
+                        "streams are in the lite subset (use the pypdf "
+                        "tier)"
+                    )
+            segments.append(blob[pos:s])  # dict/header span, scanned raw
+            segments.append(body)
+            pos = e + 9
 
         def _unescape(s: bytes) -> str:
             out, i = [], 0
@@ -194,49 +273,52 @@ def _pdf_textlite_fn():
         # show shape the subset cannot represent raises BY NAME (the
         # per-row error column catches it) instead of dropping text.
         texts = []
-        i, n = 0, len(blob)
-        while i < n:
-            c = blob[i : i + 1]
-            if c == b"(":
-                _, i = _parse_literal(blob, i)
-                continue
-            if not _is_op(blob, i, b"BT"):
-                i += 1
-                continue
-            i += 2  # inside a text block
-            pending = []
-            while i < n and not _is_op(blob, i, b"ET"):
-                c = blob[i : i + 1]
+        for seg in segments:
+            i, n = 0, len(seg)
+            while i < n:
+                c = seg[i : i + 1]
                 if c == b"(":
-                    raw, i = _parse_literal(blob, i)
-                    pending.append(raw)
+                    _, i = _parse_literal(seg, i)
                     continue
-                if c == b"<" and blob[i + 1 : i + 2] != b"<":
-                    raise ValueError(
-                        "pdf_textlite: hex-string show operand — outside "
-                        "the literal-string subset (use the pypdf tier)"
-                    )
-                if c in (b"'", b'"'):
-                    raise ValueError(
-                        "pdf_textlite: ' / \" show operator — outside the "
-                        "Tj/TJ subset (use the pypdf tier)"
-                    )
-                if _is_op(blob, i, b"Tj"):
-                    if not pending:
+                if not _is_op(seg, i, b"BT"):
+                    i += 1
+                    continue
+                i += 2  # inside a text block
+                pending = []
+                while i < n and not _is_op(seg, i, b"ET"):
+                    c = seg[i : i + 1]
+                    if c == b"(":
+                        raw, i = _parse_literal(seg, i)
+                        pending.append(raw)
+                        continue
+                    if c == b"<" and seg[i + 1 : i + 2] != b"<":
                         raise ValueError(
-                            "pdf_textlite: Tj with no literal-string operand"
+                            "pdf_textlite: hex-string show operand — "
+                            "outside the literal-string subset (use the "
+                            "pypdf tier)"
                         )
-                    texts.append(_unescape(pending[-1]))
-                    pending, i = [], i + 2
-                    continue
-                if _is_op(blob, i, b"TJ"):
-                    # kerning-only arrays ([ -120 ] TJ) legally show no
-                    # text — empty pending is fine here, unlike Tj
-                    texts.extend(_unescape(p) for p in pending)
-                    pending, i = [], i + 2
-                    continue
-                i += 1
-            i += 2  # past ET
+                    if c in (b"'", b'"'):
+                        raise ValueError(
+                            "pdf_textlite: ' / \" show operator — outside "
+                            "the Tj/TJ subset (use the pypdf tier)"
+                        )
+                    if _is_op(seg, i, b"Tj"):
+                        if not pending:
+                            raise ValueError(
+                                "pdf_textlite: Tj with no literal-string "
+                                "operand"
+                            )
+                        texts.append(_unescape(pending[-1]))
+                        pending, i = [], i + 2
+                        continue
+                    if _is_op(seg, i, b"TJ"):
+                        # kerning-only arrays ([ -120 ] TJ) legally show
+                        # no text — empty pending is fine here, unlike Tj
+                        texts.extend(_unescape(p) for p in pending)
+                        pending, i = [], i + 2
+                        continue
+                    i += 1
+                i += 2  # past ET
         return n_pages, "\n".join(texts)
 
     return _extract
@@ -245,12 +327,14 @@ def _pdf_textlite_fn():
 pdf_textlite = _pdf_textlite_fn()
 
 
-def make_minimal_pdf(lines: list[str]) -> bytes:
-    """Deterministic generator of a minimal single-page UNCOMPRESSED PDF
-    (catalog → pages → page → Helvetica font → one content stream with a
-    ``Tj`` per line) — the test fixture for the lite tier, built from the
-    spec alone. Round-trips through BOTH ``pdf_textlite`` and pypdf
-    (the gated twin test)."""
+def make_minimal_pdf(lines: list[str], compress: bool = False) -> bytes:
+    """Deterministic generator of a minimal single-page PDF (catalog →
+    pages → page → Helvetica font → one content stream with a ``Tj`` per
+    line) — the test fixture for the lite tier, built from the spec
+    alone. ``compress=True`` deflates the content stream and declares
+    ``/Filter /FlateDecode`` (round-8: the real-PDF shape the lite tier
+    now inflates via stdlib zlib). Round-trips through BOTH
+    ``pdf_textlite`` and pypdf (the gated twin test)."""
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -259,13 +343,19 @@ def make_minimal_pdf(lines: list[str]) -> bytes:
         f"({esc(ln)}) Tj" for ln in lines
     ) + " ET"
     stream = body.encode("latin-1")
+    filt = b""
+    if compress:
+        import zlib
+
+        stream = zlib.compress(stream)
+        filt = b"/Filter /FlateDecode "
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
-        + stream + b"\nendstream",
+        b"<< " + filt + b"/Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")

@@ -151,7 +151,11 @@ def test_pdf_lite_tier_extracts_generated_pdf(spark):
     df = spark.createDataFrame(
         [
             ("a.pdf", blob),
-            ("zip.pdf", b"%PDF-1.4 /Filter /FlateDecode garbage"),
+            ("flate.pdf", make_minimal_pdf(lines, compress=True)),
+            ("corrupt.pdf", b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode "
+             b"/Length 7 >>\nstream\ngarbage\nendstream\nendobj\n%%EOF"),
+            ("lzw.pdf", b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode "
+             b"/Length 4 >>\nstream\nabcd\nendstream\nendobj\n%%EOF"),
             ("not.pdf", b"GIF89a"),
         ],
         "path string, content binary",
@@ -160,7 +164,12 @@ def test_pdf_lite_tier_extracts_generated_pdf(spark):
     assert rows["a.pdf"]["error"] is None
     assert rows["a.pdf"]["text"] == "\n".join(lines)
     assert rows["a.pdf"]["n_pages"] == 1
-    assert "uncompressed subset" in rows["zip.pdf"]["error"]
+    # round-8: FlateDecode streams REALLY inflate (stdlib zlib) — the
+    # overwhelmingly common real-PDF case is now in the lite subset
+    assert rows["flate.pdf"]["error"] is None
+    assert rows["flate.pdf"]["text"] == "\n".join(lines)
+    assert "failed to inflate" in rows["corrupt.pdf"]["error"]
+    assert "unsupported stream filter" in rows["lzw.pdf"]["error"]
     assert "not a PDF" in rows["not.pdf"]["error"]
 
 
@@ -178,11 +187,12 @@ def test_pdf_lite_matches_pypdf_when_available(spark):
     from pypdf import PdfReader
 
     lines = ["alpha", "beta (x)"]
-    blob = make_minimal_pdf(lines)
-    got_pypdf = PdfReader(io.BytesIO(blob)).pages[0].extract_text()
-    _, got_lite = pdf_textlite(blob)
-    assert got_lite.split("\n") == lines
-    assert "alpha" in got_pypdf and "beta (x)" in got_pypdf
+    for compress in (False, True):  # round-8: the FlateDecode tier too
+        blob = make_minimal_pdf(lines, compress=compress)
+        got_pypdf = PdfReader(io.BytesIO(blob)).pages[0].extract_text()
+        _, got_lite = pdf_textlite(blob)
+        assert got_lite.split("\n") == lines
+        assert "alpha" in got_pypdf and "beta (x)" in got_pypdf
 
 
 def test_pdf_lite_octal_escapes():

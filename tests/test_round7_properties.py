@@ -52,6 +52,9 @@ _pdf_char = st.characters(
 @example(lines=["ET"])  # round-8 find: 'ET' INSIDE a literal string used
 # to terminate the BT(.*?)ET block regex mid-string (unterminated '(ET')
 @example(lines=["BT", "x ET y"])
+@example(lines=["endstream"])  # round-8 find: the segmentation walk used
+# to truncate the body at 'endstream' BYTES inside a shown string; the
+# dict's /Length now delimits the body first
 def test_pdf_generator_textlite_roundtrip(lines):
     n_pages, text = pdf_textlite(make_minimal_pdf(lines))
     assert n_pages == 1
@@ -200,3 +203,18 @@ def test_batch_lookup_equals_full_scan_filter(spark, tmp_path_factory, keys):
         .collect()
     )
     assert got == want
+
+
+@PY_PROP
+@given(lines=st.lists(st.text(_pdf_char, min_size=0, max_size=30),
+                      min_size=1, max_size=5))
+@example(lines=["ET"])
+@example(lines=["stream", "endstream x"])  # keywords inside shown text
+def test_pdf_flate_generator_textlite_roundtrip(lines):
+    """Round-8 S6: the FlateDecode tier — same property as the
+    uncompressed roundtrip, through zlib-compressed content streams
+    (make_minimal_pdf(compress=True) declares /Filter /FlateDecode and
+    pdf_textlite inflates with stdlib zlib)."""
+    n_pages, text = pdf_textlite(make_minimal_pdf(lines, compress=True))
+    assert n_pages == 1
+    assert text == "\n".join(lines)
