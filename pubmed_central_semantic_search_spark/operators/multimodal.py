@@ -707,3 +707,143 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
+# --- Y4M real-decode tier (round-8: closes the LAST fake-only modality —
+# YUV4MPEG2 is the pure-Python-parseable raw-video format: an ASCII
+# header, then 'FRAME' markers with raw planar YCbCr bytes)
+
+
+def _y4m_decode_fn():
+    """Factory for the pure-Python YUV4MPEG2 (Y4M) parser — the VIDEO
+    member of the no-dependency codec family (``decode_ppm`` /
+    ``decode_wav``'s pattern: real bytes, zero libraries,
+    value-certifiable in this container).
+
+    Subset (the honest contract): the canonical stream header
+    ``YUV4MPEG2 W<w> H<h> ...`` with C420-family chroma (the default and
+    overwhelmingly common subsampling; other colorspaces raise BY NAME),
+    even dimensions, then ``FRAME`` markers each followed by
+    ``w*h*3/2`` raw planar bytes (luma plane, then the two quarter-size
+    chroma planes). Returns ``(w, h, frames)`` with ``frames`` a list of
+    flat uint8 arrays of length w*h*3/2. Compressed containers
+    (MP4/MKV/AVI codecs) are OUTSIDE any pure-Python subset and belong
+    to the gated ffmpeg-tier future seam."""
+
+    def _parse(blob: bytes):
+        import numpy as _np
+
+        if not blob.startswith(b"YUV4MPEG2"):
+            raise ValueError("decode_y4m: not a YUV4MPEG2 stream")
+        nl = blob.find(b"\n")
+        if nl == -1:
+            raise ValueError("decode_y4m: truncated stream header")
+        w = h = None
+        colorspace = b"C420"
+        for p in blob[9:nl].split():
+            if p[:1] == b"W":
+                w = int(p[1:])
+            elif p[:1] == b"H":
+                h = int(p[1:])
+            elif p[:1] == b"C":
+                colorspace = p
+        if not w or not h:
+            raise ValueError("decode_y4m: header missing W/H")
+        if not colorspace.startswith(b"C420"):
+            raise ValueError(
+                f"decode_y4m: colorspace {colorspace.decode('latin-1')} — "
+                "outside the C420 subset"
+            )
+        if w % 2 or h % 2:
+            raise ValueError(
+                f"decode_y4m: odd dimensions {w}x{h} under 4:2:0 chroma"
+            )
+        fsize = w * h * 3 // 2
+        pos, frames = nl + 1, []
+        while pos < len(blob):
+            if blob[pos : pos + 5] != b"FRAME":
+                raise ValueError("decode_y4m: expected FRAME marker")
+            fnl = blob.find(b"\n", pos)
+            if fnl == -1:
+                raise ValueError("decode_y4m: truncated FRAME header")
+            data = blob[fnl + 1 : fnl + 1 + fsize]
+            if len(data) < fsize:
+                raise ValueError("decode_y4m: truncated frame data")
+            frames.append(_np.frombuffer(data, dtype=_np.uint8))
+            pos = fnl + 1 + fsize
+        return w, h, frames
+
+    return _parse
+
+
+decode_y4m = _y4m_decode_fn()
+
+
+def make_y4m(frames, width: int, height: int) -> bytes:
+    """Deterministic canonical-Y4M generator (the ``make_minimal_pdf`` /
+    ``make_wav_pcm16`` discipline): ``frames`` is a list of flat uint8
+    arrays of length w*h*3/2 (C420 planar). Round-trips through
+    ``decode_y4m``."""
+    import numpy as np
+
+    if width % 2 or height % 2:
+        raise ValueError("make_y4m: C420 needs even dimensions")
+    fsize = width * height * 3 // 2
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode())
+    for fr in frames:
+        arr = np.asarray(fr, dtype=np.uint8).ravel()
+        if arr.size != fsize:
+            raise ValueError(
+                f"make_y4m: frame size {arr.size} != w*h*3/2 = {fsize}"
+            )
+        out += b"FRAME\n" + arr.tobytes()
+    return bytes(out)
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_id string, n_bytes bigint, width int, height int, "
+    "n_frames bigint, sum_luma bigint, sum_chroma bigint, error string"
+)
+
+
+def decode_video_stats(df: DataFrame) -> DataFrame:
+    """Integer plane statistics from REAL decoded video frames
+    (pure-Python Y4M tier — no codec libraries): per clip, (width,
+    height, n_frames) from the stream header and exact int64 sums of
+    the luma plane and the chroma planes across all frames. All-integer
+    output so the q42 'video' arm is hash-certifiable against a DuckDB
+    oracle that recomputes the sums from the clip GENERATOR's formula
+    (the decoder-bug-cannot-cancel construction). Malformed /
+    out-of-subset blobs land in the error column, never poison the
+    batch."""
+    parse = _y4m_decode_fn()  # by-value shippable (self-contained rule)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    w, h, frames = parse(blob)
+                    luma = sum(
+                        int(f[: w * h].astype("int64").sum()) for f in frames
+                    )
+                    chroma = sum(
+                        int(f[w * h :].astype("int64").sum()) for f in frames
+                    )
+                    out.append(
+                        (mid, len(blob), w, h, len(frames), luma, chroma,
+                         None)
+                    )
+                except Exception as ex:
+                    out.append(
+                        (mid, None, None, None, None, None, None,
+                         repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_bytes", "width", "height",
+                         "n_frames", "sum_luma", "sum_chroma", "error"],
+            )
+
+    return df.mapInPandas(_stats, VIDEO_STATS_SCHEMA)

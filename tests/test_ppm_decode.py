@@ -309,3 +309,42 @@ def test_wav_decode_roundtrip_and_subset_errors(spark):
     assert "non-PCM" in rows["float"]["error"]
     assert "16-bit" in rows["8bit"]["error"]
     assert "RIFF/WAVE" in rows["junk"]["error"]
+
+
+def test_y4m_decode_roundtrip_and_subset_errors(spark):
+    """Round-8: REAL video decode in-container (the decode_ppm/decode_wav
+    pattern) — canonical YUV4MPEG2 C420 clips round-trip through the
+    pure-Python tier; out-of-subset shapes land in the error column by
+    name. Closes the last fake-only modality."""
+    import numpy as np
+
+    from pubmed_central_semantic_search_spark.operators.multimodal import (
+        decode_video_stats,
+        decode_y4m,
+        make_y4m,
+    )
+
+    frames = [np.arange(24) % 256, (np.arange(24) + 100) % 256]
+    blob = make_y4m(frames, 4, 4)
+    w, h, got = decode_y4m(blob)
+    assert (w, h, len(got)) == (4, 4, 2)
+    assert all((a == b).all() for a, b in zip(got, frames))
+    df = spark.createDataFrame(
+        [
+            ("ok", blob),
+            ("c444", b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(48)),
+            ("odd", b"YUV4MPEG2 W3 H4 C420\nFRAME\n" + bytes(18)),
+            ("trunc", blob[:-5]),
+            ("junk", b"RIFF not a y4m"),
+        ],
+        "media_id string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_video_stats(df).collect()}
+    ok = rows["ok"]
+    assert (ok["width"], ok["height"], ok["n_frames"]) == (4, 4, 2)
+    assert ok["sum_luma"] == sum(int(f[:16].sum()) for f in frames)
+    assert ok["sum_chroma"] == sum(int(f[16:].sum()) for f in frames)
+    assert "C420 subset" in rows["c444"]["error"]
+    assert "odd dimensions" in rows["odd"]["error"]
+    assert "truncated frame data" in rows["trunc"]["error"]
+    assert "not a YUV4MPEG2" in rows["junk"]["error"]
