@@ -604,6 +604,9 @@ def _wav_decode_fn():
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             raise ValueError("decode_wav: missing fmt/data chunk")
+        if len(fmt) < 16:
+            # a named error, not struct.error (round-8 self-review)
+            raise ValueError(f"decode_wav: fmt chunk too short ({len(fmt)})")
         audio_fmt, ch, rate, _br, _ba, bits = _struct.unpack(
             "<HHIIHH", fmt[:16]
         )

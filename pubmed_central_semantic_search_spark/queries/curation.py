@@ -463,6 +463,11 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctly rounded in both engines' libm. Four unrolled rounds cover
 # k=3 domains; settled rounds are no-ops by construction (no new caps →
 # same weight set → same fractions).
+# Known residual: Python's int(round(frac*65536)) is half-EVEN, DuckDB's
+# CAST is half-away — they differ only on an EXACT .5 tie, which for a
+# water-filled quotient is a measure-zero double (capped fracs are
+# exactly 1.0 → no tie); recorded, not designed out, because the
+# threshold formula is with_sample_flag's certified contract.
 _TMIX_ALPHA, _TMIX_TARGET = 0.5, 20000
 _TMIX_SRC = "CASE WHEN doc_id < 10 THEN 'tiny' WHEN doc_id < 100 THEN 'mid' ELSE 'big' END"
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,16 +171,25 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     # it overlaps the first upsert below instead of serializing ahead of
     # it (the q53 concurrent-submission pattern); the diff leg joins the
     # future before reading v1
-    from concurrent.futures import ThreadPoolExecutor
-
     snap_dir = os.path.join(base, "snap_tbl")
     _snap_pool = ThreadPoolExecutor(1)
-    v1_future = _snap_pool.submit(
-        snapshot_write, spark, seed, snap_dir, mode="overwrite"
-    )
+    try:
+        v1_future = _snap_pool.submit(
+            snapshot_write, spark, seed, snap_dir, mode="overwrite"
+        )
+        return _roundtrip_merges(
+            spark, base, docs_grp, seed, part_path=os.path.join(base, "docs_part"),
+            snap_dir=snap_dir, v1_future=v1_future,
+        )
+    finally:
+        # shutdown on EVERY exit path (round-8 self-review: an exception
+        # in the merge phases left the v1 thread's pool unshutdown)
+        _snap_pool.shutdown(wait=True)
 
+
+
+def _roundtrip_merges(spark, base, docs_grp, seed, part_path, snap_dir, v1_future):
     # --- bucket-partitioned layout (the 100 TB shape): all three phases
-    part_path = os.path.join(base, "docs_part")
     upsert_parquet(
         spark, seed, part_path, key_cols=["doc_id"],
         replace_group_col="grp", n_buckets=8,
@@ -192,7 +202,7 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     # spark-warehouse under the caller's working directory (which may not
     # be writable in the driver's environment).
     tname = "writepath_" + uuid.uuid4().hex[:8]
-    ensure_table(spark, tname, docs, path=os.path.join(base, "ddl_tbl"))
+    ensure_table(spark, tname, docs_grp, path=os.path.join(base, "ddl_tbl"))
     try:
         if not spark.catalog.tableExists(tname):
             raise RuntimeError("ensure_table failed to create the collection")
@@ -261,7 +271,6 @@ def _roundtrip(spark, base, docs) -> DataFrame:
             r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows
         ]
         diff_rows = diff_future.result()
-    _snap_pool.shutdown()
     return local_df(
         spark, part_rows + lookup_rows + diff_rows, part_out.schema
     )

@@ -136,9 +136,32 @@ def _parse_keys(s: str) -> list[str]:
     return [c.strip() for c in s.split(",") if c.strip()]
 
 
+def _split_terms(s: str) -> list[str]:
+    """Split on commas NOT inside brackets/quotes — LOOKUP (k = [1, 2])
+    is a batch lookup and its list literal contains commas (round-8
+    self-review: the naive split broke the term apart)."""
+    out, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [t for t in out if t.strip()]
+
+
 def _parse_lookup(s: str) -> dict:
     out = {}
-    for part in s.split(","):
+    for part in _split_terms(s):
         col, _, lit = part.partition("=")
         if not _.strip() and not lit:
             raise ValueError(f"catalog_sql: bad LOOKUP term {part!r}")

@@ -252,6 +252,12 @@ def test_catalog_sql_upsert_snapshot_roundtrip(spark, tmp_path):
     plan = lk._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_bucket" in plan
     assert [r.v for r in lk.collect()] == ["7"]
+    # BATCH lookup: a list literal (commas inside brackets must not split
+    # the term — round-8 self-review find) prunes to the bucket union
+    bk = catalog_sql(
+        spark, f"UPSERT READ '{tbl}' LOOKUP (k = [3, 5, 999]) AS VIEW t_b"
+    )
+    assert sorted(r.k for r in bk.collect()) == [3, 5]
     # snapshot v2 + CDC diff via views
     v2 = catalog_sql(
         spark, f"SNAPSHOT WRITE '{snap}' MODE overwrite AS SELECT * FROM t_all"
