@@ -69,6 +69,14 @@ def salted_join(
             f"replicated small side would duplicate unmatched rows; use one "
             f"of {sorted(allowed)}"
         )
+    # the reserved-column rule (the upsert writer's _bucket lesson):
+    # withColumn would silently REPLACE a caller's _salt and corrupt the
+    # join key (round-8 review find)
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join: an input frame already carries a '_salt' column "
+            "— the reserved internal name; rename it before the join"
+        )
     big_s = big.withColumn("_salt", salt_column(salt_by, n_salt))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
@@ -86,12 +94,32 @@ def salted_distinct_count(
     """Exact per-group count-distinct that survives one group holding most
     of the data: spread the group over (group, salt) for the distinct
     stage, then sum the per-salt distinct counts (sets are disjoint across
-    salts because the salt is a function of the value)."""
-    salted = df.select(
-        *group, F.col(value_col).alias("_v"),
-        salt_column([value_col], n_salt).alias("_salt"),
-    ).distinct()
+    salts because the salt is a function of the value).
+
+    NULL semantics match ``F.countDistinct`` exactly (round-8 review
+    find: the first cut counted NULL as a distinct value — a=3 where
+    countDistinct says 2): null values are excluded from the count, and
+    a group whose values are ALL null still appears with n_distinct=0
+    (the group set rides a separate group-cardinality-sized distinct,
+    never a data-sized join side)."""
+    if "_salt" in df.columns or "_v" in df.columns:
+        raise ValueError(
+            "salted_distinct_count: input carries a reserved internal "
+            "column ('_salt'/'_v') — rename it first"
+        )
+    salted = (
+        df.select(
+            *group, F.col(value_col).alias("_v"),
+            salt_column([value_col], n_salt).alias("_salt"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
     per_salt = salted.groupBy(*group, "_salt").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    return per_salt.groupBy(*group).agg(F.sum("_c").alias("n_distinct"))
+    counts = per_salt.groupBy(*group).agg(F.sum("_c").alias("_n"))
+    groups = df.select(*group).distinct()
+    return groups.join(counts, list(group), "left").select(
+        *group, F.coalesce("_n", F.lit(0)).alias("n_distinct")
+    )

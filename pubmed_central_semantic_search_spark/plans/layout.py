@@ -96,6 +96,13 @@ def zorder_write(
 
     One range shuffle — the same cost as a plain global sort-write, but
     the stats benefit applies to all ``cols``, not one."""
+    if "_z" in df.columns:
+        # the reserved-column rule (round-8 review sweep): withColumn
+        # would silently replace a caller's _z and then DROP it on write
+        raise ValueError(
+            "zorder_write: input already carries a '_z' column — the "
+            "reserved internal name; rename it first"
+        )
     keyed = df.withColumn("_z", zvalue(cols, bits))
     (
         keyed.repartitionByRange(n_files, "_z")

@@ -55,10 +55,22 @@ def parse_jats(
     parity matters: first-child-only itertext, NO strip — a structured
     abstract then loses its later blocks exactly as the reference does,
     and an abstract with no child elements (bare text) yields ''."""
+    if not reference_compat:
+        # ONE parse core (round-8: the executor stage used to carry an
+        # inline copy — twin-divergence hazard, now collapsed)
+        article_id, names, secs, abstract = _jats_core_fn()(
+            xml_text, chunk_sep=chunk_sep
+        )
+        return {
+            "article_id": article_id,
+            "section_names": names,
+            "sections": secs,
+            "abstract_text": abstract,
+        }
+
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(xml_text)
-
     id_el = next(
         (
             el
@@ -68,34 +80,17 @@ def parse_jats(
         None,
     )
     article_id = f"PMC{id_el.text}" if id_el is not None and id_el.text else None
-
-    if reference_compat:
-        first_child = root.find(".//abstract/*")
-        abstract = (
-            "".join(first_child.itertext()) if first_child is not None else ""
-        )
-    else:
-        abstract_el = root.find(".//abstract")
-        abstract = (
-            "".join(abstract_el.itertext()).strip()
-            if abstract_el is not None
-            else ""
-        )
-
+    # reference_compat: first-abstract-child-only, unstripped
+    # (fetch_pmcid.py:17 bit for bit)
+    first_child = root.find(".//abstract/*")
+    abstract = (
+        "".join(first_child.itertext()) if first_child is not None else ""
+    )
     section_names = ["Abstract"]
     sections = [[s for s in abstract.split(chunk_sep) if s]]
     for sec in root.iter("sec"):
         title_el = sec.find("title")
         title = title_el.text if title_el is not None else None
-        # fetch_pmcid.py:22-24, faithfully: PER ELEMENT, text+tail
-        # concatenated with NO separator; '\n' joins only ACROSS
-        # elements — and empty elements contribute an EMPTY entry (the
-        # reference's list comprehension keeps them, so consecutive
-        # empties become consecutive newlines and later '..' runs).
-        # Splitting text and tail into separate newline-joined parts
-        # (the first cut here) injected a spurious '.' after every
-        # inline element (xref/italic/bold) and shifted chunk
-        # boundaries on essentially every real PMC article.
         parts = []
         for el in sec.iter():
             if el is sec or el.tag == "title":
@@ -115,55 +110,74 @@ def parse_jats(
     }
 
 
-def parse_articles(xml_df: DataFrame) -> DataFrame:
-    """mapInPandas parse stage: (pmcid, xml) → parsed article rows.
+def _jats_core_fn():
+    """Factory for the DEFAULT-mode JATS parser core — by-value
+    shippable (the self-contained-closure rule: ``parse_articles``'s
+    mapInPandas closure must not reference this module). ONE definition
+    feeds both ``parse_jats`` (the driver-side public API, which adds
+    the reference_compat/chunk_sep knobs on top) and the executor-side
+    stage — round-8 review: the stage carried an inline COPY of the
+    parse, the exact twin-divergence hazard the chunking module already
+    closed (explode_chunks/chunk_key)."""
 
-    Self-contained closure (no module references — see encoder.py for the
-    pickling rule); bad XML lands in the ``error`` column instead of
-    failing the job (at 100 TB a poison document must not kill the run —
-    unlike the reference's swallowed ``except: print``, qdrant.py:172-174,
-    errors stay visible as data)."""
-
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def one(xml_text, chunk_sep=". "):
         import re as _re
         import xml.etree.ElementTree as _ET
 
-        def one(xml_text):
-            root = _ET.fromstring(xml_text)
-            id_el = next(
-                (
-                    el
-                    for el in root.iter("article-id")
-                    if el.get("pub-id-type") == "pmcid"
-                ),
-                None,
+        root = _ET.fromstring(xml_text)
+        id_el = next(
+            (
+                el
+                for el in root.iter("article-id")
+                if el.get("pub-id-type") == "pmcid"
+            ),
+            None,
+        )
+        article_id = (
+            f"PMC{id_el.text}" if id_el is not None and id_el.text else None
+        )
+        abstract_el = root.find(".//abstract")
+        abstract = (
+            "".join(abstract_el.itertext()).strip()
+            if abstract_el is not None
+            else ""
+        )
+        names = ["Abstract"]
+        secs = [[s for s in abstract.split(chunk_sep) if s]]
+        for sec in root.iter("sec"):
+            title_el = sec.find("title")
+            # fetch_pmcid.py:22-24, faithfully: PER ELEMENT, text+tail
+            # concatenated with NO separator; '\n' joins only ACROSS
+            # elements — empty elements contribute an EMPTY entry (the
+            # reference's list comprehension keeps them, so consecutive
+            # empties become consecutive newlines and later '..' runs)
+            parts = []
+            for el in sec.iter():
+                if el is sec or el.tag == "title":
+                    continue
+                parts.append("".join(p for p in (el.text, el.tail) if p))
+            text = _re.sub(
+                r"\[[^\]]*\]", "", "\n".join(parts), flags=_re.DOTALL
             )
-            article_id = (
-                f"PMC{id_el.text}" if id_el is not None and id_el.text else None
-            )
-            abstract_el = root.find(".//abstract")
-            abstract = (
-                "".join(abstract_el.itertext()).strip()
-                if abstract_el is not None
-                else ""
-            )
-            names = ["Abstract"]
-            secs = [[s for s in abstract.split(". ") if s]]
-            for sec in root.iter("sec"):
-                title_el = sec.find("title")
-                parts = []
-                for el in sec.iter():
-                    if el is sec or el.tag == "title":
-                        continue
-                    parts.append(
-                        "".join(p for p in (el.text, el.tail) if p)
-                    )
-                text = _re.sub(r"\[[^\]]*\]", "", "\n".join(parts), flags=_re.DOTALL)
-                text = ".".join(text.split("\n"))
-                names.append(title_el.text if title_el is not None else None)
-                secs.append([s for s in text.split(". ") if s])
-            return article_id, names, secs, abstract
+            text = ".".join(text.split("\n"))
+            names.append(title_el.text if title_el is not None else None)
+            secs.append([s for s in text.split(chunk_sep) if s])
+        return article_id, names, secs, abstract
 
+    return one
+
+
+def parse_articles(xml_df: DataFrame) -> DataFrame:
+    """mapInPandas parse stage: (pmcid, xml) → parsed article rows.
+
+    Ships ``_jats_core_fn()``'s product by value (no module references —
+    see encoder.py for the pickling rule); bad XML lands in the
+    ``error`` column instead of failing the job (at 100 TB a poison
+    document must not kill the run — unlike the reference's swallowed
+    ``except: print``, qdrant.py:172-174, errors stay visible as data)."""
+    one = _jats_core_fn()  # by-value shippable
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for pmcid, xml_text in zip(pdf["pmcid"], pdf["xml"]):

@@ -235,3 +235,43 @@ def test_simhash_band_blocking_is_exhaustive_below_band_count(spark, sf_dir):
         for r in simhash_near_dup(docs, "doc_id", "text", max_hamming=3, n_bands=4).collect()
     }
     assert blocked == brute
+
+
+def test_salted_distinct_count_null_semantics_match_countdistinct(spark):
+    """Round-8 review find: NULL values must be EXCLUDED (countDistinct
+    semantics) and all-null groups must still appear with 0 — the first
+    cut counted NULL as a distinct value and dropped nothing."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)],
+        "g string, v string",
+    )
+    got = {r.g: r.n_distinct for r in salted_distinct_count(df, ["g"], "v").collect()}
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"a": 2, "b": 0}
+
+
+def test_salt_reserved_column_guards(spark):
+    """Round-8 review find: a caller's own '_salt' column used to be
+    silently replaced (the upsert writer's _bucket lesson)."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.skew import (
+        salted_distinct_count,
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, 2, 3)], "key int, row_id int, _salt int")
+    dim = spark.createDataFrame([(1, "d")], "key int, payload string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big, dim, on=["key"], salt_by=["row_id"])
+    with pytest.raises(ValueError, match="reserved internal"):
+        salted_distinct_count(big, ["key"], "row_id")

@@ -1359,3 +1359,35 @@ def test_stream_ivf_index_refuses_leaf_compaction_by_name(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 12
     probe = spark.read.parquet(idx).filter(SF.col("cluster_id") == cents[0][0])
     assert "PartitionFilters" in probe._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parse_jats_and_stage_share_one_core(spark):
+    """Round-8 review: parse_articles used to carry an inline COPY of
+    parse_jats (the twin-divergence defect class) — both now run
+    _jats_core_fn()'s product; pin default-mode equality on an
+    inline-markup + structured-section article so a future edit to one
+    path cannot silently drift the other."""
+    from pubmed_central_semantic_search_spark.sources.pmc import (
+        parse_articles,
+        parse_jats,
+    )
+
+    xml = (
+        "<article><front><article-meta>"
+        "<article-id pub-id-type='pmcid'>77</article-id>"
+        "<abstract><p>One. Two [x]. Three</p></abstract>"
+        "</article-meta></front><body>"
+        "<sec><title>Intro</title><p>Alpha <xref>[1]</xref> beta. "
+        "Gamma</p><p>Delta [2,3] end</p></sec>"
+        "<sec><title>Methods</title><p>Only para.</p></sec>"
+        "</body></article>"
+    )
+    direct = parse_jats(xml)
+    staged = parse_articles(
+        spark.createDataFrame([("PMC77", xml)], "pmcid string, xml string")
+    ).collect()[0]
+    assert staged["error"] is None
+    assert staged["article_id"] == direct["article_id"] == "PMC77"
+    assert list(staged["section_names"]) == direct["section_names"]
+    assert [list(s) for s in staged["sections"]] == direct["sections"]
+    assert staged["abstract_text"] == direct["abstract_text"]
