@@ -186,3 +186,82 @@ def test_q13_chunk_arm_on_edge_shape_corpus(spark, tmp_path):
     chunk_rows = got[got["kind"] == "chunk"]
     assert (chunk_rows["token"].str.startswith("0:Abstract:")).any()
     assert (chunk_rows["token"].str.startswith("1:Body:")).any()
+
+
+# --- round-8 arms: temperature_mix water-filling + MMR tie-breaks ----------
+
+
+def test_q50_tmix_oracle_replay_on_cap_edge_corpora(spark, tmp_path):
+    """The round-8 'tmix' arm on corpora built to stress what sf0.01
+    cannot: (A) target >> total tokens — EVERY derived domain must cap at
+    1.0 through the water-filling rounds; (B) a ZERO-TOKEN domain (all
+    'big' docs empty) — weight 0, capped immediately by the 0 >= 0 rule,
+    budget untouched. Both engines replay the identical loop state."""
+    from pubmed_central_semantic_search_spark.registry import REGISTRY
+
+    qd = REGISTRY["q50_split_and_sample"]
+    corpora = {
+        "all_cap": [
+            (f"w{i} x{i % 3} y", "en", f"s{i % 2}") for i in range(120)
+        ],
+        "zero_token_domain": [
+            ("alpha beta gamma delta " * 3, "en", "s1") if i < 100 else
+            ("", "en", "s2")
+            for i in range(120)
+        ],
+    }
+    for name, rows in corpora.items():
+        sf = _synthetic_sf_dir(spark, rows, tmp_path / name)
+        got = qd.spark(spark, sf).toPandas()
+        want = _oracle_con(sf).execute(qd.oracle).df()
+        compare_frames(got, want, f"q50-tmix-{name}")
+        # the stress actually happened: assert the cap structure
+        import pandas as pd  # noqa: F401
+
+        by_src = got.groupby("mix_src")["in_tmix"].mean()
+        if name == "all_cap":
+            assert (by_src == 1.0).all(), by_src
+        else:
+            # the empty domain has no rows kept or dropped distinctively;
+            # the populated domains must still mix deterministically
+            assert set(by_src.index) <= {"tiny", "mid", "big"}
+
+
+def test_q49_mmr_oracle_replay_on_duplicate_vectors(spark, tmp_path):
+    """The round-8 'mmr' arm under EXACT cosine ties: duplicate vectors
+    make rel and pairwise redundancy collide to the digit, so the
+    id-ascending tie-break alone decides the greedy picks — and must
+    decide identically in both engines (the q37/q38 duplicate-vector
+    discipline applied to the new arm)."""
+    from pubmed_central_semantic_search_spark.registry import REGISTRY
+
+    qd = REGISTRY["q49_hybrid_rrf"]
+    rows = [
+        (f"doc join hash window vector t{i % 4}", "en", f"s{i % 3}")
+        for i in range(40)
+    ]
+    sf = _synthetic_sf_dir(spark, rows, tmp_path / "dupvec")
+    # embeddings: only 3 DISTINCT vectors over 40 ids — mass ties
+    import math
+
+    def vec(i):
+        base = [math.sin(0.31 * d + 0.11 * (i % 3)) for d in range(64)]
+        return [float(round(x, 6)) for x in base]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i), i % 5) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    con = _oracle_con(sf)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    got = qd.spark(spark, sf).toPandas()
+    want = con.execute(qd.oracle).df()
+    compare_frames(got, want, "q49-mmr-dupvec")
+    # the stress actually happened: the mmr arm picked among tied scores
+    mmr = got[got["kind"] == "mmr"].sort_values("mmr_rank")
+    assert len(mmr) == 5
+    assert mmr["mmr_relevance"].nunique() <= 3  # ties were really present
