@@ -89,14 +89,17 @@ def _sql_means(out: str, assigned: str) -> str:
     survey_rows="X2/X3 (IVF-flat ANN — the partition-pruned scale tier)",
 )
 def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import swap_tracked_caches
+    from ..session import release_tracked_caches, track_caches
 
     # persist: seed collect + list-assignment both scan the vectors; one
     # parquet decode instead of two. The returned plan still reads the
     # cache at the driver's collect, so it's tracked per query key — a
-    # repeat invocation releases the previous set (round-8 verdict #2).
+    # repeat invocation releases the previous set BEFORE persisting its
+    # own (round-8: CacheManager matches by canonicalized plan — a
+    # release AFTER the new identical persist drops the new cache too).
+    release_tracked_caches("q37_ivf_topk")
     emb = load(spark, sf_dir, "embeddings").persist()
-    swap_tracked_caches("q37_ivf_topk", [emb])
+    track_caches("q37_ivf_topk", [emb])
     centroids = seed_centroids(emb, K)
     queries = local_df(spark, 
         [(qid, vec) for qid, vec in QUERY_VECS.items()],
@@ -125,14 +128,15 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="X7 (k-means topics — iterative algorithm, oracle-unrolled)",
 )
 def q38_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import swap_tracked_caches
+    from ..session import release_tracked_caches, track_caches
 
     # persist: seeds + 2 Lloyd iterations + final assignment = 4 scans of
     # the same vectors; cache them once (exactly the operator's documented
-    # caller contract for cold storage). Tracked per query key so repeat
-    # invocations release the previous cache (round-8 verdict #2).
+    # caller contract for cold storage). Release-BEFORE-persist, then
+    # track (round-8: the plan-identity uncache trap).
+    release_tracked_caches("q38_kmeans_topics")
     emb = load(spark, sf_dir, "embeddings").persist()
-    swap_tracked_caches("q38_kmeans_topics", [emb])
+    track_caches("q38_kmeans_topics", [emb])
     assigned, centroids = lloyd_kmeans(emb, k=K, n_iter=2, dim=DIM)
     counts = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")

@@ -26,7 +26,8 @@ from ..session import (
     cached_deps,
     local_df,
     release_cached_deps,
-    swap_tracked_caches,
+    release_tracked_caches,
+    track_caches,
 )
 
 N_BASE = 200  # planted-corpus size cap (keeps pair joins bounded at any SF)
@@ -135,15 +136,20 @@ _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
     survey_rows="X2 (MinHash signatures + LSH banding end to end), H1, N2, §2.8 joins",
 )
 def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release the PREVIOUS invocation's tracked caches BEFORE building
+    # this one's persists (round-8 review find: CacheManager matches by
+    # canonicalized plan, so a release AFTER the new plan-identical
+    # persist silently dropped the new cache too — every repeat
+    # invocation recomputed what it had just cached)
+    release_tracked_caches("q23_minhash_near_dup")
     corpus = _planted_text_corpus(spark, sf_dir)
     out = near_dup_minhash(
         corpus, "doc_id", "text", n_hashes=8, bands=4, min_jaccard=0.3
     )
     # the returned plan still reads the operator's persists at the
     # driver's collect, so the query can't release them here; track them
-    # per query key instead — a repeat invocation releases the previous
-    # set (round-8 verdict #2: bounded, never accreting)
-    swap_tracked_caches("q23_minhash_near_dup", cached_deps(out))
+    # for the NEXT invocation's release (round-8 verdict #2)
+    track_caches("q23_minhash_near_dup", cached_deps(out))
     return out
 
 
@@ -202,13 +208,14 @@ _FUZZY_N, _FUZZY_LEN, _FUZZY_D = 120, 24, 3
     "blocked edit-distance similarity join vs the brute-force oracle)",
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_tracked_caches("q36_ngram_jaccard")  # BEFORE the new persist
     corpus = _planted_text_corpus(spark, sf_dir)
     jac_raw = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.5
     )
     # capture the operator's cache deps BEFORE projecting (attachments
     # don't survive transformations) and track per query key
-    swap_tracked_caches("q36_ngram_jaccard", cached_deps(jac_raw))
+    track_caches("q36_ngram_jaccard", cached_deps(jac_raw))
     jac = jac_raw.select(
         F.lit("jaccard").alias("kind"),
         "id_a",
@@ -712,6 +719,8 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import seed_centroids
     from ..operators.dedup import semantic_dedup
 
+    release_tracked_caches("q53_dup_clusters")  # BEFORE the new persist
+
     # Single arm since the round-8 lexical demotion: SemDeDup on the
     # planted vector corpus. check_every=2 halves CC's driver round-trips
     # (the cost here is job-launch latency on hundreds of edges, not
@@ -729,7 +738,7 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the assigned view is still read by the returned plan (labels join +
     # survivor window) — tracked per query key (round-8 verdict #2)
-    swap_tracked_caches("q53_dup_clusters", cached_deps(sem))
+    track_caches("q53_dup_clusters", cached_deps(sem))
     return sem.select(
         F.lit("semantic").alias("kind"),
         F.col("vec_id").alias("doc_id"),
@@ -748,11 +757,12 @@ def pagerank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration aggregate stages)."""
     from ..operators.graph import pagerank, symmetrize
 
+    release_tracked_caches("x_pagerank")  # BEFORE the new persist
     corpus = _chained_text_corpus(spark, sf_dir)
     pairs_raw = ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, min_jaccard=0.55
     )
-    swap_tracked_caches("x_pagerank", cached_deps(pairs_raw))
+    track_caches("x_pagerank", cached_deps(pairs_raw))
     pairs = pairs_raw.select("id_a", "id_b")
     return pagerank(
         corpus.select("doc_id"),

@@ -263,8 +263,9 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition ahead of E1: the source parquet is a single small file
     # locally (one scan partition → one python worker for the whole model
     # stage); at 100 TB the scan is already thousands of partitions.
-    from ..session import swap_tracked_caches
+    from ..session import release_tracked_caches, track_caches
 
+    release_tracked_caches("q21_document_pipeline")  # BEFORE the persist
     chunks = (
         explode_chunks(articles)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -272,8 +273,9 @@ def q21_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # the returned plan reads the cache at the driver's collect; tracked
-    # per query key so repeat invocations release it (round-8 verdict #2)
-    swap_tracked_caches("q21_document_pipeline", [chunks])
+    # per query key so repeat invocations release it (round-8 verdict #2;
+    # release happens above, BEFORE the persist — the plan-identity trap)
+    track_caches("q21_document_pipeline", [chunks])
     doc_vectors = mean_pool(
         chunks, group=["article_id"], vec_col="embedding", dim=DEFAULT_DIM
     )

@@ -171,16 +171,36 @@ def release_cached_deps(df, blocking: bool = False) -> None:
 _TRACKED_CACHES: dict[str, list] = {}
 
 
-def swap_tracked_caches(key: str, deps) -> None:
-    """Bound cache accretion for REGISTRY queries whose returned plan
-    still needs its persists at the driver's collect (so the query
-    function itself cannot release them): release whatever the PREVIOUS
-    invocation tracked under ``key``, then track ``deps``. Repeated
-    invocations hold at most one live cache set per query — the
-    double-invocation regression contract."""
-    for d in _TRACKED_CACHES.get(key, ()):
+def release_tracked_caches(key: str) -> None:
+    """Release whatever a previous invocation tracked under ``key``.
+
+    MUST run BEFORE the new invocation builds its persists (round-8
+    review find, measured at 1.6x on x_pagerank): Spark's CacheManager
+    matches persists by CANONICALIZED PLAN — consecutive invocations of
+    the same query produce plan-identical persists that share ONE cache
+    entry, so unpersisting the old frame AFTER the new persist exists
+    silently drops the NEW cache too and every repeat invocation
+    recomputes what it just cached."""
+    for d in _TRACKED_CACHES.pop(key, ()):
         try:
             d.unpersist(False)
         except Exception:
             pass
+
+
+def track_caches(key: str, deps) -> None:
+    """Track ``deps`` under ``key`` for the NEXT invocation's
+    ``release_tracked_caches`` — together they bound REGISTRY queries
+    whose returned plan still needs its persists at the driver's collect
+    (the query function itself cannot release them) to at most one live
+    cache set per query key."""
     _TRACKED_CACHES[key] = list(deps)
+
+
+def swap_tracked_caches(key: str, deps) -> None:
+    """release + track in one call — ONLY safe when ``deps`` were built
+    BEFORE any plan-identical previous set could alias them (in practice:
+    prefer release_tracked_caches at query entry + track_caches after
+    building; see release_tracked_caches for the aliasing trap)."""
+    release_tracked_caches(key)
+    track_caches(key, deps)

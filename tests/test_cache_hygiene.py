@@ -121,3 +121,23 @@ def test_attach_release_helpers_roundtrip(spark):
     release_cached_deps(out, blocking=True)
     assert _n_cached(spark) == before - 1
     assert cached_deps(out) == []
+
+
+def test_repeat_invocation_keeps_its_own_cache_alive(spark, sf_dir):
+    """Round-8 review find (measured 1.6x on x_pagerank): Spark's
+    CacheManager matches persists by CANONICALIZED PLAN, so releasing the
+    previous invocation's tracked deps AFTER the new plan-identical
+    persist exists silently uncached the NEW persist too — every repeat
+    invocation recomputed what it had just cached. The fix releases at
+    query ENTRY, before the new persist is built; this pins that the
+    second invocation's cache entry SURVIVES its own run."""
+    from pubmed_central_semantic_search_spark.registry import REGISTRY
+
+    for name, expected_min in [("q37_ivf_topk", 1), ("q23_minhash_near_dup", 2)]:
+        REGISTRY[name].spark(spark, sf_dir).count()
+        REGISTRY[name].spark(spark, sf_dir).count()
+        # with the release-after bug, the second run's entries were
+        # uncached mid-flight and this count read 0
+        assert _n_cached(spark) >= expected_min, name
+        # clean up for the next loop iteration
+        spark.catalog.clearCache()
