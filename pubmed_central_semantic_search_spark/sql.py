@@ -119,6 +119,8 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
 #   SNAPSHOT WRITE '<dir>' [MODE append|overwrite] AS <select>
 #   SNAPSHOT READ '<dir>' [VERSION n] AS VIEW v
 #   SNAPSHOT DIFF '<dir>' FROM v1 TO v2 KEY (k1[, k2...]) AS VIEW v
+#   COMPACT '<path>' [LEAVES] [TARGET <bytes>]      (round-8: housekeeping)
+#   VACUUM SNAPSHOTS '<dir>' KEEP <n>
 #
 # Write commands return what their Python twins return (upsert: None;
 # snapshot write: the committed version). Read commands register a temp
@@ -242,8 +244,33 @@ def catalog_sql(spark: SparkSession, statement: str):
         )
         df.createOrReplaceTempView(view)
         return df
+    m = _re.match(
+        r"(?is)^COMPACT\s+'([^']+)'(\s+LEAVES)?(?:\s+TARGET\s+(\d+))?$",
+        stmt,
+    )
+    if m:
+        from .sources.catalog import (
+            compact_parquet,
+            compact_partitioned_leaves,
+        )
+
+        path, leaves, target = m.groups()
+        kwargs = (
+            {"target_file_bytes": int(target)} if target else {}
+        )
+        if leaves:
+            return compact_partitioned_leaves(spark, path, **kwargs)
+        return compact_parquet(spark, path, **kwargs)
+    m = _re.match(
+        r"(?is)^VACUUM\s+SNAPSHOTS\s+'([^']+)'\s+KEEP\s+(\d+)$", stmt
+    )
+    if m:
+        from .sources.catalog import snapshot_vacuum
+
+        path, keep = m.groups()
+        return snapshot_vacuum(spark, path, keep_last=int(keep))
     raise ValueError(
         "catalog_sql: unrecognized statement — supported forms: UPSERT INTO, "
-        "UPSERT READ, SNAPSHOT WRITE, SNAPSHOT READ, SNAPSHOT DIFF "
-        f"(got: {stmt[:80]!r})"
+        "UPSERT READ, SNAPSHOT WRITE, SNAPSHOT READ, SNAPSHOT DIFF, "
+        f"COMPACT, VACUUM SNAPSHOTS (got: {stmt[:80]!r})"
     )

@@ -278,3 +278,41 @@ def test_catalog_sql_upsert_snapshot_roundtrip(spark, tmp_path):
 
     with _pt.raises(ValueError, match="unrecognized statement"):
         catalog_sql(spark, "MERGE INTO nope")
+
+
+def test_catalog_sql_compact_and_vacuum(spark, tmp_path):
+    """Round-8: the housekeeping statements — COMPACT (flat + LEAVES) and
+    VACUUM SNAPSHOTS — through the SQL surface, results matching the
+    Python twins' stats contracts."""
+    from pubmed_central_semantic_search_spark.sql import catalog_sql
+
+    # flat compaction: several small files -> fewer
+    flat = str(tmp_path / "flat")
+    for i in range(4):
+        spark.range(100).selectExpr("id", f"id * {i + 1} AS v").write.mode(
+            "append"
+        ).parquet(flat)
+    stats = catalog_sql(spark, f"COMPACT '{flat}'")
+    assert stats["files_before"] > stats["files_after"]
+    assert spark.read.parquet(flat).count() == 400
+    # leaf compaction on a hive layout
+    part = str(tmp_path / "part")
+    df = spark.range(40).selectExpr("id % 4 AS p", "id AS v")
+    for _ in range(3):
+        df.repartition("p").write.partitionBy("p").mode("append").parquet(part)
+    stats = catalog_sql(spark, f"COMPACT '{part}' LEAVES")
+    assert stats["leaves_compacted"] == 4
+    assert spark.read.parquet(part).count() == 120
+    # snapshot vacuum
+    snap = str(tmp_path / "snap")
+    for i in range(3):
+        catalog_sql(
+            spark,
+            f"SNAPSHOT WRITE '{snap}' MODE overwrite AS "
+            f"SELECT {i} AS gen, * FROM range(10)",
+        )
+    out = catalog_sql(spark, f"VACUUM SNAPSHOTS '{snap}' KEEP 1")
+    assert out["versions_removed"] == 2
+    # the kept version still reads
+    kept = catalog_sql(spark, f"SNAPSHOT READ '{snap}' AS VIEW s_kept")
+    assert kept.count() == 10
