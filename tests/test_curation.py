@@ -522,3 +522,82 @@ def test_gate_audit_duckdb_parity_demoted(spark, sf_dir):
     got = gate_audit_report(spark, sf_dir).toPandas()
     want = duckdb_con(sf_dir).execute(_Q41_AUDIT_PARITY_SQL).df()
     compare_frames(got, want, "q41-audit-demoted")
+
+
+def test_temperature_fractions_duckdb_state_machine_parity():
+    """Round-8 'tmix' generalization beyond the registry corpus: for
+    RANDOM count profiles (hypothesis), the Python water-filling loop and
+    the oracle's unrolled CTE state machine must agree on every final
+    16-bit cut — the cross-engine determinism the sorted-order weight
+    accumulation and integer-valued budget were designed for (alpha=0.5:
+    pow(n, 0.5) is correctly-rounded libm in both engines)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        temperature_fractions,
+    )
+
+    ALPHA = 0.5
+    con = duckdb.connect()  # ONE connection across examples (startup cost)
+
+    def duck_cuts(counts: dict[str, int], target: int) -> dict[str, int]:
+        vals = ", ".join(f"('{s}', {n})" for s, n in counts.items())
+        rounds = []
+        prev, prevb = "st0", "bud0"
+        for i in range(1, len(counts) + 2):
+            rounds.append(f"""
+            ws{i} AS (
+              SELECT COALESCE(list_reduce(list_prepend(0.0e0,
+                       list(pow(CAST(n AS DOUBLE), {ALPHA}) ORDER BY msrc)
+                         FILTER (WHERE NOT capped)),
+                       (acc, t) -> acc + t), 0.0e0) AS ws FROM {prev}),
+            st{i} AS (
+              SELECT s.msrc, s.n,
+                     CASE WHEN s.capped THEN TRUE
+                          WHEN w.ws > 0 THEN b.budget * pow(CAST(s.n AS DOUBLE), {ALPHA}) / w.ws >= s.n
+                          ELSE FALSE END AS capped
+              FROM {prev} s CROSS JOIN {prevb} b CROSS JOIN ws{i} w),
+            bud{i} AS (
+              SELECT b.budget - COALESCE((
+                SELECT CAST(sum(s1.n) AS DOUBLE) FROM st{i} s1 JOIN {prev} s0 USING (msrc)
+                WHERE s1.capped AND NOT s0.capped), 0.0e0) AS budget
+              FROM {prevb} b)""")
+            prev, prevb = f"st{i}", f"bud{i}"
+        sql = f"""
+        WITH cnt(msrc, n) AS (VALUES {vals}),
+        st0 AS (SELECT msrc, CAST(n AS BIGINT) AS n, FALSE AS capped FROM cnt),
+        bud0 AS (SELECT CAST({target} AS DOUBLE) AS budget),
+        {','.join(rounds)},
+        wsF AS (
+          SELECT COALESCE(list_reduce(list_prepend(0.0e0,
+                   list(pow(CAST(n AS DOUBLE), {ALPHA}) ORDER BY msrc)
+                     FILTER (WHERE NOT capped)),
+                   (acc, t) -> acc + t), 0.0e0) AS ws FROM {prev})
+        SELECT s.msrc,
+               CAST(CASE WHEN s.capped THEN 65536.0
+                    WHEN w.ws > 0 THEN (b.budget * pow(CAST(s.n AS DOUBLE), {ALPHA}) / w.ws) / s.n * 65536.0
+                    ELSE 0.0 END AS BIGINT) AS cut
+        FROM {prev} s CROSS JOIN {prevb} b CROSS JOIN wsF w
+        """
+        return dict(con.execute(sql).fetchall())
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=0, max_value=10_000_000),
+            min_size=1,
+            max_size=4,
+        ),
+        target=st.integers(min_value=1, max_value=20_000_000),
+    )
+    def check(counts, target):
+        py = {
+            s: int(round(f * 65536))
+            for s, f in temperature_fractions(counts, ALPHA, target).items()
+        }
+        assert py == duck_cuts(counts, target), (counts, target)
+
+    check()

@@ -478,3 +478,26 @@ def test_planner_auto_kernel_rejected_outside_exact(spark, sf_dir):
     )
     with _pt.raises(ValueError, match="kernel='auto' requires mode='exact'"):
         plan_topk_search(emb, qdf, k=3, mode="approx", kernel="auto", dim=64)
+
+
+def test_hybrid_rrf_round8_arms_plan_shape(spark, sf_dir):
+    """q49 with the round-8 arms: the ONLY Python stage is the xrank
+    cross-encoder pair scorer (Arrow-batched over the bounded BM25
+    candidates — never BatchEvalPython), and no CartesianProduct appears
+    anywhere (the mmr arm's greedy ran at plan-build time over a
+    collected top-N; its rows ride a local relation)."""
+    plan = assert_plan(
+        _q("q49_hybrid_rrf", spark, sf_dir),
+        contains=["ArrowEvalPython", "TakeOrderedAndProject"],
+        not_contains=["CartesianProduct", "BatchEvalPython"],
+    )
+    # exactly ONE python stage: the ce scorer (mmr contributes none).
+    # Count on the executed plan's tree string — the formatted explain
+    # assert_plan returns prints every operator twice (tree + details).
+    tree = (
+        _q("q49_hybrid_rrf", spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert tree.count("ArrowEvalPython") == 1, tree
