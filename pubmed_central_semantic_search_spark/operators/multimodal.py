@@ -850,3 +850,58 @@ def decode_video_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_stats, VIDEO_STATS_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, frame_index int, width int, height int, "
+    "sum_luma bigint, content binary, error string"
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """X5 — REAL video frame sampling over the pure-Python Y4M tier
+    (round-8: ``frame_sample_plan`` planned timestamps but stubbed the
+    decode; this decodes): every ``every_n``-th frame of each clip comes
+    back as its own SINGLE-FRAME Y4M (round-trippable through
+    ``decode_y4m`` — the resize_images re-encode discipline) with its
+    exact int64 luma sum. Index-strided by contract (rate-agnostic);
+    callers with a known frame rate map ms→stride upstream. Per-row
+    poison isolation; one Arrow-batched mapInPandas stage, binary in /
+    binary out."""
+    if every_n < 1:
+        raise ValueError(f"sample_frames: every_n must be >= 1, got {every_n}")
+    parse = _y4m_decode_fn()  # by-value shippable (self-contained rule)
+    stride = int(every_n)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    w, h, frames = parse(blob)
+                    header = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode()
+                    for fi in range(0, len(frames), stride):
+                        fr = frames[fi]
+                        out.append(
+                            (
+                                mid,
+                                fi,
+                                w,
+                                h,
+                                int(fr[: w * h].astype("int64").sum()),
+                                header + b"FRAME\n" + fr.tobytes(),
+                                None,
+                            )
+                        )
+                except Exception as ex:
+                    out.append(
+                        (mid, None, None, None, None, None, repr(ex)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_index", "width", "height",
+                         "sum_luma", "content", "error"],
+            )
+
+    return df.mapInPandas(_run, FRAME_SAMPLE_SCHEMA)

@@ -862,6 +862,23 @@ def _q42_oracle() -> str:
                      CAST(s1 AS VARCHAR)) AS decoded
     FROM wsum
     UNION ALL
+    SELECT 'frames' AS kind,
+           concat('v', doc_id, ':', f) AS media_id,
+           'video' AS modality,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank,
+           -- per SAMPLED frame (stride 2): the luma-plane sum from the
+           -- generator formula — certifies sample_frames' REAL decode
+           -- frame by frame, not just the whole-clip total
+           vw || 'x' || vh || ':' || f || ':' ||
+           CAST((SELECT sum((doc_id * 13 + f * 7 + i) % 256)
+                 FROM UNNEST(range(0, vw * vh)) t(i)) AS BIGINT) AS decoded
+    FROM vdec, UNNEST(range(0, vnf)) tf(f)
+    WHERE f % 2 = 0
+    UNION ALL
     SELECT 'video' AS kind, concat('v', doc_id) AS media_id,
            'video' AS modality,
            CAST(25 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
@@ -973,7 +990,9 @@ def _gen_y4m_udf():
     "decode_y4m -> per-plane int64 sums across frames, certified "
     "against the clip generator formula — closes the LAST fake-only "
     "modality; compressed containers remain the gated ffmpeg-tier "
-    "future seam)",
+    "future seam) + REAL frame SAMPLING (round-8: sample_frames decodes "
+    "every 2nd generated frame — per-frame luma sums certified; "
+    "frame_sample_plan's stubbed decode leg is now real)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
@@ -1102,6 +1121,28 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_chroma").cast("string"),
         ).alias("decoded"),
     )
+    # 'frames' arm (round-8): REAL frame sampling — every 2nd frame of
+    # the generated clips through sample_frames, per-frame luma sums
+    # certified against the generator formula
+    from ..operators.multimodal import sample_frames
+
+    frm = sample_frames(y4m, every_n=2).select(
+        F.lit("frames").alias("kind"),
+        F.concat("media_id", F.lit(":"), F.col("frame_index")).alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_md5"),
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+        F.concat_ws(
+            ":",
+            F.concat(F.col("width").cast("string"), F.lit("x"),
+                     F.col("height").cast("string")),
+            F.col("frame_index").cast("string"),
+            F.col("sum_luma").cast("string"),
+        ).alias("decoded"),
+    )
     qv = _xmodal_query_vec()
     xm = (
         media.filter(F.col("modality") == "image")
@@ -1136,7 +1177,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         feats.unionByName(xm).unionByName(dec).unionByName(rsz)
-        .unionByName(aud).unionByName(vid)
+        .unionByName(aud).unionByName(vid).unionByName(frm)
     )
 
 

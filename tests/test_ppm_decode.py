@@ -348,3 +348,40 @@ def test_y4m_decode_roundtrip_and_subset_errors(spark):
     assert "odd dimensions" in rows["odd"]["error"]
     assert "truncated frame data" in rows["trunc"]["error"]
     assert "not a YUV4MPEG2" in rows["junk"]["error"]
+
+
+def test_sample_frames_real_decode_and_roundtrip(spark):
+    """Round-8: REAL frame sampling (frame_sample_plan planned
+    timestamps; sample_frames decodes) — every 2nd frame comes back as a
+    round-trippable single-frame Y4M with its exact luma sum."""
+    import numpy as np
+
+    from pubmed_central_semantic_search_spark.operators.multimodal import (
+        decode_y4m,
+        make_y4m,
+        sample_frames,
+    )
+
+    frames = [((np.arange(24) * (f + 1)) % 256) for f in range(5)]
+    blob = make_y4m(frames, 4, 4)
+    df = spark.createDataFrame(
+        [("clip", blob), ("junk", b"nope")],
+        "media_id string, content binary",
+    )
+    rows = sorted(
+        (r for r in sample_frames(df, every_n=2).collect()
+         if r["media_id"] == "clip"),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert r["sum_luma"] == int(frames[r["frame_index"]][:16].sum())
+        w, h, got = decode_y4m(bytes(r["content"]))
+        assert (w, h, len(got)) == (4, 4, 1)
+        assert (got[0] == frames[r["frame_index"]]).all()
+    bad = [r for r in sample_frames(df).collect() if r["media_id"] == "junk"]
+    assert len(bad) == 1 and "not a YUV4MPEG2" in bad[0]["error"]
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(df, every_n=0)
