@@ -44,7 +44,11 @@ def cms_build(
     ``depth``/``width`` ride along as literal metadata columns so every
     downstream consumer (merge, estimate, a parquet round-trip, another
     engine) can validate geometry instead of trusting the caller to
-    repeat the build arguments."""
+    repeat the build arguments. Null keys are skipped (round-8 review:
+    the bloom twin already documented this rule while the CMS silently
+    emitted NULL-bucket cells that crashed ``cms_estimate`` with an
+    opaque TypeError; a null is the absence of a key and can never be
+    point-queried)."""
     cells = F.array(
         *[
             F.struct(
@@ -53,8 +57,10 @@ def cms_build(
             for i in range(depth)
         ]
     )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("c"))
         .select("c.row", "c.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -145,6 +151,15 @@ def cms_estimate(
             "pass depth and width explicitly"
         )
     cells = {(r["row"], r["bucket"]): r["cnt"] for r in rows}
+    # a LEGACY on-disk sketch built before the null-skip rule may carry
+    # NULL-bucket cells (null keys hashed to null) — name them instead of
+    # letting None >= int raise an opaque TypeError (round-8 review)
+    if any(rb[0] is None or rb[1] is None for rb in cells):
+        raise ValueError(
+            "cms_estimate: sketch contains NULL row/bucket cells — built "
+            "over null keys by a pre-round-8 cms_build; rebuild the "
+            "sketch (null keys are skipped now) or filter the cells"
+        )
     bad = [rb for rb in cells if rb[0] >= depth or rb[1] >= width]
     if bad:
         raise ValueError(

@@ -628,3 +628,30 @@ def test_ihist_quantiles_duckdb_parity_demoted(spark, sf_dir):
     got = ihist_token_percentiles(spark, sf_dir).toPandas()
     want = duckdb_con(sf_dir).execute(_Q46_IHIST_PARITY_SQL).df()
     compare_frames(got, want, "q46-ihist-demoted")
+
+
+def test_cms_null_keys_skipped_like_bloom(spark):
+    """Round-8 review find: cms_build emitted NULL-bucket cells for null
+    keys (the bloom twin documented and skipped them) and cms_estimate
+    then died with an opaque TypeError (None >= int). Nulls now skip at
+    build; a legacy sketch carrying null cells raises BY NAME."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "k string")
+    sk = cms_build(df, "k", depth=2, width=16)
+    rows = sk.collect()
+    assert all(r["bucket"] is not None for r in rows)
+    est = cms_estimate(sk, ["a", "b", "zzz"])
+    assert est["a"] >= 2 and est["b"] >= 1
+    # a legacy sketch with null cells raises by name, not TypeError
+    legacy = spark.createDataFrame(
+        [(0, None, 1, 2, 16), (0, 3, 1, 2, 16)],
+        "row int, bucket int, cnt bigint, depth int, width int",
+    )
+    with pytest.raises(ValueError, match="NULL row/bucket"):
+        cms_estimate(legacy, ["a"])
