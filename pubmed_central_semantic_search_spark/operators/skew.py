@@ -119,7 +119,19 @@ def salted_distinct_count(
         F.count(F.lit(1)).alias("_c")
     )
     counts = per_salt.groupBy(*group).agg(F.sum("_c").alias("_n"))
+    # Null-safe equality on every group column: a NULL group key is a
+    # real group to countDistinct (round-9 ADVICE find — a plain
+    # name-based join drops it, reporting n_distinct=0 for a group that
+    # has non-null distinct values). Join on renamed right-side keys so
+    # the condition is unambiguous, then keep the left-side columns.
+    counts_r = counts.select(
+        *[F.col(g).alias(f"_r_{g}") for g in group], "_n"
+    )
     groups = df.select(*group).distinct()
-    return groups.join(counts, list(group), "left").select(
+    cond = None
+    for g in group:
+        c = F.col(g).eqNullSafe(F.col(f"_r_{g}"))
+        cond = c if cond is None else (cond & c)
+    return groups.join(counts_r, cond, "left").select(
         *group, F.coalesce("_n", F.lit(0)).alias("n_distinct")
     )

@@ -169,6 +169,44 @@ def release_cached_deps(df, blocking: bool = False) -> None:
 
 
 _TRACKED_CACHES: dict[str, list] = {}
+# Refcounts keyed by CANONICAL-PLAN identity (round-9 ADVICE find):
+# Spark's CacheManager matches persists by canonicalized plan, so two
+# queries that persist plan-identical frames (q37/q38/x_semdedup all
+# persist load(sf_dir, 'embeddings')) share ONE cache entry — releasing
+# either key's deps would drop the entry the OTHER key still relies on,
+# making its later release a no-op and its next run silently recompute.
+# unpersist only fires when the LAST tracked reference to a plan goes.
+_PLAN_REFS: dict[object, int] = {}
+
+
+def _plan_identity(d):
+    """Identity under which Spark's CacheManager would match ``d`` —
+    the analyzed plan's semantic hash (canonicalization-aware). A hash
+    collision only delays an unpersist (perf, never correctness)."""
+    try:
+        return ("plan", d._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return ("obj", id(d))
+
+
+def _refs_acquire(deps) -> None:
+    for d in deps:
+        k = _plan_identity(d)
+        _PLAN_REFS[k] = _PLAN_REFS.get(k, 0) + 1
+
+
+def _refs_release(deps, blocking: bool = False) -> None:
+    for d in deps:
+        k = _plan_identity(d)
+        n = _PLAN_REFS.get(k, 0) - 1
+        if n > 0:
+            _PLAN_REFS[k] = n
+            continue  # another key still tracks this plan's cache
+        _PLAN_REFS.pop(k, None)
+        try:
+            d.unpersist(blocking)
+        except Exception:
+            pass
 
 
 def release_tracked_caches(key: str) -> None:
@@ -180,12 +218,10 @@ def release_tracked_caches(key: str) -> None:
     the same query produce plan-identical persists that share ONE cache
     entry, so unpersisting the old frame AFTER the new persist exists
     silently drops the NEW cache too and every repeat invocation
-    recomputes what it just cached."""
-    for d in _TRACKED_CACHES.pop(key, ()):
-        try:
-            d.unpersist(False)
-        except Exception:
-            pass
+    recomputes what it just cached. Plan-identical persists tracked
+    under OTHER keys are refcounted: this release only unpersists plans
+    no remaining key tracks."""
+    _refs_release(_TRACKED_CACHES.pop(key, ()))
 
 
 def track_caches(key: str, deps) -> None:
@@ -193,14 +229,20 @@ def track_caches(key: str, deps) -> None:
     ``release_tracked_caches`` — together they bound REGISTRY queries
     whose returned plan still needs its persists at the driver's collect
     (the query function itself cannot release them) to at most one live
-    cache set per query key."""
-    _TRACKED_CACHES[key] = list(deps)
+    cache set per query key. Re-tracking a key releases its previous
+    set (refcounted — new deps are acquired FIRST, so a plan-identical
+    carry-over keeps its cache entry alive across the swap)."""
+    deps = list(deps)
+    _refs_acquire(deps)
+    if key in _TRACKED_CACHES:
+        _refs_release(_TRACKED_CACHES.pop(key))
+    _TRACKED_CACHES[key] = deps
 
 
 def swap_tracked_caches(key: str, deps) -> None:
-    """release + track in one call — ONLY safe when ``deps`` were built
-    BEFORE any plan-identical previous set could alias them (in practice:
-    prefer release_tracked_caches at query entry + track_caches after
-    building; see release_tracked_caches for the aliasing trap)."""
-    release_tracked_caches(key)
+    """release + track in one call. ``track_caches`` now acquires the
+    new deps' plan refcounts BEFORE releasing the key's previous set, so
+    a plan-identical carry-over keeps its shared cache entry alive
+    across the swap — the round-8 aliasing trap is closed by ordering,
+    not by caller discipline."""
     track_caches(key, deps)

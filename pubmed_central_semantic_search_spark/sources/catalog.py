@@ -384,7 +384,10 @@ def _upsert_partitioned(
         # flat-table case was already rejected above from the directory
         # listing itself.
         _write_upsert_layout(
-            spark, path, n_buckets, bucket_src, evolved=allow_schema_evolution
+            spark, path, n_buckets, bucket_src, evolved=allow_schema_evolution,
+            bucket_col_types=[
+                df.schema[c].dataType.simpleString() for c in bucket_src
+            ],
         )
     # Every partitioned write is repartitioned BY THE BUCKET COLUMN first:
     # without it each of the N write tasks emits a file into every
@@ -415,6 +418,10 @@ def _upsert_partitioned(
                 _write_upsert_layout(
                     spark, path, n_buckets, bucket_src,
                     evolved=allow_schema_evolution,
+                    bucket_col_types=[
+                        df.schema[c].dataType.simpleString()
+                        for c in bucket_src
+                    ],
                 )
             (
                 # mode is append, not errorifexists: the path may already
@@ -438,7 +445,12 @@ def _upsert_partitioned(
         # adding NEW columns still requires the explicit flag.)
         evolved = _layout_evolved(stored) if stored is not None else False
         if allow_schema_evolution and stored is not None and not evolved:
-            _write_upsert_layout(spark, path, n_buckets, bucket_src, evolved=True)
+            _write_upsert_layout(
+                spark, path, n_buckets, bucket_src, evolved=True,
+                bucket_col_types=[
+                    df.schema[c].dataType.simpleString() for c in bucket_src
+                ],
+            )
         effective_evolution = allow_schema_evolution or evolved
         touched = sorted(
             r[0] for r in with_bucket.select(BUCKET_COL).distinct().collect()
@@ -583,6 +595,7 @@ def _write_upsert_layout(
     n_buckets: int,
     bucket_cols: list[str],
     evolved: bool = False,
+    bucket_col_types: list[str] | None = None,
 ) -> None:
     """Rename-as-commit (the module discipline): the record is staged
     beside the live dir and swapped in, so readers never observe a
@@ -590,17 +603,28 @@ def _write_upsert_layout(
     first data write — the _layout dir is invisible to parquet readers,
     so a crash in between leaves only a harmless orphaned record the
     retried create re-uses; the reverse order left a pre-metadata table
-    whose next upsert silently stamped THAT caller's bucket key."""
+    whose next upsert silently stamped THAT caller's bucket key.
+
+    ``bucket_col_types`` (simpleString per bucket col, round-9): lets a
+    point-lookup compute its bucket id ENTIRELY driver-side — without
+    it the reader must open the table root just to learn the column
+    type for the literal cast, and that root listing IS the measured
+    point-lookup bottleneck (~1.2 s over 512 bucket dirs for a 1.3 MB
+    read, SURVEY §7.7). Legacy records without the field keep the
+    root-read path."""
     live = _layout_dir(path)
     staging = live + ".staging"
+    record = {
+        "n_buckets": int(n_buckets),
+        "bucket_cols": ",".join(bucket_cols),
+        "evolved": bool(evolved),
+    }
+    if bucket_col_types is not None:
+        record["bucket_col_types"] = list(bucket_col_types)
     _write_small_json_lines(
         spark,
         staging,
-        [{
-            "n_buckets": int(n_buckets),
-            "bucket_cols": ",".join(bucket_cols),
-            "evolved": bool(evolved),
-        }],
+        [record],
         "layout.json",
     )
     fs, _, jvm = _hadoop_fs(spark, path)
@@ -628,7 +652,107 @@ def _read_upsert_layout(spark: SparkSession, path: str):
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(_layout_dir(path))):
         return None
     rows = _read_small_json_lines(spark, _layout_dir(path))
+    if len(rows) > 1 and any(r != rows[0] for r in rows[1:]):
+        # round-9 ADVICE hardening: a leftover record from an
+        # older-format write riding beside the live one would otherwise
+        # be picked by listing order — a WRONG n_buckets silently prunes
+        # point-lookups to the wrong bucket (empty results). The writer
+        # clears the staging dir, so this fires only on externally
+        # corrupted tables; fail loudly rather than guess.
+        raise ValueError(
+            f"upsert layout at {_layout_dir(path)} holds "
+            f"{len(rows)} conflicting records — the table metadata is "
+            "corrupted; rewrite the layout with upsert_into or remove "
+            "the stale file"
+        )
     return rows[0] if rows else None
+
+
+# Passing a huge batch lookup as hundreds of explicit directory paths
+# stops paying off (arg marshalling + per-dir listing setup); past this
+# many distinct buckets the root read with partition pruning wins anyway
+# because the probe touches a large fraction of the table.
+_MAX_DIRECT_BUCKET_DIRS = 64
+
+
+def _fold_bucket_ids(
+    spark: SparkSession, probes: list[list[tuple]], n_buckets: int
+) -> list[int]:
+    """Evaluate ``pmod(xxhash64(lits...), n_buckets)`` for each probe
+    entirely DRIVER-SIDE: a foldable projection over ``VALUES (1)`` (a
+    LocalRelation) is collapsed by the ConvertToLocalRelation optimizer
+    rule into a LocalTableScan whose executeCollect never schedules a
+    task (measured round-9: 0 jobs, ~30 ms for any number of probes in
+    one select — vs one whole driver job per probe for the
+    ``spark.range(1).collect()`` shape round-7 removed).
+
+    ``probes``: one entry per lookup key, each a list of
+    ``(value, type_simple_string)`` pairs matching the bucket cols. The
+    cast to the STORED column type is load-bearing — xxhash64 of an int
+    literal and a long column differ, and a mismatch would prune to the
+    wrong bucket."""
+    exprs = []
+    for i, lits in enumerate(probes):
+        cols = [F.lit(v).cast(t) for v, t in lits]
+        exprs.append(bucket_expr(cols, n_buckets).alias(f"_b{i}"))
+    row = spark.sql("VALUES (1)").select(*exprs).collect()[0]
+    return [int(row[i]) for i in range(len(probes))]
+
+
+def _try_bucket_dir_read(
+    spark: SparkSession, reader, path: str, layout: dict, key_equals: dict
+):
+    """Point-lookup fast path (round-9, verdict #2): when the probe
+    covers the stored bucket key and the layout record carries the
+    bucket cols' types, construct ``<path>/_bucket=<h>`` driver-side and
+    read ONLY those directories (with basePath, so ``_bucket`` stays a
+    partition column and the existing bucket-filter plan evidence is
+    unchanged) — the root read's recursive listing of every bucket
+    directory was the measured bottleneck (~1.2 s across 512 dirs for a
+    1.26 MB data read at the 644 MB/5M-row scale, SURVEY §7.7).
+
+    Returns None whenever the fast path does not apply (legacy layout
+    without types, non-covering probe, multi-col batch lookup — the
+    caller's named error fires there, too many buckets, or no existing
+    bucket dir); the caller falls back to the root read and the
+    behavior is exactly what it was."""
+    raw = layout.get("bucket_cols") or ""
+    bcols = raw.split(",") if raw else []
+    types = layout.get("bucket_col_types")
+    if not bcols or not types or len(types) != len(bcols):
+        return None
+    if not set(bcols) <= set(key_equals):
+        return None
+    multi = {
+        c for c, v in key_equals.items() if isinstance(v, (list, tuple, set))
+    }
+    bmulti = [c for c in bcols if c in multi]
+    if bmulti and len(bcols) > 1:
+        return None  # main path raises the named single-col-only error
+    nb = int(layout["n_buckets"])
+    if bmulti:
+        vals = list(key_equals[bcols[0]])
+        if not vals:
+            return None  # empty batch: the filter(false) fast path owns it
+        probes = [[(v, types[0])] for v in vals]
+    else:
+        probes = [[(key_equals[c], t) for c, t in zip(bcols, types)]]
+    ids = sorted(set(_fold_bucket_ids(spark, probes, nb)))
+    if len(ids) > _MAX_DIRECT_BUCKET_DIRS:
+        return None
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    dirs = [
+        d for d in (f"{base}/{BUCKET_COL}={b}" for b in ids)
+        if fs.exists(P(d))
+    ]
+    if not dirs:
+        # every probed key hashes to a bucket that was never written —
+        # a correct empty result; the root-read path produces it (rare:
+        # only absent keys land here, and they pay what they always did)
+        return None
+    return reader.option("basePath", base).parquet(*dirs)
 
 
 def read_upsert_table(
@@ -673,15 +797,25 @@ def read_upsert_table(
     whole table each merge, so its files always agree."""
     reader = spark.read
     layout = None
+    evolved = False
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     else:
         # read the layout record ONCE per call (round-7: the point-lookup
         # path re-read it a second time — one extra driver job per probe)
         layout = _read_upsert_layout(spark, path)
-        if layout is not None and _layout_evolved(layout):
+        evolved = layout is not None and _layout_evolved(layout)
+        if evolved:
             reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(path)
+    df = None
+    if key_equals and layout is not None and not evolved:
+        # round-9 fast path: read ONLY the probed bucket directories —
+        # skipped for evolved/mergeSchema tables, whose schema contract
+        # requires table-wide footer sampling (a single-bucket read
+        # could legally miss columns untouched buckets carry)
+        df = _try_bucket_dir_read(spark, reader, path, layout, key_equals)
+    if df is None:
+        df = reader.parquet(path)
     if key_equals:
         multi = {c for c, v in key_equals.items() if isinstance(v, (list, tuple, set))}
         if any(len(list(key_equals[c])) == 0 for c in multi):

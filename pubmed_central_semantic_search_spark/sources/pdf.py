@@ -177,6 +177,17 @@ def _pdf_textlite_fn():
                 spec = filters[-1]
                 names = _re.findall(rb"/([A-Za-z0-9]+)", spec)
                 if names == [b"FlateDecode"]:
+                    # /DecodeParms with a PNG/TIFF predictor inflates
+                    # fine but leaves predictor-coded bytes — the
+                    # scanner would extract GARBLED text silently,
+                    # violating the tier's raise-by-name contract
+                    # (round-9 ADVICE find).
+                    if _re.search(rb"/DecodeParms|/DP\b|/Predictor", head):
+                        raise ValueError(
+                            "pdf_textlite: FlateDecode stream carries "
+                            "/DecodeParms (predictor-coded) — outside "
+                            "the lite subset (use the pypdf tier)"
+                        )
                     import zlib as _zlib
 
                     try:

@@ -141,3 +141,57 @@ def test_repeat_invocation_keeps_its_own_cache_alive(spark, sf_dir):
         assert _n_cached(spark) >= expected_min, name
         # clean up for the next loop iteration
         spark.catalog.clearCache()
+
+
+def test_cross_key_plan_identical_persists_are_refcounted(spark):
+    """Round-9 ADVICE find: q37/q38/x_semdedup all persist plan-identical
+    frames (load(sf_dir,'embeddings')) under DIFFERENT tracked keys, and
+    Spark's CacheManager matches by canonicalized plan — releasing one
+    key's deps used to drop the shared entry another key still tracked,
+    so THAT key's later release was a no-op and its next run silently
+    recomputed. Plan refcounts fix it: unpersist fires only when the
+    last tracked reference goes."""
+    from pubmed_central_semantic_search_spark.session import (
+        release_tracked_caches,
+        track_caches,
+    )
+
+    import time
+
+    def _settle(target):
+        for _ in range(40):
+            if _n_cached(spark) == target:
+                return
+            time.sleep(0.25)
+
+    before = _n_cached(spark)
+    a = spark.range(100).select((F.col("id") * 2).alias("v")).persist()
+    b = spark.range(100).select((F.col("id") * 2).alias("v")).persist()
+    a.count()
+    b.count()
+    # plan-identical: CacheManager holds ONE entry for both
+    assert _n_cached(spark) == before + 1
+    track_caches("key_a", [a])
+    track_caches("key_b", [b])
+    release_tracked_caches("key_a")
+    time.sleep(1.0)
+    # key_b still tracks the plan — the shared entry must survive
+    assert _n_cached(spark) == before + 1
+    release_tracked_caches("key_b")
+    _settle(before)
+    assert _n_cached(spark) == before
+
+    # re-tracking the SAME key with a plan-identical set keeps the
+    # entry alive across the swap (acquire-before-release ordering)
+    c = spark.range(50).select((F.col("id") + 7).alias("w")).persist()
+    c.count()
+    track_caches("key_c", [c])
+    c2 = spark.range(50).select((F.col("id") + 7).alias("w")).persist()
+    c2.count()
+    assert _n_cached(spark) == before + 1
+    track_caches("key_c", [c2])
+    time.sleep(1.0)
+    assert _n_cached(spark) == before + 1
+    release_tracked_caches("key_c")
+    _settle(before)
+    assert _n_cached(spark) == before

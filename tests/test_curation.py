@@ -98,6 +98,25 @@ def test_mmr_deterministic_and_bounded(spark):
     assert mmr_rerank(cands.limit(0), [1.0, 0.0, 0.0], k=5).count() == 0
 
 
+def test_mmr_null_vector_raises_by_name(spark):
+    """Round-9 (verdict #4): a NULL embedding / null component reaching
+    the collected candidate list (corpus smaller than N) used to die
+    with a bare TypeError from float(None) — now a NAMED error with the
+    upstream fix spelled out (pca_fit's round-8 fix is the template)."""
+    import pytest
+
+    null_vec = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "doc_id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="mmr_rerank.*doc_id=2.*NULL"):
+        mmr_rerank(null_vec, [1.0, 0.0], k=2)
+    null_comp = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [None, 1.0])], "doc_id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="mmr_rerank.*doc_id=2"):
+        mmr_rerank(null_comp, [1.0, 0.0], k=2)
+
+
 def test_hash_split_is_content_addressed(spark):
     docs = _docs(spark, [(i, "s", "x") for i in range(200)])
     full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}

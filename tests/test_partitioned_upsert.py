@@ -1097,3 +1097,132 @@ def test_empty_list_probe_short_circuits(spark, tmp_path):
     out_flat = read_upsert_table(spark, flat, key_equals={"k": []})
     assert out_flat.count() == 0
     assert "FileScan" not in out_flat._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_lists_only_probed_bucket_dirs(spark, tmp_path):
+    """Round-9 (verdict #2): the r8 measurement showed a pruned point
+    lookup spends ~1.2 s LISTING all bucket directories (512 dirs for a
+    1.26 MB read) — the data read was already pruned, the DISCOVERY was
+    not. With bucket_col_types stamped in _layout, the reader now folds
+    the bucket id driver-side (zero Spark jobs) and reads
+    <path>/_bucket=<h> directly: inputFiles must name ONLY the probed
+    buckets' directories, values and plan evidence unchanged."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id AS k", "CAST(id * 3 AS STRING) AS v")
+    upsert_parquet(spark, df, path, key_cols=["k"], n_buckets=16)
+
+    got = read_upsert_table(spark, path, key_equals={"k": 5})
+    files = got.inputFiles()
+    assert files, "fast path read no files"
+    assert len({f.split("_bucket=")[1].split("/")[0] for f in files}) == 1, files
+    # plan evidence unchanged: bucket filter still a PartitionFilter
+    assert "_bucket" in _bucket_partition_filter(got)
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(5, "15")]
+
+    # batch lookup: union of the probed keys' buckets only
+    batch = read_upsert_table(spark, path, key_equals={"k": [5, 77, 900, 999999]})
+    bdirs = {f.split("_bucket=")[1].split("/")[0] for f in batch.inputFiles()}
+    assert 1 <= len(bdirs) <= 3, bdirs
+    assert sorted((r["k"], r["v"]) for r in batch.collect()) == [
+        (5, "15"), (77, "231"), (900, "2700")
+    ]
+
+    # absent key: falls back to the root read, still a correct empty
+    assert read_upsert_table(spark, path, key_equals={"k": 10**12}).count() == 0
+
+    # non-bucket extra filter rides along (superset probe)
+    sup = read_upsert_table(spark, path, key_equals={"k": 5, "v": "15"})
+    assert [(r["k"], r["v"]) for r in sup.collect()] == [(5, "15")]
+
+
+def test_point_lookup_fast_path_skips_legacy_and_evolved(spark, tmp_path):
+    """Legacy layout records (no bucket_col_types) and evolved tables
+    (schema contract requires table-wide footer sampling) must keep the
+    root-read path — correct values either way."""
+    import json
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _layout_dir,
+        _read_upsert_layout,
+        read_upsert_table,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(500).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    upsert_parquet(spark, df, path, key_cols=["k"], n_buckets=8)
+    # strip the types field -> legacy record
+    ldir = _layout_dir(path)
+    import pathlib
+
+    f = pathlib.Path(ldir) / "layout.json"
+    rec = json.loads(f.read_text())
+    assert rec.pop("bucket_col_types") == ["bigint"]
+    f.write_text(json.dumps(rec) + "\n")
+    crc = pathlib.Path(ldir) / ".layout.json.crc"
+    if crc.exists():  # hadoop local FS checksum would reject the edit
+        crc.unlink()
+    assert "bucket_col_types" not in _read_upsert_layout(spark, path)
+    got = read_upsert_table(spark, path, key_equals={"k": 7})
+    # root read: every bucket directory is listed (not the fast path)
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(7, "7")]
+    assert "_bucket" in _bucket_partition_filter(got)
+
+    # evolved table: fast path must not apply (footer-union contract)
+    path2 = str(tmp_path / "t2")
+    upsert_parquet(spark, df, path2, key_cols=["k"], n_buckets=8)
+    extra = spark.range(500, 510).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v", "id * 2 AS extra"
+    )
+    upsert_parquet(
+        spark, extra, path2, key_cols=["k"], n_buckets=8,
+        allow_schema_evolution=True,
+    )
+    hit = read_upsert_table(spark, path2, key_equals={"k": 7})
+    assert "extra" in hit.columns  # schema is table-wide despite k=7's
+    assert [(r["k"], r["v"], r["extra"]) for r in hit.collect()] == [(7, "7", None)]
+
+
+def test_fold_bucket_ids_matches_cluster_eval_and_launches_no_job(spark):
+    """The driver-side fold must agree with what Spark computes on the
+    cluster for every bucket-key type the engine stamps, and must not
+    schedule a single task (the VALUES->LocalRelation short-circuit)."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _fold_bucket_ids,
+        bucket_expr,
+    )
+
+    cases = [
+        (12345, "bigint"),
+        (-7, "bigint"),
+        ("md5-like-string-key", "string"),
+        (3.5, "double"),
+        (42, "int"),
+    ]
+    sc = spark.sparkContext
+    spark.range(1).collect()
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    folded = _fold_bucket_ids(spark, [[c] for c in cases], 64)
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before, "fold scheduled a Spark job"
+    expect = [
+        spark.range(1)
+        .select(bucket_expr([F.lit(v).cast(t)], 64).alias("b"))
+        .collect()[0][0]
+        for v, t in cases
+    ]
+    assert folded == expect
+    # composite key folds too
+    multi = _fold_bucket_ids(spark, [[(1, "bigint"), ("a", "string")]], 32)
+    exp = spark.range(1).select(
+        bucket_expr([F.lit(1).cast("bigint"), F.lit("a").cast("string")], 32)
+        .alias("b")
+    ).collect()[0][0]
+    assert multi == [exp]

@@ -218,3 +218,25 @@ def test_pdf_flate_generator_textlite_roundtrip(lines):
     n_pages, text = pdf_textlite(make_minimal_pdf(lines, compress=True))
     assert n_pages == 1
     assert text == "\n".join(lines)
+
+
+def test_pdf_flate_predictor_raises_by_name():
+    """Round-9 ADVICE find: a FlateDecode stream with /DecodeParms (PNG
+    predictor) inflates fine but the bytes are predictor-coded — the
+    scanner extracted GARBLED text silently. Out-of-subset shapes must
+    raise BY NAME, never wrong text."""
+    import re
+    import zlib
+
+    import pytest
+
+    blob = make_minimal_pdf(["hello predictor"], compress=True)
+    # splice /DecodeParms into the content stream's dict head
+    patched = blob.replace(
+        b"/Filter /FlateDecode ",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> ",
+        1,
+    )
+    assert patched != blob
+    with pytest.raises(ValueError, match="DecodeParms"):
+        pdf_textlite(patched)

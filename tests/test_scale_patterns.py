@@ -259,6 +259,38 @@ def test_salted_distinct_count_null_semantics_match_countdistinct(spark):
     assert got == want == {"a": 2, "b": 0}
 
 
+def test_salted_distinct_count_null_group_key_matches_countdistinct(spark):
+    """Round-9 ADVICE find: a NULL group KEY (not just null values) is a
+    real group — the name-based left join was null-unsafe, so
+    [(None,'x'), (None,'y')] reported 0 where countDistinct says 2."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("a", "x"), (None, None), ("b", None)],
+        "g string, v string",
+    )
+    got = {r.g: r.n_distinct for r in salted_distinct_count(df, ["g"], "v").collect()}
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {None: 2, "a": 1, "b": 0}
+    # Multi-column group with a null in one key component.
+    df2 = spark.createDataFrame(
+        [(None, 1, "x"), (None, 1, "y"), ("a", None, "x")],
+        "g1 string, g2 int, v string",
+    )
+    got2 = {
+        (r.g1, r.g2): r.n_distinct
+        for r in salted_distinct_count(df2, ["g1", "g2"], "v").collect()
+    }
+    assert got2 == {(None, 1): 2, ("a", None): 1}
+
+
 def test_salt_reserved_column_guards(spark):
     """Round-8 review find: a caller's own '_salt' column used to be
     silently replaced (the upsert writer's _bucket lesson)."""
