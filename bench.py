@@ -48,6 +48,11 @@ def main() -> None:
     runnable[names[0]](spark, sf_dir).count()
 
     total = 0.0
+    # Per-entry raw samples ride in the JSON (round-9, verdict #7): a
+    # capture taken in a load spike is adjudicable per query — the min
+    # is the recorded number, the spread is the noise evidence, so one
+    # noisy pass cannot silently dominate a round-over-round comparison.
+    all_samples: dict[str, list[float]] = {}
     for name in names:
         # Pass 1 warms codegen/JIT for this plan; then TWO timed passes,
         # keeping the min — each with the data cache cleared, so the number
@@ -70,6 +75,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         best = min(samples)
         timings[name] = round(best, 4)
+        all_samples[name] = [round(s, 4) for s in samples]
         total += best
         spark.catalog.clearCache()
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
@@ -108,7 +114,10 @@ def main() -> None:
     # as a trailing "summary" object (the driver's record keeps the TAIL
     # of the line — r4's capture cut the head-side fields, forcing
     # estimated round-over-round comparisons).
-    print(json.dumps({**summary, "queries": timings, "summary": summary}))
+    print(json.dumps({
+        **summary, "queries": timings, "samples": all_samples,
+        "summary": summary,
+    }))
     spark.stop()
 
 

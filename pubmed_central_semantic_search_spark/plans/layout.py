@@ -134,6 +134,21 @@ def bloom_write(
     ``expected_ndv`` sizes the filter (~1.2 bytes/value at the default
     1% false-positive rate). Readers that ignore bloom filters still read
     the file normally — the layout is purely additive."""
+    # Fail loudly on a typo'd column (round-9 review pass): the parquet
+    # writer SILENTLY IGNORES bloom options for columns that don't exist,
+    # so a misspelled key would write a table whose promised footer-bound
+    # point lookups quietly degrade to full scans — no error anywhere.
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"bloom_write: bloom_cols {missing} not in the frame "
+            f"(columns: {df.columns}) — a nonexistent column's bloom "
+            "option is silently dropped by the writer"
+        )
+    if expected_ndv <= 0:
+        raise ValueError(
+            f"bloom_write: expected_ndv must be positive, got {expected_ndv}"
+        )
     writer = df.write.mode(mode)
     for c in bloom_cols:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")

@@ -758,6 +758,18 @@ def _x_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_report(spark, sf_dir)
 
 
+def _x_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_pipeline import exact_substr_spans_report
+
+    return exact_substr_spans_report(spark, sf_dir)
+
+
+def _x_quality_classifier_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import quantized_classifier_report
+
+    return quantized_classifier_report(spark, sf_dir)
+
+
 BENCH_EXTRAS = {
     "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
@@ -769,6 +781,9 @@ BENCH_EXTRAS = {
     # round-8 demoted arms: q53 'lexical' CC, q47 'pq'
     "x_lexical_cc": _x_lexical_cc,
     "x_pq_adc": _x_pq_adc,
+    # round-9 demoted arms: q16 'span' ExactSubstr, q28 quantized classifier
+    "x_exact_substr_spans": _x_exact_substr_spans,
+    "x_quality_classifier_quantized": _x_quality_classifier_quantized,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
     "x_bpe_segment": x_bpe_segment,

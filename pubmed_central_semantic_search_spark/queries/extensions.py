@@ -339,8 +339,7 @@ _GOPHER_OUT_COLS = """
       JOIN lm_cu cu ON cu.w1 = b.w1
       CROSS JOIN lm_v v
       GROUP BY b.doc_id
-    ),
-    {_clf_ctes()}
+    )
     SELECT p.doc_id, p.labeled_lang, p.predicted_lang, p.quality_milli,
            p.n_bpe_tokens,
            CAST(len(p.gs) AS BIGINT) AS n_grams,
@@ -349,25 +348,22 @@ _GOPHER_OUT_COLS = """
                 THEN (len(p.gs) - len(list_distinct(p.gs))) * 1000 // len(p.gs)
                 ELSE 0 END AS BIGINT) AS rep_milli,
            coalesce(fp.fingerprint, -1) AS fingerprint,
-           coalesce(lm.ppl, -1.0) AS ppl,
-           c.clf_label, c.clf_score_micro
+           coalesce(lm.ppl, -1.0) AS ppl
     FROM panel p
     LEFT JOIN fp ON fp.doc_id = p.doc_id
     LEFT JOIN lm_ppl lm ON lm.doc_id = p.doc_id
-    JOIN clf_score c ON c.doc_id = p.doc_id
     """,
     survey_rows="X4 panel: language-ID heuristic + integer-deterministic "
     "quality scoring + BPE-ish token counting + repetition ratio (Gopher) "
     "+ rolling-hash document fingerprint + bigram-LM perplexity "
     "(CCNet-style quality filter, train+score certified) "
-    "+ fastText-style quality classifier (quantized-GD hashed-BoW logreg — "
-    "EVERY training iteration and the scoring pass replayed value for "
-    "value by the oracle's unrolled integer-arithmetic CTEs). The full "
-    "Gopher rule panel was DEMOTED from this row's driver replay after "
-    "two green rounds (the oracle-tower amortization policy): its DuckDB "
-    "parity now runs as pytest (tests/test_gopher.py gopher-vs-DuckDB) "
-    "over the same unrolled CTEs, and x_gopher_panel keeps the bench "
-    "number",
+    ". Two arms DEMOTED under the oracle-tower amortization policy: the "
+    "full Gopher rule panel (round 6; pytest tests/test_gopher.py over "
+    "the same unrolled CTEs, bench x_gopher_panel) and the quantized-GD "
+    "hashed-BoW quality classifier (round 9, driver-green r5–r8; pytest "
+    "tests/test_classifier.py::test_q28_classifier_duckdb_parity_demoted "
+    "over the same _clf_ctes() text — every training iteration still "
+    "replayed value for value — bench x_quality_classifier_quantized)",
 )
 def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bigram_perplexity, train_bigram_lm
@@ -410,17 +406,29 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = bigram_perplexity(d, c_big, c_uni, vsz).select(
         "doc_id", F.round("ppl", 6).alias("ppl")
     )
-    # fastText-style quality gate, quantized-GD tier (integer arithmetic
-    # end to end — the oracle replays the whole training loop): fit on
-    # the deterministic 1/4 slice, score every document. The label is
-    # token-derived ('vector' membership — learnable from hashed BoW, so
-    # the score column is a live training-sanity signal, the
-    # x_quality_classifier convention).
+    return (
+        panel.join(ppl, "doc_id", "left")
+        .withColumn("ppl", F.coalesce("ppl", F.lit(-1.0)))
+    )
+
+
+def quantized_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEMOTED q28 quantized-classifier arm's Spark side (round 9;
+    driver-green r5–r8) — also the x_quality_classifier_quantized bench
+    entry: fastText-style quality gate, quantized-GD tier (integer
+    arithmetic end to end — the pytest oracle replays the whole training
+    loop via _clf_ctes()): fit on the deterministic 1/4 slice, score
+    every document. The label is token-derived ('vector' membership —
+    learnable from hashed BoW, so the score column is a live
+    training-sanity signal)."""
     from ..operators.classifier import (
         logreg_score_micro_frame,
         train_logreg_quantized,
     )
 
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # coalesce: NULL text → label 0 (the oracle's CASE WHEN semantics);
     # array_contains(null) would propagate NULL into training y and the
     # driver hash
@@ -437,14 +445,18 @@ def q28_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=_CLF_LR,
         n_iter=_CLF_ITER,
     )
-    clf = logreg_score_micro_frame(d, model).join(
+    return logreg_score_micro_frame(d, model).join(
         d.select("doc_id", label.alias("clf_label")), "doc_id"
     )
-    return (
-        panel.join(ppl, "doc_id", "left")
-        .withColumn("ppl", F.coalesce("ppl", F.lit(-1.0)))
-        .join(clf, "doc_id")
-    )
+
+
+def q28_classifier_parity_sql() -> str:
+    """The demoted arm's oracle — the SAME _clf_ctes() text the registry
+    row carried through r8, now consumed by the pytest parity test."""
+    return f"""
+    WITH {_clf_ctes()}
+    SELECT doc_id, clf_label, clf_score_micro FROM clf_score
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -890,6 +902,32 @@ def _q42_oracle() -> str:
            vw || 'x' || vh || ':' || vnf || ':' || sum_luma || ':' || sum_chroma
              AS decoded
     FROM vsum
+    UNION ALL
+    -- 'pdf' arm (round-9): the PDF GENERATOR formula — doc_id < 32 →
+    -- a FlateDecode-compressed single-page PDF whose shown text is
+    -- 1 + doc_id%3 lines, line i = 'doc <d> line <i> alpha<(d*7+i)%10>'.
+    -- The Spark side BUILDS those bytes (make_minimal_pdf, zlib
+    -- deflate) and EXTRACTS the text with the pure-Python lite parser
+    -- (stream walk + inflate + show-operator scan); this oracle
+    -- recomputes the expected page count and extracted text from the
+    -- formula alone — a parser bug cannot cancel against the generator
+    SELECT 'pdf' AS kind, concat('f', doc_id) AS media_id,
+           'pdf' AS modality,
+           CAST(NULL AS BIGINT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS content_md5,
+           CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS xm_rank,
+           '1:' || length(txt) || ':' || txt AS decoded
+    FROM (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, 1 + doc_id % 3), i ->
+                 concat('doc ', doc_id, ' line ', i, ' alpha',
+                        (doc_id * 7 + i) % 10)),
+               chr(10)) AS txt
+      FROM documents WHERE doc_id < 32
+    )
     """
 
 
@@ -945,6 +983,35 @@ def _gen_wav_udf():
     return _gen
 
 
+def _gen_pdf_udf():
+    """Deterministic FlateDecode-compressed PDF generator for the q42
+    'pdf' arm (round-9: the PPM construction applied to S6 — the lite
+    PDF parser was the only real-decode tier without a driver arm):
+    doc_id → make_minimal_pdf of 1 + doc_id%3 lines, line i =
+    'doc {d} line {i} alpha{(d*7+i)%10}', compress=True so the content
+    stream REALLY inflates via stdlib zlib executor-side. The builder is
+    bound from its by-value factory (the package-wide UDF rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sources.pdf import _make_minimal_pdf_fn
+
+    mk_pdf = _make_minimal_pdf_fn()  # nested fn → cloudpickles by value
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def mk(d):
+            d = int(d)
+            lines = [
+                f"doc {d} line {i} alpha{(d * 7 + i) % 10}"
+                for i in range(1 + d % 3)
+            ]
+            return mk_pdf(lines, compress=True)
+
+        return ids.map(mk)
+
+    return _gen
+
+
 def _gen_y4m_udf():
     """Deterministic canonical-Y4M C420 clip generator for the q42
     'video' arm — builds the exact bytes the oracle's vdec/vsum formula
@@ -992,7 +1059,11 @@ def _gen_y4m_udf():
     "modality; compressed containers remain the gated ffmpeg-tier "
     "future seam) + REAL frame SAMPLING (round-8: sample_frames decodes "
     "every 2nd generated frame — per-frame luma sums certified; "
-    "frame_sample_plan's stubbed decode leg is now real)",
+    "frame_sample_plan's stubbed decode leg is now real) + REAL PDF "
+    "text extraction (round-9: generated FlateDecode-compressed PDFs -> "
+    "pure-Python lite parser (zlib inflate + show-operator scan) -> page "
+    "count + extracted text, certified against the line formula — S6's "
+    "real-decode tier joins the driver-certified family)",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
@@ -1143,6 +1214,32 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_luma").cast("string"),
         ).alias("decoded"),
     )
+    # 'pdf' arm (round-9): generated FlateDecode-compressed PDFs ->
+    # REAL text extraction (pure-Python lite parser: stream walk, zlib
+    # inflate, show-operator scan) -> page count + extracted text the
+    # oracle recomputes from the line formula
+    from ..sources.pdf import extract_pdf_text_lite
+
+    pdfs = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("f"), F.col("doc_id")).alias("path"),
+        _gen_pdf_udf()(F.col("doc_id")).alias("content"),
+    )
+    pdfa = extract_pdf_text_lite(pdfs).select(
+        F.lit("pdf").alias("kind"),
+        F.col("path").alias("media_id"),
+        F.lit("pdf").alias("modality"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_md5"),
+        "error",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("xm_rank"),
+        F.concat_ws(
+            ":",
+            F.col("n_pages").cast("string"),
+            F.length("text").cast("string"),
+            F.col("text"),
+        ).alias("decoded"),
+    )
     qv = _xmodal_query_vec()
     xm = (
         media.filter(F.col("modality") == "image")
@@ -1178,6 +1275,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         feats.unionByName(xm).unionByName(dec).unionByName(rsz)
         .unionByName(aud).unionByName(vid).unionByName(frm)
+        .unionByName(pdfa)
     )
 
 

@@ -270,9 +270,68 @@ def pq_adc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q47_quantization_error",
-    """
+# --- q47 'pca' arm (round-9 backfill for the demotion wave) ---------------
+# Certifies the PCA projection + whitening APPLICATION path
+# (operators/projection.pca_project — packed literals, zip_with/aggregate
+# left fold, the driver-side whitening fold of _effective_components)
+# value-for-value through the driver oracle on the real embeddings table.
+# The honest split the H2 row uses: the numpy-eigh FIT stays pytest-pinned
+# (tests/test_projection.py::test_fit_matches_numpy); the registry arm
+# rides a FORMULA model — mean/components/eigenvalues are pure functions
+# of the index, so both engines embed the exact same literals at any SF
+# (a fitted matrix cannot ride a static oracle string: the fit depends on
+# the data the driver points at).
+_PCA_ARM_K, _PCA_ARM_EPS = 4, 1e-9
+
+
+def _pca_arm_model():
+    import math
+
+    from ..operators.projection import PCAModel
+    from ..registry import QUERY_DIM
+
+    d, k = QUERY_DIM, _PCA_ARM_K
+    return PCAModel(
+        mean=[round(0.1 * math.sin(0.05 * i + 0.2), 6) for i in range(d)],
+        components=[
+            [round(math.sin(0.31 * (j + 1) + 0.17 * i + 0.05), 6)
+             for i in range(d)]
+            for j in range(k)
+        ],
+        eigvals=[round(2.0 / (j + 1), 6) for j in range(k)],
+        n=0,
+    )
+
+
+def _pca_arm_sql_lits() -> tuple[str, str]:
+    """(mean, effective-components) as SQL double-array literals — the
+    components carry the SAME Python-folded whitening scales the Spark
+    plan embeds (_effective_components), so the two engines multiply by
+    bit-identical literals."""
+    from ..operators.projection import _effective_components
+
+    m = _pca_arm_model()
+    comps = _effective_components(m, whiten=True, eps=_PCA_ARM_EPS)
+    mean_sql = "CAST([" + ", ".join(repr(v) for v in m.mean) + "] AS DOUBLE[])"
+    comp_sql = (
+        "CAST(["
+        + ", ".join("[" + ", ".join(repr(x) for x in row) + "]" for row in comps)
+        + "] AS DOUBLE[][])"
+    )
+    return mean_sql, comp_sql
+
+
+def _q47_oracle() -> str:
+    from ..registry import QUERY_DIM
+
+    mean_sql, comp_sql = _pca_arm_sql_lits()
+    z_cols_o = ", ".join(
+        f"round(avg(z[{j + 1}]), 6) AS z{j + 1}" for j in range(_PCA_ARM_K)
+    )
+    z_nulls = ", ".join(
+        f"CAST(NULL AS DOUBLE) AS z{j + 1}" for j in range(_PCA_ARM_K)
+    )
+    return f"""
     WITH q AS (
       SELECT label,
              CAST(embedding AS DOUBLE[]) AS emb,
@@ -286,35 +345,73 @@ def pq_adc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(list_transform(emb, x -> round(x / scale)),
                             v -> v * scale) AS deq
       FROM q
+    ),
+    pc AS (SELECT {mean_sql} AS mu, {comp_sql} AS w),
+    pz AS (
+      -- the whitened projection replayed term for term: z_j =
+      -- left-fold over i of w_eff[j][i] * (v[i] - mu[i]) — the same
+      -- sequential fold order F.aggregate uses (the pq-arm precedent)
+      SELECT label,
+             list_transform(range(1, {_PCA_ARM_K} + 1), j ->
+               list_reduce(list_prepend(0.0e0,
+                 list_transform(range(1, {QUERY_DIM} + 1), i ->
+                   w[j][i] * (emb[i] - mu[i]))),
+                 (acc, x) -> acc + x)) AS z
+      FROM q CROSS JOIN pc
     )
     SELECT 'int8' AS kind,
            label,
            count(*) AS n_vecs,
            round(avg(list_cosine_similarity(emb, deq)), 4) AS avg_cos,
            round(min(list_cosine_similarity(emb, deq)), 6) >= 0.999
-             AS all_above_999
+             AS all_above_999,
+           {z_nulls}
     FROM d
     GROUP BY label
-    """,
+    UNION ALL
+    SELECT 'pca' AS kind,
+           label,
+           count(*) AS n_vecs,
+           CAST(NULL AS DOUBLE) AS avg_cos,
+           CAST(NULL AS BOOLEAN) AS all_above_999,
+           {z_cols_o}
+    FROM pz
+    GROUP BY label
+    """
+
+
+@register(
+    "q47_quantization_error",
+    _q47_oracle(),
     survey_rows="X2/X3 (int8 embedding quantization — the 4x storage "
-    "tier). The 'pq' arm (PQ encode argmin + ADC lookup scoring — the "
-    "32x tier) was DEMOTED under the amortization policy after five "
-    "green rounds (r3-r7): its DuckDB parity runs as pytest "
+    "tier) + PCA projection/whitening application (round-9 backfill: "
+    "pca_project with whiten=True over a formula model — packed "
+    "literals, zip_with/aggregate fold, and the driver-side whitening "
+    "fold all replayed value for value; the numpy-eigh FIT stays "
+    "pytest-pinned, the honest split H2 uses). The 'pq' arm (PQ encode "
+    "argmin + ADC lookup scoring — the 32x tier) was DEMOTED under the "
+    "amortization policy after five green rounds (r3-r7): its DuckDB "
+    "parity runs as pytest "
     "(tests/test_pq.py::test_q47_pq_duckdb_parity_demoted) over the same "
     "CTE text, and x_pq_adc keeps the bench number",
 )
 def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine_similarity
+    from ..operators.projection import pca_project
     from ..operators.quantize import dequantize, with_quantized
 
-    # single arm since the round-8 pq demotion: the int8 round-trip reads
-    # the embeddings column once — no multi-consumer persist needed
+    # two arms read the embeddings column once each — both narrow
+    # projections over the scan, no persist needed (AQE reuses nothing
+    # here by design: different aggregates over different expressions)
     emb = load(spark, sf_dir, "embeddings")
     d = with_quantized(emb).withColumn(
         "deq", dequantize("q_vec", F.col("q_scale"))
     )
     cos = cosine_similarity("embedding", F.col("deq"))
-    return d.groupBy("label").agg(
+    z_nulls = [
+        F.lit(None).cast("double").alias(f"z{j + 1}") for j in range(_PCA_ARM_K)
+    ]
+    int8 = d.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(cos), 4).alias("avg_cos"),
         # round BEFORE the threshold (the repo's rounding discipline):
@@ -327,4 +424,26 @@ def q47_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "avg_cos",
         "all_above_999",
+        *z_nulls,
     )
+    pz = pca_project(
+        emb, _pca_arm_model(), vec_col="embedding", out_col="z",
+        whiten=True, eps=_PCA_ARM_EPS,
+    )
+    pca = pz.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(F.avg(F.element_at("z", j + 1)), 6).alias(f"z{j + 1}")
+            for j in range(_PCA_ARM_K)
+        ],
+    ).select(
+        F.lit("pca").alias("kind"),
+        "label",
+        "n_vecs",
+        F.lit(None).cast("double").alias("avg_cos"),
+        F.lit(None).cast("boolean").alias("all_above_999"),
+        *[F.col(f"z{j + 1}") for j in range(_PCA_ARM_K)],
+    )
+    return int8.unionByName(pca)
+
+

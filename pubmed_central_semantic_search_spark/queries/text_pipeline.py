@@ -220,22 +220,23 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X1/H1 — exact duplication, both granularities, as a tagged union:
+# X1/H1 — exact duplication, both granularities:
 # kind='doc'  — whole-document content-key dedup (the reference's hash-keyed
 #               idempotent upsert, qdrant.py:137-139, generalized): one
 #               groupBy(md5) shuffle, the standard 100 TB exact-dedup pass.
-# kind='span' — repeated-SUBSTRING spans (ExactSubstr, Lee et al. ACL'22,
-#               operators/dedup.py repeated_ngram_spans): boilerplate
-#               passages shared verbatim across otherwise-distinct docs,
-#               which whole-doc dedup misses. Column mapping for the union:
-#               doc_id = keep_doc_id | span's doc; n = n_copies | n_windows;
-#               span_start/span_end only for spans; content_key only for
-#               docs.
+#               Stays the q16 registry row.
+# 'span'      — repeated-SUBSTRING spans (ExactSubstr, Lee et al. ACL'22,
+#               operators/dedup.py repeated_ngram_spans): DEMOTED round 9
+#               (oracle-tower amortization policy; driver-green r3–r8) —
+#               DuckDB parity runs as pytest over _Q16_SPAN_PARITY_SQL
+#               (tests/test_dedup_spans.py), the bench number is the
+#               x_exact_substr_spans extras entry.
 
 
-@register(
-    "q16_exact_dedup",
-    """
+# The demoted q16 'span' arm's oracle — shared VERBATIM by the pytest
+# parity test (the amortization policy's contract: same CTE text, same
+# value check, just out of the driver's 50-entry window).
+_Q16_SPAN_PARITY_SQL = """
     WITH d AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM documents
@@ -267,54 +268,58 @@ def q15_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS isl
       FROM isl
     )
-    SELECT 'doc' AS kind,
-           md5(text) AS content_key,
-           min(doc_id) AS doc_id,
-           count(*) AS n,
-           CAST(NULL AS BIGINT) AS span_start,
-           CAST(NULL AS BIGINT) AS span_end
-    FROM documents
-    GROUP BY md5(text)
-    UNION ALL
-    SELECT 'span' AS kind,
-           CAST(NULL AS VARCHAR) AS content_key,
-           doc_id,
+    SELECT doc_id,
            count(*) AS n,
            CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) + 8 AS BIGINT) AS span_end
     FROM isl2 GROUP BY doc_id, isl
-    """,
-    survey_rows="X1, H1, X2 (repeated-substring spans)",
-)
-def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def q16_span_parity_sql() -> str:
+    return _Q16_SPAN_PARITY_SQL
+
+
+def exact_substr_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q16 'span' arm's Spark side — also the
+    x_exact_substr_spans bench entry: repeated 8-token window spans
+    shared by ≥2 docs (hash-window blocking, no suffix array)."""
     from ..operators.dedup import repeated_ngram_spans
 
-    # Content hashing + window hashing are narrow CPU stages; the
-    # test-scale file is one parquet partition, so rebalance first (q28's
-    # pattern — a no-op on a production-width scan).
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    docs = d.groupBy(F.md5("text").alias("content_key")).agg(
+    return repeated_ngram_spans(
+        d, "doc_id", "text", window=8, min_docs=2
+    ).select(
+        "doc_id", F.col("n_windows").alias("n"), "span_start", "span_end"
+    )
+
+
+@register(
+    "q16_exact_dedup",
+    """
+    SELECT md5(text) AS content_key,
+           min(doc_id) AS doc_id,
+           count(*) AS n
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey_rows="X1, H1 (doc arm; the ExactSubstr span arm was demoted "
+    "round 9 after six green rounds — parity in tests/test_dedup_spans.py "
+    "over _Q16_SPAN_PARITY_SQL, bench in x_exact_substr_spans)",
+)
+def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content hashing is a narrow CPU stage; the test-scale file is one
+    # parquet partition, so rebalance first (q28's pattern — a no-op on
+    # a production-width scan).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.groupBy(F.md5("text").alias("content_key")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n"),
-    ).select(
-        F.lit("doc").alias("kind"),
-        "content_key",
-        "doc_id",
-        "n",
-        F.lit(None).cast("bigint").alias("span_start"),
-        F.lit(None).cast("bigint").alias("span_end"),
     )
-    spans = repeated_ngram_spans(d, "doc_id", "text", window=8, min_docs=2).select(
-        F.lit("span").alias("kind"),
-        F.lit(None).cast("string").alias("content_key"),
-        "doc_id",
-        F.col("n_windows").alias("n"),
-        "span_start",
-        "span_end",
-    )
-    return docs.unionByName(spans)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,20 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     FROM documents
     WHERE doc_id < 200
       AND NOT (doc_id >= 50 AND doc_id < 150 AND upper(text) = text)
+    UNION ALL
+    -- 'stream' arm (round-9, verdict #3): a Structured Streaming drain
+    -- INSIDE the certified lineage — readStream over the seed shards
+    -- (maxFilesPerTrigger=2 forces a MULTI-micro-batch drain), a '-s'
+    -- payload transform, start_stream_upsert availableNow into a
+    -- bucket-partitioned temp table, and the table's READ-BACK is what
+    -- the oracle hashes (the r6 sharded-sink read-back certification,
+    -- applied to X6's sink tier). Expected state, stated directly:
+    -- every seed doc (0-149) exactly once with the transformed payload.
+    SELECT 'stream' AS kind, doc_id, source, lang,
+           md5(text || '-s') AS content_key,
+           CAST(length(text) + 2 AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 150
     """,
     survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
     "group-replacing upsert + bucket-partitioned layout + POINT-LOOKUP "
@@ -110,7 +124,11 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     "S9 (collection DDL), S8 (durable parquet snapshots + snapshot_diff "
     "CDC between two pinned versions — round-8 backfill, previously "
     "U-only: the inserted/deleted/changed matrix is driver-certified, "
-    "including the omit-unchanged rule for idempotent rewrites)",
+    "including the omit-unchanged rule for idempotent rewrites), "
+    "X6 (round-9: a Structured Streaming availableNow drain through "
+    "start_stream_upsert — multi-micro-batch file stream into a "
+    "bucket-partitioned table, READ-BACK driver-hashed; the streaming "
+    "sink tier joins the certified lineage)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -130,16 +148,25 @@ def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _merge_phases(spark, docs_grp, table_path, n_buckets=None) -> None:
     """Phases 2+3 — identical calls for either layout (the layout is a
     write-side knob, never a semantics change)."""
-    # S7 keyed: overlapping upsert with modified payloads
-    upsert_parquet(
-        spark,
-        docs_grp.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200)).withColumn(
-            "text", F.upper("text")
-        ),
-        table_path,
-        key_cols=["doc_id"],
-        n_buckets=n_buckets,
-    )
+    # S7 keyed: overlapping upsert with modified payloads — dispatched
+    # through the PURE-SQL surface (round-9, verdict #6: catalog_sql's
+    # UPSERT INTO shares the driver certification instead of living only
+    # in tests/test_sql_surface.py; the statement's SELECT body runs
+    # through spark.sql, the merge through the same upsert_parquet)
+    from ..sql import catalog_sql
+
+    view = "q62_docs_src_" + uuid.uuid4().hex[:8]
+    docs_grp.createOrReplaceTempView(view)
+    try:
+        buckets = f" BUCKETS {n_buckets}" if n_buckets else ""
+        catalog_sql(
+            spark,
+            f"UPSERT INTO '{table_path}' KEY (doc_id){buckets} AS "
+            f"SELECT doc_id, source, lang, upper(text) AS text, grp "
+            f"FROM {view} WHERE doc_id >= 50 AND doc_id < 200",
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     # S7 group-replace: groups 0-4 re-uploaded SHORTENED (evens only,
     # '-v3' payload) — the odd members of those groups must disappear
     upsert_parquet(
@@ -246,6 +273,31 @@ def _roundtrip_merges(spark, base, docs_grp, seed, part_path, snap_dir, v1_futur
             "lookup",
         ).collect()
 
+    def stream_leg():
+        # X6 streaming drain (round-9): the seed shards re-enter as a
+        # FILE STREAM (2 files per trigger → at least two micro-batches,
+        # so the keyed merge really runs across batches), each batch
+        # upserts into a fresh bucket-partitioned table, and the drained
+        # table's read-back joins the driver-hashed result. availableNow
+        # terminates when the listing is drained — bounded by contract.
+        from ..streaming.ingest import start_stream_upsert
+
+        stream_tbl = os.path.join(base, "stream_tbl")
+        src = (
+            spark.readStream.schema(seed.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(os.path.join(base, "docs_seed"))
+            .withColumn("text", F.concat("text", F.lit("-s")))
+        )
+        q = start_stream_upsert(
+            src, stream_tbl, os.path.join(base, "stream_ckpt"),
+            key_cols=["doc_id"], partition_buckets=8,
+        )
+        q.awaitTermination()
+        return project(
+            read_upsert_table(spark, stream_tbl), "stream"
+        ).collect()
+
     def diff_leg():
         v1 = v1_future.result()
         v2 = snapshot_write(
@@ -265,14 +317,17 @@ def _roundtrip_merges(spark, base, docs_grp, seed, part_path, snap_dir, v1_futur
             .collect()
         )
 
-    with ThreadPoolExecutor(len(_LOOKUP_KEYS) + 1) as pool:
+    with ThreadPoolExecutor(len(_LOOKUP_KEYS) + 2) as pool:
         diff_future = pool.submit(diff_leg)
+        stream_future = pool.submit(stream_leg)
         lookup_rows = [
             r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows
         ]
         diff_rows = diff_future.result()
+        stream_rows = stream_future.result()
     return local_df(
-        spark, part_rows + lookup_rows + diff_rows, part_out.schema
+        spark, part_rows + lookup_rows + diff_rows + stream_rows,
+        part_out.schema,
     )
 
 

@@ -338,52 +338,63 @@ def _pdf_textlite_fn():
 pdf_textlite = _pdf_textlite_fn()
 
 
-def make_minimal_pdf(lines: list[str], compress: bool = False) -> bytes:
-    """Deterministic generator of a minimal single-page PDF (catalog →
-    pages → page → Helvetica font → one content stream with a ``Tj`` per
-    line) — the test fixture for the lite tier, built from the spec
-    alone. ``compress=True`` deflates the content stream and declares
-    ``/Filter /FlateDecode`` (round-8: the real-PDF shape the lite tier
-    now inflates via stdlib zlib). Round-trips through BOTH
-    ``pdf_textlite`` and pypdf (the gated twin test)."""
+def _make_minimal_pdf_fn():
+    """Factory so the generator ships BY VALUE into executor closures
+    (the q42 'pdf' arm's pandas_udf — nested functions cloudpickle by
+    value, top-level module functions only by reference), same pattern
+    as ``_pdf_textlite_fn``."""
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    def make_minimal_pdf(lines: list[str], compress: bool = False) -> bytes:
+        """Deterministic generator of a minimal single-page PDF (catalog →
+        pages → page → Helvetica font → one content stream with a ``Tj`` per
+        line) — the test fixture for the lite tier, built from the spec
+        alone. ``compress=True`` deflates the content stream and declares
+        ``/Filter /FlateDecode`` (round-8: the real-PDF shape the lite tier
+        now inflates via stdlib zlib). Round-trips through BOTH
+        ``pdf_textlite`` and pypdf (the gated twin test)."""
 
-    body = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
-        f"({esc(ln)}) Tj" for ln in lines
-    ) + " ET"
-    stream = body.encode("latin-1")
-    filt = b""
-    if compress:
-        import zlib
+        def esc(s: str) -> str:
+            return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-        stream = zlib.compress(stream)
-        filt = b"/Filter /FlateDecode "
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< " + filt + b"/Length " + str(len(stream)).encode()
-        + b" >>\nstream\n" + stream + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, obj in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+        body = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+            f"({esc(ln)}) Tj" for ln in lines
+        ) + " ET"
+        stream = body.encode("latin-1")
+        filt = b""
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< " + filt + b"/Length " + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, obj in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    return make_minimal_pdf
+
+
+make_minimal_pdf = _make_minimal_pdf_fn()
 
 
 def extract_pdf_text_lite(binary_df: DataFrame) -> DataFrame:

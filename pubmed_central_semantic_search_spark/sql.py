@@ -143,9 +143,18 @@ def _split_terms(s: str) -> list[str]:
     is a batch lookup and its list literal contains commas (round-8
     self-review: the naive split broke the term apart)."""
     out, depth, quote, start = [], 0, None, 0
+    skip = False
     for i, ch in enumerate(s):
+        if skip:  # char escaped by a backslash inside a quoted literal
+            skip = False
+            continue
         if quote:
-            if ch == quote:
+            if ch == "\\":
+                # round-9 review pass: without this, an escaped quote
+                # ('it\'s') closed the string early and a later comma
+                # split the term apart
+                skip = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "'\"":
@@ -199,8 +208,13 @@ def catalog_sql(spark: SparkSession, statement: str):
         )
         return None
     m = _re.match(
+        # LOOKUP body is GREEDY up to the last ')' before AS VIEW
+        # (round-9 review pass: [^)]+ truncated at the FIRST ')', so a
+        # parenthesized value — LOOKUP (k = (1, 2)) — reached
+        # literal_eval as 'k = (1, 2' and failed with an opaque
+        # SyntaxError instead of parsing)
         r"(?is)^UPSERT\s+READ\s+'([^']+)'"
-        r"(?:\s+LOOKUP\s*\(([^)]+)\))?\s+AS\s+VIEW\s+(\w+)$",
+        r"(?:\s+LOOKUP\s*\((.+)\))?\s+AS\s+VIEW\s+(\w+)$",
         stmt,
     )
     if m:

@@ -336,3 +336,25 @@ def test_quantized_gd_empty_text_and_empty_frame(spark):
     empty = spark.createDataFrame([], "doc_id long, label int, text string")
     with _pt.raises(ValueError, match="empty training frame"):
         train_logreg_quantized(empty, "label", n_buckets=4, n_iter=1)
+
+
+def test_q28_classifier_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q28 quantized-classifier arm (oracle-tower
+    amortization policy, round 9; driver-green r5-r8): integer-quantized
+    GD training + scoring, previously replayed inside q28's driver
+    oracle every round (every training iteration as unrolled CTEs), now
+    runs HERE over the SAME CTE text (q28_classifier_parity_sql()) on
+    the real documents table. Bench: x_quality_classifier_quantized."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.extensions import (
+        q28_classifier_parity_sql,
+        quantized_classifier_report,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = quantized_classifier_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(q28_classifier_parity_sql()).df()
+    compare_frames(got, want, "q28-classifier-demoted")

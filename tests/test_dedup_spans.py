@@ -240,3 +240,24 @@ def test_fuzzy_string_pairs_exact_when_gram_cap_fires(spark):
             want[(ia, ib)] = d
     assert (0, 1) in want  # the planted hot-gram pairs really qualify
     assert got == want
+
+
+def test_q16_span_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q16 'span' arm (oracle-tower amortization policy,
+    round 9; driver-green r3-r8): ExactSubstr repeated-window spans,
+    previously replayed inside q16's driver oracle every round, now runs
+    HERE over the SAME CTE text (q16_span_parity_sql()) on the real
+    documents table. Bench: x_exact_substr_spans."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.text_pipeline import (
+        exact_substr_spans_report,
+        q16_span_parity_sql,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = exact_substr_spans_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(q16_span_parity_sql()).df()
+    compare_frames(got, want, "q16-span-demoted")

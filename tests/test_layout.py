@@ -139,3 +139,19 @@ def test_bloom_write_emits_filters_and_round_trips(spark, sf_dir, tmp_path):
     )
     want = sorted((r["doc_id"], r["content_key"]) for r in docs.collect())
     assert got == want
+
+
+def test_bloom_write_rejects_missing_column_and_bad_ndv(spark, tmp_path):
+    """Round-9 review pass: the parquet writer SILENTLY IGNORES bloom
+    options for nonexistent columns — a typo'd key column wrote a table
+    whose promised footer-bound point lookups quietly degraded to full
+    scans. bloom_write now raises by name."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.plans.layout import bloom_write
+
+    df = spark.range(10).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError, match="content_key.*not in the frame"):
+        bloom_write(df, str(tmp_path / "b"), ["content_key"])
+    with pytest.raises(ValueError, match="expected_ndv"):
+        bloom_write(df, str(tmp_path / "b"), ["k"], expected_ndv=0)

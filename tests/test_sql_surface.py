@@ -316,3 +316,29 @@ def test_catalog_sql_compact_and_vacuum(spark, tmp_path):
     # the kept version still reads
     kept = catalog_sql(spark, f"SNAPSHOT READ '{snap}' AS VIEW s_kept")
     assert kept.count() == 10
+
+
+def test_catalog_sql_lookup_parenthesized_and_escaped_values(spark, tmp_path):
+    """Round-9 review pass over the catalog_sql parser: (a) the LOOKUP
+    regex truncated at the FIRST ')' so a parenthesized (tuple) value
+    reached literal_eval as a broken fragment; (b) _split_terms ignored
+    backslash escapes, so a string key like 'it\\'s' closed the quote
+    early and a later comma split the term apart."""
+    from pubmed_central_semantic_search_spark.sql import (
+        _parse_lookup,
+        catalog_sql,
+    )
+
+    # (b) unit level: escaped quote + comma inside one term
+    got = _parse_lookup(r"k = 'it\'s, really', j = 7")
+    assert got == {"k": "it's, really", "j": 7}
+    # (a) end to end: batch lookup with a TUPLE literal parses and prunes
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+    catalog_sql(
+        spark,
+        f"UPSERT INTO '{path}' KEY (k) BUCKETS 8 AS "
+        "SELECT id AS k, CAST(id * 2 AS STRING) AS v FROM range(100)",
+    )
+    out = catalog_sql(spark, f"UPSERT READ '{path}' LOOKUP (k = (5, 9)) AS VIEW t_par")
+    assert sorted((r.k, r.v) for r in out.collect()) == [(5, "10"), (9, "18")]
