@@ -77,12 +77,29 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
     Sequential left-to-right fold — same accumulation order as a scalar
     loop, so it agrees with DuckDB's ``list_dot_product`` to ~1 ulp.
-    """
+
+    MISMATCHED lengths raise BY NAME (round-9 review pass): zip_with
+    pads the shorter array with nulls, so a mixed-dimension corpus (two
+    encoder versions in one table) used to yield NULL scores that
+    silently sorted last and VANISHED from top-k — the fail-loudly rule.
+    NULL arrays keep the null-in → null-out convention (size(NULL) is
+    NULL, the guard never fires)."""
     a, b = as_double(a), as_double(b)
-    return F.aggregate(
+    folded = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(a) == F.size(b), folded
+    ).otherwise(
+        F.when(
+            F.size(a).isNotNull() & F.size(b).isNotNull(),
+            F.raise_error(F.lit(
+                "dot: arrays have different lengths — mixed embedding "
+                "dimensions in one corpus; re-encode or filter upstream"
+            )).cast("double"),
+        )
     )
 
 

@@ -52,6 +52,17 @@ def emit_training_sequences(
                   exactly at the cut)
       n_docs      distinct docs contributing tokens to the sequence
     """
+    # reserved-name guard (round-9 review pass; the _salt/_bucket/_z
+    # lesson): a shard/order column named like an internal stage column
+    # would be silently replaced mid-plan and scramble the packing
+    reserved = {"_toks", "_before", "_gpos", "tpos", "token",
+                "seq_id", "off", "vid", "is_doc_start"}
+    clash = reserved & {shard_col, order_col}
+    if clash:
+        raise ValueError(
+            f"emit_training_sequences: column name(s) {sorted(clash)} are "
+            "reserved internal names — rename the shard/order column first"
+        )
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col)
@@ -94,7 +105,7 @@ def emit_training_sequences(
         F.coalesce(F.col("vocab_id").cast("bigint"), F.lit(oov_id)).alias("vid"),
         (F.col("tpos") == 0).alias("is_doc_start"),
     )
-    return (
+    out = (
         ids.groupBy(shard_col, "seq_id")
         .agg(
             F.transform(
@@ -106,4 +117,23 @@ def emit_training_sequences(
             ).alias("doc_starts"),
             F.countDistinct(order_col).alias("n_docs"),
         )
+    )
+    # Fail loudly on sequence overflow (round-9 review pass): every
+    # global stream position maps to exactly ONE off within a sequence,
+    # so len > ctx_len is impossible — UNLESS the caller's vocab carries
+    # DUPLICATE token keys, in which case the left join fans tokens out
+    # and the corruption was silent (a training loader would read
+    # misaligned sequences with no error anywhere). One cheap projection
+    # converts that class into a named error.
+    return out.withColumn(
+        "token_ids",
+        F.when(
+            F.size("token_ids") <= ctx_len, F.col("token_ids")
+        ).otherwise(
+            F.raise_error(F.lit(
+                "emit_training_sequences: sequence longer than ctx_len — "
+                "the vocab frame holds duplicate token keys (the join "
+                "fanned tokens out); deduplicate the vocab"
+            )).cast("array<bigint>")
+        ),
     )

@@ -478,3 +478,135 @@ def ihist_quantiles(
     hit = F.when(F.col("cum") >= rank, F.col("bucket"))
     picked = qf.groupBy(*g, "q").agg(F.min(hit).alias("_b"))
     return picked.select(*g, "q", ihist_rep("_b").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007, AofA) — round 9.
+#
+# q45's 'hll' arm certifies Spark's BUILT-IN approx_count_distinct only
+# within a 5% tolerance of the exact count: the built-in's registers are
+# engine-private, so nothing sharper is checkable. This tier rebuilds the
+# sketch on the package's content-addressed md5 primitive, which makes the
+# REGISTERS bit-identical across engines/clusters/runs — the same
+# cells-are-the-contract construction the CMS and bloom tiers use — and
+# the estimate a pure function of them. Registers merge by MAX (the
+# streaming story: constant ``m``-cell state however many distinct keys
+# stream by; ``start_stream_hll`` folds batches into a durable table).
+#
+# Hash split, chosen for exact SQL replay: h = md5-prefix-32bit(key),
+# register = h % m (non-negative, pmod-free), value = h div m — the
+# remaining ``32 − log2(m)`` bits; rho = (leading zeros of value in that
+# width) + 1 = vbits + 1 − bitlength(value), with bitlength via the
+# string length of bin() (identical no-padding semantics in Spark and
+# DuckDB; bin(0) = '0' is special-cased). No float anywhere until the
+# estimate.
+
+_HLL_SALT = "#hll"
+
+
+def _hll_vbits(m: int) -> int:
+    import math
+
+    b = int(math.log2(m))
+    if 2 ** b != m or not 16 <= m <= 65536:
+        raise ValueError(f"hll: m must be a power of two in [16, 65536], got {m}")
+    return 32 - b
+
+
+def hll_parts(key_col: Column | str, m: int = 64) -> tuple[Column, Column]:
+    """(register, rho) for one key — pure per-row Catalyst, both exactly
+    replayable in SQL."""
+    from .curation import md5_prefix_long
+
+    vbits = _hll_vbits(m)
+    h = md5_prefix_long(key_col, _HLL_SALT)
+    reg = (h % m).cast("int")
+    # exact integer division: subtract the remainder BEFORE the `/` so
+    # the double division is exact (numerator a multiple of m, well
+    # under 2^53; the module's exact-integer-arithmetic promise)
+    val = ((h - (h % m)) / m).cast("bigint")
+    bitlen = F.when(val == 0, F.lit(0)).otherwise(F.length(F.bin(val)))
+    rho = (F.lit(vbits + 1) - bitlen).cast("int")
+    return reg, rho
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sparse HLL: (*group_cols, register, rho, m) — one narrow
+    projection + ONE keyed aggregate (max per register); ≤ m output rows
+    per group, zero registers omitted. ``m`` rides as literal metadata
+    (the CMS geometry rule: consumers validate instead of trusting the
+    caller to repeat build arguments). Null keys are skipped (the
+    sketch-family rule: a null is the absence of a key)."""
+    g = list(group_cols)
+    reg, rho = hll_parts(key_col, m)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.filter(key.isNotNull())
+        .select(*g, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*g, "register")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("m", F.lit(int(m)))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + per-register MAX — the HLL merge law (merge(build(A),
+    build(B)) ≡ build(A ∪ B), test-pinned). Geometry (m) must agree;
+    validated in-plan like cms_merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    g = [c for c in out.columns if c not in ("register", "rho", "m")]
+    return (
+        out.groupBy(*g, "register")
+        .agg(
+            F.max("rho").alias("rho"),
+            F.min("m").alias("_m_min"),
+            F.max("m").alias("_m_max"),
+        )
+        .withColumn(
+            "m",
+            F.when(F.col("_m_min") == F.col("_m_max"), F.col("_m_min"))
+            .otherwise(
+                F.raise_error(F.lit(
+                    "hll_merge: sketches disagree on m — rebuilt with "
+                    "different register counts, the merge is meaningless"
+                )).cast("int")
+            ),
+        )
+        .drop("_m_min", "_m_max")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(*group_cols, n_distinct_est): the HLL estimator over the sparse
+    registers — fully distributed (one aggregate per group, nothing
+    collects). alpha_m · m² / Σ 2^(−M[j]) with absent registers
+    contributing 2⁰ each, and the small-range correction
+    m·ln(m/V) when E ≤ 2.5m and V > 0 (V = zero registers). Standard
+    error ≈ 1.04/√m (13% at m=64, 3.25% at m=1024) — accuracy contract
+    test-pinned; the estimate is rounded to 6 so the cross-engine replay
+    hash-matches despite summation order."""
+    g = list(group_cols)
+    agg = sketch.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+        F.min("m").alias("_m"),
+    )
+    m = F.col("_m").cast("double")
+    # absent registers: rho 0 → 2^0 = 1 each
+    s = F.col("_s_present") + (m - F.col("_n_present"))
+    v = m - F.col("_n_present")  # zero registers
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    raw = alpha * m * m / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), m * F.log(m / v)
+    ).otherwise(raw)
+    return agg.select(*g, F.round(est, 6).alias("n_distinct_est"))

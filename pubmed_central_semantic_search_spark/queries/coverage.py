@@ -307,6 +307,28 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
 @register(
     "q45_cardinality_sketch",
     f"""
+    WITH hx AS (
+      -- the deterministic HLL's hash split (round-9): 32-bit md5
+      -- prefix, register = h % 64, value = the remaining 26 bits,
+      -- rho = 27 - bitlength(value) (bin() has identical no-padding
+      -- semantics in both engines; value = 0 -> bitlength 0 -> rho 27)
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                                  1, 8)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hreg AS (
+      SELECT event_type, CAST(h % 64 AS INT) AS register,
+             max(27 - (CASE WHEN h // 64 = 0 THEN 0
+                            ELSE length(bin(h // 64)) END)) AS rho
+      FROM hx GROUP BY 1, 2
+    ),
+    hest AS (
+      SELECT event_type,
+             sum(pow(2.0, -rho)) + (64 - count(*)) AS s,
+             CAST(64 - count(*) AS DOUBLE) AS v
+      FROM hreg GROUP BY 1
+    )
     SELECT 'hll' AS kind,
            event_type,
            count(DISTINCT user_id) AS n_exact,
@@ -314,9 +336,32 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
              <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct,
            CAST(NULL AS INT) AS cms_row,
            CAST(NULL AS INT) AS cms_bucket,
-           CAST(NULL AS BIGINT) AS cms_cnt
+           CAST(NULL AS BIGINT) AS cms_cnt,
+           CAST(NULL AS DOUBLE) AS hll_est
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'hllx' AS kind, event_type,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+           register AS cms_row,
+           CAST(NULL AS INT) AS cms_bucket,
+           CAST(rho AS BIGINT) AS cms_cnt,
+           CAST(NULL AS DOUBLE) AS hll_est
+    FROM hreg
+    UNION ALL
+    SELECT 'hllest' AS kind, event_type,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+           CAST(NULL AS INT) AS cms_row,
+           CAST(NULL AS INT) AS cms_bucket,
+           CAST(NULL AS BIGINT) AS cms_cnt,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / s
+                           <= 2.5 * 64.0 AND v > 0
+                      THEN 64.0 * ln(64.0 / v)
+                      ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / s
+                 END, 6) AS hll_est
+    FROM hest
     UNION ALL
     SELECT 'cms' AS kind,
            CAST(NULL AS VARCHAR) AS event_type,
@@ -326,7 +371,8 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
            CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cms'
                                      || CAST(r AS VARCHAR)), 1, 8))
                      AS BIGINT) % {_CMS_WIDTH} AS INT) AS cms_bucket,
-           CAST(COUNT(*) AS BIGINT) AS cms_cnt
+           CAST(COUNT(*) AS BIGINT) AS cms_cnt,
+           CAST(NULL AS DOUBLE) AS hll_est
     FROM events, (VALUES (0), (1), (2), (3)) hashrows(r)
     GROUP BY 1, 2, 3, 4, 5, 6
     UNION ALL
@@ -336,7 +382,8 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
            CAST(NULL AS BOOLEAN) AS approx_within_5pct,
            CAST(pos // 32 AS INT) AS cms_row,
            CAST(NULL AS INT) AS cms_bucket,
-           CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS cms_cnt
+           CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS cms_cnt,
+           CAST(NULL AS DOUBLE) AS hll_est
     FROM (
       SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#bf'
                                    || CAST(r AS VARCHAR)), 1, 8))
@@ -345,16 +392,49 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
     )
     GROUP BY 1, 2, 3, 4, 5, 6
     """,
-    survey_rows="§2.10 exposure: HLL cardinality sketch (map-side "
-    "mergeable), A2 + X4/X6 count–min frequency sketch (bit-identical "
-    "cross-engine cells, streaming-foldable) + X1/X6 Bloom membership "
-    "sketch (bit-identical words; the incremental-ingest anti-join "
-    "prefilter, bloom_anti_join ≡ exact left_anti property-pinned)",
+    survey_rows="§2.10 exposure: HLL cardinality sketch — BUILT-IN "
+    "approx_count_distinct tolerance-checked ('hll' arm) PLUS the "
+    "round-9 deterministic md5-derived HLL whose REGISTERS are "
+    "bit-identical cross-engine ('hllx' arm — the cells-are-the-"
+    "contract construction the CMS/bloom tiers use) and whose estimator "
+    "is a pure function of them ('hllest' arm: harmonic mean + "
+    "small-range correction, value-hashed; the 2^-rho register sum is "
+    "EXACT in float64 so summation order cannot move it), "
+    "A2 + X4/X6 count-min frequency sketch (bit-identical cross-engine "
+    "cells, streaming-foldable) + X1/X6 Bloom membership sketch "
+    "(bit-identical words; the incremental-ingest anti-join prefilter, "
+    "bloom_anti_join ≡ exact left_anti property-pinned)",
 )
 def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import bloom_build, cms_build
+    from ..operators.sketch import (
+        bloom_build,
+        cms_build,
+        hll_build,
+        hll_estimate,
+    )
 
     e = load(spark, sf_dir, "events")
+    det = hll_build(e, "user_id", m=64, group_cols=["event_type"])
+    hllx = det.select(
+        F.lit("hllx").alias("kind"),
+        "event_type",
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        F.col("register").alias("cms_row"),
+        F.lit(None).cast("int").alias("cms_bucket"),
+        F.col("rho").cast("bigint").alias("cms_cnt"),
+        F.lit(None).cast("double").alias("hll_est"),
+    )
+    hllest = hll_estimate(det, ["event_type"]).select(
+        F.lit("hllest").alias("kind"),
+        "event_type",
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        F.lit(None).cast("int").alias("cms_row"),
+        F.lit(None).cast("int").alias("cms_bucket"),
+        F.lit(None).cast("bigint").alias("cms_cnt"),
+        F.col("n_distinct_est").alias("hll_est"),
+    )
     hll = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
         (
@@ -374,6 +454,7 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("cms_row"),
         F.lit(None).cast("int").alias("cms_bucket"),
         F.lit(None).cast("bigint").alias("cms_cnt"),
+        F.lit(None).cast("double").alias("hll_est"),
     )
     cms = cms_build(e, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH).select(
         F.lit("cms").alias("kind"),
@@ -383,6 +464,7 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row").alias("cms_row"),
         F.col("bucket").alias("cms_bucket"),
         F.col("cnt").alias("cms_cnt"),
+        F.lit(None).cast("double").alias("hll_est"),
     )
     bloom = bloom_build(e, "user_id", n_words=_BLOOM_WORDS, k=_BLOOM_K).select(
         F.lit("bloom").alias("kind"),
@@ -392,8 +474,12 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word_idx").alias("cms_row"),
         F.lit(None).cast("int").alias("cms_bucket"),
         F.col("word").alias("cms_cnt"),
+        F.lit(None).cast("double").alias("hll_est"),
     )
-    return hll.unionByName(cms).unionByName(bloom)
+    return (
+        hll.unionByName(hllx).unionByName(hllest)
+        .unionByName(cms).unionByName(bloom)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,23 @@ def upsert_parquet(
             f"{missing_req} (key/version/group columns must ride in "
             "every batch)"
         )
+    # NULL key VALUES raise at execution (round-9 review pass — the
+    # missing-COLUMN twin above was guarded, the null-VALUE case was
+    # not): every null-key row lands in ONE merge-window group, so a
+    # flaky upstream emitting null ids had its whole null slice silently
+    # collapsed to a single arbitrary row. A narrow when() per key col —
+    # no extra action, it executes inside the merge's existing jobs.
+    for k in key_cols:
+        df = df.withColumn(
+            k,
+            F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+                F.raise_error(F.lit(
+                    f"upsert_parquet: NULL in key column {k!r} — a keyed "
+                    "merge collapses all null-key rows into one; filter "
+                    "or repair the batch upstream"
+                )).cast(df.schema[k].dataType)
+            ),
+        )
     if n_buckets is not None:
         _upsert_partitioned(
             spark, df, path, key_cols, n_buckets,

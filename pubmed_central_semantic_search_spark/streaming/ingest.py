@@ -531,6 +531,44 @@ def start_stream_ihist(
     )
 
 
+def start_stream_hll(
+    key_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    m: int = 64,
+):
+    """X6 twin of the deterministic HLL cardinality sketch (round 9):
+    every batch folds its keys' (register, rho) cells into a durable
+    register table — MAX is the merge law, so fold order and replays
+    don't matter (re-folding a batch is a no-op: max is idempotent, the
+    bloom sink's stronger-than-CMS replay property). State is ≤ m cells
+    however many distinct keys stream by — the distinct-count shape
+    where an exact streaming countDistinct's state grows with the key
+    set. ``hll_estimate`` reads the table whenever a number is needed.
+
+    Same commit discipline as the CMS fold (``_fold_sketch_batch``)."""
+    from ..operators.sketch import hll_build, hll_merge
+
+    spark = key_stream.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_sketch_batch(
+            spark,
+            sketch_dir,
+            "hll",
+            hll_build(batch_df, key_col, m),
+            hll_merge,
+        )
+
+    return (
+        key_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stream_upsert(
     stream_df: DataFrame,
     table_dir: str,

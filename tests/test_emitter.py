@@ -161,3 +161,37 @@ def test_emitter_plan_broadcast_vocab_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_emitter_duplicate_vocab_and_reserved_names_raise(spark):
+    """Round-9 review pass: (a) a vocab frame with DUPLICATE token keys
+    fanned tokens out through the left join and SILENTLY emitted
+    sequences longer than ctx_len — a training loader would read
+    misaligned samples with no error anywhere; now a named error. (b)
+    shard/order columns named like internal stage columns ('token',
+    'seq_id', ...) were silently replaced mid-plan — the _salt/_bucket
+    defect class; now a named error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.emitter import (
+        emit_training_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d"), (2, "s", "b c")],
+        "doc_id long, source string, text string",
+    )
+    dup_vocab = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3), ("c", 4), ("d", 5)],
+        "token string, vocab_id long",
+    )
+    with pytest.raises(Exception, match="duplicate token keys"):
+        emit_training_sequences(docs, dup_vocab, ctx_len=4).collect()
+    good_vocab = dup_vocab.dropDuplicates(["token"])
+    assert emit_training_sequences(docs, good_vocab, ctx_len=4).count() == 2
+    with pytest.raises(ValueError, match="reserved internal"):
+        emit_training_sequences(
+            docs.withColumnRenamed("source", "token"), good_vocab,
+            shard_col="token",
+        )

@@ -1226,3 +1226,32 @@ def test_fold_bucket_ids_matches_cluster_eval_and_launches_no_job(spark):
         .alias("b")
     ).collect()[0][0]
     assert multi == [exp]
+
+
+def test_upsert_null_key_value_raises_by_name(spark, tmp_path):
+    """Round-9 review pass: the missing-COLUMN guard had a null-VALUE
+    twin — every null-key row lands in ONE merge-window group, so a
+    flaky upstream emitting null ids had its whole null slice silently
+    collapsed to a single arbitrary row. Now raises at execution."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        upsert_parquet,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k long, v string"
+    )
+    with pytest.raises(Exception, match="NULL in key column 'k'"):
+        upsert_parquet(spark, bad, str(tmp_path / "flat"), key_cols=["k"])
+    with pytest.raises(Exception, match="NULL in key column"):
+        # separate path: the partitioned create stamps its layout BEFORE
+        # the data write, so the execution-time raise leaves a stamped
+        # (data-less) table behind — by design (crash-retry re-uses it)
+        upsert_parquet(
+            spark, bad, str(tmp_path / "part"), key_cols=["k"], n_buckets=4
+        )
+    good = bad.filter("k IS NOT NULL")
+    path = str(tmp_path / "ok")
+    upsert_parquet(spark, good, path, key_cols=["k"])
+    assert spark.read.parquet(path).count() == 1

@@ -898,3 +898,25 @@ def test_grouped_top_k_rejects_rank_column_collision(spark):
         grouped_top_k(df, ["g"], "score", 1)
     out = grouped_top_k(df, ["g"], "score", 1, rank_col="_rn2")
     assert out.collect()[0]["rank"] == 99  # caller's column survives
+
+
+def test_dot_mismatched_lengths_raise_nulls_pass(spark):
+    """Round-9 review pass: zip_with pads the shorter array with nulls,
+    so dot() over a mixed-dimension corpus yielded NULL scores that
+    silently sorted last and vanished from top-k. Mismatches now raise
+    BY NAME; NULL arrays keep null-in -> null-out."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.functions.vector import dot
+
+    ok = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), (None, [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = ok.select(dot("a", "b").alias("d")).collect()
+    assert rows[0]["d"] == 11.0 and rows[1]["d"] is None
+    bad = spark.createDataFrame(
+        [([1.0, 2.0], [3.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="different lengths"):
+        bad.select(dot("a", "b")).collect()

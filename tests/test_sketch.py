@@ -655,3 +655,103 @@ def test_cms_null_keys_skipped_like_bloom(spark):
     )
     with pytest.raises(ValueError, match="NULL row/bucket"):
         cms_estimate(legacy, ["a"])
+
+
+# --- round-9: deterministic HLL ---------------------------------------------
+
+
+def test_hll_registers_match_python_reference(spark):
+    """The (register, rho) cells are a pure function of the md5 prefix —
+    recompute them in plain Python and compare cell for cell."""
+    import hashlib
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+    )
+
+    keys = [f"user-{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["register"]: r["rho"] for r in hll_build(df, "k", m=64).collect()
+    }
+    want: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5((k + "#hll").encode()).hexdigest()[:8], 16)
+        reg, val = h % 64, h // 64
+        rho = 27 - (val.bit_length())
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+
+def test_hll_merge_equals_rebuild_and_geometry_guard(spark):
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+        hll_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(200, 400)] + [(f"b{i}",) for i in range(100)],
+        "k string",
+    )
+    merged = {
+        r["register"]: r["rho"]
+        for r in hll_merge(hll_build(a, "k"), hll_build(b, "k")).collect()
+    }
+    rebuilt = {
+        r["register"]: r["rho"] for r in hll_build(a.unionByName(b), "k").collect()
+    }
+    assert merged == rebuilt
+    with pytest.raises(Exception, match="disagree on m"):
+        hll_merge(hll_build(a, "k", m=64), hll_build(b, "k", m=128)).collect()
+    with pytest.raises(ValueError, match="power of two"):
+        hll_build(a, "k", m=100)
+
+
+def test_hll_estimate_accuracy_contract_and_null_skip(spark):
+    """Standard error is 1.04/sqrt(m); pin a 3-sigma contract at m=256
+    across three decades of cardinality, and the null-key skip rule."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    for n in (100, 2000, 20000):
+        df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        est = hll_estimate(hll_build(df, "k", m=256)).collect()[0][0]
+        assert abs(est - n) / n < 3 * 1.04 / (256 ** 0.5), (n, est)
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    nonull = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {
+        r["register"]: r["rho"] for r in hll_build(withnull, "k").collect()
+    }
+    want = {r["register"]: r["rho"] for r in hll_build(nonull, "k").collect()}
+    assert got == want  # nulls are the absence of a key
+
+
+def test_hll_grouped_matches_per_group_exact_shape(spark):
+    """Grouped build: one sketch per group, registers independent."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("k"), (F.col("id") / 4).cast("long")).alias("k"),
+    )
+    est = {
+        r["g"]: r["n_distinct_est"]
+        for r in hll_estimate(hll_build(df, "k", m=256, group_cols=["g"]), ["g"]).collect()
+    }
+    assert set(est) == {0, 1, 2, 3}
+    for g, e in est.items():
+        assert abs(e - 1000) / 1000 < 0.25, (g, e)

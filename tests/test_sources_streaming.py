@@ -1391,3 +1391,54 @@ def test_parse_jats_and_stage_share_one_core(spark):
     assert list(staged["section_names"]) == direct["section_names"]
     assert [list(s) for s in staged["sections"]] == direct["sections"]
     assert staged["abstract_text"] == direct["abstract_text"]
+
+
+def test_stream_hll_drain_equals_batch(spark, tmp_path):
+    """X6 distinct-count fold (round 9): draining micro-batches produces
+    the SAME register table as one batch build (MAX is the merge law —
+    idempotent, so replays are free), and the estimate off the folded
+    table matches the batch twin exactly."""
+    import json
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+    from pubmed_central_semantic_search_spark.streaming.ingest import (
+        start_stream_hll,
+    )
+
+    src = tmp_path / "keys"
+    src.mkdir()
+    batches = [
+        [f"u{i}" for i in range(200)],
+        [f"u{i}" for i in range(100, 350)],  # overlap: max-merge matters
+        [f"v{i}" for i in range(50)],
+    ]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.jsonl", "w") as f:
+            for k in b:
+                f.write(json.dumps({"key": k}) + "\n")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)  # force >= 3 micro-batches
+        .json(str(src))
+    )
+    sketch_dir = str(tmp_path / "hll")
+    q = start_stream_hll(stream, sketch_dir, str(tmp_path / "ck_hll"))
+    q.awaitTermination(120)
+
+    all_keys = sorted({k for b in batches for k in b})
+    batch_df = spark.createDataFrame([(k,) for k in all_keys], "key string")
+    got = {
+        r["register"]: r["rho"]
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    want = {
+        r["register"]: r["rho"]
+        for r in hll_build(batch_df, "key").collect()
+    }
+    assert got == want
+    folded_est = hll_estimate(spark.read.parquet(sketch_dir)).collect()[0][0]
+    batch_est = hll_estimate(hll_build(batch_df, "key")).collect()[0][0]
+    assert folded_est == batch_est
