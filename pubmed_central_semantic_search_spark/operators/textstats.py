@@ -157,10 +157,13 @@ def rolling_fingerprint_col(text_col: Column | str) -> Column:
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc frame view of ``rolling_fingerprint_col``: (id, fingerprint),
-    token-less docs dropped (matching the explode-based set semantics)."""
+    """Per-doc frame view of ``rolling_fingerprint_col``:
+    (``id_col``, fingerprint), token-less docs dropped. Round-9 review
+    pass: the id column used to come back as the internal name ``_id``,
+    contradicting this docstring — callers joining on their own id got
+    an unresolved-column error."""
     return df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col),
         rolling_fingerprint_col(text_col).alias("fingerprint"),
     ).filter(F.col("fingerprint").isNotNull())
 

@@ -920,3 +920,28 @@ def test_dot_mismatched_lengths_raise_nulls_pass(spark):
     )
     with pytest.raises(Exception, match="different lengths"):
         bad.select(dot("a", "b")).collect()
+
+
+def test_rolling_fingerprint_frame_keeps_caller_id_column(spark):
+    """Round-9 review pass: the frame variant returned its id as the
+    internal name '_id', contradicting its docstring — callers joining
+    on their own id column got an unresolved-column error."""
+    from pubmed_central_semantic_search_spark.operators.textstats import (
+        rolling_fingerprint,
+        rolling_fingerprint_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = rolling_fingerprint(df, "doc_id", "text")
+    assert out.columns == ["doc_id", "fingerprint"]
+    rows = {r.doc_id: r.fingerprint for r in out.collect()}
+    assert 3 not in rows  # token-less docs dropped
+    want = df.filter("doc_id < 3").select(
+        "doc_id", rolling_fingerprint_col("text").alias("f")
+    ).collect()
+    assert rows == {r.doc_id: r.f for r in want}
+    assert rows[1] == rows[2]  # order-sensitive hash, same text
