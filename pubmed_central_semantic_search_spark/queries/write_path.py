@@ -199,6 +199,26 @@ def _roundtrip(spark, base, docs) -> DataFrame:
     # it (the q53 concurrent-submission pattern); the diff leg joins the
     # future before reading v1
     snap_dir = os.path.join(base, "snap_tbl")
+    # X6 'stream' arm: START the availableNow drain HERE — a streaming
+    # query is asynchronous by construction, so kicking it off as soon
+    # as the seed shards exist overlaps the whole drain (2+ micro-batch
+    # upserts) with the three merge phases below instead of paying it
+    # serially at the end (round-9 follow-up to the leg's first landing;
+    # it reads docs_seed and writes stream_tbl — disjoint from every
+    # other leg's paths)
+    from ..streaming.ingest import start_stream_upsert
+
+    stream_tbl = os.path.join(base, "stream_tbl")
+    stream_src = (
+        spark.readStream.schema(seed.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(seed_path)
+        .withColumn("text", F.concat("text", F.lit("-s")))
+    )
+    stream_q = start_stream_upsert(
+        stream_src, stream_tbl, os.path.join(base, "stream_ckpt"),
+        key_cols=["doc_id"], partition_buckets=8,
+    )
     _snap_pool = ThreadPoolExecutor(1)
     try:
         v1_future = _snap_pool.submit(
@@ -207,15 +227,25 @@ def _roundtrip(spark, base, docs) -> DataFrame:
         return _roundtrip_merges(
             spark, base, docs_grp, seed, part_path=os.path.join(base, "docs_part"),
             snap_dir=snap_dir, v1_future=v1_future,
+            stream_q=stream_q, stream_tbl=stream_tbl,
         )
     finally:
         # shutdown on EVERY exit path (round-8 self-review: an exception
-        # in the merge phases left the v1 thread's pool unshutdown)
+        # in the merge phases left the v1 thread's pool unshutdown);
+        # likewise the stream must not outlive the temp dir
         _snap_pool.shutdown(wait=True)
+        try:
+            if stream_q.isActive:
+                stream_q.stop()
+        except Exception:
+            pass
 
 
 
-def _roundtrip_merges(spark, base, docs_grp, seed, part_path, snap_dir, v1_future):
+def _roundtrip_merges(
+    spark, base, docs_grp, seed, part_path, snap_dir, v1_future,
+    stream_q, stream_tbl,
+):
     # --- bucket-partitioned layout (the 100 TB shape): all three phases
     upsert_parquet(
         spark, seed, part_path, key_cols=["doc_id"],
@@ -274,26 +304,15 @@ def _roundtrip_merges(spark, base, docs_grp, seed, part_path, snap_dir, v1_futur
         ).collect()
 
     def stream_leg():
-        # X6 streaming drain (round-9): the seed shards re-enter as a
+        # X6 streaming drain (round-9): the seed shards re-entered as a
         # FILE STREAM (2 files per trigger → at least two micro-batches,
         # so the keyed merge really runs across batches), each batch
-        # upserts into a fresh bucket-partitioned table, and the drained
-        # table's read-back joins the driver-hashed result. availableNow
-        # terminates when the listing is drained — bounded by contract.
-        from ..streaming.ingest import start_stream_upsert
-
-        stream_tbl = os.path.join(base, "stream_tbl")
-        src = (
-            spark.readStream.schema(seed.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(os.path.join(base, "docs_seed"))
-            .withColumn("text", F.concat("text", F.lit("-s")))
-        )
-        q = start_stream_upsert(
-            src, stream_tbl, os.path.join(base, "stream_ckpt"),
-            key_cols=["doc_id"], partition_buckets=8,
-        )
-        q.awaitTermination()
+        # upserting into a fresh bucket-partitioned table — STARTED back
+        # in _roundtrip so the whole drain overlapped the three merge
+        # phases; this leg only joins the termination and hands the
+        # drained table's READ-BACK to the driver-hashed result.
+        # availableNow terminates when the listing is drained.
+        stream_q.awaitTermination()
         return project(
             read_upsert_table(spark, stream_tbl), "stream"
         ).collect()
