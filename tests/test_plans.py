@@ -501,3 +501,42 @@ def test_hybrid_rrf_round8_arms_plan_shape(spark, sf_dir):
         .toString()
     )
     assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_q47_pca_arm_is_narrow_catalyst(spark, sf_dir):
+    """Round-9 'pca' arm: the whitened projection is pure Catalyst over
+    packed literals — NO Python stage anywhere in q47's plan, and the
+    only exchanges are the two arms' label aggregations (never a join)."""
+    plan = _q("q47_quantization_error", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q42_pdf_arm_is_arrow_batched(spark, sf_dir):
+    """Round-9 'pdf' arm: both the generator pandas_udf and the lite
+    extractor's mapInPandas ride Arrow (never row-at-a-time Python)."""
+    plan = _q("q42_multimodal_features", spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    # the pdf leg contributes at least one mapInPandas stage
+    assert "MapInPandas" in plan, plan
+
+
+def test_q45_hll_arms_single_pass_shape(spark, sf_dir):
+    """Round-9 'hllx'/'hllest' arms: register build is ONE partial-
+    aggregated groupBy (no Python, no join); the estimate is one more
+    aggregate over the m-sized register frame."""
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    e = load(spark, sf_dir, "events")
+    plan = (
+        hll_estimate(hll_build(e, "user_id", m=64, group_cols=["event_type"]),
+                     ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_max" in plan or "max(" in plan, plan
