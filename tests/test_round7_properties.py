@@ -240,3 +240,33 @@ def test_pdf_flate_predictor_raises_by_name():
     assert patched != blob
     with pytest.raises(ValueError, match="DecodeParms"):
         pdf_textlite(patched)
+
+
+_lookup_scalar = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=20
+    ),
+)
+_lookup_value = st.one_of(
+    _lookup_scalar,
+    st.lists(_lookup_scalar, min_size=0, max_size=5),
+    st.tuples(_lookup_scalar, _lookup_scalar),
+)
+
+
+@PY_PROP
+@given(kv=st.dictionaries(
+    st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True),
+    _lookup_value, min_size=1, max_size=4,
+))
+def test_parse_lookup_roundtrips_python_literals(kv):
+    """Round-9 parser fix, property form: any dict of identifier keys to
+    Python scalar/list/tuple literals survives repr -> _parse_lookup —
+    including strings with quotes/backslashes/commas (the escape fix)
+    and parenthesized tuples (the greedy-regex fix)."""
+    from pubmed_central_semantic_search_spark.sql import _parse_lookup
+
+    s = ", ".join(f"{k} = {v!r}" for k, v in kv.items())
+    assert _parse_lookup(s) == kv
