@@ -57,9 +57,21 @@ def hash_split(
 ) -> DataFrame:
     """Add ``bucket`` (0..255, md5-derived) and ``split`` columns.
 
-    ``shares`` maps split name → fraction; defaults to 80/10/10.
+    ``shares`` maps split name → fraction; defaults to 80/10/10. The
+    fractions must sum to ≤ 1 (a remainder goes to the LAST split —
+    convenient for "train gets the rest"); a sum OVER 1 raises by name
+    (round-9 review pass: {train: .8, val: .3, test: .1} used to
+    silently hand val everything past bucket 204 and leave test EMPTY —
+    a mis-typed share produced a missing split with no error anywhere).
     """
     shares = shares or {"train": 0.80, "val": 0.10, "test": 0.10}
+    total = sum(shares.values())
+    if total > 1.0 + 1e-9 or any(v < 0 for v in shares.values()):
+        raise ValueError(
+            f"hash_split: shares must be non-negative and sum to <= 1 "
+            f"(got sum={total}); a sum over 1 silently empties the "
+            "later splits"
+        )
     h = F.md5(F.col(key_col).cast("string"))
     nibble = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
     bucket = (nibble(1) * 16 + nibble(2)).alias("bucket")

@@ -945,3 +945,24 @@ def test_rolling_fingerprint_frame_keeps_caller_id_column(spark):
     ).collect()
     assert rows == {r.doc_id: r.f for r in want}
     assert rows[1] == rows[2]  # order-sensitive hash, same text
+
+
+def test_hash_split_rejects_oversubscribed_shares(spark):
+    """Round-9 review pass: shares summing over 1 silently emptied the
+    later splits ({train: .8, val: .3, test: .1} left test with zero
+    rows and no error). Under-1 sums stay legal (remainder -> last)."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.curation import (
+        hash_split,
+    )
+
+    df = spark.range(100).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="sum to <= 1"):
+        hash_split(df, shares={"train": 0.8, "val": 0.3, "test": 0.1})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, shares={"train": 1.2, "val": -0.2})
+    # remainder-to-last stays legal
+    out = hash_split(df, shares={"a": 0.5, "b": 0.25})
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got <= {"a", "b"} and "b" in got
