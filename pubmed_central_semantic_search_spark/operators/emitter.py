@@ -56,7 +56,12 @@ def emit_training_sequences(
     # lesson): a shard/order column named like an internal stage column
     # would be silently replaced mid-plan and scramble the packing
     reserved = {"_toks", "_before", "_gpos", "tpos", "token",
-                "seq_id", "off", "vid", "is_doc_start"}
+                "seq_id", "off", "vid", "is_doc_start",
+                # the vocab join's payload and the output names — a shard/
+                # order column named any of these is silently clobbered
+                # (round-10 ADVICE: 'vocab_id' was the exact class the
+                # guard targeted and wasn't in the set)
+                "vocab_id", "token_ids", "doc_starts", "n_docs"}
     clash = reserved & {shard_col, order_col}
     if clash:
         raise ValueError(
@@ -116,24 +121,30 @@ def emit_training_sequences(
                 F.collect_list(F.when(F.col("is_doc_start"), F.col("off")))
             ).alias("doc_starts"),
             F.countDistinct(order_col).alias("n_docs"),
+            F.countDistinct("off").alias("_n_off"),
         )
     )
-    # Fail loudly on sequence overflow (round-9 review pass): every
-    # global stream position maps to exactly ONE off within a sequence,
-    # so len > ctx_len is impossible — UNLESS the caller's vocab carries
-    # DUPLICATE token keys, in which case the left join fans tokens out
-    # and the corruption was silent (a training loader would read
-    # misaligned sequences with no error anywhere). One cheap projection
-    # converts that class into a named error.
+    # Fail loudly on duplicate-vocab fanout (round-9 review pass,
+    # strengthened round 10 per ADVICE): every global stream position
+    # maps to exactly ONE off within a sequence, so token_ids must hold
+    # exactly one token per DISTINCT off — a vocab frame with duplicate
+    # token keys fans the left join out and duplicates (off, vid) pairs.
+    # The original guard (len > ctx_len) missed fanout whose extra tokens
+    # landed entirely in a shard's tail sequence (still <= ctx_len);
+    # comparing size(token_ids) against the distinct-off count catches
+    # the whole class, tail included, with one cheap extra aggregate.
     return out.withColumn(
         "token_ids",
         F.when(
-            F.size("token_ids") <= ctx_len, F.col("token_ids")
+            (F.size("token_ids") <= ctx_len)
+            & (F.size("token_ids") == F.col("_n_off")),
+            F.col("token_ids"),
         ).otherwise(
             F.raise_error(F.lit(
-                "emit_training_sequences: sequence longer than ctx_len — "
-                "the vocab frame holds duplicate token keys (the join "
-                "fanned tokens out); deduplicate the vocab"
+                "emit_training_sequences: sequence holds more tokens than "
+                "distinct stream offsets (or overflows ctx_len) — the "
+                "vocab frame holds duplicate token keys (the join fanned "
+                "tokens out); deduplicate the vocab"
             )).cast("array<bigint>")
         ),
-    )
+    ).drop("_n_off")

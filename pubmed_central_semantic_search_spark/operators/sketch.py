@@ -557,21 +557,26 @@ def hll_build(
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union + per-register MAX — the HLL merge law (merge(build(A),
     build(B)) ≡ build(A ∪ B), test-pinned). Geometry (m) must agree;
-    validated in-plan like cms_merge."""
+    validated in-plan like cms_merge — EAGERLY across the whole union
+    (round-10 ADVICE: the earlier per-register check only fired when a
+    register appeared in BOTH inputs, so different-m sketches with
+    disjoint register sets merged into a silently meaningless table).
+    The geometry scan is one aggregate over the tiny register union,
+    broadcast back as a 1-row frame."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     g = [c for c in out.columns if c not in ("register", "rho", "m")]
+    geom = out.agg(
+        F.min("m").alias("_gm_min"), F.max("m").alias("_gm_max")
+    )
     return (
         out.groupBy(*g, "register")
-        .agg(
-            F.max("rho").alias("rho"),
-            F.min("m").alias("_m_min"),
-            F.max("m").alias("_m_max"),
-        )
+        .agg(F.max("rho").alias("rho"), F.min("m").alias("m"))
+        .crossJoin(F.broadcast(geom))
         .withColumn(
             "m",
-            F.when(F.col("_m_min") == F.col("_m_max"), F.col("_m_min"))
+            F.when(F.col("_gm_min") == F.col("_gm_max"), F.col("m"))
             .otherwise(
                 F.raise_error(F.lit(
                     "hll_merge: sketches disagree on m — rebuilt with "
@@ -579,7 +584,7 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
                 )).cast("int")
             ),
         )
-        .drop("_m_min", "_m_max")
+        .drop("_gm_min", "_gm_max")
     )
 
 

@@ -189,15 +189,23 @@ def _plan_identity(d):
         return ("obj", id(d))
 
 
-def _refs_acquire(deps) -> None:
+def _refs_acquire(deps) -> list[tuple[object, object]]:
+    """Increment each dep's plan refcount and return (identity, df)
+    pairs. The identity is computed ONCE here and carried to release
+    (round-10 ADVICE: _plan_identity falls back to ('obj', id(d)) on
+    JVM failure — a semanticHash that succeeded at acquire but failed
+    at release would decrement a DIFFERENT key, drive its count to -1,
+    and unpersist a plan another key still tracks)."""
+    pairs = []
     for d in deps:
         k = _plan_identity(d)
         _PLAN_REFS[k] = _PLAN_REFS.get(k, 0) + 1
+        pairs.append((k, d))
+    return pairs
 
 
-def _refs_release(deps, blocking: bool = False) -> None:
-    for d in deps:
-        k = _plan_identity(d)
+def _refs_release(pairs, blocking: bool = False) -> None:
+    for k, d in pairs:
         n = _PLAN_REFS.get(k, 0) - 1
         if n > 0:
             _PLAN_REFS[k] = n
@@ -220,7 +228,10 @@ def release_tracked_caches(key: str) -> None:
     silently drops the NEW cache too and every repeat invocation
     recomputes what it just cached. Plan-identical persists tracked
     under OTHER keys are refcounted: this release only unpersists plans
-    no remaining key tracks."""
+    no remaining key tracks. ``_TRACKED_CACHES`` stores (identity, df)
+    pairs captured at acquire time, so acquire and release always use
+    the same refcount key even if the JVM call's success flips between
+    the two moments."""
     _refs_release(_TRACKED_CACHES.pop(key, ()))
 
 
@@ -232,11 +243,10 @@ def track_caches(key: str, deps) -> None:
     cache set per query key. Re-tracking a key releases its previous
     set (refcounted — new deps are acquired FIRST, so a plan-identical
     carry-over keeps its cache entry alive across the swap)."""
-    deps = list(deps)
-    _refs_acquire(deps)
+    pairs = _refs_acquire(list(deps))
     if key in _TRACKED_CACHES:
         _refs_release(_TRACKED_CACHES.pop(key))
-    _TRACKED_CACHES[key] = deps
+    _TRACKED_CACHES[key] = pairs
 
 
 def swap_tracked_caches(key: str, deps) -> None:

@@ -7,10 +7,13 @@ the given sf dir (default sf0.01, the driver's gate; pass sf0.1 for the
 
     python tools/verify_driver.py [/root/testdata/sf0.01]
 """
+import os
 import sys
 import time
 
-REPO = __file__.rsplit("/", 2)[0]
+# abspath first: a bare/relative invocation from inside tools/ made the
+# rsplit yield '' and the imports silently fell back to cwd-relative
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, f"{REPO}/tests")
 
