@@ -363,6 +363,29 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
                  END, 6) AS hll_est
     FROM hest
     UNION ALL
+    -- 'hllstream' arm (round-10, verdict #4: one streaming sketch drain
+    -- inside the certified lineage): the same user_id keys re-entered as
+    -- a 4-file stream (2 files per trigger → at least two micro-batches,
+    -- so the foreachBatch MAX-fold really merges across batches), drained
+    -- availableNow through start_stream_hll; the durable register
+    -- table's READ-BACK is what this arm hashes. Expected state, stated
+    -- directly: the UNGROUPED deterministic-HLL registers of the whole
+    -- key set (fold ≡ batch build is the merge law).
+    SELECT 'hllstream' AS kind,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS n_exact,
+           CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+           register AS cms_row,
+           CAST(NULL AS INT) AS cms_bucket,
+           CAST(rho AS BIGINT) AS cms_cnt,
+           CAST(NULL AS DOUBLE) AS hll_est
+    FROM (
+      SELECT CAST(h % 64 AS INT) AS register,
+             max(27 - (CASE WHEN h // 64 = 0 THEN 0
+                            ELSE length(bin(h // 64)) END)) AS rho
+      FROM hx GROUP BY 1
+    )
+    UNION ALL
     SELECT 'cms' AS kind,
            CAST(NULL AS VARCHAR) AS event_type,
            CAST(NULL AS BIGINT) AS n_exact,
@@ -403,18 +426,69 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
     "A2 + X4/X6 count-min frequency sketch (bit-identical cross-engine "
     "cells, streaming-foldable) + X1/X6 Bloom membership sketch "
     "(bit-identical words; the incremental-ingest anti-join prefilter, "
-    "bloom_anti_join ≡ exact left_anti property-pinned)",
+    "bloom_anti_join ≡ exact left_anti property-pinned) + X6 streaming "
+    "HLL drain (round-10: start_stream_hll availableNow over a 4-file "
+    "key stream — the multi-micro-batch foreachBatch MAX-fold's durable "
+    "register table READ-BACK driver-hashed; the streaming sketch tier "
+    "joins the certified lineage)",
 )
 def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import hll_build
+    from ..session import local_df
+    from ..streaming.ingest import start_stream_hll
+
+    e = load(spark, sf_dir, "events")
+    # 'hllstream' arm (round-10): START the drain first — the
+    # availableNow stream is asynchronous, so its two micro-batch folds
+    # overlap the batch-arm construction below (the q62 early-start
+    # pattern). The keys re-enter as a 4-file stream read 2 files per
+    # trigger (at least two micro-batches, so the foreachBatch MAX-fold
+    # really merges across batches); the durable register table's
+    # read-back is collected (≤ m rows) before the temp dir goes.
+    base = tempfile.mkdtemp(prefix="pmc_hllstream_")
+    try:
+        keys_dir = os.path.join(base, "keys")
+        e.select("user_id").repartition(4).write.parquet(keys_dir)
+        stream = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(keys_dir)
+        )
+        hll_dir = os.path.join(base, "hll")
+        stream_q = start_stream_hll(
+            stream, hll_dir, os.path.join(base, "ck"),
+            key_col="user_id", m=64,
+        )
+        det = hll_build(e, "user_id", m=64, group_cols=["event_type"])
+        out = _q45_batch_arms(e, det)
+        try:
+            stream_q.awaitTermination()
+        finally:
+            if stream_q.isActive:
+                stream_q.stop()
+        reg_rows = [
+            ("hllstream", None, None, None, int(r["register"]), None,
+             int(r["rho"]), None)
+            for r in spark.read.parquet(hll_dir).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.unionByName(local_df(spark, reg_rows, out.schema))
+
+
+def _q45_batch_arms(e: DataFrame, det: DataFrame) -> DataFrame:
+    """q45's batch arms (hll/hllx/hllest/cms/bloom) — split out so the
+    streaming drain's awaitTermination sits between plan construction
+    and the register read-back."""
     from ..operators.sketch import (
         bloom_build,
         cms_build,
-        hll_build,
         hll_estimate,
     )
-
-    e = load(spark, sf_dir, "events")
-    det = hll_build(e, "user_id", m=64, group_cols=["event_type"])
     hllx = det.select(
         F.lit("hllx").alias("kind"),
         "event_type",

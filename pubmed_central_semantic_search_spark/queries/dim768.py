@@ -770,6 +770,12 @@ def _x_quality_classifier_quantized(spark: SparkSession, sf_dir: str) -> DataFra
     return quantized_classifier_report(spark, sf_dir)
 
 
+def _x_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import media_decode_report
+
+    return media_decode_report(spark, sf_dir)
+
+
 BENCH_EXTRAS = {
     "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
@@ -784,6 +790,8 @@ BENCH_EXTRAS = {
     # round-9 demoted arms: q16 'span' ExactSubstr, q28 quantized classifier
     "x_exact_substr_spans": _x_exact_substr_spans,
     "x_quality_classifier_quantized": _x_quality_classifier_quantized,
+    # round-10 demoted arms: q42 'decode'/'resize' PPM pixel decode + resize
+    "x_media_decode": _x_media_decode,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
     "x_bpe_segment": x_bpe_segment,

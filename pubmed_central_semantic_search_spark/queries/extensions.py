@@ -707,6 +707,110 @@ def _xmodal_query_vec() -> list[float]:
     return [float(x) for x in fake_encode_one("cross modal probe", dim=16)]
 
 
+# The demoted q42 'decode'/'resize' arms' oracle — shared VERBATIM by the
+# pytest parity test (the amortization policy's contract: same CTE text,
+# same value check, just out of the driver's correctness window; demoted
+# round 10 after three green rounds r7-r9). pdec/psum: the image
+# GENERATOR formula — doc_id < 32 → a P6 PPM of w = 4 + doc_id%3,
+# h = 3 + doc_id%2, pixel byte i = (doc_id*7 + i) % 256. The Spark side
+# BUILDS those bytes and DECODES them with the pure-Python PPM tier; the
+# oracle recomputes the expected channel sums and byte length from the
+# formula alone — a decoder bug cannot cancel against the generator
+# without also matching this closed form. The 'resize' arm replays the
+# nearest-neighbor CENTER sampling to 3x2 (source pixel for output cell
+# (i, j) is row floor((i+.5)h/2), col floor((j+.5)w/3)) then the REAL
+# decode of the re-encoded thumb.
+_Q42_MEDIA_PARITY_SQL = """
+    WITH pdec AS (
+      SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+      FROM documents WHERE doc_id < 32
+    ),
+    psum AS (
+      SELECT doc_id, w, h,
+             CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_g,
+             CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_b
+      FROM pdec, UNNEST(range(0, w * h * 3)) AS t(i)
+      GROUP BY doc_id, w, h
+    )
+    SELECT 'decode' AS kind, concat('p', doc_id) AS media_id,
+           'image' AS modality,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + w * h * 3 AS BIGINT) AS n_bytes,
+           w || 'x' || h || ':' || sum_r || ':' || sum_g || ':' || sum_b
+             AS decoded
+    FROM psum
+    UNION ALL
+    SELECT 'resize' AS kind, concat('p', doc_id) AS media_id,
+           'image' AS modality,
+           CAST(29 AS BIGINT) AS n_bytes,  -- 'P6\\n3 2\\n255\\n' (11) + 18 px
+           '3x2:' || sum_r || ':' || sum_g || ':' || sum_b AS decoded
+    FROM (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ch = 0 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN ch = 1 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_g,
+             CAST(sum(CASE WHEN ch = 2 THEN
+               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
+                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
+               END) AS BIGINT) AS sum_b
+      FROM pdec,
+           UNNEST(range(0, 2)) ti(i),
+           UNNEST(range(0, 3)) tj(j),
+           UNNEST(range(0, 3)) tc(ch)
+      GROUP BY doc_id
+    )
+    """
+
+
+def q42_media_parity_sql() -> str:
+    return _Q42_MEDIA_PARITY_SQL
+
+
+def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q42 'decode'/'resize' arms' Spark side — also the
+    x_media_decode bench entry: generated P6 PPM bytes → REAL pure-Python
+    pixel decode (decode_image_stats) and the center-sampled 3x2 resize
+    tier → re-decode, channel sums certified against the generator
+    formula in ``q42_media_parity_sql()``."""
+    from ..operators.multimodal import decode_image_stats, resize_images
+
+    d = load(spark, sf_dir, "documents")
+    ppm = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("p"), F.col("doc_id")).alias("media_id"),
+        _gen_ppm_udf()(F.col("doc_id")).alias("content"),
+    )
+
+    def stats_proj(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            "media_id",
+            F.lit("image").alias("modality"),
+            "n_bytes",
+            F.concat_ws(
+                ":",
+                F.concat(F.col("width").cast("string"), F.lit("x"),
+                         F.col("height").cast("string")),
+                F.col("sum_r").cast("string"),
+                F.col("sum_g").cast("string"),
+                F.col("sum_b").cast("string"),
+            ).alias("decoded"),
+        )
+
+    dec = stats_proj(decode_image_stats(ppm), "decode")
+    thumbs = resize_images(
+        ppm.withColumn("modality", F.lit("image")),
+        width=3, height=2, real_decode=True, codec="ppm",
+    ).select("media_id", "content")
+    rsz = stats_proj(decode_image_stats(thumbs), "resize")
+    return dec.unionByName(rsz)
+
+
 def _q42_oracle() -> str:
     from ..registry import sql_vec
     from .oracle_helpers import sql_fake_encode as _sql_fake_encode
@@ -734,26 +838,6 @@ def _q42_oracle() -> str:
                  media_id) <= 5
     )
     ,
-    pdec AS (
-      -- the 'decode' arm's image GENERATOR formula (round-7: real pixel
-      -- decode, value-certified): doc_id < 32 → a P6 PPM of
-      -- w = 4 + doc_id%3, h = 3 + doc_id%2, pixel byte i =
-      -- (doc_id*7 + i) % 256. The Spark side BUILDS those bytes and
-      -- DECODES them with the pure-Python PPM tier; this oracle
-      -- recomputes the expected channel sums and byte length from the
-      -- formula alone — a decoder bug cannot cancel against the
-      -- generator without also matching this closed form
-      SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
-      FROM documents WHERE doc_id < 32
-    ),
-    psum AS (
-      SELECT doc_id, w, h,
-             CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_r,
-             CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_g,
-             CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i) % 256 END) AS BIGINT) AS sum_b
-      FROM pdec, UNNEST(range(0, w * h * 3)) AS t(i)
-      GROUP BY doc_id, w, h
-    ),
     wdec AS (
       -- the 'audio' arm's clip GENERATOR formula (round-8: real PCM
       -- decode, value-certified): doc_id < 32 -> a canonical PCM-16 WAV
@@ -815,52 +899,6 @@ def _q42_oracle() -> str:
            score, CAST(xm_rank AS BIGINT) AS xm_rank,
            CAST(NULL AS VARCHAR) AS decoded
     FROM xm
-    UNION ALL
-    SELECT 'decode' AS kind, concat('p', doc_id) AS media_id,
-           'image' AS modality,
-           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
-                + w * h * 3 AS BIGINT) AS n_bytes,
-           CAST(NULL AS VARCHAR) AS content_md5,
-           CAST(NULL AS VARCHAR) AS error,
-           CAST(NULL AS DOUBLE) AS score,
-           CAST(NULL AS BIGINT) AS xm_rank,
-           w || 'x' || h || ':' || sum_r || ':' || sum_g || ':' || sum_b
-             AS decoded
-    FROM psum
-    UNION ALL
-    -- 'resize' arm: the same generated images through the pure-Python
-    -- resize tier (nearest-neighbor CENTER sampling to 3x2: source pixel
-    -- for output cell (i, j) is row floor((i+.5)h/2), col floor((j+.5)w/3))
-    -- then REAL decode of the re-encoded thumb; the oracle replays the
-    -- sampling arithmetic and the generator formula in closed form
-    SELECT 'resize' AS kind, concat('p', doc_id) AS media_id,
-           'image' AS modality,
-           CAST(29 AS BIGINT) AS n_bytes,  -- 'P6\\n3 2\\n255\\n' (11) + 18 px
-           CAST(NULL AS VARCHAR) AS content_md5,
-           CAST(NULL AS VARCHAR) AS error,
-           CAST(NULL AS DOUBLE) AS score,
-           CAST(NULL AS BIGINT) AS xm_rank,
-           '3x2:' || sum_r || ':' || sum_g || ':' || sum_b AS decoded
-    FROM (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN ch = 0 THEN
-               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
-                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
-               END) AS BIGINT) AS sum_r,
-             CAST(sum(CASE WHEN ch = 1 THEN
-               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
-                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
-               END) AS BIGINT) AS sum_g,
-             CAST(sum(CASE WHEN ch = 2 THEN
-               (doc_id * 7 + (CAST(floor((i + 0.5) * h / 2) AS BIGINT) * w
-                 + CAST(floor((j + 0.5) * w / 3) AS BIGINT)) * 3 + ch) % 256
-               END) AS BIGINT) AS sum_b
-      FROM pdec,
-           UNNEST(range(0, 2)) ti(i),
-           UNNEST(range(0, 3)) tj(j),
-           UNNEST(range(0, 3)) tc(ch)
-      GROUP BY doc_id
-    )
     UNION ALL
     SELECT 'audio' AS kind, concat('w', doc_id) AS media_id,
            'audio' AS modality,
@@ -1046,29 +1084,30 @@ def _gen_y4m_udf():
     survey_rows="X5 (binary columns, mapInPandas feature extraction, "
     "stubbed decode) + cross-modal retrieval (text query → top-k images "
     "through the shared encoder over decoded media bytes, value-certified "
-    "end to end) + REAL pixel decode (round-7: generated P6 PPM bytes → "
-    "pure-Python decode_ppm → integer channel sums, hash-certified "
-    "against the generator formula recomputed in SQL — closes the "
-    "'no real decode value-certified in-container' gap) + REAL PCM "
+    "end to end) + REAL PCM "
     "audio decode (round-8: generated canonical RIFF/WAVE PCM-16 clips "
     "-> pure-Python decode_wav -> per-channel int64 sample sums, "
     "certified against the clip generator formula) + REAL Y4M video "
     "decode (round-8: generated YUV4MPEG2 C420 clips -> pure-Python "
     "decode_y4m -> per-plane int64 sums across frames, certified "
-    "against the clip generator formula — closes the LAST fake-only "
-    "modality; compressed containers remain the gated ffmpeg-tier "
-    "future seam) + REAL frame SAMPLING (round-8: sample_frames decodes "
-    "every 2nd generated frame — per-frame luma sums certified; "
-    "frame_sample_plan's stubbed decode leg is now real) + REAL PDF "
+    "against the clip generator formula; compressed containers remain "
+    "the gated ffmpeg-tier future seam) + REAL frame SAMPLING (round-8: "
+    "sample_frames decodes every 2nd generated frame — per-frame luma "
+    "sums certified) + REAL PDF "
     "text extraction (round-9: generated FlateDecode-compressed PDFs -> "
     "pure-Python lite parser (zlib inflate + show-operator scan) -> page "
     "count + extracted text, certified against the line formula — S6's "
-    "real-decode tier joins the driver-certified family)",
+    "real-decode tier joins the driver-certified family). The image "
+    "'decode'/'resize' arms (real PPM pixel decode + center-sampled "
+    "resize, driver-green r7-r9) were DEMOTED round 10 under the "
+    "amortization policy: parity in tests/test_sources_streaming.py "
+    "over q42_media_parity_sql() (the same CTE text), bench in "
+    "x_media_decode",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
     from ..functions.vector import array_lit, cosine_similarity
-    from ..operators.multimodal import decode_image_stats, extract_features
+    from ..operators.multimodal import extract_features
 
     d = load(spark, sf_dir, "documents")
     media = d.select(
@@ -1086,58 +1125,6 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.lit(None).cast("bigint").alias("xm_rank"),
         F.lit(None).cast("string").alias("decoded"),
-    )
-    # 'decode' arm: generate P6 PPM bytes from the oracle's formula, then
-    # REALLY decode them (pure-Python tier — no codec libs) and emit the
-    # all-integer channel sums the oracle recomputes in closed form
-    ppm = d.filter(F.col("doc_id") < 32).select(
-        F.concat(F.lit("p"), F.col("doc_id")).alias("media_id"),
-        _gen_ppm_udf()(F.col("doc_id")).alias("content"),
-    )
-    # 'resize' arm: generated PPM → pure-Python resize tier (codec='ppm'
-    # pins the center-sample arithmetic the oracle replays, even after
-    # PIL lands) → REAL decode of the re-encoded thumb → channel sums
-    from ..operators.multimodal import resize_images
-
-    thumbs = resize_images(
-        ppm.withColumn("modality", F.lit("image")),
-        width=3, height=2, real_decode=True, codec="ppm",
-    ).select("media_id", "content")
-    rsz = decode_image_stats(thumbs).select(
-        F.lit("resize").alias("kind"),
-        "media_id",
-        F.lit("image").alias("modality"),
-        "n_bytes",
-        F.lit(None).cast("string").alias("content_md5"),
-        "error",
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("bigint").alias("xm_rank"),
-        F.concat_ws(
-            ":",
-            F.concat(F.col("width").cast("string"), F.lit("x"),
-                     F.col("height").cast("string")),
-            F.col("sum_r").cast("string"),
-            F.col("sum_g").cast("string"),
-            F.col("sum_b").cast("string"),
-        ).alias("decoded"),
-    )
-    dec = decode_image_stats(ppm).select(
-        F.lit("decode").alias("kind"),
-        "media_id",
-        F.lit("image").alias("modality"),
-        "n_bytes",
-        F.lit(None).cast("string").alias("content_md5"),
-        "error",
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("bigint").alias("xm_rank"),
-        F.concat_ws(
-            ":",
-            F.concat(F.col("width").cast("string"), F.lit("x"),
-                     F.col("height").cast("string")),
-            F.col("sum_r").cast("string"),
-            F.col("sum_g").cast("string"),
-            F.col("sum_b").cast("string"),
-        ).alias("decoded"),
     )
     # 'audio' arm (round-8): generate canonical PCM-16 WAV bytes from
     # the oracle's formula, REALLY decode them (pure-Python RIFF tier)
@@ -1273,7 +1260,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        feats.unionByName(xm).unionByName(dec).unionByName(rsz)
+        feats.unionByName(xm)
         .unionByName(aud).unionByName(vid).unionByName(frm)
         .unionByName(pdfa)
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import load, register
+from ..session import local_df
 
 # ---------------------------------------------------------------------------
 # F1 + N2 — chunk (tokenize) and explode with positions. The reference's
@@ -296,30 +297,103 @@ def exact_substr_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the q16 'bloom' arm's geometry: m = 2048·32 = 65536 bits holds the
+# sf0.1 history (~3750 keys) at ~0.2% FP — small enough that the
+# prefilter's maybe-side is visibly a remainder, large enough that the
+# word replay is non-trivial (the sparse build omits zero words)
+_Q16_BLOOM_WORDS, _Q16_BLOOM_K = 2048, 4
+
+
 @register(
     "q16_exact_dedup",
-    """
-    SELECT md5(text) AS content_key,
+    f"""
+    WITH hist AS (
+      SELECT text FROM documents WHERE doc_id % 4 <> 0
+    )
+    SELECT 'doc' AS kind,
+           md5(text) AS content_key,
            min(doc_id) AS doc_id,
            count(*) AS n
     FROM documents
     GROUP BY md5(text)
+    UNION ALL
+    -- 'bloomword' arm (round-10 backfill): the membership sketch over
+    -- the HISTORY partition's content keys is content-addressed
+    -- (md5-prefix bit positions), so every 32-bit word is recomputed
+    -- here bit for bit — certifying the positions, the pow-mask build
+    -- and the bit_or fold that the anti-join prefilter rests on
+    SELECT 'bloomword' AS kind,
+           CAST(NULL AS VARCHAR) AS content_key,
+           CAST(pos // 32 AS BIGINT) AS doc_id,
+           CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS n
+    FROM (
+      SELECT CAST(('0x' || substr(md5(text || '#bf' || CAST(r AS VARCHAR)),
+                                  1, 8))
+                  AS BIGINT) % {_Q16_BLOOM_WORDS * 32} AS pos
+      FROM hist, (VALUES (0), (1), (2), (3)) h(r)
+    )
+    GROUP BY 1, 2, 3
+    UNION ALL
+    -- 'bloomnew' arm: bloom_anti_join ≡ the exact anti-join it gates
+    -- (no false negatives; the maybe remainder pays the exact join) —
+    -- the incremental-dedup prefilter over the real corpus: batch =
+    -- every 4th doc, history = the rest, result = batch docs whose
+    -- exact text never appeared in history
+    SELECT 'bloomnew' AS kind,
+           md5(b.text) AS content_key,
+           b.doc_id,
+           CAST(NULL AS BIGINT) AS n
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0) b
+    ANTI JOIN hist h ON b.text = h.text
     """,
     survey_rows="X1, H1 (doc arm; the ExactSubstr span arm was demoted "
     "round 9 after six green rounds — parity in tests/test_dedup_spans.py "
-    "over _Q16_SPAN_PARITY_SQL, bench in x_exact_substr_spans)",
+    "over _Q16_SPAN_PARITY_SQL, bench in x_exact_substr_spans) + X1/X6 "
+    "bloom_anti_join as the incremental-dedup prefilter (round-10 "
+    "backfill: the history partition's Bloom words recomputed bit for "
+    "bit in SQL, and the prefiltered batch certified against the exact "
+    "anti-join it gates)",
 )
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_anti_join, bloom_build, bloom_literal
+
     # Content hashing is a narrow CPU stage; the test-scale file is one
     # parquet partition, so rebalance first (q28's pattern — a no-op on
     # a production-width scan).
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return d.groupBy(F.md5("text").alias("content_key")).agg(
+    doc = d.groupBy(F.md5("text").alias("content_key")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("doc").alias("kind"), "content_key", "doc_id", "n")
+    # 'bloom' arms: history = 3/4 of the corpus, batch = every 4th doc —
+    # the steady-state incremental-ingest shape. The words are built once
+    # (driver literal, bloom_literal's amortize-the-build contract) and
+    # serve BOTH the word-replay arm and the prefiltered anti-join.
+    hist = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    words = bloom_literal(
+        bloom_build(hist, "text", n_words=_Q16_BLOOM_WORDS, k=_Q16_BLOOM_K),
+        _Q16_BLOOM_WORDS,
     )
+    bw_rows = [(i, w) for i, w in enumerate(words) if w != 0]
+    bw = local_df(spark, bw_rows, "doc_id bigint, n bigint").select(
+        F.lit("bloomword").alias("kind"),
+        F.lit(None).cast("string").alias("content_key"),
+        "doc_id",
+        "n",
+    )
+    bn = bloom_anti_join(
+        batch, hist, "text",
+        n_words=_Q16_BLOOM_WORDS, k=_Q16_BLOOM_K, words=words,
+    ).select(
+        F.lit("bloomnew").alias("kind"),
+        F.md5("text").alias("content_key"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return doc.unionByName(bw).unionByName(bn)
 
 
 # ---------------------------------------------------------------------------

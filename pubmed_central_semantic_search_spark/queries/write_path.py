@@ -115,6 +115,33 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
            CAST(length(text) + 2 AS BIGINT) AS n_chars
     FROM documents
     WHERE doc_id < 150
+    UNION ALL
+    -- 'compact' arm (round-10, verdict #1: the last write-path lifecycle
+    -- stage joins the certified set): the seed state re-written as FOUR
+    -- 40-row shards (coalesce(1) + maxRecordsPerFile=40 over 150 rows —
+    -- deterministic sharding), then catalog_sql COMPACT with a 1 GiB
+    -- target rewrites the directory to ONE file through the crash-safe
+    -- staging swap. These rows are the compacted table's READ-BACK —
+    -- content must be byte-identical to the seed state.
+    SELECT 'compact' AS kind, doc_id, source, lang,
+           md5(text) AS content_key,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 150
+    UNION ALL
+    -- the compaction's file-count delta, stated closed-form: 150 rows at
+    -- 40 rows/file = 4 files before, 1 after (TARGET >> table bytes);
+    -- n_chars carries the compacted read-back's row count
+    SELECT 'compactstat' AS kind, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
+           '4:1' AS content_key, CAST(150 AS BIGINT) AS n_chars
+    UNION ALL
+    -- 'vacuum' arm: VACUUM SNAPSHOTS KEEP 1 after the diff leg pinned
+    -- v1 and v2 — versions [1, 2] collapse to [2]; the row encodes
+    -- before-count : after-count : highest remaining version
+    SELECT 'vacuum' AS kind, CAST(-2 AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
+           '2:1:2' AS content_key, CAST(NULL AS BIGINT) AS n_chars
     """,
     survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
     "group-replacing upsert + bucket-partitioned layout + POINT-LOOKUP "
@@ -128,7 +155,14 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     "X6 (round-9: a Structured Streaming availableNow drain through "
     "start_stream_upsert — multi-micro-batch file stream into a "
     "bucket-partitioned table, READ-BACK driver-hashed; the streaming "
-    "sink tier joins the certified lineage)",
+    "sink tier joins the certified lineage), "
+    "S7 housekeeping (round-10 backfill: catalog_sql COMPACT rewrites a "
+    "4-shard seed copy to one file through the crash-safe staging swap — "
+    "read-back AND the 4:1 file-count delta driver-hashed; catalog_sql "
+    "VACUUM SNAPSHOTS KEEP 1 retires v1 after the CDC leg — the "
+    "remaining-version set driver-hashed; the last two write-path "
+    "lifecycle stages join upsert/snapshot/diff/stream in the certified "
+    "set)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -323,7 +357,7 @@ def _roundtrip_merges(
             spark, read_upsert_table(spark, part_path), snap_dir,
             mode="overwrite",
         )
-        return (
+        rows = (
             snapshot_diff(spark, snap_dir, v1, v2, key_cols=["doc_id"])
             .select(
                 F.lit("diff").alias("kind"),
@@ -335,17 +369,58 @@ def _roundtrip_merges(
             )
             .collect()
         )
+        # 'vacuum' arm (round-10): retire everything but the newest
+        # version through the SQL surface, AFTER the diff consumed v1 —
+        # the remaining-version set is the driver-hashed fact
+        from ..sources.catalog import snapshot_versions
+        from ..sql import catalog_sql
 
-    with ThreadPoolExecutor(len(_LOOKUP_KEYS) + 2) as pool:
+        before = snapshot_versions(spark, snap_dir)
+        catalog_sql(spark, f"VACUUM SNAPSHOTS '{snap_dir}' KEEP 1")
+        after = snapshot_versions(spark, snap_dir)
+        rows.append((
+            "vacuum", -2, None, None,
+            f"{len(before)}:{len(after)}:{max(after)}", None,
+        ))
+        return rows
+
+    def compact_leg():
+        # 'compact' arm (round-10, verdict #1): the seed state re-written
+        # as four 40-row shards (coalesce(1) pins the sharding: one task,
+        # maxRecordsPerFile cuts at 40/80/120), then COMPACT through the
+        # SQL surface — the crash-safe staging swap rewrites to ONE file
+        # with a 1 GiB target. Driver-hashed facts: the read-back rows
+        # (content survived the rewrite) and the 4:1 file-count delta.
+        from ..sql import catalog_sql
+
+        compact_tbl = os.path.join(base, "compact_tbl")
+        write_sharded_parquet(
+            seed.coalesce(1), compact_tbl, max_records_per_file=40
+        )
+        stats = catalog_sql(
+            spark, f"COMPACT '{compact_tbl}' TARGET {1 << 30}"
+        )
+        rows = project(spark.read.parquet(compact_tbl), "compact").collect()
+        n_rows = len(rows)
+        rows.append((
+            "compactstat", -1, None, None,
+            f"{stats['files_before']}:{stats['files_after']}", n_rows,
+        ))
+        return rows
+
+    with ThreadPoolExecutor(len(_LOOKUP_KEYS) + 3) as pool:
         diff_future = pool.submit(diff_leg)
         stream_future = pool.submit(stream_leg)
+        compact_future = pool.submit(compact_leg)
         lookup_rows = [
             r for rows in pool.map(probe, _LOOKUP_KEYS) for r in rows
         ]
         diff_rows = diff_future.result()
         stream_rows = stream_future.result()
+        compact_rows = compact_future.result()
     return local_df(
-        spark, part_rows + lookup_rows + diff_rows + stream_rows,
+        spark,
+        part_rows + lookup_rows + diff_rows + stream_rows + compact_rows,
         part_out.schema,
     )
 

@@ -1442,3 +1442,25 @@ def test_stream_hll_drain_equals_batch(spark, tmp_path):
     folded_est = hll_estimate(spark.read.parquet(sketch_dir)).collect()[0][0]
     batch_est = hll_estimate(hll_build(batch_df, "key")).collect()[0][0]
     assert folded_est == batch_est
+
+
+def test_q42_media_decode_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q42 'decode'/'resize' arms (oracle-tower amortization
+    policy, round 10; driver-green r7-r9): generated P6 PPM bytes → REAL
+    pure-Python pixel decode + the center-sampled 3x2 resize tier,
+    previously replayed inside q42's driver oracle every round, now run
+    HERE over the SAME CTE text (q42_media_parity_sql()) on the real
+    documents table. Bench: x_media_decode."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.extensions import (
+        media_decode_report,
+        q42_media_parity_sql,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = media_decode_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(q42_media_parity_sql()).df()
+    compare_frames(got, want, "q42-media-demoted")
