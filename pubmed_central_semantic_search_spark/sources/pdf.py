@@ -177,17 +177,6 @@ def _pdf_textlite_fn():
                 spec = filters[-1]
                 names = _re.findall(rb"/([A-Za-z0-9]+)", spec)
                 if names == [b"FlateDecode"]:
-                    # /DecodeParms with a PNG/TIFF predictor inflates
-                    # fine but leaves predictor-coded bytes — the
-                    # scanner would extract GARBLED text silently,
-                    # violating the tier's raise-by-name contract
-                    # (round-9 ADVICE find).
-                    if _re.search(rb"/DecodeParms|/DP\b|/Predictor", head):
-                        raise ValueError(
-                            "pdf_textlite: FlateDecode stream carries "
-                            "/DecodeParms (predictor-coded) — outside "
-                            "the lite subset (use the pypdf tier)"
-                        )
                     import zlib as _zlib
 
                     try:
@@ -197,6 +186,105 @@ def _pdf_textlite_fn():
                             f"pdf_textlite: FlateDecode stream failed to "
                             f"inflate ({ex}) — corrupt or not raw zlib"
                         ) from ex
+                    # /DecodeParms predictors (round-10, verdict #7 —
+                    # round-9 raised BY NAME here): inflation leaves
+                    # predictor-CODED bytes, so un-predict before the
+                    # scanner sees them. PNG row filters (Predictor >= 10:
+                    # None/Sub/Up/Average/Paeth, one filter byte per row)
+                    # and TIFF horizontal differencing (Predictor 2) are
+                    # the real-PDF shapes; unsupported geometry (bits != 8)
+                    # still raises by name.
+                    pm = _re.search(rb"/Predictor\s+(\d+)", head)
+                    if pm:
+                        pred = int(pm.group(1))
+
+                        def _parm(name: bytes, default: int) -> int:
+                            m2 = _re.search(name + rb"\s+(\d+)", head)
+                            return int(m2.group(1)) if m2 else default
+
+                        cols = _parm(rb"/Columns", 1)
+                        colors = _parm(rb"/Colors", 1)
+                        bits = _parm(rb"/BitsPerComponent", 8)
+                        if bits != 8:
+                            raise ValueError(
+                                "pdf_textlite: predictor with "
+                                f"BitsPerComponent={bits} — only 8-bit "
+                                "samples are in the lite subset (use the "
+                                "pypdf tier)"
+                            )
+                        bpp = colors  # bytes per pixel at 8 bits/sample
+                        rowlen = cols * bpp
+                        if pred == 1:
+                            pass  # no prediction
+                        elif pred == 2:
+                            # TIFF horizontal differencing: no filter
+                            # bytes; each byte adds its left neighbor
+                            # within the row
+                            b2 = bytearray(body)
+                            for r0 in range(0, len(b2), rowlen):
+                                end = min(r0 + rowlen, len(b2))
+                                for j in range(r0 + bpp, end):
+                                    b2[j] = (b2[j] + b2[j - bpp]) & 0xFF
+                            body = bytes(b2)
+                        elif pred >= 10:
+                            # PNG: each row = 1 filter-type byte + rowlen
+                            # data bytes; the per-ROW byte decides the
+                            # filter (the /Predictor value only signals
+                            # "PNG family")
+                            out_rows = bytearray()
+                            prev = bytearray(rowlen)
+                            i2 = 0
+                            while i2 < len(body):
+                                ft = body[i2]
+                                i2 += 1
+                                row = bytearray(body[i2 : i2 + rowlen])
+                                i2 += len(row)
+                                rl = len(row)
+                                if ft == 0:
+                                    pass
+                                elif ft == 1:  # Sub
+                                    for j in range(bpp, rl):
+                                        row[j] = (row[j] + row[j - bpp]) & 0xFF
+                                elif ft == 2:  # Up
+                                    for j in range(rl):
+                                        row[j] = (row[j] + prev[j]) & 0xFF
+                                elif ft == 3:  # Average
+                                    for j in range(rl):
+                                        left = row[j - bpp] if j >= bpp else 0
+                                        row[j] = (
+                                            row[j] + (left + prev[j]) // 2
+                                        ) & 0xFF
+                                elif ft == 4:  # Paeth
+                                    for j in range(rl):
+                                        a = row[j - bpp] if j >= bpp else 0
+                                        b = prev[j]
+                                        cpx = prev[j - bpp] if j >= bpp else 0
+                                        p = a + b - cpx
+                                        pa, pb, pc = (
+                                            abs(p - a), abs(p - b), abs(p - cpx)
+                                        )
+                                        if pa <= pb and pa <= pc:
+                                            pr = a
+                                        elif pb <= pc:
+                                            pr = b
+                                        else:
+                                            pr = cpx
+                                        row[j] = (row[j] + pr) & 0xFF
+                                else:
+                                    raise ValueError(
+                                        "pdf_textlite: unknown PNG row "
+                                        f"filter {ft} — corrupt predictor "
+                                        "stream"
+                                    )
+                                out_rows += row
+                                prev = row + bytearray(rowlen - rl)
+                            body = bytes(out_rows)
+                        else:
+                            raise ValueError(
+                                f"pdf_textlite: /Predictor {pred} — only "
+                                "1 (none), 2 (TIFF) and >= 10 (PNG) are "
+                                "in the lite subset (use the pypdf tier)"
+                            )
                 else:
                     raise ValueError(
                         "pdf_textlite: unsupported stream filter chain "
@@ -344,14 +432,25 @@ def _make_minimal_pdf_fn():
     value, top-level module functions only by reference), same pattern
     as ``_pdf_textlite_fn``."""
 
-    def make_minimal_pdf(lines: list[str], compress: bool = False) -> bytes:
+    def make_minimal_pdf(
+        lines: list[str],
+        compress: bool = False,
+        predictor: int | None = None,
+        columns: int = 16,
+    ) -> bytes:
         """Deterministic generator of a minimal single-page PDF (catalog →
         pages → page → Helvetica font → one content stream with a ``Tj`` per
         line) — the test fixture for the lite tier, built from the spec
         alone. ``compress=True`` deflates the content stream and declares
         ``/Filter /FlateDecode`` (round-8: the real-PDF shape the lite tier
-        now inflates via stdlib zlib). Round-trips through BOTH
-        ``pdf_textlite`` and pypdf (the gated twin test)."""
+        now inflates via stdlib zlib). ``predictor`` (round-10, implies
+        compress): predictor-code the stream BEFORE deflating and declare
+        ``/DecodeParms << /Predictor P /Columns C >>`` — 2 = TIFF
+        horizontal differencing, >= 10 = PNG row filters (the generator
+        cycles None/Sub/Up/Average/Paeth across rows so every filter type
+        is exercised; the content is space-padded to whole rows, harmless
+        between PDF tokens). Round-trips through BOTH ``pdf_textlite`` and
+        pypdf (the gated twin test)."""
 
         def esc(s: str) -> str:
             return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -361,11 +460,61 @@ def _make_minimal_pdf_fn():
         ) + " ET"
         stream = body.encode("latin-1")
         filt = b""
+        if predictor is not None:
+            compress = True
+            if len(stream) % columns:
+                stream += b" " * (columns - len(stream) % columns)
+            if predictor == 2:
+                enc = bytearray(stream)
+                for r0 in range(0, len(enc), columns):
+                    # right-to-left so each delta uses the ORIGINAL left
+                    # neighbor, not an already-differenced one
+                    for j in range(r0 + columns - 1, r0, -1):
+                        enc[j] = (enc[j] - enc[j - 1]) & 0xFF
+                stream = bytes(enc)
+            elif predictor >= 10:
+                out = bytearray()
+                prev = bytes(columns)
+                rows = [
+                    stream[i : i + columns]
+                    for i in range(0, len(stream), columns)
+                ]
+                for ri, row in enumerate(rows):
+                    ft = ri % 5  # cycle every PNG filter type
+                    out.append(ft)
+                    for j, x in enumerate(row):
+                        a = row[j - 1] if j else 0
+                        b = prev[j]
+                        c = prev[j - 1] if j else 0
+                        if ft == 0:
+                            pr = 0
+                        elif ft == 1:
+                            pr = a
+                        elif ft == 2:
+                            pr = b
+                        elif ft == 3:
+                            pr = (a + b) // 2
+                        else:
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pr = a if pa <= pb and pa <= pc else (
+                                b if pb <= pc else c
+                            )
+                        out.append((x - pr) & 0xFF)
+                    prev = row
+                stream = bytes(out)
+            else:
+                raise ValueError(f"make_minimal_pdf: predictor {predictor}")
+            filt = (
+                b"/DecodeParms << /Predictor "
+                + str(predictor).encode()
+                + b" /Columns " + str(columns).encode() + b" >> "
+            )
         if compress:
             import zlib
 
             stream = zlib.compress(stream)
-            filt = b"/Filter /FlateDecode "
+            filt += b"/Filter /FlateDecode "
         objs = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

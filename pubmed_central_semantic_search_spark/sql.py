@@ -121,6 +121,7 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
 #   SNAPSHOT DIFF '<dir>' FROM v1 TO v2 KEY (k1[, k2...]) AS VIEW v
 #   COMPACT '<path>' [LEAVES] [TARGET <bytes>]      (round-8: housekeeping)
 #   VACUUM SNAPSHOTS '<dir>' KEEP <n>
+#   REBUCKET '<path>' BUCKETS <n>                   (round-10: lifecycle)
 #
 # Write commands return what their Python twins return (upsert: None;
 # snapshot write: the committed version). Read commands register a temp
@@ -283,8 +284,14 @@ def catalog_sql(spark: SparkSession, statement: str):
 
         path, keep = m.groups()
         return snapshot_vacuum(spark, path, keep_last=int(keep))
+    m = _re.match(r"(?is)^REBUCKET\s+'([^']+)'\s+BUCKETS\s+(\d+)$", stmt)
+    if m:
+        from .sources.catalog import rebucket
+
+        path, n = m.groups()
+        return rebucket(spark, path, int(n))
     raise ValueError(
         "catalog_sql: unrecognized statement — supported forms: UPSERT INTO, "
         "UPSERT READ, SNAPSHOT WRITE, SNAPSHOT READ, SNAPSHOT DIFF, "
-        f"COMPACT, VACUUM SNAPSHOTS (got: {stmt[:80]!r})"
+        f"COMPACT, VACUUM SNAPSHOTS, REBUCKET (got: {stmt[:80]!r})"
     )

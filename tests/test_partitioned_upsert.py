@@ -1255,3 +1255,208 @@ def test_upsert_null_key_value_raises_by_name(spark, tmp_path):
     path = str(tmp_path / "ok")
     upsert_parquet(spark, good, path, key_cols=["k"])
     assert spark.read.parquet(path).count() == 1
+
+
+# --- round-10: overlapping-writer locks + rebucket lifecycle ---------------
+
+
+def test_overlapping_bucket_writers_serialize_or_raise(spark, tmp_path):
+    """The overlapping-writer contract (round-10 verdict #2): two writers
+    merging the SAME bucket must never silently last-writer-win — the
+    loser raises ConcurrentUpsertError BY NAME while the winner's rows
+    land; a retry after the winner commits converges with NO lost rows."""
+    import threading
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+        _acquire_bucket_locks,
+        _hadoop_fs,
+        _release_bucket_locks,
+    )
+
+    path = str(tmp_path / "t")
+    n = 4
+    keys = [f"PMC{i}" for i in range(40)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, "v1") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=n,
+    )
+    target = keys[0]
+    b = _bucket_of(spark, target, n)
+
+    # writer A holds the bucket's lock (simulating a mid-merge writer);
+    # writer B touching the same bucket must raise by name
+    fs, _, _ = _hadoop_fs(spark, path)
+    locks = _acquire_bucket_locks(spark, path, [b])
+    try:
+        try:
+            upsert_parquet(
+                spark, _rows(spark, [(target, "B")]), path,
+                key_cols=["article_id"], n_buckets=n,
+            )
+            raise AssertionError("overlapping writer did not raise")
+        except ConcurrentUpsertError as e:
+            assert str(b) in str(e)
+    finally:
+        _release_bucket_locks(fs, locks)
+
+    # after the holder releases, the retry lands and nothing is lost
+    upsert_parquet(
+        spark, _rows(spark, [(target, "B")]), path,
+        key_cols=["article_id"], n_buckets=n,
+    )
+    state = _table_state(spark, path)
+    assert state[target] == "B"
+    assert len(state) == len(keys)
+
+    # two RACING writers into one bucket: at least one commits; any loser
+    # raises the named error only — never a silent partial merge
+    same_bucket_keys = [k for k in keys if _bucket_of(spark, k, n) == b][:4]
+    assert same_bucket_keys
+    outcomes = []
+
+    def work(tag):
+        try:
+            upsert_parquet(
+                spark,
+                _rows(spark, [(k, tag) for k in same_bucket_keys]),
+                path, key_cols=["article_id"], n_buckets=n,
+            )
+            outcomes.append(("ok", tag))
+        except ConcurrentUpsertError:
+            outcomes.append(("locked", tag))
+        except Exception as e:  # anything else is a real failure
+            outcomes.append(("error", repr(e)))
+
+    t1 = threading.Thread(target=work, args=("X",))
+    t2 = threading.Thread(target=work, args=("Y",))
+    t1.start(); time.sleep(0.01); t2.start()
+    t1.join(); t2.join()
+    kinds = sorted(k for k, _ in outcomes)
+    assert "error" not in kinds, outcomes
+    assert "ok" in kinds, outcomes  # at least one committed
+    state = _table_state(spark, path)
+    winners = {tag for k, tag in outcomes if k == "ok"}
+    assert {state[k] for k in same_bucket_keys} <= winners
+    assert len(state) == len(keys)  # no rows lost anywhere
+
+
+def test_stale_bucket_lock_is_broken(spark, tmp_path):
+    """A crashed writer's lock (mtime beyond the TTL) must not wedge the
+    table: the next writer breaks it and proceeds."""
+    import os
+    import time
+
+    path = str(tmp_path / "t")
+    n = 4
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path,
+        key_cols=["article_id"], n_buckets=n,
+    )
+    b = _bucket_of(spark, "PMC1", n)
+    lock = os.path.join(path, "_locks", f"bucket={b}.lock")
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    open(lock, "w").close()
+    old = time.time() - 7200  # two hours ago, past the 1 h TTL
+    os.utime(lock, (old, old))
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v2")]), path,
+        key_cols=["article_id"], n_buckets=n,
+    )
+    assert _table_state(spark, path)["PMC1"] == "v2"
+    # a FRESH lock must still block (the break is TTL-gated)
+    open(lock, "w").close()
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+    )
+
+    try:
+        upsert_parquet(
+            spark, _rows(spark, [("PMC1", "v3")]), path,
+            key_cols=["article_id"], n_buckets=n,
+        )
+        raise AssertionError("fresh foreign lock did not block")
+    except ConcurrentUpsertError:
+        pass
+    finally:
+        os.remove(lock)
+
+
+def test_rebucket_migrates_layout_and_content(spark, tmp_path):
+    """rebucket (round-10 verdict #3): 8 → 3 buckets — content identical,
+    layout record updated, point-lookups prune against the NEW layout,
+    later upserts with the old n_buckets raise by name, and the directory
+    set is exactly the new layout's buckets."""
+    import os
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(60)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=8,
+    )
+    before = _table_state(spark, path)
+
+    stats = rebucket(spark, path, 3)
+    assert stats == {"old_n_buckets": 8, "new_n_buckets": 3, "rows": 60}
+    assert _table_state(spark, path) == before
+    layout = _read_upsert_layout(spark, path)
+    assert int(layout["n_buckets"]) == 3
+    assert layout["bucket_cols"] == "article_id"
+    assert layout.get("bucket_col_types") == ["string"]
+    dirs = {
+        d for d in os.listdir(path) if d.startswith(BUCKET_COL + "=")
+    }
+    assert dirs <= {f"{BUCKET_COL}={i}" for i in range(3)}
+    # point-lookup prunes against the new layout (value correctness; the
+    # plan-side prune evidence is test_lookup_* above)
+    got = read_upsert_table(
+        spark, path, key_equals={"article_id": "PMC7"}
+    ).collect()
+    assert [r.payload for r in got] == ["vPMC7"]
+    # an upsert still calling the OLD bucket count raises by name
+    try:
+        upsert_parquet(
+            spark, _rows(spark, [("PMC7", "nope")]), path,
+            key_cols=["article_id"], n_buckets=8,
+        )
+        raise AssertionError("stale-n_buckets upsert did not raise")
+    except ValueError as e:
+        assert "layout mismatch" in str(e)
+    # an upsert with the new count works; groups/keys rehash consistently
+    upsert_parquet(
+        spark, _rows(spark, [("PMC7", "new")]), path,
+        key_cols=["article_id"], n_buckets=3,
+    )
+    assert _table_state(spark, path)["PMC7"] == "new"
+
+
+def test_rebucket_sql_surface_and_noop(spark, tmp_path):
+    """REBUCKET '<path>' BUCKETS <n> dispatches to rebucket(); a same-n
+    call is a no-op (rows == -1), and a flat table raises by name."""
+    from pubmed_central_semantic_search_spark.sources.catalog import rebucket
+    from pubmed_central_semantic_search_spark.sql import catalog_sql
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "a"), ("PMC2", "b")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    stats = catalog_sql(spark, f"REBUCKET '{path}' BUCKETS 2")
+    assert stats["new_n_buckets"] == 2 and stats["rows"] == 2
+    assert catalog_sql(spark, f"REBUCKET '{path}' BUCKETS 2")["rows"] == -1
+    flat = str(tmp_path / "flat")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "a")]), flat, key_cols=["article_id"]
+    )
+    try:
+        rebucket(spark, flat, 4)
+        raise AssertionError("flat rebucket did not raise")
+    except ValueError as e:
+        assert "_layout" in str(e)

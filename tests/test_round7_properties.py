@@ -220,26 +220,41 @@ def test_pdf_flate_generator_textlite_roundtrip(lines):
     assert text == "\n".join(lines)
 
 
-def test_pdf_flate_predictor_raises_by_name():
-    """Round-9 ADVICE find: a FlateDecode stream with /DecodeParms (PNG
-    predictor) inflates fine but the bytes are predictor-coded — the
-    scanner extracted GARBLED text silently. Out-of-subset shapes must
-    raise BY NAME, never wrong text."""
-    import re
-    import zlib
-
+def test_pdf_flate_predictor_tier_roundtrip_and_raises():
+    """Round-10 (verdict #7, upgrading the round-9 raise-by-name): PNG
+    row filters (Sub/Up/Average/Paeth, cycled by the generator) and TIFF
+    horizontal differencing now UN-PREDICT after inflation — predictor
+    fixtures extract exactly; corrupt/lying predictor declarations and
+    unsupported geometry still raise BY NAME, never garbled text."""
     import pytest
 
-    blob = make_minimal_pdf(["hello predictor"], compress=True)
-    # splice /DecodeParms into the content stream's dict head
+    lines = ["hello predictor", "second (line)", "third \\ line"]
+    for pred, cols in [(2, 16), (10, 7), (15, 16), (12, 3), (15, 1)]:
+        n_pages, text = pdf_textlite(
+            make_minimal_pdf(lines, predictor=pred, columns=cols)
+        )
+        assert n_pages == 1
+        assert text == "\n".join(lines), (pred, cols)
+    # a LYING predictor declaration on a plain deflated stream: the first
+    # "filter byte" is ordinary text, an unknown PNG filter — raises by
+    # name instead of scanning predictor-garbled bytes
+    blob = make_minimal_pdf(lines, compress=True)
     patched = blob.replace(
-        b"/Filter /FlateDecode ",
-        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> ",
+        b"/Length ",
+        b"/DecodeParms << /Predictor 12 /Columns 4 >> /Length ",
         1,
     )
     assert patched != blob
-    with pytest.raises(ValueError, match="DecodeParms"):
+    with pytest.raises(ValueError, match="PNG row filter"):
         pdf_textlite(patched)
+    # unsupported predictor values and sample widths raise by name
+    blob2 = make_minimal_pdf(lines, predictor=2, columns=4)
+    with pytest.raises(ValueError, match="/Predictor 3"):
+        pdf_textlite(blob2.replace(b"/Predictor 2", b"/Predictor 3"))
+    with pytest.raises(ValueError, match="BitsPerComponent"):
+        pdf_textlite(blob2.replace(
+            b"/Columns 4", b"/Columns 4 /BitsPerComponent 4"
+        ))
 
 
 _lookup_scalar = st.one_of(
