@@ -391,6 +391,7 @@ def minhash_candidate_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """X2 — LSH banding: docs sharing any band's full signature slice become
     candidate pairs (id_a < id_b, distinct). Equi-join on (band, band_key)
@@ -399,16 +400,41 @@ def minhash_candidate_pairs(
 
     Everything before the join is narrow: signature and band keys are
     per-row expressions (``minhash_band_keys``), so the candidate
-    equi-join is the FIRST shuffle in the whole pipeline."""
+    equi-join is the FIRST shuffle in the whole pipeline.
+
+    ``max_band_freq`` — the STOP-BAND cap (round-10, measured: one
+    template at 20% of an 8× corpus collapses most of its copies into a
+    single band bucket, and that bucket's self-join alone emits
+    ~members²/2 pairs on one reducer — boilerplate is the n-gram
+    ``max_doc_freq`` pathology expressed through the signature instead of
+    the shingle). Band buckets holding more than this many docs are
+    DROPPED before the self-join, bounding both the hot key's single-task
+    product and the output volume. Semantics: a pair is lost ONLY if
+    every band it collides in is over the cap — template clusters that
+    big are exact-dup/boilerplate material that belongs to the cheaper
+    upstream passes (exact_dedup, stop-shingle), not pairwise LSH.
+    Default ``None`` = exact current semantics (the oracle-checked mode)."""
     band_keys = minhash_band_keys(df, id_col, text_col, n_hashes, bands, shingle_n)
-    return _band_candidate_pairs(band_keys)
+    return _band_candidate_pairs(band_keys, max_band_freq)
 
 
-def _band_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+def _band_candidate_pairs(
+    band_keys: DataFrame, max_band_freq: int | None = None
+) -> DataFrame:
     """The band-key self-join (ONE definition so ``near_dup_minhash``'s
     persisted variant cannot drift from ``minhash_candidate_pairs``):
     equi-join on the explicit (band, band_key) pair, ordered ids,
-    distinct."""
+    distinct. With ``max_band_freq``, over-cap band buckets are dropped
+    via a window count BEFORE the join — one extra shuffle on the same
+    (band, band_key) key the join shuffles on anyway, so AQE/exchange
+    reuse keeps the partitioning."""
+    if max_band_freq is not None:
+        w = Window.partitionBy("band", "band_key")
+        band_keys = (
+            band_keys.withColumn("_bfreq", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bfreq") <= max_band_freq)
+            .drop("_bfreq")
+        )
     a = band_keys.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band_keys.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (
@@ -427,6 +453,7 @@ def near_dup_minhash(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → true-Jaccard verify → threshold.
 
@@ -446,14 +473,18 @@ def near_dup_minhash(
     Cache contract (round-8): both persists are ATTACHED to the returned
     frame — after the consuming action, call
     ``session.release_cached_deps(result)`` (or clear the cache); without
-    it repeated invocations in one long session accrete storage memory."""
+    it repeated invocations in one long session accrete storage memory.
+
+    ``max_band_freq`` — the stop-band cap against boilerplate hot bands
+    (see ``minhash_candidate_pairs``, measured in SURVEY §7.7's skew
+    table); default None keeps exact semantics."""
     from ..session import attach_cached_deps
 
     sh = shingles(df, id_col, text_col, shingle_n).persist()
     band_keys = minhash_band_keys(
         df, id_col, text_col, n_hashes, bands, shingle_n
     ).persist()
-    pairs = _band_candidate_pairs(band_keys)
+    pairs = _band_candidate_pairs(band_keys, max_band_freq)
     sh_a = sh.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     sh_b = sh.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (

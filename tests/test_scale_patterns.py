@@ -307,3 +307,49 @@ def test_salt_reserved_column_guards(spark):
         salted_join(big, dim, on=["key"], salt_by=["row_id"])
     with pytest.raises(ValueError, match="reserved internal"):
         salted_distinct_count(big, ["key"], "row_id")
+
+
+def test_minhash_stop_band_cap_drops_only_hot_bucket_pairs(spark):
+    """The stop-band cap (round-10, measured in tools/measure_minhash_skew
+    — a 20% boilerplate template collapsed 7,975 docs into ONE band
+    bucket, 118M pre-distinct join products vs 583k uniform): with
+    max_band_freq, over-cap band buckets are dropped BEFORE the self-join.
+    Semantics pinned here: capped output is a subset of uncapped; pairs
+    whose every shared band is under the cap survive EXACTLY; the planted
+    hot template's quadratic pair set disappears."""
+    from pubmed_central_semantic_search_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    template = " ".join(f"w{i % 7} x{i % 5} y{i % 3}" for i in range(20))
+    rows = [(i, f"{template} tail{i}") for i in range(30)]  # hot cluster
+    # a genuine near-dup pair textually unrelated to the template
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            df, "doc_id", "text", max_band_freq=10
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in uncapped
+    assert (100, 101) in capped  # under-cap bands keep their pairs
+    hot_uncapped = {p for p in uncapped if p[0] < 30 and p[1] < 30}
+    hot_capped = {p for p in capped if p[0] < 30 and p[1] < 30}
+    assert len(hot_uncapped) > 100  # the quadratic cluster really formed
+    assert not hot_capped  # and the cap removed exactly that set
+    # cap larger than every bucket == exact semantics
+    assert {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            df, "doc_id", "text", max_band_freq=10_000
+        ).collect()
+    } == uncapped
