@@ -168,6 +168,36 @@ def upsert_parquet(
                 f"[{stored['bucket_cols']}]) — a flat upsert would flatten "
                 f"it; call with n_buckets={stored['n_buckets']}"
             )
+    # Table-level writer lock (round-10, the bucket-lock contract applied
+    # to the flat layout — its merge is read-merge-swap over the WHOLE
+    # table, so ANY two concurrent flat upserts are a lost update). The
+    # lock lives BESIDE the table (the staging-swap renames the table dir
+    # itself, so a lock inside it would vanish mid-commit).
+    flat_lock = path.rstrip("/") + "__upsert.lock"
+    if not _try_acquire_lock(fs, jvm, flat_lock, _BUCKET_LOCK_TTL_S):
+        raise ConcurrentUpsertError(
+            f"upsert_parquet: flat table at {path} is locked by a "
+            "concurrent writer — the whole-table merge would lose its "
+            "rows. Retry after it commits (locks older than "
+            f"{_BUCKET_LOCK_TTL_S}s are treated as abandoned)."
+        )
+    try:
+        _upsert_flat_locked(
+            spark, df, path, key_cols, version_col, replace_group_col,
+            allow_schema_evolution, persist_batch, fs, hpath, jvm,
+        )
+    finally:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(flat_lock), False)
+        except Exception:
+            pass
+
+
+def _upsert_flat_locked(
+    spark, df, path, key_cols, version_col, replace_group_col,
+    allow_schema_evolution, persist_batch, fs, hpath, jvm,
+) -> None:
+    """The flat layout's read-merge-swap — runs under the table lock."""
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
@@ -743,6 +773,27 @@ def _locks_dir(path: str) -> str:
 _BUCKET_LOCK_TTL_S = 3600
 
 
+def _try_acquire_lock(fs, jvm, lock_path: str, ttl_s: int) -> bool:
+    """One atomic create-if-absent lock attempt with the TTL stale-break
+    (rename-to-tombstone — two breakers race the rename, one wins, the
+    loser falls through to the normal create attempt)."""
+    import time
+    import uuid as _uuid
+
+    P = jvm.org.apache.hadoop.fs.Path
+    lp = P(lock_path)
+    if fs.exists(lp):
+        try:
+            mtime_ms = fs.getFileStatus(lp).getModificationTime()
+            if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+                tomb = P(f"{lock_path}.stale.{_uuid.uuid4().hex}")
+                if fs.rename(lp, tomb):
+                    fs.delete(tomb, False)
+        except Exception:
+            pass  # raced with the holder's own release — create decides
+    return fs.createNewFile(lp)
+
+
 def _acquire_bucket_locks(
     spark: SparkSession, path: str, buckets, ttl_s: int = _BUCKET_LOCK_TTL_S
 ):
@@ -764,29 +815,15 @@ def _acquire_bucket_locks(
     falls through to the normal create-if-absent attempt. No interleave
     can yield two holders: a live lock file IS the lease, and the only
     path that removes one is the TTL expiry of a crashed/overrun holder."""
-    import time
-    import uuid as _uuid
-
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     ldir = _locks_dir(path)
     fs.mkdirs(P(ldir))
     acquired, held = [], []
     for b in sorted(set(int(x) for x in buckets)):
-        lp = P(f"{ldir}/bucket={b}.lock")
-        if fs.exists(lp):
-            try:
-                mtime_ms = fs.getFileStatus(lp).getModificationTime()
-                if time.time() * 1000 - mtime_ms > ttl_s * 1000:
-                    # break the abandoned lock: atomic rename to a unique
-                    # tombstone (only one breaker wins), then delete it
-                    tomb = P(f"{ldir}/.stale.{b}.{_uuid.uuid4().hex}")
-                    if fs.rename(lp, tomb):
-                        fs.delete(tomb, False)
-            except Exception:
-                pass  # raced with the holder's own release — retry below
-        if fs.createNewFile(lp):
-            acquired.append(lp)
+        lock_path = f"{ldir}/bucket={b}.lock"
+        if _try_acquire_lock(fs, jvm, lock_path, ttl_s):
+            acquired.append(P(lock_path))
         else:
             held.append(b)
     if held:
@@ -1155,12 +1192,15 @@ def compact_partitioned_leaves(
     at or under ``max_files_per_leaf`` — steady-state runs touch only the
     leaves that grew. Directory names and any ``_layout``/``_manifests``
     metadata are untouched, so readers, upserts, and partition pruning
-    are unaffected. Run it from the single writer's seat: compacting a
-    leaf races a concurrent writer of that same leaf (the upsert
-    disjointness contract applies to compaction like any writer).
-    Returns {leaves_seen, leaves_compacted, files_before, files_after}.
-    Flat directories (no ``key=value`` subdirs) raise — use
-    ``compact_parquet``."""
+    are unaffected. CONCURRENT-WRITER SAFE per leaf (round-10): each
+    compacting leaf takes the SAME ``_locks/bucket=<b>.lock`` the
+    partitioned upsert holds for its merges, so compaction and upserts
+    mutually exclude per bucket; a leaf whose lock is held is SKIPPED
+    this pass (housekeeping retries on the next run — counted in
+    ``leaves_locked``) instead of racing the writer.
+    Returns {leaves_seen, leaves_compacted, leaves_locked, files_before,
+    files_after}. Flat directories (no ``key=value`` subdirs) raise —
+    use ``compact_parquet``."""
     fs, hpath, jvm = _hadoop_fs(spark, path)
     if fs.exists(
         jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_spark_metadata")
@@ -1202,7 +1242,7 @@ def compact_partitioned_leaves(
     base = path.rstrip("/")
 
     def _one_leaf(leaf_name: str) -> tuple[int, int, int]:
-        """(files_before, files_after, compacted) for one leaf —
+        """(files_before, files_after, compacted, locked) for one leaf —
         independent of every other leaf (own directory, own dot-staging
         siblings), so distinct leaves compact CONCURRENTLY (round-7: the
         sequential loop paid ~0.3-0.4 s of driver job latency PER LEAF —
@@ -1227,25 +1267,44 @@ def compact_partitioned_leaves(
             if st.getPath().getName().endswith(".parquet")
         ) if fs.exists(leaf) else 0
         if n_files <= max_files_per_leaf and not leftovers:
-            return n_files, n_files, 0
-        # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
-        # `_bucket=3.compact.staging` dir inside the table parses as a
-        # partition directory — during the swap window or stranded by a
-        # crash it injects phantom rows and flips the partition column's
-        # inferred type to string (regression-pinned)
-        stats = _compact_dir(
-            spark, fs, leaf, jvm, leaf.toString(), work_base,
-            target_file_bytes, None, math,
-        )
-        return stats["files_before"], stats["files_after"], 1
+            return n_files, n_files, 0, 0
+        # mutual exclusion with the partitioned upsert: a `_bucket=N`
+        # leaf locks under the upsert's own lock name, so a mid-merge
+        # writer blocks this compaction (and vice versa); a held lock
+        # skips the leaf this pass — housekeeping retries next run
+        if leaf_name.startswith(BUCKET_COL + "="):
+            lock_name = f"bucket={leaf_name.split('=', 1)[1]}.lock"
+        else:
+            lock_name = f"{leaf_name}.lock"
+        lock_path = f"{_locks_dir(base)}/{lock_name}"
+        if not _try_acquire_lock(fs, jvm, lock_path, _BUCKET_LOCK_TTL_S):
+            return n_files, n_files, 0, 1
+        try:
+            # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
+            # `_bucket=3.compact.staging` dir inside the table parses as a
+            # partition directory — during the swap window or stranded by
+            # a crash it injects phantom rows and flips the partition
+            # column's inferred type to string (regression-pinned)
+            stats = _compact_dir(
+                spark, fs, leaf, jvm, leaf.toString(), work_base,
+                target_file_bytes, None, math,
+            )
+        finally:
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(lock_path), False)
+            except Exception:
+                pass
+        return stats["files_before"], stats["files_after"], 1, 0
 
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_locks_dir(base)))
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         results = list(pool.map(_one_leaf, sorted(leaf_names)))
     return {
         "leaves_seen": len(leaf_names),
-        "leaves_compacted": sum(c for _, _, c in results),
-        "files_before": sum(b for b, _, _ in results),
-        "files_after": sum(a for _, a, _ in results),
+        "leaves_compacted": sum(c for _, _, c, _ in results),
+        "leaves_locked": sum(k for _, _, _, k in results),
+        "files_before": sum(b for b, _, _, _ in results),
+        "files_after": sum(a for _, a, _, _ in results),
     }
 
 

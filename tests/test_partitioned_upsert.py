@@ -1460,3 +1460,84 @@ def test_rebucket_sql_surface_and_noop(spark, tmp_path):
         raise AssertionError("flat rebucket did not raise")
     except ValueError as e:
         assert "_layout" in str(e)
+
+
+def test_flat_table_writer_lock(spark, tmp_path):
+    """Round-10 symmetry: the FLAT layout's merge is a whole-table
+    read-merge-swap, so ANY two concurrent flat upserts are a lost
+    update — a held table lock raises ConcurrentUpsertError by name, the
+    lock releases on completion (including failures), and a stale lock
+    past the TTL is broken."""
+    import os
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+    )
+
+    path = str(tmp_path / "flat")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path, key_cols=["article_id"]
+    )
+    lock = path + "__upsert.lock"
+    assert not os.path.exists(lock)  # released after the commit
+    open(lock, "w").close()
+    try:
+        upsert_parquet(
+            spark, _rows(spark, [("PMC1", "v2")]), path,
+            key_cols=["article_id"],
+        )
+        raise AssertionError("held flat lock did not block")
+    except ConcurrentUpsertError:
+        pass
+    old = time.time() - 7200
+    os.utime(lock, (old, old))  # abandoned: past the 1 h TTL
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v3")]), path, key_cols=["article_id"]
+    )
+    assert _table_state(spark, path)["PMC1"] == "v3"
+    assert not os.path.exists(lock)
+
+
+def test_leaf_compaction_skips_locked_bucket(spark, tmp_path):
+    """Round-10: compaction and the partitioned upsert share the bucket
+    lock namespace — a leaf whose bucket lock is held (a mid-merge
+    writer) is SKIPPED this pass (leaves_locked counts it), and the next
+    unheld pass compacts it."""
+    import os
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        compact_partitioned_leaves,
+    )
+
+    path = str(tmp_path / "t")
+    n = 2
+    keys = [f"PMC{i}" for i in range(20)]
+    # several upserts of the same keys accrete nothing (dynamic overwrite
+    # rewrites to 1 file) — force multi-file leaves via a raw append
+    upsert_parquet(
+        spark, _rows(spark, [(k, "v1") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=n,
+    )
+    read_upsert_table(spark, path)  # sanity: table reads
+    # append one extra file per leaf so compaction has work
+    for b in range(n):
+        leaf = os.path.join(path, f"{BUCKET_COL}={b}")
+        if os.path.isdir(leaf):
+            spark.createDataFrame(
+                [(f"X{b}", "extra")], "article_id string, payload string"
+            ).coalesce(1).write.mode("append").parquet(leaf)
+    lockdir = os.path.join(path, "_locks")
+    os.makedirs(lockdir, exist_ok=True)
+    held_b = 0
+    open(os.path.join(lockdir, f"bucket={held_b}.lock"), "w").close()
+    stats = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert stats["leaves_locked"] == 1
+    os.remove(os.path.join(lockdir, f"bucket={held_b}.lock"))
+    stats2 = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert stats2["leaves_locked"] == 0
+    assert stats2["leaves_compacted"] >= 1
+    # every leaf is single-file afterwards and the lock dir is clean
+    stats3 = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
+    assert stats3["leaves_compacted"] == 0
+    assert not any(f.endswith(".lock") for f in os.listdir(lockdir))
