@@ -1308,8 +1308,86 @@ def compact_partitioned_leaves(
     }
 
 
+def _migration_journal_path(staging: str) -> str:
+    # underscore-prefixed INSIDE staging: invisible to parquet readers,
+    # removed before the swap so the live table never carries it
+    return staging.rstrip("/") + "/_migration"
+
+
+def _read_migration_journal(spark: SparkSession, staging: str):
+    fs, _, jvm = _hadoop_fs(spark, staging)
+    jp = jvm.org.apache.hadoop.fs.Path(_migration_journal_path(staging))
+    if not fs.exists(jp):
+        return None
+    rows = _read_small_json_lines(spark, _migration_journal_path(staging))
+    return rows[0] if rows else None
+
+
+def _rebucket_incremental_groups(
+    spark, fs, jvm, base, staging, reader, bucket_src,
+    old_n, new_n, split, fail_after_groups, group_batch,
+) -> None:
+    """The bucket-group-at-a-time migration loop (see ``rebucket``):
+    group g = old bucket g (split) or new bucket g's m old parents
+    (merge). ``group_batch`` groups migrate per job (their child sets are
+    disjoint, so one dynamic partition overwrite covers the union) —
+    each job is shuffle-free and idempotent on re-run;
+    ``staging/_migration`` journals completion per batch. Tune
+    group_batch so one job moves a plannable slice of the table (a few
+    buckets at 100 TB; locally larger batches amortize the ~1 s/job
+    driver latency the per-group measurement showed)."""
+    P = jvm.org.apache.hadoop.fs.Path
+    n_groups = old_n if split else new_n
+    m = (new_n // old_n) if split else (old_n // new_n)
+    journal = _read_migration_journal(spark, staging) or {
+        "target_n": int(new_n),
+        "completed": [],
+    }
+    done = set(int(g) for g in journal.get("completed", []))
+    pending = [g for g in range(n_groups) if g not in done]
+    for i in range(0, len(pending), max(1, int(group_batch))):
+        batch = pending[i : i + max(1, int(group_batch))]
+        if fail_after_groups is not None and len(done) >= fail_after_groups:
+            raise RuntimeError("rebucket: injected test crash")
+        src = [
+            f"{base}/{BUCKET_COL}={g}"
+            for g in batch
+        ] if split else [
+            f"{base}/{BUCKET_COL}={g + i2 * new_n}"
+            for g in batch
+            for i2 in range(m)
+        ]
+        dirs = [d for d in src if fs.exists(P(d))]
+        if dirs:
+            df = reader.option("basePath", base).parquet(*dirs).drop(
+                BUCKET_COL
+            )
+            (
+                df.withColumn(BUCKET_COL, bucket_expr(bucket_src, new_n))
+                # one task per child dir, not tasks x children files:
+                # groups are bucket-sized so a local repartition on the
+                # new bucket value keeps one file per child
+                .repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
+        done.update(batch)
+        journal["completed"] = sorted(done)
+        _write_small_json_lines(
+            spark, _migration_journal_path(staging), [journal],
+            "migration.json",
+        )
+
+
 def rebucket(
-    spark: SparkSession, path: str, new_n_buckets: int
+    spark: SparkSession,
+    path: str,
+    new_n_buckets: int,
+    incremental: bool | None = None,
+    group_batch: int = 1,
+    _fail_after_groups: int | None = None,
 ) -> dict[str, int]:
     """Bucket-count lifecycle for the partitioned upsert layout
     (round-10, verdict #3): ``n_buckets`` is fixed at table creation, but
@@ -1324,9 +1402,9 @@ def rebucket(
       of merging into directories the swap is about to replace; upserts
       that validated the old layout before the locks re-check n_buckets
       under their own locks and raise the same named error.
-    - The rewrite stages to ``<path>.rebucket.staging`` (read → re-pmod →
-      one file per new bucket), the NEW layout record committing INTO the
-      staging dir — live readers keep the old table until the swap.
+    - The rewrite stages to ``<path>.rebucket.staging``, the NEW layout
+      record committing INTO the staging dir — live readers keep the old
+      table until the swap.
     - The swap is the compaction protocol: rename live → ``.rebucket.old``,
       rename staging → live, delete backup. Mid-swap probes either see
       the fully-old or fully-new table, or fail loudly on the (renames-
@@ -1334,6 +1412,23 @@ def rebucket(
       the NEXT call here (backup restored when live is missing). The
       layout record swaps WITH the data, so a reader never folds bucket
       ids with one generation's n_buckets against the other's dirs.
+
+    ``incremental`` — the 100 TB path (the verdict's bucket-group-at-a-
+    time ask): when the bucket counts DIVIDE (new = m·old, a SPLIT, or
+    old = m·new, a MERGE), ``pmod(h, m·n) ∈ {pmod(h, n) + i·n}`` means
+    every old bucket's rows land in a fixed disjoint set of new buckets
+    — so the migration runs as one small, SHUFFLE-FREE job per bucket
+    group (split: read 1 old dir → write its m children; merge: read m
+    old dirs → write 1 child), each group's write a dynamic partition
+    overwrite scoped to exactly its children, with progress journaled in
+    ``staging/_migration``. A crash resumes: re-entry with a matching
+    journal SKIPS completed groups instead of deleting the staging (a
+    re-run group idempotently overwrites its own children). A one-job
+    full rewrite of a 100 TB table is not a plannable unit of work; a
+    resumable stream of bucket-sized jobs is. Default ``None``
+    auto-selects incremental whenever the counts divide; ``True`` with
+    non-dividing counts raises by name. ``_fail_after_groups`` is a
+    TEST-ONLY crash-injection hook.
 
     Returns {old_n_buckets, new_n_buckets, rows}."""
     if new_n_buckets < 1:
@@ -1349,8 +1444,18 @@ def rebucket(
             fs.rename(backup, hpath)
         else:
             fs.delete(backup, True)
-    if fs.exists(staging_p):
+    # a staging dir WITH a matching migration journal is a resumable
+    # incremental migration — kept; anything else is stale and cleared
+    journal = (
+        _read_migration_journal(spark, staging_p.toString())
+        if fs.exists(staging_p)
+        else None
+    )
+    if fs.exists(staging_p) and (
+        journal is None or int(journal.get("target_n", -1)) != new_n_buckets
+    ):
         fs.delete(staging_p, True)
+        journal = None
 
     stored = _read_upsert_layout(spark, path)
     if stored is None:
@@ -1363,28 +1468,51 @@ def rebucket(
     bucket_src = stored["bucket_cols"].split(",")
     if old_n == new_n_buckets:
         return {"old_n_buckets": old_n, "new_n_buckets": new_n_buckets, "rows": -1}
+    split = new_n_buckets % old_n == 0 and new_n_buckets > old_n
+    merge = old_n % new_n_buckets == 0 and old_n > new_n_buckets
+    if incremental is None:
+        incremental = split or merge
+    if incremental and not (split or merge):
+        raise ValueError(
+            f"rebucket: incremental migration requires dividing bucket "
+            f"counts (got {old_n} -> {new_n_buckets}); call with "
+            "incremental=False for the full staged rewrite"
+        )
     locks = _acquire_bucket_locks(spark, path, range(old_n))
     try:
         evolved = _layout_evolved(stored)
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(path).drop(BUCKET_COL)
-        with_bucket = df.withColumn(
-            BUCKET_COL, bucket_expr(bucket_src, new_n_buckets)
-        )
-        (
-            with_bucket.repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(staging_p.toString())
-        )
+        if incremental:
+            _rebucket_incremental_groups(
+                spark, fs, jvm, base, staging_p.toString(), reader,
+                bucket_src, old_n, new_n_buckets, split, _fail_after_groups,
+                group_batch,
+            )
+        else:
+            df = reader.parquet(path).drop(BUCKET_COL)
+            with_bucket = df.withColumn(
+                BUCKET_COL, bucket_expr(bucket_src, new_n_buckets)
+            )
+            (
+                with_bucket.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging_p.toString())
+            )
         n_rows = spark.read.parquet(staging_p.toString()).count()
+        # the journal must not ride into the live table
+        fs.delete(P(_migration_journal_path(staging_p.toString())), True)
         _write_upsert_layout(
             spark, staging_p.toString(), new_n_buckets, bucket_src,
             evolved=evolved,
             bucket_col_types=stored.get("bucket_col_types")
-            or [df.schema[c].dataType.simpleString() for c in bucket_src],
+            or [
+                spark.read.parquet(staging_p.toString())
+                .schema[c].dataType.simpleString()
+                for c in bucket_src
+            ],
         )
         fs.rename(hpath, backup)
         if fs.exists(hpath):

@@ -1541,3 +1541,67 @@ def test_leaf_compaction_skips_locked_bucket(spark, tmp_path):
     stats3 = compact_partitioned_leaves(spark, path, max_files_per_leaf=1)
     assert stats3["leaves_compacted"] == 0
     assert not any(f.endswith(".lock") for f in os.listdir(lockdir))
+
+
+def test_rebucket_incremental_split_merge_and_resume(spark, tmp_path):
+    """The incremental (bucket-group-at-a-time) rebucket path (round-10):
+    dividing bucket counts migrate as one shuffle-free job per group —
+    split 4→8 and merge 8→2 preserve content exactly; a crash mid-
+    migration (injected after 2 groups) RESUMES from the journal instead
+    of restarting, and the finished table carries no _migration dir;
+    incremental=True with non-dividing counts raises by name."""
+    import os
+
+    import pytest
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(80)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+
+    # split 4 -> 8 (auto-selects incremental: counts divide)
+    stats = rebucket(spark, path, 8)
+    assert stats == {"old_n_buckets": 4, "new_n_buckets": 8, "rows": 80}
+    assert _table_state(spark, path) == before
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+    assert not os.path.exists(os.path.join(path, "_migration"))
+    # upserts keep working against the new layout
+    upsert_parquet(
+        spark, _rows(spark, [("PMC3", "split")]), path,
+        key_cols=["article_id"], n_buckets=8,
+    )
+    assert _table_state(spark, path)["PMC3"] == "split"
+    before = _table_state(spark, path)
+
+    # merge 8 -> 2 with an injected crash after 1 group, then resume
+    with pytest.raises(RuntimeError, match="injected test crash"):
+        rebucket(spark, path, 2, _fail_after_groups=1)
+    # live table untouched by the crash (swap never happened)
+    assert _table_state(spark, path) == before
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+    staging = path + ".rebucket.staging"
+    assert os.path.isdir(os.path.join(staging, "_migration"))
+    stats = rebucket(spark, path, 2)  # resumes from the journal
+    assert stats["rows"] == 80
+    assert _table_state(spark, path) == before
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 2
+    dirs = {d for d in os.listdir(path) if d.startswith(BUCKET_COL + "=")}
+    assert dirs <= {f"{BUCKET_COL}=0", f"{BUCKET_COL}=1"}
+    got = read_upsert_table(
+        spark, path, key_equals={"article_id": "PMC7"}
+    ).collect()
+    assert [r.payload for r in got] == ["vPMC7"]
+
+    # non-dividing counts: incremental raises by name, default falls back
+    with pytest.raises(ValueError, match="dividing bucket counts"):
+        rebucket(spark, path, 3, incremental=True)
+    assert rebucket(spark, path, 3)["rows"] == 80
+    assert _table_state(spark, path) == before

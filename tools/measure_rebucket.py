@@ -70,12 +70,19 @@ def main() -> int:
             ).count()
             return round(time.perf_counter() - t, 2), n
 
-        for new_n in (64, 512):
+        # 512->64 and 64->512 divide, so both run through each path:
+        # the full staged rewrite (one shuffled job) and the incremental
+        # bucket-group-at-a-time migration (shuffle-free per group, the
+        # 100 TB shape — locally it pays one small job PER GROUP, so the
+        # comparison shows the local job-latency cost the resumability
+        # buys; on a cluster the full rewrite is one unplannably-large
+        # job while the incremental stream is restartable)
+        for new_n, inc in ((64, False), (512, False), (64, True), (512, True)):
             t0 = time.perf_counter()
-            stats = rebucket(spark, path, new_n)
+            stats = rebucket(spark, path, new_n, incremental=inc)
             sec = round(time.perf_counter() - t0, 2)
             p_sec, p_n = probe()
-            out[f"rebucket_to_{new_n}"] = {
+            out[f"rebucket_to_{new_n}_{'inc' if inc else 'full'}"] = {
                 "sec": sec,
                 "rows": stats["rows"],
                 "probe_sec": p_sec,
