@@ -1438,10 +1438,15 @@ def rebucket(
     base = path.rstrip("/")
     backup, staging_p = P(base + ".rebucket.old"), P(base + ".rebucket.staging")
     # crash recovery first (the _compact_dir discipline): a swap that died
-    # between its renames left the table parked in the backup
+    # between its renames left the table parked in the backup. The backup
+    # travels WITH the crashed migration's _locks — clear them on restore
+    # (they were only reachable while the dead writer held every lock, so
+    # no live writer can own them), else the retry would block on its own
+    # predecessor's leases until the TTL.
     if fs.exists(backup):
         if not fs.exists(hpath):
             fs.rename(backup, hpath)
+            fs.delete(P(_locks_dir(base)), True)
         else:
             fs.delete(backup, True)
     # a staging dir WITH a matching migration journal is a resumable

@@ -1605,3 +1605,35 @@ def test_rebucket_incremental_split_merge_and_resume(spark, tmp_path):
         rebucket(spark, path, 3, incremental=True)
     assert rebucket(spark, path, 3)["rows"] == 80
     assert _table_state(spark, path) == before
+
+
+def test_rebucket_crash_recovery_clears_stale_locks(spark, tmp_path):
+    """A rebucket crash BETWEEN the swap renames parks the table (with
+    the dead writer's _locks inside) in the backup — re-entry must
+    restore it AND clear those locks, or the retry blocks on its own
+    predecessor's leases until the TTL."""
+    import os
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(40)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+    # simulate the crash window: live renamed to backup (locks inside,
+    # as the dead writer held them), staging incomplete
+    os.makedirs(os.path.join(path, "_locks"), exist_ok=True)
+    for b in range(4):
+        open(os.path.join(path, "_locks", f"bucket={b}.lock"), "w").close()
+    shutil.move(path, path + ".rebucket.old")
+    stats = rebucket(spark, path, 8)  # recovers, then migrates
+    assert stats["rows"] == 40
+    assert _table_state(spark, path) == before
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
