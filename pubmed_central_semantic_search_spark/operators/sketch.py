@@ -209,10 +209,16 @@ def bloom_build(
     df: DataFrame, key_col: str, n_words: int = 64, k: int = 4
 ) -> DataFrame:
     """Sparse Bloom words over ``df[key_col]``: (word_idx int, word
-    bigint), all-zero words omitted. One narrow explode (k rows per
-    input row) → ONE partial-aggregated bit_or groupBy; ≤ n_words output
-    rows no matter the corpus. Null keys are skipped (SQL join semantics:
-    null matches nothing, so membership has nothing to record)."""
+    bigint, n_words, k), all-zero words omitted. One narrow explode (k
+    rows per input row) → ONE partial-aggregated bit_or groupBy; ≤
+    n_words output rows no matter the corpus. ``n_words``/``k`` ride as
+    literal metadata columns (round-10, the CMS/HLL geometry rule — the
+    bloom was the one family member whose consumers had to TRUST the
+    caller to repeat the build arguments; a probe against a
+    different-geometry table reads unset bits and produces FALSE
+    NEGATIVES, the one error class a Bloom filter must never make).
+    Null keys are skipped (SQL join semantics: null matches nothing, so
+    membership has nothing to record)."""
     m = n_words * _BLOOM_WORD_BITS
     pos = F.explode(
         F.array(*[bloom_bit(key_col, i, m) for i in range(k)])
@@ -229,25 +235,80 @@ def bloom_build(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
+        .withColumn("n_words", F.lit(int(n_words)))
+        .withColumn("k", F.lit(int(k)))
     )
+
+
+def _bloom_with_geometry(b: DataFrame) -> DataFrame:
+    """Attach null geometry columns to a legacy (word_idx, word)-only
+    frame so unions line up; null reads as unknown-but-compatible."""
+    out = b
+    if "n_words" not in out.columns:
+        out = out.withColumn("n_words", F.lit(None).cast("int"))
+    if "k" not in out.columns:
+        out = out.withColumn("k", F.lit(None).cast("int"))
+    return out
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
     """bit_or of word arrays — bloom of a union ≡ merge of per-frame
-    blooms (the same mergeability contract as ``cms_merge``)."""
+    blooms (the same mergeability contract as ``cms_merge``). Geometry
+    is validated EAGERLY across whole inputs (the round-10 hll_merge
+    pattern): different-n_words/k blooms hash positions differently, so
+    their bit_or is a silently meaningless filter — raises by name.
+    Legacy frames without the metadata columns merge as
+    unknown-geometry (nulls are ignored by the min/max check)."""
     if not blooms:
         raise ValueError("bloom_merge needs at least one bloom")
-    out = blooms[0]
+    out = _bloom_with_geometry(blooms[0])
     for b in blooms[1:]:
-        out = out.unionByName(b)
-    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        out = out.unionByName(_bloom_with_geometry(b))
+    geom = out.agg(
+        F.min("n_words").alias("_gw_min"), F.max("n_words").alias("_gw_max"),
+        F.min("k").alias("_gk_min"), F.max("k").alias("_gk_max"),
+    )
+    return (
+        out.groupBy("word_idx")
+        .agg(
+            F.bit_or("word").alias("word"),
+            F.min("n_words").alias("n_words"),
+            F.min("k").alias("k"),
+        )
+        .crossJoin(F.broadcast(geom))
+        .withColumn(
+            "word",
+            F.when(
+                (F.coalesce(F.col("_gw_min") == F.col("_gw_max"), F.lit(True)))
+                & (F.coalesce(F.col("_gk_min") == F.col("_gk_max"), F.lit(True))),
+                F.col("word"),
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "bloom_merge: blooms disagree on geometry (n_words/k) "
+                    "— built with different hash positions, the merged "
+                    "filter would yield false negatives"
+                )).cast("bigint")
+            ),
+        )
+        .drop("_gw_min", "_gw_max", "_gk_min", "_gk_max")
+    )
 
 
 def bloom_literal(bloom: DataFrame, n_words: int) -> list[int]:
     """Densify to a plain n_words list (driver-sized BY CONSTRUCTION —
-    ≤ n_words rows regardless of how many keys were inserted)."""
+    ≤ n_words rows regardless of how many keys were inserted). When the
+    frame carries the round-10 geometry metadata, a caller asking for a
+    DIFFERENT n_words raises by name — probing a re-densified filter
+    with mismatched positions yields false negatives."""
     words = [0] * n_words
+    has_geom = "n_words" in bloom.columns
     for r in bloom.collect():
+        if has_geom and r["n_words"] is not None and int(r["n_words"]) != n_words:
+            raise ValueError(
+                f"bloom_literal: filter was built with n_words="
+                f"{r['n_words']} but the caller asked for {n_words} — "
+                "mismatched geometry produces false negatives"
+            )
         words[int(r["word_idx"])] = int(r["word"])
     return words
 
@@ -323,6 +384,125 @@ def bloom_anti_join(
     definite = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = (
         flagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(history_df.select(key_col), key_col, "left_anti")
+    )
+    return definite.unionByName(maybe)
+
+
+def bloom_anti_join_table(
+    new_df: DataFrame,
+    bloom_df: DataFrame,
+    history_df: DataFrame,
+    key_col: str,
+    n_words: int,
+    k: int = 4,
+) -> DataFrame:
+    """``bloom_anti_join`` for blooms TOO LARGE to ship as a plan
+    literal (the docstring's beyond-10⁷-keys seam, now real): the words
+    stay a (word_idx, word) TABLE — e.g. the ``start_stream_bloom``
+    sink's durable output read straight back — and membership probes via
+    an equi-join on word_idx instead of a constant-folded array lookup.
+
+    Shape: the batch's DISTINCT keys explode to k (word_idx, bit) probes
+    (narrow, k rows per distinct key), join the words table on word_idx
+    (the bloom side is ≤ n_words rows — broadcast when it fits, which a
+    ~12 MB 3M-word filter still does; beyond that it's a plain shuffle
+    join on an integer key), and a key is MAYBE-seen iff all k probed
+    bits are set (an absent word row is an unset word — the left join's
+    null word reads as 0). Decisions are a pure function of the key, so
+    they compute once per distinct key and join back to the batch —
+    duplicate batch rows don't multiply probe work.
+
+    Semantics are IDENTICAL to ``bloom_anti_join`` with the same
+    geometry (property-pinned): no false negatives, the maybe remainder
+    pays the exact anti-join. Null keys pass through as definitely-new
+    (the build skips them, matching ``bloom_might_contain``'s coalesce).
+
+    Geometry is validated against the words table in-plan: the round-10
+    metadata columns (``bloom_build`` stamps n_words/k) must match the
+    probe arguments — mismatched positions read unset bits, i.e. FALSE
+    NEGATIVES, the one error a Bloom filter must never make; legacy
+    tables without the columns fall back to the structural word_idx
+    bound check (which catches only larger-geometry builds)."""
+    key = F.col(key_col)
+    m = n_words * _BLOOM_WORD_BITS
+    if "n_words" in bloom_df.columns:
+        geom_ok = (
+            F.col("n_words").isNull() | (F.col("n_words") == n_words)
+        ) & (
+            (F.col("k").isNull() | (F.col("k") == k))
+            if "k" in bloom_df.columns
+            else F.lit(True)
+        )
+        bloom_checked = bloom_df.select(
+            F.when(geom_ok, F.col("word_idx")).otherwise(
+                F.raise_error(F.lit(
+                    "bloom_anti_join_table: words table geometry differs "
+                    f"from the probe arguments (n_words={n_words}, k={k}) "
+                    "— mismatched positions produce false negatives"
+                )).cast("int")
+            ).alias("word_idx"),
+            "word",
+        )
+    else:
+        bloom_checked = bloom_df.select(
+            F.when(
+                F.col("word_idx") < n_words, F.col("word_idx")
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "bloom_anti_join_table: words table holds word_idx >= "
+                    f"n_words={n_words} — built with a different geometry; "
+                    "probe positions would be meaningless"
+                )).cast("int")
+            ).alias("word_idx"),
+            "word",
+        )
+    probes = (
+        new_df.filter(key.isNotNull())
+        .select(key.alias("_k"))
+        .distinct()
+        .select(
+            "_k",
+            F.explode(
+                F.array(*[bloom_bit(F.col("_k"), i, m) for i in range(k)])
+            ).alias("_pos"),
+        )
+        .select(
+            "_k",
+            (F.col("_pos") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            F.pow(F.lit(2.0), F.col("_pos") % _BLOOM_WORD_BITS)
+            .cast("bigint")
+            .alias("_bit"),
+        )
+    )
+    decisions = (
+        probes.join(F.broadcast(bloom_checked), "word_idx", "left")
+        .select(
+            "_k",
+            (
+                (
+                    F.floor(
+                        F.coalesce(F.col("word"), F.lit(0)) / F.col("_bit")
+                    ).cast("bigint")
+                    % 2
+                )
+                == 1
+            ).alias("_hit"),
+        )
+        .groupBy("_k")
+        .agg((F.count(F.lit(1)) == F.sum(F.col("_hit").cast("int"))).alias("_maybe"))
+    )
+    flagged = new_df.join(
+        decisions, new_df[key_col] == decisions["_k"], "left"
+    ).drop("_k")
+    # null key → no decision row → _maybe null → definitely new (the
+    # build skips nulls; bloom_anti_join's coalesce rule)
+    definite = flagged.filter(
+        ~F.coalesce(F.col("_maybe"), F.lit(False))
+    ).drop("_maybe")
+    maybe = (
+        flagged.filter(F.coalesce(F.col("_maybe"), F.lit(False)))
         .drop("_maybe")
         .join(history_df.select(key_col), key_col, "left_anti")
     )

@@ -755,3 +755,99 @@ def test_hll_grouped_matches_per_group_exact_shape(spark):
     assert set(est) == {0, 1, 2, 3}
     for g, e in est.items():
         assert abs(e - 1000) / 1000 < 0.25, (g, e)
+
+
+def test_bloom_anti_join_table_equals_exact_and_validates_geometry(spark):
+    """The table-probed bloom anti-join (round-10 — the beyond-10^7-keys
+    seam the literal path's docstring promised): identical results to
+    the exact left_anti under heavy false positives, null keys pass as
+    definitely-new, duplicate batch rows survive, and mismatched
+    geometry raises BY NAME instead of producing false negatives."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+        bloom_anti_join_table,
+        bloom_build,
+    )
+
+    hist = spark.createDataFrame(
+        [(f"h-{i}", i) for i in range(200)], "k string, v int"
+    )
+    new = spark.createDataFrame(
+        [(f"h-{i}", -1) for i in range(150, 250)]
+        + [(f"n-{i}", -2) for i in range(100)]
+        + [("n-7", -3), (None, -4)],  # duplicate key + null key
+        "k string, v int",
+    )
+    def canon(rows):
+        # None keys sort first (tuples with None don't compare to str)
+        return sorted(
+            ((r["k"], r["v"]) for r in rows),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+
+    want = canon(new.join(hist.select("k"), "k", "left_anti").collect())
+    for n_words in (2, 64):
+        table = bloom_build(hist, "k", n_words=n_words, k=4)
+        got = canon(
+            bloom_anti_join_table(
+                new, table, hist, "k", n_words=n_words, k=4
+            ).collect()
+        )
+        assert got == want, n_words
+        # and the two probe forms agree with each other
+        lit = canon(
+            bloom_anti_join(new, hist, "k", n_words=n_words, k=4).collect()
+        )
+        assert got == lit
+    assert (None, -4) in want  # the null key really flowed through
+
+    # geometry mismatch: raises by name, never a silent wrong filter
+    table64 = bloom_build(hist, "k", n_words=64, k=4)
+    with pytest.raises(Exception, match="geometry"):
+        bloom_anti_join_table(new, table64, hist, "k", n_words=128, k=4).collect()
+    with pytest.raises(Exception, match="geometry"):
+        bloom_anti_join_table(new, table64, hist, "k", n_words=64, k=2).collect()
+    # legacy table without metadata columns: structural bound check only
+    legacy = table64.select("word_idx", "word")
+    got = canon(
+        bloom_anti_join_table(
+            new, legacy, hist, "k", n_words=64, k=4
+        ).collect()
+    )
+    assert got == want
+    with pytest.raises(Exception, match="word_idx"):
+        bloom_anti_join_table(new, legacy, hist, "k", n_words=2, k=4).collect()
+
+
+def test_bloom_merge_geometry_validates_eagerly(spark):
+    """Round-10 (the hll_merge rule applied to the bloom): merging blooms
+    built with different n_words/k raises even when their word sets are
+    DISJOINT; legacy frames without metadata merge as unknown-geometry."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_build,
+        bloom_literal,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([("a",)], "k string")
+    b = spark.createDataFrame([("b",)], "k string")
+    with pytest.raises(Exception, match="geometry"):
+        bloom_merge(
+            bloom_build(a, "k", n_words=16, k=4),
+            bloom_build(b, "k", n_words=32, k=4),
+        ).collect()
+    with pytest.raises(Exception, match="geometry"):
+        bloom_merge(
+            bloom_build(a, "k", n_words=16, k=4),
+            bloom_build(b, "k", n_words=16, k=2),
+        ).collect()
+    # legacy (metadata-less) + stamped merge fine; literal validates too
+    legacy = bloom_build(a, "k", 16, 4).select("word_idx", "word")
+    merged = bloom_merge(legacy, bloom_build(b, "k", 16, 4))
+    assert len(bloom_literal(merged, 16)) == 16
+    with pytest.raises(ValueError, match="n_words"):
+        bloom_literal(bloom_build(a, "k", 16, 4), 32)
