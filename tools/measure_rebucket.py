@@ -77,12 +77,21 @@ def main() -> int:
         # comparison shows the local job-latency cost the resumability
         # buys; on a cluster the full rewrite is one unplannably-large
         # job while the incremental stream is restartable)
-        for new_n, inc in ((64, False), (512, False), (64, True), (512, True)):
+        plans = (
+            (64, False, 1, "full"),
+            (512, False, 1, "full"),
+            (64, True, 1, "inc_b1"),
+            (512, True, 64, "inc_b64"),
+            (64, True, 8, "inc_b8"),
+        )
+        for new_n, inc, batch, tag in plans:
             t0 = time.perf_counter()
-            stats = rebucket(spark, path, new_n, incremental=inc)
+            stats = rebucket(
+                spark, path, new_n, incremental=inc, group_batch=batch
+            )
             sec = round(time.perf_counter() - t0, 2)
             p_sec, p_n = probe()
-            out[f"rebucket_to_{new_n}_{'inc' if inc else 'full'}"] = {
+            out[f"rebucket_to_{new_n}_{tag}"] = {
                 "sec": sec,
                 "rows": stats["rows"],
                 "probe_sec": p_sec,
