@@ -1637,3 +1637,35 @@ def test_rebucket_crash_recovery_clears_stale_locks(spark, tmp_path):
     assert stats["rows"] == 40
     assert _table_state(spark, path) == before
     assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+
+
+def test_bucket_locks_release_when_merge_raises(spark, tmp_path):
+    """A merge that FAILS (here: strict call widening an evolved table)
+    must release its bucket locks on the way out — a leaked lock would
+    block every later writer of those buckets for the TTL."""
+    import os
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1"), ("PMC2", "v2")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    bad = spark.createDataFrame(
+        [("PMC1", "x", "boom")],
+        "article_id string, payload string, extra string",
+    )
+    try:
+        upsert_parquet(spark, bad, path, key_cols=["article_id"], n_buckets=4)
+        raise AssertionError("schema-widening strict upsert did not raise")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # strict unionByName AnalysisException — the expected failure
+    lockdir = os.path.join(path, "_locks")
+    held = [f for f in os.listdir(lockdir)] if os.path.isdir(lockdir) else []
+    assert not any(f.endswith(".lock") for f in held), held
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v3")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    assert _table_state(spark, path)["PMC1"] == "v3"
