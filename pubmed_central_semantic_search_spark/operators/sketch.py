@@ -364,11 +364,19 @@ def bloom_anti_join(
     prefilter pays off when history is too large to broadcast AND the
     filter is built once — the incremental-ingest steady state.
 
+    ``_maybe`` is reserved (the upsert _is_new/_rn rule): a same-named
+    input column would be silently replaced mid-split and dropped.
+
     Sizing: m = n_words·32 bits; FP ≈ (1 − e^(−k·n/m))^k. The words ship
     as ONE driver literal — fine to ~10⁷ history keys (m = 10n bits ≈
     12 MB plan literal); beyond that, keep the words as a table and probe
     via an equi-join on word_idx (the build side of this module is
     already that shape), or shard the bloom by key prefix."""
+    if "_maybe" in new_df.columns:
+        raise ValueError(
+            "bloom_anti_join: input column '_maybe' is reserved for the "
+            "definite/maybe split; rename it"
+        )
     if words is None:
         words = bloom_literal(
             bloom_build(history_df, key_col, n_words, k), n_words
@@ -425,6 +433,12 @@ def bloom_anti_join_table(
     NEGATIVES, the one error a Bloom filter must never make; legacy
     tables without the columns fall back to the structural word_idx
     bound check (which catches only larger-geometry builds)."""
+    clash = {"_k", "_maybe"} & set(new_df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_anti_join_table: input column(s) {sorted(clash)} are "
+            "reserved for the probe/decision join; rename them"
+        )
     key = F.col(key_col)
     m = n_words * _BLOOM_WORD_BITS
     if "n_words" in bloom_df.columns:
