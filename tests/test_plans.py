@@ -540,3 +540,65 @@ def test_q45_hll_arms_single_pass_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_max" in plan or "max(" in plan, plan
+
+
+def test_q16_bloom_arms_plan_shape(spark, sf_dir):
+    """Round-10 'bloomword'/'bloomnew' arms: the word build is one
+    partial-aggregated bit_or groupBy (no Python, no join); the
+    anti-join prefilter's maybe-side is a real LeftAnti hash join —
+    never a cartesian — and the definite side is join-free (the
+    membership probe is a constant-folded projection)."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join,
+        bloom_build,
+        bloom_literal,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    build_plan = (
+        bloom_build(hist, "text", n_words=2048, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in build_plan, build_plan
+    assert "Join" not in build_plan, build_plan
+    assert "bit_or" in build_plan.lower(), build_plan
+
+    words = bloom_literal(bloom_build(hist, "text", 2048, 4), 2048)
+    anti_plan = (
+        bloom_anti_join(batch, hist, "text", n_words=2048, k=4, words=words)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in anti_plan, anti_plan
+    assert "LeftAnti" in anti_plan, anti_plan
+    assert "EvalPython" not in anti_plan, anti_plan
+
+
+def test_bloom_anti_join_table_probe_is_broadcast(spark, sf_dir):
+    """The table-probed tier (round-10): the words side broadcasts (it
+    is ≤ n_words rows by construction) — the probe join must be a
+    BroadcastHashJoin, never an exchange-on-both-sides shuffle join,
+    and the exact-verify remainder stays a LeftAnti."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        bloom_anti_join_table,
+        bloom_build,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    table = bloom_build(hist, "text", n_words=256, k=4)
+    plan = (
+        bloom_anti_join_table(batch, table, hist, "text", n_words=256, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "LeftAnti" in plan, plan
