@@ -815,17 +815,29 @@ def _acquire_bucket_locks(
     falls through to the normal create-if-absent attempt. No interleave
     can yield two holders: a live lock file IS the lease, and the only
     path that removes one is the TTL expiry of a crashed/overrun holder."""
+    from concurrent.futures import ThreadPoolExecutor
+
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     ldir = _locks_dir(path)
     fs.mkdirs(P(ldir))
-    acquired, held = [], []
-    for b in sorted(set(int(x) for x in buckets)):
-        lock_path = f"{ldir}/bucket={b}.lock"
-        if _try_acquire_lock(fs, jvm, lock_path, ttl_s):
-            acquired.append(P(lock_path))
-        else:
-            held.append(b)
+    wanted = sorted(set(int(x) for x in buckets))
+
+    # per-bucket file ops run CONCURRENTLY (round-10: at the recommended
+    # 32-64k buckets a batch touching thousands of them would otherwise
+    # pay thousands of SERIAL driver-side filesystem RPCs per upsert —
+    # py4j and the Hadoop FileSystem are thread-safe for independent
+    # paths, the q53 concurrent-submission pattern applied to metadata)
+    def _one(b: int):
+        return b, _try_acquire_lock(fs, jvm, f"{ldir}/bucket={b}.lock", ttl_s)
+
+    if len(wanted) > 1:
+        with ThreadPoolExecutor(min(16, len(wanted))) as pool:
+            results = list(pool.map(_one, wanted))
+    else:
+        results = [_one(b) for b in wanted]
+    acquired = [P(f"{ldir}/bucket={b}.lock") for b, ok in results if ok]
+    held = [b for b, ok in results if not ok]
     if held:
         _release_bucket_locks(fs, acquired)
         raise ConcurrentUpsertError(
@@ -838,11 +850,21 @@ def _acquire_bucket_locks(
 
 
 def _release_bucket_locks(fs, lock_paths) -> None:
-    for lp in lock_paths:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _del(lp):
         try:
             fs.delete(lp, False)
         except Exception:
             pass  # already swapped away (rebucket) or released
+
+    lock_paths = list(lock_paths)
+    if len(lock_paths) > 1:
+        with ThreadPoolExecutor(min(16, len(lock_paths))) as pool:
+            list(pool.map(_del, lock_paths))
+    else:
+        for lp in lock_paths:
+            _del(lp)
 
 
 # Passing a huge batch lookup as hundreds of explicit directory paths
