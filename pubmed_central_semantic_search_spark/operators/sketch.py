@@ -300,9 +300,14 @@ def bloom_literal(bloom: DataFrame, n_words: int) -> list[int]:
     frame carries the round-10 geometry metadata, a caller asking for a
     DIFFERENT n_words raises by name — probing a re-densified filter
     with mismatched positions yields false negatives."""
+    from ..session import collect_bounded
+
     words = [0] * n_words
     has_geom = "n_words" in bloom.columns
-    for r in bloom.collect():
+    # ≤ n_words rows by construction — fenced anyway (the k-sized-collect
+    # rule; a frame that is NOT a sparse bloom gets a named error, not a
+    # driver OOM)
+    for r in collect_bounded(bloom, n_words, "bloom words"):
         if has_geom and r["n_words"] is not None and int(r["n_words"]) != n_words:
             raise ValueError(
                 f"bloom_literal: filter was built with n_words="
