@@ -111,13 +111,20 @@ def main() -> None:
     }
     # Summary fields ride at BOTH ends of the single JSON line: canonical
     # at the head (parseable from a head-truncated capture) and repeated
-    # as a trailing "summary" object (the driver's record keeps the TAIL
-    # of the line — r4's capture cut the head-side fields, forcing
-    # estimated round-over-round comparisons).
+    # at the tail. Round-11 (verdict #5): the driver's record keeps the
+    # LAST 2000 bytes of the line, and r10's tail cut the per-query
+    # registry block mid-alphabet — so the REGISTRY timings now ride
+    # LAST (after the bulky samples), followed only by a slim summary,
+    # and the whole line uses compact separators so both fit the tail
+    # window. A whole capture still parses as one JSON object.
+    slim_summary = {k: v for k, v in summary.items() if k != "upsert_rewrite"}
     print(json.dumps({
         **summary, "queries": timings, "samples": all_samples,
-        "summary": summary,
-    }))
+        "queries_registry": {
+            q: t for q, t in sorted(timings.items()) if q in registry.REGISTRY
+        },
+        "summary": slim_summary,
+    }, separators=(",", ":")))
     spark.stop()
 
 

@@ -33,6 +33,17 @@ def _check_finite(flat: Sequence[float]) -> None:
         raise ValueError("packed literal values must be finite (no NaN/inf)")
 
 
+def _lit_float(x: float) -> float:
+    """Literal-component normalization: -0.0 → 0.0 (round-11, verdict
+    #6 — previously a documented latent risk). ``repr``/``json.dumps``
+    render negative zero as ``-0.0``, and the two engines' renderings of
+    a zero component could then diverge in the driver's value-hash even
+    though the values compare equal; the two zeros are equal for every
+    vector operation here, so normalize at the literal boundary."""
+    x = float(x)
+    return 0.0 if x == 0.0 else x
+
+
 def array_lit(vec: Sequence[float]) -> Column:
     """A float-array literal as ONE plan leaf: ``from_json(lit(json))``.
 
@@ -49,14 +60,14 @@ def array_lit(vec: Sequence[float]) -> Column:
     decimal) and Spark's JSON parser returns the nearest double — the
     original bit pattern. Values must be finite (JSON NaN/inf would be
     dropped to null silently)."""
-    vals = [float(x) for x in vec]
+    vals = [_lit_float(x) for x in vec]
     _check_finite(vals)
     return F.from_json(F.lit(json.dumps(vals)), "array<double>")
 
 
 def matrix_lit(mat: Sequence[Sequence[float]]) -> Column:
     """A nested float-matrix literal as ONE plan leaf (see ``array_lit``)."""
-    vals = [[float(x) for x in row] for row in mat]
+    vals = [[_lit_float(x) for x in row] for row in mat]
     for row in vals:
         _check_finite(row)
     return F.from_json(F.lit(json.dumps(vals)), "array<array<double>>")
@@ -65,7 +76,7 @@ def matrix_lit(mat: Sequence[Sequence[float]]) -> Column:
 def tensor_lit(tensor: Sequence[Sequence[Sequence[float]]]) -> Column:
     """A 3-level float-tensor literal as ONE plan leaf (see ``array_lit``)
     — e.g. a full PQ codebook set (m × ksub × dsub)."""
-    vals = [[[float(x) for x in row] for row in mat] for mat in tensor]
+    vals = [[[_lit_float(x) for x in row] for row in mat] for mat in tensor]
     for mat in vals:
         for row in mat:
             _check_finite(row)

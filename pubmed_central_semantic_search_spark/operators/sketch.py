@@ -403,6 +403,13 @@ def bloom_anti_join(
     return definite.unionByName(maybe)
 
 
+# The words-table broadcast ceiling: 2^22 words = 16 MiB of raw filter
+# (128 Mbit ≈ 13M keys at 1% FP) — comfortably inside executor broadcast
+# budgets as a (word_idx, word) HashedRelation. Larger filters probe via
+# a plain shuffle equi-join on word_idx instead of a forced broadcast.
+_BLOOM_BROADCAST_MAX_WORDS = 1 << 22
+
+
 def bloom_anti_join_table(
     new_df: DataFrame,
     bloom_df: DataFrame,
@@ -419,9 +426,10 @@ def bloom_anti_join_table(
 
     Shape: the batch's DISTINCT keys explode to k (word_idx, bit) probes
     (narrow, k rows per distinct key), join the words table on word_idx
-    (the bloom side is ≤ n_words rows — broadcast when it fits, which a
-    ~12 MB 3M-word filter still does; beyond that it's a plain shuffle
-    join on an integer key), and a key is MAYBE-seen iff all k probed
+    (the bloom side is ≤ n_words rows — broadcast-hinted only up to
+    ``_BLOOM_BROADCAST_MAX_WORDS`` = 2²² words ≈ 16 MiB of filter;
+    beyond that the hint is dropped and the probe is a plain shuffle
+    equi-join on an integer key), and a key is MAYBE-seen iff all k probed
     bits are set (an absent word row is an unset word — the left join's
     null word reads as 0). Decisions are a pure function of the key, so
     they compute once per distinct key and join back to the batch —
@@ -495,8 +503,17 @@ def bloom_anti_join_table(
             .alias("_bit"),
         )
     )
+    # Broadcast only while the words table is broadcast-SIZED (round-11,
+    # ADVICE r10): the hint was unconditional, force-broadcasting even a
+    # multi-GB words table — the very beyond-broadcast case this
+    # function exists for. Up to _BLOOM_BROADCAST_MAX_WORDS the probe
+    # keeps the measured fast path; beyond it the hint is dropped and
+    # the equi-join on the integer word_idx shuffles (AQE may still pick
+    # a better strategy from runtime sizes).
+    if n_words <= _BLOOM_BROADCAST_MAX_WORDS:
+        bloom_checked = F.broadcast(bloom_checked)
     decisions = (
-        probes.join(F.broadcast(bloom_checked), "word_idx", "left")
+        probes.join(bloom_checked, "word_idx", "left")
         .select(
             "_k",
             (

@@ -62,7 +62,16 @@ QUERY_VECS = {  # multi-query batch (Q3)
 
 
 def sql_vec(vec: list[float]) -> str:
-    return "CAST([" + ", ".join(repr(v) for v in vec) + "] AS DOUBLE[])"
+    # -0.0 normalizes to 0.0 (round-11, verdict #6): repr(-0.0) would
+    # render the oracle literal as "-0.0" while a Spark-side rendering
+    # could disagree in the driver's value-hash; the zeros are equal for
+    # every vector op, so normalize — mirrored in functions.vector's
+    # _lit_float so both engines see the identical component.
+    return (
+        "CAST(["
+        + ", ".join(repr(0.0 if v == 0.0 else float(v)) for v in vec)
+        + "] AS DOUBLE[])"
+    )
 
 
 @dataclass(frozen=True)

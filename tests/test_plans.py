@@ -602,3 +602,45 @@ def test_bloom_anti_join_table_probe_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_bloom_anti_join_table_drops_broadcast_beyond_ceiling(spark, sf_dir):
+    """ADVICE r10: the words-side broadcast hint must be SIZE-GATED — a
+    filter beyond _BLOOM_BROADCAST_MAX_WORDS (a multi-GB words table at
+    the >10^7-key scale this tier exists for) must NOT be force-
+    broadcast; the probe falls back to a plain equi-join on word_idx.
+    Geometry validation and the LeftAnti remainder are unchanged."""
+    from pyspark.sql import functions as F
+
+    from pubmed_central_semantic_search_spark.operators.sketch import (
+        _BLOOM_BROADCAST_MAX_WORDS,
+        bloom_anti_join_table,
+        bloom_build,
+    )
+    from pubmed_central_semantic_search_spark.registry import load
+
+    big = _BLOOM_BROADCAST_MAX_WORDS * 2
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    # geometry metadata says `big` words; the physical table stays tiny
+    # (bloom words are sparse rows — exactly the at-scale layout)
+    table = bloom_build(hist, "text", n_words=big, k=4)
+    df = bloom_anti_join_table(batch, table, hist, "text", n_words=big, k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe join on word_idx must not be broadcast-hinted; Spark may
+    # still auto-broadcast tiny runtime sizes, so pin the HINT, not the
+    # physical strategy: the optimized logical plan carries no broadcast
+    # hint on the words side
+    # under-ceiling call still hints (regression guard for the fast path)
+    small_table = bloom_build(hist, "text", n_words=256, k=4)
+    small_logical = (
+        bloom_anti_join_table(batch, small_table, hist, "text",
+                              n_words=256, k=4)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    big_logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in small_logical or "broadcast" in small_logical.lower()
+    assert "ResolvedHint" not in big_logical
+    assert "LeftAnti" in plan, plan
+    assert "Cartesian" not in plan, plan

@@ -342,3 +342,32 @@ def test_catalog_sql_lookup_parenthesized_and_escaped_values(spark, tmp_path):
     )
     out = catalog_sql(spark, f"UPSERT READ '{path}' LOOKUP (k = (5, 9)) AS VIEW t_par")
     assert sorted((r.k, r.v) for r in out.collect()) == [(5, "10"), (9, "18")]
+
+
+def test_negative_zero_normalizes_in_both_literal_builders(spark):
+    """Round-11 verdict #6 (the r10 review pass's documented latent
+    risk, now fenced): a query-vector component that is exactly -0.0
+    must render identically on both engines — repr(-0.0) would put
+    '-0.0' in the DuckDB oracle literal while the Spark side could
+    disagree in the driver's value-hash. Both literal builders
+    normalize to +0.0; the values stay equal for every vector op."""
+    from pubmed_central_semantic_search_spark.functions.vector import (
+        array_lit,
+        matrix_lit,
+        tensor_lit,
+    )
+    from pubmed_central_semantic_search_spark.registry import sql_vec
+
+    assert "-0.0" not in sql_vec([-0.0, 1.5, -0.0])
+    assert sql_vec([-0.0]) == sql_vec([0.0])
+    row = spark.range(1).select(
+        array_lit([-0.0, 2.0]).alias("a"),
+        matrix_lit([[-0.0], [3.0]]).alias("m"),
+        tensor_lit([[[-0.0]]]).alias("t"),
+    ).collect()[0]
+    import math
+
+    assert math.copysign(1.0, row.a[0]) == 1.0  # +0.0, not -0.0
+    assert math.copysign(1.0, row.m[0][0]) == 1.0
+    assert math.copysign(1.0, row.t[0][0][0]) == 1.0
+    assert row.a == [0.0, 2.0]
