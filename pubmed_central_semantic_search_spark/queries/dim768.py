@@ -776,6 +776,12 @@ def _x_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_report(spark, sf_dir)
 
 
+def _x_media_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extensions import media_av_report
+
+    return media_av_report(spark, sf_dir)
+
+
 BENCH_EXTRAS = {
     "x_curation_report": x_curation_report,
     "x_gopher_panel": x_gopher_panel,
@@ -792,6 +798,8 @@ BENCH_EXTRAS = {
     "x_quality_classifier_quantized": _x_quality_classifier_quantized,
     # round-10 demoted arms: q42 'decode'/'resize' PPM pixel decode + resize
     "x_media_decode": _x_media_decode,
+    # round-11 demoted arms: q42 'audio'/'video' whole-clip WAV/Y4M decodes
+    "x_media_av": _x_media_av,
     "x_dsir_select": x_dsir_select,
     "x_cross_rerank": x_cross_rerank,
     "x_bpe_segment": x_bpe_segment,

@@ -772,6 +772,119 @@ def q42_media_parity_sql() -> str:
     return _Q42_MEDIA_PARITY_SQL
 
 
+# The DEMOTED q42 'audio'/'video' arms' oracle (round-11 sixth demotion
+# wave; driver-green r8-r10): the clip GENERATOR formulas recomputed in
+# pure SQL — audio: canonical PCM-16 WAV of ch = 1 + doc_id%2 channels,
+# nf = 40 + doc_id%5 frames at 8000 Hz, interleaved sample
+# j = ((doc_id*31 + j) * 97) % 65536 - 32768; video: YUV4MPEG2 C420 of
+# w = 4 + 2*(doc_id%2), h = 4 + 2*((doc_id%3)%2), vnf = 2 + doc_id%3
+# frames, flat frame byte i of frame f = (doc_id*13 + f*7 + i) % 256.
+# The Spark side (media_av_report) BUILDS those bytes and REALLY decodes
+# them (pure-Python RIFF/Y4M tiers); a decoder bug cannot cancel against
+# the generator. Replayed in tests/test_sources_streaming.py; bench in
+# x_media_av.
+_Q42_AV_PARITY_SQL = """
+    WITH wdec AS (
+      SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 32
+    ),
+    wsum AS (
+      SELECT doc_id, ch, nf,
+             CAST(sum(CASE WHEN j % ch = 0
+                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN ch = 2 AND j % ch = 1
+                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s1
+      FROM wdec, UNNEST(range(0, nf * ch)) t(j)
+      GROUP BY doc_id, ch, nf
+    ),
+    vdec AS (
+      SELECT doc_id, 4 + 2 * (doc_id % 2) AS vw,
+             4 + 2 * ((doc_id % 3) % 2) AS vh,
+             2 + doc_id % 3 AS vnf
+      FROM documents WHERE doc_id < 32
+    ),
+    vsum AS (
+      SELECT doc_id, vw, vh, vnf,
+             CAST(sum(CASE WHEN i < vw * vh
+                  THEN (doc_id * 13 + f * 7 + i) % 256 END) AS BIGINT) AS sum_luma,
+             CAST(sum(CASE WHEN i >= vw * vh
+                  THEN (doc_id * 13 + f * 7 + i) % 256 END) AS BIGINT) AS sum_chroma
+      FROM vdec,
+           UNNEST(range(0, vnf)) tf(f),
+           UNNEST(range(0, (vw * vh * 3) // 2)) ti(i)
+      GROUP BY doc_id, vw, vh, vnf
+    )
+    SELECT 'audio' AS kind, concat('w', doc_id) AS media_id,
+           'audio' AS modality,
+           CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes,
+           concat_ws(':', CAST(8000 AS VARCHAR), CAST(ch AS VARCHAR),
+                     CAST(nf AS VARCHAR), CAST(s0 AS VARCHAR),
+                     CAST(s1 AS VARCHAR)) AS decoded
+    FROM wsum
+    UNION ALL
+    SELECT 'video' AS kind, concat('v', doc_id) AS media_id,
+           'video' AS modality,
+           CAST(25 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
+                + vnf * (6 + (vw * vh * 3) // 2) AS BIGINT) AS n_bytes,
+           vw || 'x' || vh || ':' || vnf || ':' || sum_luma || ':' || sum_chroma
+             AS decoded
+    FROM vsum
+    """
+
+
+def q42_av_parity_sql() -> str:
+    return _Q42_AV_PARITY_SQL
+
+
+def media_av_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demoted q42 'audio'/'video' arms' Spark side — also the
+    x_media_av bench entry: generated canonical RIFF/WAVE PCM-16 clips →
+    REAL pure-Python decode_wav (per-channel int64 sample sums) and
+    generated YUV4MPEG2 C420 clips → REAL decode_y4m (per-plane int64
+    sums across frames), both certified against the clip generator
+    formulas in ``q42_av_parity_sql()``."""
+    from ..operators.multimodal import decode_audio_stats, decode_video_stats
+
+    d = load(spark, sf_dir, "documents")
+    wav = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("w"), F.col("doc_id")).alias("media_id"),
+        _gen_wav_udf()(F.col("doc_id")).alias("content"),
+    )
+    aud = decode_audio_stats(wav).select(
+        F.lit("audio").alias("kind"),
+        "media_id",
+        F.lit("audio").alias("modality"),
+        "n_bytes",
+        F.concat_ws(
+            ":",
+            F.col("sample_rate").cast("string"),
+            F.col("n_channels").cast("string"),
+            F.col("n_frames").cast("string"),
+            F.col("sum_c0").cast("string"),
+            F.col("sum_c1").cast("string"),
+        ).alias("decoded"),
+    )
+    y4m = d.filter(F.col("doc_id") < 32).select(
+        F.concat(F.lit("v"), F.col("doc_id")).alias("media_id"),
+        _gen_y4m_udf()(F.col("doc_id")).alias("content"),
+    )
+    vid = decode_video_stats(y4m).select(
+        F.lit("video").alias("kind"),
+        "media_id",
+        F.lit("video").alias("modality"),
+        "n_bytes",
+        F.concat_ws(
+            ":",
+            F.concat(F.col("width").cast("string"), F.lit("x"),
+                     F.col("height").cast("string")),
+            F.col("n_frames").cast("string"),
+            F.col("sum_luma").cast("string"),
+            F.col("sum_chroma").cast("string"),
+        ).alias("decoded"),
+    )
+    return aud.unionByName(vid)
+
+
 def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The demoted q42 'decode'/'resize' arms' Spark side — also the
     x_media_decode bench entry: generated P6 PPM bytes → REAL pure-Python
@@ -838,50 +951,19 @@ def _q42_oracle() -> str:
                  media_id) <= 5
     )
     ,
-    wdec AS (
-      -- the 'audio' arm's clip GENERATOR formula (round-8: real PCM
-      -- decode, value-certified): doc_id < 32 -> a canonical PCM-16 WAV
-      -- of ch = 1 + doc_id%2 channels, nf = 40 + doc_id%5 frames at
-      -- 8000 Hz, interleaved sample j = ((doc_id*31 + j) * 97) % 65536
-      -- - 32768. The Spark side BUILDS those bytes and DECODES them
-      -- with the pure-Python RIFF/WAVE tier; this oracle recomputes the
-      -- per-channel sums from the formula alone
-      SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 5 AS nf
-      FROM documents WHERE doc_id < 32
-    ),
-    wsum AS (
-      SELECT doc_id, ch, nf,
-             CAST(sum(CASE WHEN j % ch = 0
-                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s0,
-             CAST(sum(CASE WHEN ch = 2 AND j % ch = 1
-                  THEN ((doc_id * 31 + j) * 97) % 65536 - 32768 END) AS BIGINT) AS s1
-      FROM wdec, UNNEST(range(0, nf * ch)) t(j)
-      GROUP BY doc_id, ch, nf
-    ),
     vdec AS (
-      -- the 'video' arm's clip GENERATOR formula (round-8: real Y4M
-      -- frame decode, value-certified — the LAST fake-only modality):
-      -- doc_id < 32 -> a YUV4MPEG2 C420 clip of w = 4 + 2*(doc_id%2),
+      -- the 'frames' arm's clip GENERATOR formula (round-8): doc_id <
+      -- 32 -> a YUV4MPEG2 C420 clip of w = 4 + 2*(doc_id%2),
       -- h = 4 + 2*((doc_id%3)%2), vnf = 2 + doc_id%3 frames; flat frame
       -- byte i of frame f = (doc_id*13 + f*7 + i) % 256 (luma plane =
-      -- i < w*h, chroma = the rest). The Spark side BUILDS those bytes
-      -- and DECODES them with the pure-Python Y4M tier; this oracle
-      -- recomputes the plane sums from the formula alone
+      -- i < w*h, chroma = the rest). The whole-clip 'audio'/'video'
+      -- arms were DEMOTED round 11 (sixth wave) to the pinned parity
+      -- set (q42_av_parity_sql); the per-frame SAMPLING certification
+      -- stays here and recomputes its luma sums from the same formula
       SELECT doc_id, 4 + 2 * (doc_id % 2) AS vw,
              4 + 2 * ((doc_id % 3) % 2) AS vh,
              2 + doc_id % 3 AS vnf
       FROM documents WHERE doc_id < 32
-    ),
-    vsum AS (
-      SELECT doc_id, vw, vh, vnf,
-             CAST(sum(CASE WHEN i < vw * vh
-                  THEN (doc_id * 13 + f * 7 + i) % 256 END) AS BIGINT) AS sum_luma,
-             CAST(sum(CASE WHEN i >= vw * vh
-                  THEN (doc_id * 13 + f * 7 + i) % 256 END) AS BIGINT) AS sum_chroma
-      FROM vdec,
-           UNNEST(range(0, vnf)) tf(f),
-           UNNEST(range(0, (vw * vh * 3) // 2)) ti(i)
-      GROUP BY doc_id, vw, vh, vnf
     )
     SELECT 'feat' AS kind, media_id, modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -900,18 +982,6 @@ def _q42_oracle() -> str:
            CAST(NULL AS VARCHAR) AS decoded
     FROM xm
     UNION ALL
-    SELECT 'audio' AS kind, concat('w', doc_id) AS media_id,
-           'audio' AS modality,
-           CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes,
-           CAST(NULL AS VARCHAR) AS content_md5,
-           CAST(NULL AS VARCHAR) AS error,
-           CAST(NULL AS DOUBLE) AS score,
-           CAST(NULL AS BIGINT) AS xm_rank,
-           concat_ws(':', CAST(8000 AS VARCHAR), CAST(ch AS VARCHAR),
-                     CAST(nf AS VARCHAR), CAST(s0 AS VARCHAR),
-                     CAST(s1 AS VARCHAR)) AS decoded
-    FROM wsum
-    UNION ALL
     SELECT 'frames' AS kind,
            concat('v', doc_id, ':', f) AS media_id,
            'video' AS modality,
@@ -928,18 +998,6 @@ def _q42_oracle() -> str:
                  FROM UNNEST(range(0, vw * vh)) t(i)) AS BIGINT) AS decoded
     FROM vdec, UNNEST(range(0, vnf)) tf(f)
     WHERE f % 2 = 0
-    UNION ALL
-    SELECT 'video' AS kind, concat('v', doc_id) AS media_id,
-           'video' AS modality,
-           CAST(25 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
-                + vnf * (6 + (vw * vh * 3) // 2) AS BIGINT) AS n_bytes,
-           CAST(NULL AS VARCHAR) AS content_md5,
-           CAST(NULL AS VARCHAR) AS error,
-           CAST(NULL AS DOUBLE) AS score,
-           CAST(NULL AS BIGINT) AS xm_rank,
-           vw || 'x' || vh || ':' || vnf || ':' || sum_luma || ':' || sum_chroma
-             AS decoded
-    FROM vsum
     UNION ALL
     -- 'pdf' arm (round-9): the PDF GENERATOR formula — doc_id < 32 →
     -- a FlateDecode-compressed single-page PDF whose shown text is
@@ -1084,16 +1142,10 @@ def _gen_y4m_udf():
     survey_rows="X5 (binary columns, mapInPandas feature extraction, "
     "stubbed decode) + cross-modal retrieval (text query → top-k images "
     "through the shared encoder over decoded media bytes, value-certified "
-    "end to end) + REAL PCM "
-    "audio decode (round-8: generated canonical RIFF/WAVE PCM-16 clips "
-    "-> pure-Python decode_wav -> per-channel int64 sample sums, "
-    "certified against the clip generator formula) + REAL Y4M video "
-    "decode (round-8: generated YUV4MPEG2 C420 clips -> pure-Python "
-    "decode_y4m -> per-plane int64 sums across frames, certified "
-    "against the clip generator formula; compressed containers remain "
-    "the gated ffmpeg-tier future seam) + REAL frame SAMPLING (round-8: "
+    "end to end) + REAL frame SAMPLING (round-8: "
     "sample_frames decodes every 2nd generated frame — per-frame luma "
-    "sums certified) + REAL PDF "
+    "sums certified; compressed containers remain the gated ffmpeg-tier "
+    "future seam) + REAL PDF "
     "text extraction (round-9: generated FlateDecode-compressed PDFs -> "
     "pure-Python lite parser (zlib inflate + show-operator scan) -> page "
     "count + extracted text, certified against the line formula — S6's "
@@ -1102,7 +1154,11 @@ def _gen_y4m_udf():
     "resize, driver-green r7-r9) were DEMOTED round 10 under the "
     "amortization policy: parity in tests/test_sources_streaming.py "
     "over q42_media_parity_sql() (the same CTE text), bench in "
-    "x_media_decode",
+    "x_media_decode. The whole-clip 'audio'/'video' arms (REAL PCM "
+    "decode_wav per-channel sums + REAL Y4M decode_y4m per-plane sums, "
+    "driver-green r8-r10) were DEMOTED round 11 (sixth wave): parity in "
+    "tests/test_sources_streaming.py over q42_av_parity_sql(), bench in "
+    "x_media_av",
 )
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..encoder import encode_column
@@ -1126,58 +1182,13 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("xm_rank"),
         F.lit(None).cast("string").alias("decoded"),
     )
-    # 'audio' arm (round-8): generate canonical PCM-16 WAV bytes from
-    # the oracle's formula, REALLY decode them (pure-Python RIFF tier)
-    # and emit the all-integer per-channel sums the oracle recomputes
-    from ..operators.multimodal import decode_audio_stats
-
-    wav = d.filter(F.col("doc_id") < 32).select(
-        F.concat(F.lit("w"), F.col("doc_id")).alias("media_id"),
-        _gen_wav_udf()(F.col("doc_id")).alias("content"),
-    )
-    aud = decode_audio_stats(wav).select(
-        F.lit("audio").alias("kind"),
-        "media_id",
-        F.lit("audio").alias("modality"),
-        "n_bytes",
-        F.lit(None).cast("string").alias("content_md5"),
-        "error",
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("bigint").alias("xm_rank"),
-        F.concat_ws(
-            ":",
-            F.col("sample_rate").cast("string"),
-            F.col("n_channels").cast("string"),
-            F.col("n_frames").cast("string"),
-            F.col("sum_c0").cast("string"),
-            F.col("sum_c1").cast("string"),
-        ).alias("decoded"),
-    )
-    # 'video' arm (round-8): generated Y4M clips -> REAL frame decode
-    # (pure-Python tier) -> per-plane integer sums the oracle recomputes
-    from ..operators.multimodal import decode_video_stats
-
+    # 'audio'/'video' whole-clip arms: DEMOTED round 11 (sixth wave,
+    # green r8-r10) to the pinned parity set — Spark side in
+    # media_av_report, oracle in q42_av_parity_sql, bench in x_media_av.
+    # The generated Y4M clips stay: the 'frames' arm samples them.
     y4m = d.filter(F.col("doc_id") < 32).select(
         F.concat(F.lit("v"), F.col("doc_id")).alias("media_id"),
         _gen_y4m_udf()(F.col("doc_id")).alias("content"),
-    )
-    vid = decode_video_stats(y4m).select(
-        F.lit("video").alias("kind"),
-        "media_id",
-        F.lit("video").alias("modality"),
-        "n_bytes",
-        F.lit(None).cast("string").alias("content_md5"),
-        "error",
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("bigint").alias("xm_rank"),
-        F.concat_ws(
-            ":",
-            F.concat(F.col("width").cast("string"), F.lit("x"),
-                     F.col("height").cast("string")),
-            F.col("n_frames").cast("string"),
-            F.col("sum_luma").cast("string"),
-            F.col("sum_chroma").cast("string"),
-        ).alias("decoded"),
     )
     # 'frames' arm (round-8): REAL frame sampling — every 2nd frame of
     # the generated clips through sample_frames, per-frame luma sums
@@ -1261,7 +1272,7 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         feats.unionByName(xm)
-        .unionByName(aud).unionByName(vid).unionByName(frm)
+        .unionByName(frm)
         .unionByName(pdfa)
     )
 

@@ -345,6 +345,19 @@ _Q16_BLOOM_WORDS, _Q16_BLOOM_K = 2048, 4
            CAST(NULL AS BIGINT) AS n
     FROM (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0) b
     ANTI JOIN hist h ON b.text = h.text
+    UNION ALL
+    -- 'bloomtab' arm (round-11 backfill): bloom_anti_join_table — the
+    -- at-scale TABLE-probe tier (words persisted as a durable
+    -- (word_idx, word) parquet table and probed via an equi-join on
+    -- word_idx instead of a plan literal) — must equal the SAME exact
+    -- anti-join it gates: no false negatives, the maybe remainder pays
+    -- the exact join, so the final row set is the anti-join's
+    SELECT 'bloomtab' AS kind,
+           md5(b.text) AS content_key,
+           b.doc_id,
+           CAST(NULL AS BIGINT) AS n
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0) b
+    ANTI JOIN hist h ON b.text = h.text
     """,
     survey_rows="X1, H1 (doc arm; the ExactSubstr span arm was demoted "
     "round 9 after six green rounds — parity in tests/test_dedup_spans.py "
@@ -352,7 +365,10 @@ _Q16_BLOOM_WORDS, _Q16_BLOOM_K = 2048, 4
     "bloom_anti_join as the incremental-dedup prefilter (round-10 "
     "backfill: the history partition's Bloom words recomputed bit for "
     "bit in SQL, and the prefiltered batch certified against the exact "
-    "anti-join it gates)",
+    "anti-join it gates) + bloom_anti_join_table (round-11 backfill: the "
+    "at-scale TABLE-probe tier — the same words persisted as a durable "
+    "parquet table, read back, and probed via the word_idx equi-join — "
+    "certified against the same exact anti-join)",
 )
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import bloom_anti_join, bloom_build, bloom_literal
@@ -393,7 +409,49 @@ def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("bigint").alias("n"),
     )
-    return doc.unionByName(bw).unionByName(bn)
+    # 'bloomtab' arm (round-11 backfill, verdict #2): the measured
+    # ≥10⁶-key default path — the SAME filter persisted as a DURABLE
+    # (word_idx, word, n_words, k) parquet table (the streaming bloom
+    # sink's output shape), read back from disk, and probed through
+    # bloom_anti_join_table's equi-join on word_idx instead of the plan
+    # literal. The read-back rows are re-materialized driver-side
+    # (≤ n_words rows BY CONSTRUCTION — the k-sized-collect rule) so the
+    # temp dir is removed before the returned frame is consumed (q62's
+    # materialize-before-cleanup discipline).
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import bloom_anti_join_table
+    from ..session import collect_bounded
+
+    bt_dir = tempfile.mkdtemp(prefix="pmc_q16bloomtab_")
+    try:
+        local_df(
+            spark, bw_rows, "word_idx int, word bigint"
+        ).withColumn("n_words", F.lit(_Q16_BLOOM_WORDS)).withColumn(
+            "k", F.lit(_Q16_BLOOM_K)
+        ).write.mode("overwrite").parquet(bt_dir)
+        back = [
+            (int(r["word_idx"]), int(r["word"]),
+             int(r["n_words"]), int(r["k"]))
+            for r in collect_bounded(
+                spark.read.parquet(bt_dir), _Q16_BLOOM_WORDS,
+                "q16 bloom table read-back",
+            )
+        ]
+    finally:
+        shutil.rmtree(bt_dir, ignore_errors=True)
+    bloom_tab = local_df(spark, back, "word_idx int, word bigint, n_words int, k int")
+    bt = bloom_anti_join_table(
+        batch, bloom_tab, hist, "text",
+        n_words=_Q16_BLOOM_WORDS, k=_Q16_BLOOM_K,
+    ).select(
+        F.lit("bloomtab").alias("kind"),
+        F.md5("text").alias("content_key"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return doc.unionByName(bw).unionByName(bn).unionByName(bt)
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,7 @@ def test_demoted_parity_tests_import_exported_cte_constants():
         ("test_classifier.py", "extensions", "q28_classifier_parity_sql"),
         ("test_curation.py", "extensions", "_Q41_AUDIT_PARITY_SQL"),
         ("test_sources_streaming.py", "extensions", "q42_media_parity_sql"),
+        ("test_sources_streaming.py", "extensions", "q42_av_parity_sql"),
         ("test_sketch.py", "coverage", "_Q46_IHIST_PARITY_SQL"),
         ("test_pq.py", "similarity", "q47_pq_parity_sql"),
         ("test_graph.py", "dedup_pack", "_Q53_PAGERANK_PARITY_SQL"),

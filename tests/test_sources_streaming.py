@@ -1464,3 +1464,26 @@ def test_q42_media_decode_duckdb_parity_demoted(spark, sf_dir):
     got = media_decode_report(spark, sf_dir).toPandas()
     want = duckdb_con(sf_dir).execute(q42_media_parity_sql()).df()
     compare_frames(got, want, "q42-media-demoted")
+
+
+def test_q42_media_av_duckdb_parity_demoted(spark, sf_dir):
+    """The DEMOTED q42 'audio'/'video' whole-clip arms (sixth demotion
+    wave, round 11; driver-green r8-r10): generated canonical RIFF/WAVE
+    PCM-16 clips → REAL pure-Python decode_wav per-channel sums, and
+    generated YUV4MPEG2 C420 clips → REAL decode_y4m per-plane sums,
+    previously replayed inside q42's driver oracle every round, now run
+    HERE over the SAME CTE text (q42_av_parity_sql()) on the real
+    documents table. Bench: x_media_av."""
+    import sys as _sys
+
+    from pubmed_central_semantic_search_spark.queries.extensions import (
+        media_av_report,
+        q42_av_parity_sql,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle_utils import compare_frames, duckdb_con
+
+    got = media_av_report(spark, sf_dir).toPandas()
+    want = duckdb_con(sf_dir).execute(q42_av_parity_sql()).df()
+    compare_frames(got, want, "q42-av-demoted")
