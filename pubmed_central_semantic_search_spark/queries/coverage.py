@@ -364,8 +364,8 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
     FROM hest
     UNION ALL
     -- 'hllstream' arm (round-10, verdict #4: one streaming sketch drain
-    -- inside the certified lineage): the same user_id keys re-entered as
-    -- a 4-file stream (2 files per trigger → at least two micro-batches,
+    -- inside the certified lineage): the DISTINCT user_id keys re-entered
+    -- as a 2-file stream (1 file per trigger → at least two micro-batches,
     -- so the foreachBatch MAX-fold really merges across batches), drained
     -- availableNow through start_stream_hll; the durable register
     -- table's READ-BACK is what this arm hashes. Expected state, stated
@@ -427,10 +427,12 @@ _BLOOM_WORDS, _BLOOM_K = 16, 4
     "cells, streaming-foldable) + X1/X6 Bloom membership sketch "
     "(bit-identical words; the incremental-ingest anti-join prefilter, "
     "bloom_anti_join ≡ exact left_anti property-pinned) + X6 streaming "
-    "HLL drain (round-10: start_stream_hll availableNow over a 4-file "
-    "key stream — the multi-micro-batch foreachBatch MAX-fold's durable "
-    "register table READ-BACK driver-hashed; the streaming sketch tier "
-    "joins the certified lineage)",
+    "HLL drain (round-10: start_stream_hll availableNow over a 2-file/"
+    "1-per-trigger DISTINCT-key stream — the multi-micro-batch "
+    "foreachBatch MAX-fold's durable register table READ-BACK "
+    "driver-hashed; the streaming sketch tier joins the certified "
+    "lineage; round-11 trim: distinct keys shrink each fold ~66x, the "
+    ">=2-batch merge guarantee unchanged)",
 )
 def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -445,17 +447,23 @@ def q45_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'hllstream' arm (round-10): START the drain first — the
     # availableNow stream is asynchronous, so its two micro-batch folds
     # overlap the batch-arm construction below (the q62 early-start
-    # pattern). The keys re-enter as a 4-file stream read 2 files per
-    # trigger (at least two micro-batches, so the foreachBatch MAX-fold
-    # really merges across batches); the durable register table's
-    # read-back is collected (≤ m rows) before the temp dir goes.
+    # pattern). The DISTINCT keys re-enter as a 2-file stream read 1
+    # file per trigger (at least two micro-batches, so the foreachBatch
+    # MAX-fold really merges across batches); the durable register
+    # table's read-back is collected (≤ m rows) before the temp dir goes.
     base = tempfile.mkdtemp(prefix="pmc_hllstream_")
     try:
         keys_dir = os.path.join(base, "keys")
-        e.select("user_id").repartition(4).write.parquet(keys_dir)
+        # DISTINCT keys (round-11, verdict #8 wall trim): the MAX-fold's
+        # registers are identical over distinct keys (max is idempotent
+        # per key), so streaming each key once shrinks every micro-batch
+        # fold ~66x at sf0.1 while the merge guarantee is untouched —
+        # still 2 files at 1 file/trigger = at least TWO micro-batches,
+        # so the foreachBatch fold really merges across batches.
+        e.select("user_id").distinct().repartition(2).write.parquet(keys_dir)
         stream = (
             spark.readStream.schema("user_id bigint")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
             .parquet(keys_dir)
         )
         hll_dir = os.path.join(base, "hll")

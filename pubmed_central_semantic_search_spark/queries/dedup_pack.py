@@ -95,6 +95,13 @@ _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 # certifies the per-(doc, hash) min-hash values, not just the final pairs.)
 
 
+# The 'capped' arm's stop-band cap: buckets holding more than this many
+# docs are dropped before the candidate self-join. 2 = the smallest cap
+# that still pairs (a 1-doc bucket can't form a pair), so exactly the
+# >pair-sized template buckets disappear — the oracle recomputes the
+# bucket census and applies the same rule.
+_Q23_BAND_CAP = 2
+
 @register(
     "q23_minhash_near_dup",
     f"""
@@ -123,19 +130,47 @@ _H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
       JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
       GROUP BY p.id_a, p.id_b
     ),
-    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-    SELECT * FROM (
-      SELECT id_a, id_b, n_intersect,
-             ca.n_sh + cb.n_sh - n_intersect AS n_union,
-             round(CAST(n_intersect AS DOUBLE) / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
-      FROM inter
-      JOIN cnt ca ON ca.doc_id = id_a
-      JOIN cnt cb ON cb.doc_id = id_b
-    ) WHERE jaccard >= 0.3
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    final AS (
+      SELECT * FROM (
+        SELECT id_a, id_b, n_intersect,
+               ca.n_sh + cb.n_sh - n_intersect AS n_union,
+               round(CAST(n_intersect AS DOUBLE) / (ca.n_sh + cb.n_sh - n_intersect), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+      ) WHERE jaccard >= 0.3
+    ),
+    -- 'capped' arm (round-11, verdict #3 — the round-10 skew
+    -- mitigation's oracle home): the stop-band census recomputed here —
+    -- a pair survives iff AT LEAST ONE band it collides in holds
+    -- <= {_Q23_BAND_CAP} docs (under-cap-band survival; a pair is lost
+    -- only when EVERY shared band is over the cap)
+    bfreq AS (
+      SELECT band, band_key, count(*) AS n FROM band GROUP BY band, band_key
+    ),
+    candcap AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a
+      JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
+                   AND f.n <= {_Q23_BAND_CAP}
+      JOIN band b ON b.band = a.band AND b.band_key = a.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT 'full' AS kind, * FROM final
+    UNION ALL
+    SELECT 'capped' AS kind, f.*
+    FROM final f SEMI JOIN candcap c ON c.id_a = f.id_a AND c.id_b = f.id_b
     """,
-    survey_rows="X2 (MinHash signatures + LSH banding end to end), H1, N2, §2.8 joins",
+    survey_rows="X2 (MinHash signatures + LSH banding end to end), H1, "
+    "N2, §2.8 joins + the max_band_freq stop-band cap (round-11 "
+    "backfill: the round-10 skew mitigation's capped candidate "
+    "semantics — subset + under-cap-band survival — certified against "
+    "the oracle's recomputed bucket census)",
 )
 def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_candidate_pairs
+
     # release the PREVIOUS invocation's tracked caches BEFORE building
     # this one's persists (round-8 review find: CacheManager matches by
     # canonicalized plan, so a release AFTER the new plan-identical
@@ -146,11 +181,24 @@ def q23_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = near_dup_minhash(
         corpus, "doc_id", "text", n_hashes=8, bands=4, min_jaccard=0.3
     )
+    # 'capped' arm: the capped candidate set (over-cap band buckets
+    # dropped BEFORE the self-join — operators/dedup._band_candidate_
+    # pairs' window-count filter) semi-joins the verified output, so the
+    # certified rows are exactly "full-arm pairs that survive the cap" —
+    # the same contract the oracle recomputes from its bucket census.
+    capped_pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", n_hashes=8, bands=4,
+        max_band_freq=_Q23_BAND_CAP,
+    )
+    capped = out.join(capped_pairs, ["id_a", "id_b"], "left_semi")
+    result = out.select(F.lit("full").alias("kind"), "*").unionByName(
+        capped.select(F.lit("capped").alias("kind"), "*")
+    )
     # the returned plan still reads the operator's persists at the
     # driver's collect, so the query can't release them here; track them
     # for the NEXT invocation's release (round-8 verdict #2)
-    track_caches("q23_minhash_near_dup", cached_deps(out))
-    return out
+    track_caches("q23_minhash_near_dup", cached_deps(result))
+    return result
 
 
 # ---------------------------------------------------------------------------
