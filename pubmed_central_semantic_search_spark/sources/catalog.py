@@ -527,11 +527,20 @@ def _upsert_partitioned(
         # existing contract, unchanged); a second writer touching a held
         # bucket raises ConcurrentUpsertError BY NAME instead of silently
         # last-writer-winning over a merge that read stale state.
-        locks = _acquire_bucket_locks(
-            spark, path, touched,
-            ttl_s=int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S,
-        )
+        ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
+        locks = _acquire_bucket_locks(spark, path, touched, ttl_s=ttl)
         try:
+            # rebucket handshake (round-11): the bucket locks are held,
+            # NOW check the table lock — see _TABLE_LOCK_NAME for why
+            # this order is race-free. One constant-cost read replaces
+            # rebucket's old O(n_buckets) per-bucket acquisition.
+            if locks.backend.is_held(_table_lock_path(path), ttl):
+                raise ConcurrentUpsertError(
+                    f"upsert_parquet: a rebucket holds the table lock of "
+                    f"{path} — the bucket layout is being migrated; retry "
+                    "after it commits (a crashed rebucket's lock is "
+                    f"broken automatically after {ttl}s)"
+                )
             # re-validate the layout UNDER the locks: a rebucket that
             # committed between the validation above and the acquire here
             # would make this merge hash into directories the table no
@@ -809,6 +818,24 @@ def _locks_dir(path: str) -> str:
     return path.rstrip("/") + "/_locks"
 
 
+# Rebucket's TABLE-level lock (round-11): rebucket used to acquire ALL
+# old bucket locks — O(n_buckets) token-protocol RPCs (measured: ~6 s at
+# 512 buckets, ~41 s at 4096, minutes at the recommended 32-64k). Now it
+# holds ONE table lock and writers pay ONE constant-cost check. The
+# handshake is race-free without atomicity across files: a writer
+# acquires its bucket locks FIRST and checks the table lock SECOND,
+# while rebucket creates the table lock FIRST and lists bucket locks
+# SECOND — for any interleave, if rebucket's listing missed a writer's
+# bucket lock, that lock was created after the listing, hence after the
+# table lock existed, hence the writer's later check sees the table
+# lock and the writer aborts by name.
+_TABLE_LOCK_NAME = "_table.lock"
+
+
+def _table_lock_path(path: str) -> str:
+    return f"{_locks_dir(path)}/{_TABLE_LOCK_NAME}"
+
+
 # A crashed writer's lock must not wedge the table forever: locks older
 # than this are considered abandoned and broken at the next acquire. A
 # LIVE holder is protected independently of the TTL by the heartbeat
@@ -852,6 +879,19 @@ class LockBackend:
 
     def prepare_dir(self, dir_path: str) -> None:
         """Ensure the lock namespace exists (no-op where meaningless)."""
+        raise NotImplementedError
+
+    def is_held(self, lock_path: str, ttl_s: int) -> bool:
+        """PURE READ: is the lock currently live (exists and not past
+        its TTL)? Must NOT acquire — two concurrent readers probing via
+        acquire-then-release would see each other's probe as a holder.
+        A stale lock may be broken as a side effect."""
+        raise NotImplementedError
+
+    def list_held(self, dir_path: str) -> list:
+        """Names of lock files currently present under the namespace
+        (stale-break tombstones excluded). Used by rebucket's writer
+        drain check; liveness/TTL is NOT evaluated here."""
         raise NotImplementedError
 
 
@@ -952,6 +992,41 @@ class HadoopFsLockBackend(LockBackend):
         except Exception:
             pass  # already swapped away (rebucket) or released
 
+    def is_held(self, lock_path: str, ttl_s: int) -> bool:
+        import time
+        import uuid as _uuid
+
+        lp = self._p(lock_path)
+        try:
+            if not self._fs.exists(lp):
+                return False
+            mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
+            if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+                # abandoned — break it (same tombstone protocol) so a
+                # crashed rebucket can't wedge every upsert until a
+                # writer happens to call try_acquire on this path
+                tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
+                if self._fs.rename(lp, tomb):
+                    self._fs.delete(tomb, False)
+                return False
+            return True
+        except Exception:
+            return False  # raced with the holder's release
+
+    def list_held(self, dir_path: str) -> list:
+        dp = self._p(dir_path)
+        try:
+            if not self._fs.exists(dp):
+                return []
+            return [
+                st.getPath().getName()
+                for st in self._fs.listStatus(dp)
+                if st.isFile()
+                and st.getPath().getName().endswith(".lock")
+            ]
+        except Exception:
+            return []
+
 
 _lock_backend_factory = HadoopFsLockBackend
 
@@ -992,6 +1067,10 @@ class LockLease:
         self._op = op
         self._stop = None
         self._thread = None
+
+    @property
+    def backend(self) -> LockBackend:
+        return self._backend
 
     def start_heartbeat(self) -> "LockLease":
         import threading
@@ -1567,6 +1646,13 @@ def compact_partitioned_leaves(
         lease = LockLease(
             backend, [(lock_path, token)], ttl, "compact_partitioned_leaves"
         ).start_heartbeat()
+        # rebucket handshake (round-11, same order rule as the upsert:
+        # leaf lock first, table-lock check second) — a mid-migration
+        # table must not have leaves compacted underneath the swap;
+        # skip the leaf this pass, housekeeping retries next run
+        if backend.is_held(_table_lock_path(base), ttl):
+            lease.release()
+            return n_files, n_files, 0, 1
         try:
             # staging/backup are DOT-PREFIXED TABLE-LEVEL siblings: a
             # `_bucket=3.compact.staging` dir inside the table parses as a
@@ -1705,6 +1791,7 @@ def rebucket(
     incremental: bool | None = None,
     group_batch: int = 1,
     lock_ttl_s: int | None = None,
+    _writer_drain_timeout_s: float = 10.0,
     _fail_after_groups: int | None = None,
 ) -> dict[str, int]:
     """Bucket-count lifecycle for the partitioned upsert layout
@@ -1715,10 +1802,16 @@ def rebucket(
     full rewrite by construction. This is that rewrite, made crash-safe
     and writer-safe:
 
-    - ALL of the old layout's bucket locks are held for the duration, so
-      concurrent upserts fail BY NAME (``ConcurrentUpsertError``) instead
-      of merging into directories the swap is about to replace; upserts
-      that validated the old layout before the locks re-check n_buckets
+    - ONE TABLE-LEVEL lock is held for the duration (round-11 — holding
+      all old bucket locks cost O(n_buckets) token RPCs, minutes at the
+      recommended 32-64k buckets): concurrent upserts check it right
+      after acquiring their bucket locks and fail BY NAME
+      (``ConcurrentUpsertError``) instead of merging into directories
+      the swap is about to replace (see ``_TABLE_LOCK_NAME`` for the
+      race-freedom argument); in-flight writers that acquired before
+      this lock existed are drained (polled up to
+      ``_writer_drain_timeout_s``) before anything moves; upserts that
+      validated the old layout before their locks re-check n_buckets
       under their own locks and raise the same named error.
     - The rewrite stages to ``<path>.rebucket.staging``, the NEW layout
       record committing INTO the staging dir — live readers keep the old
@@ -1757,10 +1850,10 @@ def rebucket(
     backup, staging_p = P(base + ".rebucket.old"), P(base + ".rebucket.staging")
     # crash recovery first (the _compact_dir discipline): a swap that died
     # between its renames left the table parked in the backup. The backup
-    # travels WITH the crashed migration's _locks — clear them on restore
-    # (they were only reachable while the dead writer held every lock, so
-    # no live writer can own them), else the retry would block on its own
-    # predecessor's leases until the TTL.
+    # travels WITH the crashed migration's _locks (the dead rebucket's
+    # table lock; drained writers released theirs before the swap) —
+    # clear them on restore, else the retry would block on its own
+    # predecessor's lease until the TTL.
     #
     # Round-11 (ADVICE r10): when BOTH backup and live exist, live is NOT
     # automatically proof the swap completed — during the crashed swap's
@@ -1830,11 +1923,48 @@ def rebucket(
             f"counts (got {old_n} -> {new_n_buckets}); call with "
             "incremental=False for the full staged rewrite"
         )
-    locks = _acquire_bucket_locks(
-        spark, path, range(old_n),
-        ttl_s=int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S,
-    )
+    # ONE table-level lock instead of all old_n bucket locks (round-11:
+    # O(n_buckets) token RPCs — ~6 s at 512 buckets, minutes at 32-64k —
+    # for the one caller that holds everything anyway). Writers check
+    # this lock AFTER acquiring their bucket locks; we list bucket locks
+    # AFTER creating this one — see _TABLE_LOCK_NAME for the race proof.
+    ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
+    backend = _get_lock_backend(spark, path)
+    backend.prepare_dir(_locks_dir(base))
+    tl_path = _table_lock_path(base)
+    tl_token = backend.try_acquire(tl_path, ttl)
+    if tl_token is None:
+        raise ConcurrentUpsertError(
+            f"rebucket: the table lock of {path} is held — another "
+            "rebucket (or table-lock holder) is in progress; retry after "
+            f"it commits (locks older than {ttl}s are broken automatically)"
+        )
+    locks = LockLease(
+        backend, [(tl_path, tl_token)], ttl, "rebucket"
+    ).start_heartbeat()
     try:
+        # drain in-flight writers: any bucket/leaf lock present now was
+        # acquired BEFORE our table lock existed (later acquirers see the
+        # table lock and abort), so poll briefly for those merges to
+        # finish, then fail by name rather than swap under them
+        import time as _time
+
+        deadline = _time.monotonic() + _writer_drain_timeout_s
+        while True:
+            held = [
+                n for n in backend.list_held(_locks_dir(base))
+                if n != _TABLE_LOCK_NAME and ".stale." not in n
+            ]
+            if not held:
+                break
+            if _time.monotonic() >= deadline:
+                raise ConcurrentUpsertError(
+                    f"rebucket: in-flight writer lock(s) {held[:8]} on "
+                    f"{path} did not drain within "
+                    f"{_writer_drain_timeout_s}s — retry after they "
+                    "commit (the table lock already blocks NEW writers)"
+                )
+            _time.sleep(min(0.2, _writer_drain_timeout_s / 10 or 0.05))
         evolved = _layout_evolved(stored)
         reader = spark.read
         if evolved:
@@ -1870,13 +2000,13 @@ def rebucket(
             ],
         )
         # pre-commit owner-token re-check (round-11, verdict #1):
-        # rebucket holds every old bucket's lock for the WHOLE staged
-        # rewrite — the longest-held lease in the system and the most
-        # exposed to a TTL break; if any lock was lost, the swap below
-        # would discard whatever the stealing writer committed. The
-        # heartbeat keeps a live rebucket fresh, so this only fires when
-        # both defenses failed — abort with staging + journal intact
-        # (the next call resumes the migration).
+        # rebucket holds the table lock for the WHOLE staged rewrite —
+        # the longest-held lease in the system and the most exposed to a
+        # TTL break; if the lock was lost, the swap below would discard
+        # whatever the stealing writer committed. The heartbeat keeps a
+        # live rebucket fresh, so this only fires when both defenses
+        # failed — abort with staging + journal intact (the next call
+        # resumes the migration).
         locks.validate_or_raise()
         fs.rename(hpath, backup)
         if _TEST_MID_SWAP_HOOK is not None:
@@ -1917,8 +2047,9 @@ def rebucket(
             "rows": int(n_rows),
         }
     finally:
-        # the live locks rode into the backup (and were deleted with it
-        # on success); delete() tolerates the already-gone paths
+        # the table lock rode into the backup (and was deleted with it
+        # on success); release validates first, so the gone path is a
+        # no-op
         _release_bucket_locks(fs, locks)
 
 

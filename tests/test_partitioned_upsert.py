@@ -1915,6 +1915,12 @@ def test_custom_lock_backend_seam(spark, tmp_path):
         def prepare_dir(self, d):
             pass
 
+        def is_held(self, lp, ttl_s):
+            return lp in table
+
+        def list_held(self, d):
+            return [lp.rsplit("/", 1)[-1] for lp in table if lp.startswith(d)]
+
     path = str(tmp_path / "t")
     prev = set_lock_backend(MemBackend)
     try:
@@ -2029,3 +2035,71 @@ def test_rebucket_recovery_restores_backup_over_lock_detritus(spark, tmp_path):
     assert stats["rows"] == len(keys)
     assert _table_state(spark, path) == before
     assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+
+
+def test_rebucket_table_lock_handshake(spark, tmp_path):
+    """Round-11 table-lock redesign: rebucket holds ONE table lock
+    instead of O(n_buckets) bucket locks. Both directions of the
+    handshake: (a) an in-flight writer's bucket lock blocks rebucket BY
+    NAME after the drain window; (b) a held table lock blocks new
+    upserts BY NAME and makes leaf compaction skip; release unblocks
+    both."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+        _get_lock_backend,
+        _locks_dir,
+        _table_lock_path,
+        compact_partitioned_leaves,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    backend = _get_lock_backend(spark, path)
+
+    # (a) in-flight writer lock blocks rebucket after the drain poll
+    btok = backend.try_acquire(f"{_locks_dir(path)}/bucket=1.lock", 3600)
+    assert btok is not None
+    try:
+        rebucket(spark, path, 8, _writer_drain_timeout_s=0.5)
+        raise AssertionError("rebucket swapped under an in-flight writer")
+    except ConcurrentUpsertError as e:
+        assert "bucket=1.lock" in str(e)
+    finally:
+        backend.release(f"{_locks_dir(path)}/bucket=1.lock", btok)
+    # and the failed attempt released its table lock — retry succeeds
+    stats = rebucket(spark, path, 8, _writer_drain_timeout_s=0.5)
+    assert stats["rows"] == len(keys)
+
+    # (b) a held table lock blocks new upserts by name...
+    ttok = backend.try_acquire(_table_lock_path(path), 3600)
+    assert ttok is not None
+    try:
+        try:
+            upsert_parquet(
+                spark, _rows(spark, [("PMC0", "x")]), path,
+                key_cols=["article_id"], n_buckets=8,
+            )
+            raise AssertionError("upsert merged during a rebucket")
+        except ConcurrentUpsertError as e:
+            assert "rebucket" in str(e)
+        # ...and leaf compaction skips every leaf instead of racing
+        stats = compact_partitioned_leaves(spark, path, max_files_per_leaf=0)
+        assert stats["leaves_compacted"] == 0
+        assert stats["leaves_locked"] == stats["leaves_seen"]
+    finally:
+        backend.release(_table_lock_path(path), ttok)
+    upsert_parquet(
+        spark, _rows(spark, [("PMC0", "x")]), path,
+        key_cols=["article_id"], n_buckets=8,
+    )
+    assert _table_state(spark, path)["PMC0"] == "x"
+    # bucket locks and the table lock all released
+    import os
+
+    lockdir = os.path.join(path, "_locks")
+    assert not any(f.endswith(".lock") for f in os.listdir(lockdir))
