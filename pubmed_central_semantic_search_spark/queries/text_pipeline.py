@@ -372,13 +372,21 @@ _Q16_BLOOM_WORDS, _Q16_BLOOM_K = 2048, 4
 )
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import bloom_anti_join, bloom_build, bloom_literal
+    from ..session import cached_deps, release_tracked_caches, track_caches
 
     # Content hashing is a narrow CPU stage; the test-scale file is one
     # parquet partition, so rebalance first (q28's pattern — a no-op on
     # a production-width scan).
+    #
+    # Persist the shared scan (round-11): FIVE arms (doc groupBy, the
+    # bloom_literal build action at plan time, bloomnew's batch+history
+    # sides, bloomtab's probe+history sides) each re-scanned and
+    # re-hashed the corpus; one persist serves them all — q23's
+    # track/release cache discipline.
+    release_tracked_caches("q16_exact_dedup")
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
-    )
+    ).persist()
     doc = d.groupBy(F.md5("text").alias("content_key")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n"),
@@ -451,7 +459,11 @@ def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(None).cast("bigint").alias("n"),
     )
-    return doc.unionByName(bw).unionByName(bn).unionByName(bt)
+    result = doc.unionByName(bw).unionByName(bn).unionByName(bt)
+    # the returned plan reads the persist at the driver's collect —
+    # track for the NEXT invocation's release (q23's rule)
+    track_caches("q16_exact_dedup", cached_deps(result))
+    return result
 
 
 # ---------------------------------------------------------------------------
