@@ -1946,6 +1946,26 @@ def test_custom_lock_backend_seam(spark, tmp_path):
         except ConcurrentUpsertError:
             pass
         table.clear()
+        # rebucket (table lock + writer-drain listing) and leaf
+        # compaction run through the SAME seam — the full write path
+        # works against a non-filesystem lock service
+        from pubmed_central_semantic_search_spark.sources.catalog import (
+            compact_partitioned_leaves,
+            rebucket,
+        )
+
+        stats = rebucket(spark, path, 8, _writer_drain_timeout_s=0.5)
+        assert stats["new_n_buckets"] == 8 and not table
+        cstats = compact_partitioned_leaves(spark, path, max_files_per_leaf=0)
+        assert cstats["leaves_seen"] > 0 and not table
+        # a foreign TABLE lock in the custom backend blocks rebucket
+        table[f"{path}/_locks/_table.lock"] = "foreign"
+        try:
+            rebucket(spark, path, 4, _writer_drain_timeout_s=0.5)
+            raise AssertionError("custom-backend table lock did not block")
+        except ConcurrentUpsertError:
+            pass
+        table.clear()
     finally:
         set_lock_backend(prev)
     assert _table_state(spark, path)["PMC1"] == "v2"
