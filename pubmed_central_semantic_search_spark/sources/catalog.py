@@ -996,36 +996,56 @@ class HadoopFsLockBackend(LockBackend):
         import time
         import uuid as _uuid
 
+        # FAIL-LOUD on unknown state (round-11 self-review): this read
+        # gates a writer's merge against a live rebucket — a transient
+        # FS error swallowed into "not held" would let the merge run
+        # under the swap (rows committed into the directory the swap is
+        # about to replace: silent loss). Only the holder's-own-release
+        # race (FileNotFound between exists and stat) reads as free;
+        # every other error propagates and aborts the caller retriably.
         lp = self._p(lock_path)
+        if not self._fs.exists(lp):
+            return False
         try:
-            if not self._fs.exists(lp):
-                return False
             mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
-            if time.time() * 1000 - mtime_ms > ttl_s * 1000:
-                # abandoned — break it (same tombstone protocol) so a
-                # crashed rebucket can't wedge every upsert until a
-                # writer happens to call try_acquire on this path
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return False  # holder released between exists and stat
+            raise
+        if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+            # abandoned — break it (same tombstone protocol) so a
+            # crashed rebucket can't wedge every upsert until a writer
+            # happens to call try_acquire on this path. Break failures
+            # still read as free: a stale lock's holder is dead either
+            # way, and a racing breaker winning the rename is the
+            # normal case.
+            try:
                 tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
                 if self._fs.rename(lp, tomb):
                     self._fs.delete(tomb, False)
-                return False
-            return True
-        except Exception:
-            return False  # raced with the holder's release
+            except Exception:
+                pass
+            return False
+        return True
 
     def list_held(self, dir_path: str) -> list:
+        # FAIL-LOUD like is_held: this listing gates rebucket's swap
+        # against in-flight writers — a transient listStatus error
+        # swallowed into "no writers" would swap under a live merge.
         dp = self._p(dir_path)
-        try:
-            if not self._fs.exists(dp):
-                return []
-            return [
-                st.getPath().getName()
-                for st in self._fs.listStatus(dp)
-                if st.isFile()
-                and st.getPath().getName().endswith(".lock")
-            ]
-        except Exception:
+        if not self._fs.exists(dp):
             return []
+        try:
+            statuses = self._fs.listStatus(dp)
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return []  # namespace removed concurrently
+            raise
+        return [
+            st.getPath().getName()
+            for st in statuses
+            if st.isFile() and st.getPath().getName().endswith(".lock")
+        ]
 
 
 _lock_backend_factory = HadoopFsLockBackend
