@@ -2123,3 +2123,38 @@ def test_rebucket_table_lock_handshake(spark, tmp_path):
 
     lockdir = os.path.join(path, "_locks")
     assert not any(f.endswith(".lock") for f in os.listdir(lockdir))
+
+
+def test_rebucket_drain_waits_for_inflight_writer(spark, tmp_path):
+    """The drain's SUCCESS path: an in-flight writer that releases
+    within the window lets rebucket proceed (it must wait, not abort
+    instantly, and must not swap early)."""
+    import threading
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _get_lock_backend,
+        _locks_dir,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+    backend = _get_lock_backend(spark, path)
+    lp = f"{_locks_dir(path)}/bucket=2.lock"
+    tok = backend.try_acquire(lp, 3600)
+    assert tok is not None
+    release_timer = threading.Timer(1.5, backend.release, args=(lp, tok))
+    release_timer.start()
+    try:
+        # drain window comfortably larger than the release delay: the
+        # poll must observe the lock for a while, then proceed
+        stats = rebucket(spark, path, 8, _writer_drain_timeout_s=30)
+        assert stats["rows"] == len(keys)
+        assert _table_state(spark, path) == before
+    finally:
+        release_timer.cancel()
