@@ -177,7 +177,18 @@ def _parse_lookup(s: str) -> dict:
         col, _, lit = part.partition("=")
         if not _.strip() and not lit:
             raise ValueError(f"catalog_sql: bad LOOKUP term {part!r}")
-        out[col.strip()] = _ast.literal_eval(lit.strip())
+        try:
+            out[col.strip()] = _ast.literal_eval(lit.strip())
+        except (ValueError, SyntaxError) as e:
+            # round-11 review pass: a malformed literal surfaced as a
+            # bare SyntaxError with no pointer at the offending term —
+            # name the term and the accepted forms instead
+            raise ValueError(
+                f"catalog_sql: LOOKUP value {lit.strip()!r} for column "
+                f"{col.strip()!r} is not a Python literal (accepted: "
+                "ints, floats, quoted strings, and tuples/lists of "
+                "those for batch lookups)"
+            ) from e
     return out
 
 

@@ -371,3 +371,26 @@ def test_negative_zero_normalizes_in_both_literal_builders(spark):
     assert math.copysign(1.0, row.m[0][0]) == 1.0
     assert math.copysign(1.0, row.t[0][0][0]) == 1.0
     assert row.a == [0.0, 2.0]
+
+
+def test_lookup_malformed_literal_raises_by_name(spark, tmp_path):
+    """Round-11 review pass (sixteenth, sql.py): a LOOKUP value that is
+    not a Python literal must fail naming the term and accepted forms —
+    the bare ast.literal_eval SyntaxError pointed at nothing."""
+    import pytest
+
+    from pubmed_central_semantic_search_spark.sql import (
+        _parse_lookup,
+        catalog_sql,
+    )
+
+    with pytest.raises(ValueError, match="not a Python literal"):
+        _parse_lookup("k = abc")
+    path = str(tmp_path / "t")
+    catalog_sql(
+        spark,
+        f"UPSERT INTO '{path}' KEY (k) AS "
+        "SELECT id AS k, CAST(id AS STRING) AS v FROM range(5)",
+    )
+    with pytest.raises(ValueError, match="'k'"):
+        catalog_sql(spark, f"UPSERT READ '{path}' LOOKUP (k = abc) AS VIEW t_bad")
