@@ -2158,3 +2158,65 @@ def test_rebucket_drain_waits_for_inflight_writer(spark, tmp_path):
         assert _table_state(spark, path) == before
     finally:
         release_timer.cancel()
+
+
+def test_concurrent_writers_converge_with_retries(spark, tmp_path):
+    """Convergence under the full round-11 protocol (tokens + heartbeat
+    + pre-commit re-check): four writers race over a SHARED key set,
+    retrying on ConcurrentUpsertError until they commit. Every writer
+    must eventually succeed exactly once, the final state must be one
+    of the writers' tags per key (no torn/merged rows), and no key may
+    be lost."""
+    import threading
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(12)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, "seed") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=2,  # 2 buckets => heavy overlap
+    )
+    commits, errors = [], []
+
+    def work(tag):
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                upsert_parquet(
+                    spark, _rows(spark, [(k, tag) for k in keys]), path,
+                    key_cols=["article_id"], n_buckets=2,
+                )
+                commits.append(tag)
+                return
+            except ConcurrentUpsertError:
+                if time.monotonic() >= deadline:
+                    errors.append((tag, "timeout"))
+                    return
+                time.sleep(0.1)
+            except Exception as e:
+                errors.append((tag, repr(e)))
+                return
+
+    tags = [f"w{i}" for i in range(4)]
+    threads = [threading.Thread(target=work, args=(t,)) for t in tags]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(commits) == sorted(tags)  # each committed exactly once
+    state = _table_state(spark, path)
+    assert len(state) == len(keys)  # no rows lost
+    # each key carries exactly one whole writer's tag (no torn merges);
+    # the LAST committed writer's batch rewrote every key it touched,
+    # and every batch touches all keys, so the state is uniform
+    assert len(set(state.values())) == 1, state
+    assert next(iter(set(state.values()))) in tags
+    # all locks released
+    lockdir = os.path.join(path, "_locks")
+    held = [f for f in os.listdir(lockdir)] if os.path.isdir(lockdir) else []
+    assert not any(f.endswith(".lock") for f in held), held
