@@ -15,6 +15,63 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..session import local_df
 
+# --- round-12 split (verdict #4): the lock protocol, the rebucket
+# lifecycle, the snapshot layer, and the driver-side FS utilities now
+# live in sibling modules. Every name stays importable from here — the
+# public surface of this module is unchanged.
+from .fsio import (  # noqa: F401
+    _hadoop_fs,
+    _list_parquet_sizes,
+    _read_small_json_lines,
+    _write_small_json_lines,
+)
+from .locks import (  # noqa: F401
+    _BUCKET_LOCK_TTL_S,
+    _LOCK_POOL_WIDTH,
+    _TABLE_LOCK_NAME,
+    ConcurrentUpsertError,
+    HadoopFsLockBackend,
+    LockBackend,
+    LockLease,
+    LockLostError,
+    _acquire_bucket_locks,
+    _get_lock_backend,
+    _locks_dir,
+    _release_bucket_locks,
+    _table_lock_path,
+    set_lock_backend,
+)
+from .rebucket import (  # noqa: F401
+    RebucketStateError,
+    _dir_table_entries,
+    _migration_journal_path,
+    _read_migration_journal,
+    _rebucket_incremental_groups,
+    rebucket,
+)
+from .snapshots import (  # noqa: F401
+    _manifest_dir,
+    _manifest_paths,
+    snapshot_diff,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_versions,
+    snapshot_write,
+)
+
+# test-only injection point: called (with the lease) inside
+# LockLease.validate_or_raise BEFORE the token checks, so tests can
+# simulate a TTL break + steal landing mid-merge (the _fail_after_groups
+# pattern applied to the lock protocol)
+_TEST_PRE_COMMIT_HOOK = None
+
+
+# test-only injection point: called right after rebucket's live→backup
+# rename (the swap's absent window) so tests can pin the recreated-dir
+# handling without racing real writers
+_TEST_MID_SWAP_HOOK = None
+
+
 
 def ensure_table(
     spark: SparkSession, name: str, df: DataFrame, path: str | None = None
@@ -657,55 +714,6 @@ def bucket_expr(bucket_cols, n_buckets: int):
     return F.pmod(F.xxhash64(*cols), F.lit(int(n_buckets)))
 
 
-def _read_small_json_lines(spark: SparkSession, dir_path: str) -> list[dict]:
-    """DRIVER-SIDE read of a tiny json-lines record directory (layout
-    records, snapshot manifests — a handful of lines BY DESIGN). The
-    previous ``spark.read.json(...).collect()`` paid a whole Spark job
-    per read: one job per point-lookup probe for the layout record, one
-    per snapshot read for the manifest (round-8). Hadoop FS API
-    throughout — HDFS/S3A/local alike."""
-    import json as _json
-
-    fs, hpath, jvm = _hadoop_fs(spark, dir_path)
-    rows: list[dict] = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if (not st.isFile()) or name.startswith(("_", ".")):
-            continue
-        stream = fs.open(st.getPath())
-        try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            line = reader.readLine()
-            while line is not None:
-                if line.strip():
-                    rows.append(_json.loads(line))
-                line = reader.readLine()
-        finally:
-            stream.close()
-    return rows
-
-
-def _write_small_json_lines(
-    spark: SparkSession, dir_path: str, rows: list[dict], filename: str
-) -> None:
-    """DRIVER-SIDE write of a tiny json-lines record directory (same
-    directory-with-one-file layout the old ``coalesce(1).write.json``
-    produced, so existing tables read back unchanged) — no Spark job."""
-    import json as _json
-
-    fs, hpath, jvm = _hadoop_fs(spark, dir_path)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{filename}"), True)
-    try:
-        payload = "".join(_json.dumps(r) + "\n" for r in rows)
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-
-
 def _layout_dir(path: str) -> str:
     # underscore-prefixed dir INSIDE the table: invisible to parquet
     # listing (hidden-file convention), copies/moves with the table, and
@@ -790,442 +798,6 @@ def _read_upsert_layout(spark: SparkSession, path: str):
             "the stale file"
         )
     return rows[0] if rows else None
-
-
-class ConcurrentUpsertError(RuntimeError):
-    """Another writer holds one of this upsert's bucket locks — the
-    overlapping-bucket merge would be a lost update (read-merge-
-    overwrite: the later commit silently discards the earlier one's rows
-    in the shared bucket). Retry after the holder commits, or route the
-    contended buckets through one serializing writer (the streaming
-    sink's foreachBatch)."""
-
-
-class LockLostError(ConcurrentUpsertError):
-    """This writer's own lock was broken while its merge was running
-    (TTL expiry + a second writer's stale-break) — detected by the
-    owner-token re-check immediately BEFORE the commit, so the commit
-    was aborted with the table untouched and the staging intact. The
-    other writer's state wins; retry this operation (and pass a larger
-    ``lock_ttl_s`` if the merge legitimately outlives the default TTL).
-    Round-11, verdict #1: without this check both writers committed —
-    the exact lost-update the locks exist to prevent."""
-
-
-def _locks_dir(path: str) -> str:
-    # underscore-prefixed like _layout: invisible to parquet readers and
-    # never touched by the dynamic partition overwrite (only _bucket=*)
-    return path.rstrip("/") + "/_locks"
-
-
-# Rebucket's TABLE-level lock (round-11): rebucket used to acquire ALL
-# old bucket locks — O(n_buckets) token-protocol RPCs (measured: ~6 s at
-# 512 buckets, ~41 s at 4096, minutes at the recommended 32-64k). Now it
-# holds ONE table lock and writers pay ONE constant-cost check. The
-# handshake is race-free without atomicity across files: a writer
-# acquires its bucket locks FIRST and checks the table lock SECOND,
-# while rebucket creates the table lock FIRST and lists bucket locks
-# SECOND — for any interleave, if rebucket's listing missed a writer's
-# bucket lock, that lock was created after the listing, hence after the
-# table lock existed, hence the writer's later check sees the table
-# lock and the writer aborts by name.
-_TABLE_LOCK_NAME = "_table.lock"
-
-
-def _table_lock_path(path: str) -> str:
-    return f"{_locks_dir(path)}/{_TABLE_LOCK_NAME}"
-
-
-# A crashed writer's lock must not wedge the table forever: locks older
-# than this are considered abandoned and broken at the next acquire. A
-# LIVE holder is protected independently of the TTL by the heartbeat
-# (mtime refresh at ttl/4) plus the pre-commit owner-token re-check; the
-# TTL only decides when a NON-refreshing (crashed) lock may be broken.
-_BUCKET_LOCK_TTL_S = 3600
-
-
-class LockBackend:
-    """Pluggable mutual-exclusion seam for the writer locks (round-11,
-    verdict #4). Four primitives; implementations must guarantee that
-    ``try_acquire`` is atomic create-if-absent (two concurrent callers
-    never both receive a token for the same live lock).
-
-    The default ``HadoopFsLockBackend`` is correct on filesystems with
-    atomic create (local, HDFS) and documented-UNSAFE on S3A, whose
-    create-if-absent is not atomic. A 100 TB object-store deployment
-    should install a conditional-put implementation (S3 If-None-Match,
-    DynamoDB lease table, ZooKeeper) via ``set_lock_backend`` — every
-    lock in the write path (upsert, compaction, rebucket) routes through
-    this interface, so the swap is a drop-in."""
-
-    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
-        """Acquire or None. A held lock older than ``ttl_s`` (by its own
-        liveness signal) is treated as abandoned and may be broken."""
-        raise NotImplementedError
-
-    def validate(self, lock_path: str, token: str) -> bool:
-        """Does the lock still exist AND carry this holder's token?"""
-        raise NotImplementedError
-
-    def heartbeat(self, lock_path: str, token: str) -> bool:
-        """Refresh the lock's liveness signal iff still owned."""
-        raise NotImplementedError
-
-    def release(self, lock_path: str, token: str) -> None:
-        """Delete the lock ONLY if it still carries this token — an
-        unconditional delete would free a SECOND writer's lock after
-        ours was TTL-broken, letting a third writer in (ADVICE r10)."""
-        raise NotImplementedError
-
-    def prepare_dir(self, dir_path: str) -> None:
-        """Ensure the lock namespace exists (no-op where meaningless)."""
-        raise NotImplementedError
-
-    def is_held(self, lock_path: str, ttl_s: int) -> bool:
-        """PURE READ: is the lock currently live (exists and not past
-        its TTL)? Must NOT acquire — two concurrent readers probing via
-        acquire-then-release would see each other's probe as a holder.
-        A stale lock may be broken as a side effect."""
-        raise NotImplementedError
-
-    def list_held(self, dir_path: str) -> list:
-        """Names of lock files currently present under the namespace
-        (stale-break tombstones excluded). Used by rebucket's writer
-        drain check; liveness/TTL is NOT evaluated here."""
-        raise NotImplementedError
-
-
-class HadoopFsLockBackend(LockBackend):
-    """Default backend: one file per lock holding the owner's uuid token;
-    atomic create-if-absent via ``FileSystem.createNewFile``; liveness =
-    file mtime (heartbeat re-touches it). TTL stale-break is RENAME to a
-    unique tombstone — rename is atomic, two breakers race it, exactly
-    one wins, the loser falls through to the normal create attempt."""
-
-    def __init__(self, spark: SparkSession, table_path: str):
-        self._fs, _, self._jvm = _hadoop_fs(spark, table_path)
-
-    def _p(self, s: str):
-        return self._jvm.org.apache.hadoop.fs.Path(s)
-
-    def prepare_dir(self, dir_path: str) -> None:
-        self._fs.mkdirs(self._p(dir_path))
-
-    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
-        import time
-        import uuid as _uuid
-
-        lp = self._p(lock_path)
-        if self._fs.exists(lp):
-            try:
-                mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
-                if time.time() * 1000 - mtime_ms > ttl_s * 1000:
-                    tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
-                    if self._fs.rename(lp, tomb):
-                        self._fs.delete(tomb, False)
-            except Exception:
-                pass  # raced with the holder's own release — create decides
-        if not self._fs.createNewFile(lp):
-            return None
-        # we own the file now (it exists, so no other create can win);
-        # stamp the token. A crash between create and stamp leaves an
-        # empty lock no one can validate — the TTL reaps it.
-        token = _uuid.uuid4().hex
-        try:
-            out = self._fs.create(lp, True)
-            try:
-                out.write(bytearray(token.encode("ascii")))
-            finally:
-                out.close()
-        except Exception:
-            try:  # don't hold an unvalidatable lease
-                self._fs.delete(lp, False)
-            except Exception:
-                pass
-            return None
-        return token
-
-    def _read_token(self, lock_path: str) -> str | None:
-        try:
-            stream = self._fs.open(self._p(lock_path))
-            try:
-                reader = self._jvm.java.io.BufferedReader(
-                    self._jvm.java.io.InputStreamReader(stream, "UTF-8")
-                )
-                return reader.readLine()
-            finally:
-                stream.close()
-        except Exception:
-            return None  # gone or unreadable — either way, not ours
-
-    def validate(self, lock_path: str, token: str) -> bool:
-        return self._read_token(lock_path) == token
-
-    def heartbeat(self, lock_path: str, token: str) -> bool:
-        import time
-
-        if not self.validate(lock_path, token):
-            return False
-        try:
-            self._fs.setTimes(self._p(lock_path), int(time.time() * 1000), -1)
-            return True
-        except Exception:
-            pass
-        try:  # filesystems without setTimes: rewrite the token (same
-            # mtime effect; the file exists throughout, so no acquire
-            # window opens)
-            out = self._fs.create(self._p(lock_path), True)
-            try:
-                out.write(bytearray(token.encode("ascii")))
-            finally:
-                out.close()
-            return True
-        except Exception:
-            return False
-
-    def release(self, lock_path: str, token: str) -> None:
-        try:
-            if self.validate(lock_path, token):
-                # narrow validate→delete TOCTOU: a break needs TTL expiry,
-                # and a just-validated heartbeated lock is never stale
-                self._fs.delete(self._p(lock_path), False)
-        except Exception:
-            pass  # already swapped away (rebucket) or released
-
-    def is_held(self, lock_path: str, ttl_s: int) -> bool:
-        import time
-        import uuid as _uuid
-
-        # FAIL-LOUD on unknown state (round-11 self-review): this read
-        # gates a writer's merge against a live rebucket — a transient
-        # FS error swallowed into "not held" would let the merge run
-        # under the swap (rows committed into the directory the swap is
-        # about to replace: silent loss). Only the holder's-own-release
-        # race (FileNotFound between exists and stat) reads as free;
-        # every other error propagates and aborts the caller retriably.
-        lp = self._p(lock_path)
-        if not self._fs.exists(lp):
-            return False
-        try:
-            mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
-        except Exception as e:
-            if "FileNotFoundException" in str(e):
-                return False  # holder released between exists and stat
-            raise
-        if time.time() * 1000 - mtime_ms > ttl_s * 1000:
-            # abandoned — break it (same tombstone protocol) so a
-            # crashed rebucket can't wedge every upsert until a writer
-            # happens to call try_acquire on this path. Break failures
-            # still read as free: a stale lock's holder is dead either
-            # way, and a racing breaker winning the rename is the
-            # normal case.
-            try:
-                tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
-                if self._fs.rename(lp, tomb):
-                    self._fs.delete(tomb, False)
-            except Exception:
-                pass
-            return False
-        return True
-
-    def list_held(self, dir_path: str) -> list:
-        # FAIL-LOUD like is_held: this listing gates rebucket's swap
-        # against in-flight writers — a transient listStatus error
-        # swallowed into "no writers" would swap under a live merge.
-        dp = self._p(dir_path)
-        if not self._fs.exists(dp):
-            return []
-        try:
-            statuses = self._fs.listStatus(dp)
-        except Exception as e:
-            if "FileNotFoundException" in str(e):
-                return []  # namespace removed concurrently
-            raise
-        return [
-            st.getPath().getName()
-            for st in statuses
-            if st.isFile() and st.getPath().getName().endswith(".lock")
-        ]
-
-
-_lock_backend_factory = HadoopFsLockBackend
-
-
-def set_lock_backend(factory) -> object:
-    """Install a custom ``LockBackend`` factory ``(spark, table_path) ->
-    LockBackend`` for object stores without atomic create (S3A).
-    Returns the previous factory so callers can restore it."""
-    global _lock_backend_factory
-    prev = _lock_backend_factory
-    _lock_backend_factory = factory
-    return prev
-
-
-def _get_lock_backend(spark: SparkSession, path: str) -> LockBackend:
-    return _lock_backend_factory(spark, path)
-
-
-# Lock-op concurrency (round-11, measured: 2048 locks on local FS —
-# width 16 acquired in 26.2 s, 32 in 17.0 s, 64 in 12.2 s; py4j
-# round-trips dominate and parallelize across gateway connections).
-# 32 halves the wall over 16 without spawning a thread horde for the
-# common few-bucket upsert (pools are sized min(width, n locks)).
-_LOCK_POOL_WIDTH = 32
-
-
-# test-only injection point: called (with the lease) inside
-# LockLease.validate_or_raise BEFORE the token checks, so tests can
-# simulate a TTL break + steal landing mid-merge (the _fail_after_groups
-# pattern applied to the lock protocol)
-_TEST_PRE_COMMIT_HOOK = None
-
-
-class LockLease:
-    """Holder-side record of a set of acquired locks: (path, token)
-    pairs, a background heartbeat that re-touches every lock at ttl/4 so
-    a LIVE long merge never looks stale to breakers, and the pre-commit
-    ``validate_or_raise`` that aborts the commit BY NAME if any lock was
-    lost anyway (round-11, verdict #1 — heartbeat prevents the break,
-    the token re-check makes even a missed break safe)."""
-
-    def __init__(self, backend: LockBackend, leases, ttl_s: int, op: str):
-        self._backend = backend
-        self._leases = list(leases)  # [(lock_path, token)]
-        self._ttl_s = ttl_s
-        self._op = op
-        self._stop = None
-        self._thread = None
-
-    @property
-    def backend(self) -> LockBackend:
-        return self._backend
-
-    def start_heartbeat(self) -> "LockLease":
-        import threading
-
-        if not self._leases:
-            return self
-        self._stop = threading.Event()
-        interval = max(0.5, self._ttl_s / 4.0)
-
-        def _beat():
-            from concurrent.futures import ThreadPoolExecutor
-
-            while not self._stop.wait(interval):
-                items = list(self._leases)
-                if len(items) > 1:
-                    with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
-                        list(
-                            pool.map(
-                                lambda it: self._backend.heartbeat(*it), items
-                            )
-                        )
-                else:
-                    for it in items:
-                        self._backend.heartbeat(*it)
-
-        self._thread = threading.Thread(
-            target=_beat, name=f"lock-heartbeat-{self._op}", daemon=True
-        )
-        self._thread.start()
-        return self
-
-    def validate_or_raise(self) -> None:
-        """Owner-token re-check immediately before the commit renames /
-        overwrite. Raises ``LockLostError`` BY NAME with the staging
-        intact if any lock no longer carries our token."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        if _TEST_PRE_COMMIT_HOOK is not None:
-            _TEST_PRE_COMMIT_HOOK(self)
-        items = list(self._leases)
-        if len(items) > 1:
-            with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
-                ok = list(pool.map(lambda it: self._backend.validate(*it), items))
-        else:
-            ok = [self._backend.validate(*it) for it in items]
-        lost = [items[i][0] for i, good in enumerate(ok) if not good]
-        if lost:
-            raise LockLostError(
-                f"{self._op}: lock(s) {lost} were broken while this merge "
-                "was running (the merge outlived the TTL and a second "
-                "writer took over) — commit ABORTED before any rename, "
-                "the table is untouched. Retry; pass a larger lock_ttl_s "
-                "if the merge legitimately needs longer."
-            )
-
-    def release(self) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self._stop is not None:
-            self._stop.set()
-        items = list(self._leases)
-        if len(items) > 1:
-            with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
-                list(pool.map(lambda it: self._backend.release(*it), items))
-        else:
-            for it in items:
-                self._backend.release(*it)
-
-
-def _acquire_bucket_locks(
-    spark: SparkSession, path: str, buckets, ttl_s: int = _BUCKET_LOCK_TTL_S
-) -> LockLease:
-    """Per-bucket advisory locks for an overlapping-writer-safe upsert
-    (round-10, verdict #2; round-11: owner tokens + heartbeat): one
-    token-stamped file per touched bucket under ``_locks/``, acquired
-    through the pluggable ``LockBackend`` (atomic create-if-absent on
-    the default Hadoop-FS backend). Returns a started ``LockLease``.
-
-    All-or-nothing: if ANY touched bucket is already held, every lock
-    acquired so far is released and ``ConcurrentUpsertError`` raises BY
-    NAME — the loser retries instead of silently last-writer-winning
-    over a merge that read stale state.
-
-    No interleave can yield two committing holders: a live lock file IS
-    the lease, the heartbeat keeps a live holder's lock fresh so the
-    TTL break only fires on crashed writers, and even a break that does
-    fire is caught by the holder's pre-commit token re-check
-    (``LockLease.validate_or_raise``) before anything is renamed."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    backend = _get_lock_backend(spark, path)
-    ldir = _locks_dir(path)
-    backend.prepare_dir(ldir)
-    wanted = sorted(set(int(x) for x in buckets))
-
-    # per-bucket file ops run CONCURRENTLY (round-10: at the recommended
-    # 32-64k buckets a batch touching thousands of them would otherwise
-    # pay thousands of SERIAL driver-side filesystem RPCs per upsert —
-    # py4j and the Hadoop FileSystem are thread-safe for independent
-    # paths, the q53 concurrent-submission pattern applied to metadata)
-    def _one(b: int):
-        lp = f"{ldir}/bucket={b}.lock"
-        return b, lp, backend.try_acquire(lp, ttl_s)
-
-    if len(wanted) > 1:
-        with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(wanted))) as pool:
-            results = list(pool.map(_one, wanted))
-    else:
-        results = [_one(b) for b in wanted]
-    acquired = [(lp, tok) for _, lp, tok in results if tok is not None]
-    held = [b for b, _, tok in results if tok is None]
-    if held:
-        LockLease(backend, acquired, ttl_s, "upsert_parquet").release()
-        raise ConcurrentUpsertError(
-            f"upsert_parquet: bucket(s) {held} of {path} are locked by a "
-            "concurrent writer — an overlapping-bucket merge would lose "
-            "that writer's rows. Retry after it commits (locks older than "
-            f"{ttl_s}s are treated as abandoned and broken automatically)."
-        )
-    return LockLease(
-        backend, acquired, ttl_s, "upsert_parquet"
-    ).start_heartbeat()
-
-
-def _release_bucket_locks(fs, lease: LockLease) -> None:
-    # fs kept for call-site compatibility; the lease carries its backend
-    lease.release()
 
 
 # Passing a huge batch lookup as hundreds of explicit directory paths
@@ -1429,31 +1001,6 @@ def read_upsert_table(
             else:
                 df = df.filter(F.col(c) == v)
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
-
-
-def _list_parquet_sizes(fs, hpath, jvm) -> tuple[list[int], bool]:
-    """Recursive (sizes, has_subdir_files) over a table directory via the
-    Hadoop FS API — works on any supported filesystem, not just local."""
-    sizes: list[int] = []
-    nested = False
-    it = fs.listFiles(hpath, True)  # recursive
-    base = hpath.toUri().getPath().rstrip("/")
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        if not p.getName().endswith(".parquet"):
-            continue
-        sizes.append(st.getLen())
-        if p.getParent().toUri().getPath().rstrip("/") != base:
-            nested = True
-    return sizes, nested
 
 
 def compact_parquet(
@@ -1708,599 +1255,3 @@ def compact_partitioned_leaves(
     }
 
 
-def _migration_journal_path(staging: str) -> str:
-    # underscore-prefixed INSIDE staging: invisible to parquet readers,
-    # removed before the swap so the live table never carries it
-    return staging.rstrip("/") + "/_migration"
-
-
-def _read_migration_journal(spark: SparkSession, staging: str):
-    fs, _, jvm = _hadoop_fs(spark, staging)
-    jp = jvm.org.apache.hadoop.fs.Path(_migration_journal_path(staging))
-    if not fs.exists(jp):
-        return None
-    rows = _read_small_json_lines(spark, _migration_journal_path(staging))
-    return rows[0] if rows else None
-
-
-def _rebucket_incremental_groups(
-    spark, fs, jvm, base, staging, reader, bucket_src,
-    old_n, new_n, split, fail_after_groups, group_batch,
-) -> None:
-    """The bucket-group-at-a-time migration loop (see ``rebucket``):
-    group g = old bucket g (split) or new bucket g's m old parents
-    (merge). ``group_batch`` groups migrate per job (their child sets are
-    disjoint, so one dynamic partition overwrite covers the union) —
-    each job is shuffle-free and idempotent on re-run;
-    ``staging/_migration`` journals completion per batch. Tune
-    group_batch so one job moves a plannable slice of the table (a few
-    buckets at 100 TB; locally larger batches amortize the ~1 s/job
-    driver latency the per-group measurement showed)."""
-    P = jvm.org.apache.hadoop.fs.Path
-    n_groups = old_n if split else new_n
-    m = (new_n // old_n) if split else (old_n // new_n)
-    journal = _read_migration_journal(spark, staging) or {
-        "target_n": int(new_n),
-        "completed": [],
-    }
-    done = set(int(g) for g in journal.get("completed", []))
-    pending = [g for g in range(n_groups) if g not in done]
-    for i in range(0, len(pending), max(1, int(group_batch))):
-        batch = pending[i : i + max(1, int(group_batch))]
-        if fail_after_groups is not None and len(done) >= fail_after_groups:
-            raise RuntimeError("rebucket: injected test crash")
-        src = [
-            f"{base}/{BUCKET_COL}={g}"
-            for g in batch
-        ] if split else [
-            f"{base}/{BUCKET_COL}={g + i2 * new_n}"
-            for g in batch
-            for i2 in range(m)
-        ]
-        dirs = [d for d in src if fs.exists(P(d))]
-        if dirs:
-            df = reader.option("basePath", base).parquet(*dirs).drop(
-                BUCKET_COL
-            )
-            (
-                df.withColumn(BUCKET_COL, bucket_expr(bucket_src, new_n))
-                # one task per child dir, not tasks x children files:
-                # groups are bucket-sized so a local repartition on the
-                # new bucket value keeps one file per child
-                .repartition(F.col(BUCKET_COL))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(BUCKET_COL)
-                .parquet(staging)
-            )
-        done.update(batch)
-        journal["completed"] = sorted(done)
-        _write_small_json_lines(
-            spark, _migration_journal_path(staging), [journal],
-            "migration.json",
-        )
-
-
-# test-only injection point: called right after rebucket's live→backup
-# rename (the swap's absent window) so tests can pin the recreated-dir
-# handling without racing real writers
-_TEST_MID_SWAP_HOOK = None
-
-
-class RebucketStateError(RuntimeError):
-    """The rebucket swap (or its crash recovery) found the table in a
-    state it cannot resolve without risking data loss: the live path was
-    RECREATED by a concurrent create-path upsert during a crashed swap's
-    absent window, so three copies now coexist (live = the concurrent
-    writer's table, ``<path>.rebucket.old`` = the full pre-rebucket
-    table, ``<path>.rebucket.staging`` = the partial migration). Nothing
-    was deleted — an operator must pick which copy wins (ADVICE r10:
-    auto-deleting any of them silently destroys a committed table)."""
-
-
-def _dir_table_entries(fs, jvm, dir_path: str) -> list[str]:
-    """Child names of a table dir that are TABLE CONTENT — anything
-    beyond the ``_locks`` namespace a racing lock-acquire may create."""
-    P = jvm.org.apache.hadoop.fs.Path
-    hp = P(dir_path)
-    if not fs.exists(hp):
-        return []
-    return sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(hp)
-        if st.getPath().getName() != "_locks"
-    )
-
-
-def rebucket(
-    spark: SparkSession,
-    path: str,
-    new_n_buckets: int,
-    incremental: bool | None = None,
-    group_batch: int = 1,
-    lock_ttl_s: int | None = None,
-    _writer_drain_timeout_s: float = 10.0,
-    _fail_after_groups: int | None = None,
-) -> dict[str, int]:
-    """Bucket-count lifecycle for the partitioned upsert layout
-    (round-10, verdict #3): ``n_buckets`` is fixed at table creation, but
-    the per-upsert cost math (bucket size = table / n_buckets) only holds
-    while buckets track table size — a table that grew 100× needs more
-    buckets, and re-hashing keys into different directories requires a
-    full rewrite by construction. This is that rewrite, made crash-safe
-    and writer-safe:
-
-    - ONE TABLE-LEVEL lock is held for the duration (round-11 — holding
-      all old bucket locks cost O(n_buckets) token RPCs, minutes at the
-      recommended 32-64k buckets): concurrent upserts check it right
-      after acquiring their bucket locks and fail BY NAME
-      (``ConcurrentUpsertError``) instead of merging into directories
-      the swap is about to replace (see ``_TABLE_LOCK_NAME`` for the
-      race-freedom argument); in-flight writers that acquired before
-      this lock existed are drained (polled up to
-      ``_writer_drain_timeout_s``) before anything moves; upserts that
-      validated the old layout before their locks re-check n_buckets
-      under their own locks and raise the same named error.
-    - The rewrite stages to ``<path>.rebucket.staging``, the NEW layout
-      record committing INTO the staging dir — live readers keep the old
-      table until the swap.
-    - The swap is the compaction protocol: rename live → ``.rebucket.old``,
-      rename staging → live, delete backup. Mid-swap probes either see
-      the fully-old or fully-new table, or fail loudly on the (renames-
-      wide) absent window; a crash between the renames is recovered on
-      the NEXT call here (backup restored when live is missing). The
-      layout record swaps WITH the data, so a reader never folds bucket
-      ids with one generation's n_buckets against the other's dirs.
-
-    ``incremental`` — the 100 TB path (the verdict's bucket-group-at-a-
-    time ask): when the bucket counts DIVIDE (new = m·old, a SPLIT, or
-    old = m·new, a MERGE), ``pmod(h, m·n) ∈ {pmod(h, n) + i·n}`` means
-    every old bucket's rows land in a fixed disjoint set of new buckets
-    — so the migration runs as one small, SHUFFLE-FREE job per bucket
-    group (split: read 1 old dir → write its m children; merge: read m
-    old dirs → write 1 child), each group's write a dynamic partition
-    overwrite scoped to exactly its children, with progress journaled in
-    ``staging/_migration``. A crash resumes: re-entry with a matching
-    journal SKIPS completed groups instead of deleting the staging (a
-    re-run group idempotently overwrites its own children). A one-job
-    full rewrite of a 100 TB table is not a plannable unit of work; a
-    resumable stream of bucket-sized jobs is. Default ``None``
-    auto-selects incremental whenever the counts divide; ``True`` with
-    non-dividing counts raises by name. ``_fail_after_groups`` is a
-    TEST-ONLY crash-injection hook.
-
-    Returns {old_n_buckets, new_n_buckets, rows}."""
-    if new_n_buckets < 1:
-        raise ValueError(f"rebucket: new_n_buckets must be >= 1, got {new_n_buckets}")
-    fs, hpath, jvm = _hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    base = path.rstrip("/")
-    backup, staging_p = P(base + ".rebucket.old"), P(base + ".rebucket.staging")
-    # crash recovery first (the _compact_dir discipline): a swap that died
-    # between its renames left the table parked in the backup. The backup
-    # travels WITH the crashed migration's _locks (the dead rebucket's
-    # table lock; drained writers released theirs before the swap) —
-    # clear them on restore, else the retry would block on its own
-    # predecessor's lease until the TTL.
-    #
-    # Round-11 (ADVICE r10): when BOTH backup and live exist, live is NOT
-    # automatically proof the swap completed — during the crashed swap's
-    # absent window a concurrent upsert takes the CREATE path (a missing
-    # table needs no locks) and can stamp a whole new table at the live
-    # path; blindly deleting the backup then destroys the only full copy.
-    # Disambiguate by what the protocol leaves behind:
-    #   - live has only lock detritus (a racing acquire's mkdirs):
-    #     clear it and restore the backup;
-    #   - live has real content AND staging is GONE: staging only
-    #     disappears via its rename TO live, so the swap completed —
-    #     only the backup delete crashed; finish it;
-    #   - live has real content AND staging still exists: the swap never
-    #     finished, live was recreated by a concurrent writer — three
-    #     copies coexist; raise BY NAME and delete nothing.
-    if fs.exists(backup):
-        live_content = _dir_table_entries(fs, jvm, base)
-        if not fs.exists(hpath) or not live_content:
-            if fs.exists(hpath):
-                fs.delete(hpath, True)
-            fs.rename(backup, hpath)
-            fs.delete(P(_locks_dir(base)), True)
-        elif not fs.exists(staging_p):
-            fs.delete(backup, True)
-        else:
-            raise RebucketStateError(
-                f"rebucket: {path} holds a concurrent writer's table "
-                f"(entries {live_content[:6]}) while the pre-rebucket "
-                f"table sits in {base}.rebucket.old and a partial "
-                f"migration in {base}.rebucket.staging — a previous swap "
-                "crashed mid-window and a create-path upsert recreated "
-                "the live path. Nothing was deleted; an operator must "
-                "reconcile (usually: restore the .rebucket.old backup "
-                "and re-apply the concurrent writer's batch)."
-            )
-    # a staging dir WITH a matching migration journal is a resumable
-    # incremental migration — kept; anything else is stale and cleared
-    journal = (
-        _read_migration_journal(spark, staging_p.toString())
-        if fs.exists(staging_p)
-        else None
-    )
-    if fs.exists(staging_p) and (
-        journal is None or int(journal.get("target_n", -1)) != new_n_buckets
-    ):
-        fs.delete(staging_p, True)
-        journal = None
-
-    stored = _read_upsert_layout(spark, path)
-    if stored is None:
-        raise ValueError(
-            f"rebucket: table at {path} has no _layout record — only "
-            "bucket-partitioned upsert tables can be re-bucketed (a flat "
-            "table has no bucket count to change)"
-        )
-    old_n = int(stored["n_buckets"])
-    bucket_src = stored["bucket_cols"].split(",")
-    if old_n == new_n_buckets:
-        return {"old_n_buckets": old_n, "new_n_buckets": new_n_buckets, "rows": -1}
-    split = new_n_buckets % old_n == 0 and new_n_buckets > old_n
-    merge = old_n % new_n_buckets == 0 and old_n > new_n_buckets
-    if incremental is None:
-        incremental = split or merge
-    if incremental and not (split or merge):
-        raise ValueError(
-            f"rebucket: incremental migration requires dividing bucket "
-            f"counts (got {old_n} -> {new_n_buckets}); call with "
-            "incremental=False for the full staged rewrite"
-        )
-    # ONE table-level lock instead of all old_n bucket locks (round-11:
-    # O(n_buckets) token RPCs — ~6 s at 512 buckets, minutes at 32-64k —
-    # for the one caller that holds everything anyway). Writers check
-    # this lock AFTER acquiring their bucket locks; we list bucket locks
-    # AFTER creating this one — see _TABLE_LOCK_NAME for the race proof.
-    ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
-    backend = _get_lock_backend(spark, path)
-    backend.prepare_dir(_locks_dir(base))
-    tl_path = _table_lock_path(base)
-    tl_token = backend.try_acquire(tl_path, ttl)
-    if tl_token is None:
-        raise ConcurrentUpsertError(
-            f"rebucket: the table lock of {path} is held — another "
-            "rebucket (or table-lock holder) is in progress; retry after "
-            f"it commits (locks older than {ttl}s are broken automatically)"
-        )
-    locks = LockLease(
-        backend, [(tl_path, tl_token)], ttl, "rebucket"
-    ).start_heartbeat()
-    try:
-        # drain in-flight writers: any bucket/leaf lock present now was
-        # acquired BEFORE our table lock existed (later acquirers see the
-        # table lock and abort), so poll briefly for those merges to
-        # finish, then fail by name rather than swap under them
-        import time as _time
-
-        deadline = _time.monotonic() + _writer_drain_timeout_s
-        while True:
-            held = [
-                n for n in backend.list_held(_locks_dir(base))
-                if n != _TABLE_LOCK_NAME and ".stale." not in n
-            ]
-            if not held:
-                break
-            if _time.monotonic() >= deadline:
-                raise ConcurrentUpsertError(
-                    f"rebucket: in-flight writer lock(s) {held[:8]} on "
-                    f"{path} did not drain within "
-                    f"{_writer_drain_timeout_s}s — retry after they "
-                    "commit (the table lock already blocks NEW writers)"
-                )
-            _time.sleep(min(0.2, _writer_drain_timeout_s / 10 or 0.05))
-        evolved = _layout_evolved(stored)
-        reader = spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
-        if incremental:
-            _rebucket_incremental_groups(
-                spark, fs, jvm, base, staging_p.toString(), reader,
-                bucket_src, old_n, new_n_buckets, split, _fail_after_groups,
-                group_batch,
-            )
-        else:
-            df = reader.parquet(path).drop(BUCKET_COL)
-            with_bucket = df.withColumn(
-                BUCKET_COL, bucket_expr(bucket_src, new_n_buckets)
-            )
-            (
-                with_bucket.repartition(F.col(BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(staging_p.toString())
-            )
-        n_rows = spark.read.parquet(staging_p.toString()).count()
-        # the journal must not ride into the live table
-        fs.delete(P(_migration_journal_path(staging_p.toString())), True)
-        _write_upsert_layout(
-            spark, staging_p.toString(), new_n_buckets, bucket_src,
-            evolved=evolved,
-            bucket_col_types=stored.get("bucket_col_types")
-            or [
-                spark.read.parquet(staging_p.toString())
-                .schema[c].dataType.simpleString()
-                for c in bucket_src
-            ],
-        )
-        # pre-commit owner-token re-check (round-11, verdict #1):
-        # rebucket holds the table lock for the WHOLE staged rewrite —
-        # the longest-held lease in the system and the most exposed to a
-        # TTL break; if the lock was lost, the swap below would discard
-        # whatever the stealing writer committed. The heartbeat keeps a
-        # live rebucket fresh, so this only fires when both defenses
-        # failed — abort with staging + journal intact (the next call
-        # resumes the migration).
-        locks.validate_or_raise()
-        fs.rename(hpath, backup)
-        if _TEST_MID_SWAP_HOOK is not None:
-            _TEST_MID_SWAP_HOOK()  # test-only: simulate a concurrent
-            # create-path writer landing inside the swap's absent window
-        if fs.exists(hpath):
-            # a racing writer's _acquire_bucket_locks mkdirs recreated
-            # the live dir inside the swap window. Only a `_locks`
-            # subtree is explained by that race — a CREATE-path upsert
-            # (a missing table needs no locks) may have committed REAL
-            # data here, and deleting it would silently destroy that
-            # writer's table (ADVICE r10). Remove exactly what the race
-            # explains; anything else aborts BY NAME with the full old
-            # table intact in the backup and the staging untouched.
-            extra = _dir_table_entries(fs, jvm, base)
-            if extra:
-                raise RebucketStateError(
-                    f"rebucket: a concurrent writer recreated {path} "
-                    f"mid-swap with real content (entries {extra[:6]}) — "
-                    f"swap ABORTED; the pre-rebucket table is intact at "
-                    f"{base}.rebucket.old and the migrated copy at "
-                    f"{base}.rebucket.staging. Reconcile, then re-run."
-                )
-            fs.delete(hpath, True)
-        fs.rename(staging_p, hpath)
-        if not fs.exists(P(_layout_dir(path))):
-            # the rename landed somewhere unexpected — fail loudly with
-            # the full table intact in the backup (next call restores)
-            raise RuntimeError(
-                f"rebucket: post-swap validation failed for {path} — the "
-                f"previous table is preserved at {base}.rebucket.old; "
-                "re-run rebucket to recover"
-            )
-        fs.delete(backup, True)
-        return {
-            "old_n_buckets": old_n,
-            "new_n_buckets": new_n_buckets,
-            "rows": int(n_rows),
-        }
-    finally:
-        # the table lock rode into the backup (and was deleted with it
-        # on success); release validates first, so the gone path is a
-        # no-op
-        _release_bucket_locks(fs, locks)
-
-
-# --- S8: manifest-versioned snapshots (time travel on plain parquet) -------
-#
-# The reference snapshots its whole Qdrant store
-# (scripts/setup_local_database.py:19-20 restores one); the lakehouse
-# analog is manifest commits: every snapshot writes its data under
-# data/v{n}/ and then publishes _manifests/v{n}/ listing the data
-# directories composing that version. The manifest RENAME is the commit
-# point — readers only ever see fully-written versions, a reader pinned
-# to version k is untouched by later writes (old data dirs are retained
-# until vacuum), and a writer crash before the rename leaves no visible
-# version. All file ops go through the Hadoop FS API; manifests are read/
-# written with Spark's own json reader/writer, so the scheme works on any
-# supported filesystem.
-
-
-def _manifest_dir(table_dir: str) -> str:
-    return table_dir.rstrip("/") + "/_manifests"
-
-
-def snapshot_versions(spark: SparkSession, table_dir: str) -> list[int]:
-    """Committed versions, ascending. Staging dirs (crashed writers) and
-    foreign files are ignored."""
-    fs, hpath, jvm = _hadoop_fs(spark, _manifest_dir(table_dir))
-    if not fs.exists(hpath):
-        return []
-    out = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
-            out.append(int(name[1:]))
-    return sorted(out)
-
-
-def _manifest_paths(spark: SparkSession, table_dir: str, version: int) -> list[str]:
-    rows = _read_small_json_lines(
-        spark, f"{_manifest_dir(table_dir)}/v{version}"
-    )
-    return sorted(r["path"] for r in rows)
-
-
-def snapshot_write(
-    spark: SparkSession,
-    df: DataFrame,
-    table_dir: str,
-    mode: str = "append",
-) -> int:
-    """Commit a new snapshot; returns its version (1-based).
-
-    ``append`` — the new version sees all prior data plus this frame;
-    ``overwrite`` — the new version sees only this frame. Either way the
-    data of earlier versions is untouched (time travel until vacuum).
-
-    SINGLE-WRITER protocol (like bare Delta without a lock service) —
-    concurrent writers are OUT OF CONTRACT (the orphan reclaim below can
-    delete a peer's in-flight data dir), but the manifest commit DETECTS
-    the race best-effort rather than silently nesting: Hadoop ``rename``
-    into an existing destination DIRECTORY moves the source inside it
-    and returns true, so a bare rename-return check cannot catch a
-    racing peer — the commit checks the destination before renaming and
-    re-checks for the tell-tale nested staging dir after, raising on
-    either. A writer crash between data write and manifest rename leaves
-    an ORPHAN data/v{n} dir; since version numbers only exist once their
-    manifest commits, the next writer reclaims that number and deletes
-    the orphan before rewriting (crash recovery, same entry-time rule as
-    ``compact_parquet``). ``snapshot_vacuum`` likewise assumes no writer
-    is mid-commit while it runs."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    versions = snapshot_versions(spark, table_dir)
-    latest = versions[-1] if versions else 0
-    version = latest + 1
-    data_path = f"{table_dir.rstrip('/')}/data/v{version}"
-    fs0, dpath0, jvm0 = _hadoop_fs(spark, data_path)
-    # Re-check the manifest FRESH before touching data/v{n}: if a peer
-    # committed this version after our (stale) version read, its data dir
-    # is NOT an orphan — deleting it would destroy a committed snapshot.
-    if fs0.exists(
-        jvm0.org.apache.hadoop.fs.Path(f"{_manifest_dir(table_dir)}/v{version}")
-    ):
-        raise RuntimeError(
-            f"snapshot commit race: version {version} already exists"
-        )
-    if fs0.exists(dpath0):  # orphan of a crashed writer — no manifest ⇒ dead
-        fs0.delete(dpath0, True)
-    df.write.mode("errorifexists").parquet(data_path)
-    prior = _manifest_paths(spark, table_dir, latest) if (
-        mode == "append" and latest
-    ) else []
-    mdir = _manifest_dir(table_dir)
-    staging = f"{mdir}/.v{version}.staging"
-    _write_small_json_lines(
-        spark,
-        staging,
-        [{"version": version, "path": p} for p in prior + [data_path]],
-        "manifest.json",
-    )
-    fs, _, jvm = _hadoop_fs(spark, mdir)
-    committed = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{version}")
-    if fs.exists(committed):  # a peer committed this version first
-        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        raise RuntimeError(
-            f"snapshot commit race: version {version} already exists"
-        )
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), committed):
-        raise RuntimeError(
-            f"snapshot commit race: version {version} already exists"
-        )
-    # rename into a directory that appeared between the check and the
-    # rename NESTS the staging dir and returns true — detect and raise
-    nested = jvm.org.apache.hadoop.fs.Path(
-        f"{mdir}/v{version}/.v{version}.staging"
-    )
-    if fs.exists(nested):
-        fs.delete(nested, True)
-        raise RuntimeError(
-            f"snapshot commit race: version {version} committed by a peer"
-        )
-    return version
-
-
-def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> DataFrame:
-    """Read a committed snapshot (default: latest). Time travel: any
-    retained version reads exactly what it read at commit time."""
-    versions = snapshot_versions(spark, table_dir)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {table_dir}")
-    if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"version {version} not in {versions}")
-    return spark.read.parquet(*_manifest_paths(spark, table_dir, version))
-
-
-def snapshot_vacuum(
-    spark: SparkSession, table_dir: str, keep_last: int = 1
-) -> dict[str, int]:
-    """Retire history: keep the newest ``keep_last`` versions, delete
-    manifests and any data directory no retained version references.
-    Returns {versions_removed, data_dirs_removed}.
-
-    Safe against a writer mid-commit BY CONSTRUCTION, not by convention:
-    a data dir ``v{n}`` with ``n`` greater than the newest committed
-    manifest is either an in-flight commit (data written, manifest rename
-    pending) or a crashed-writer orphan that the next ``snapshot_write``
-    reclaims anyway — vacuum never touches those, so it cannot delete an
-    in-flight version out from under its writer."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    versions = snapshot_versions(spark, table_dir)
-    latest = versions[-1] if versions else 0
-    keep = set(versions[-keep_last:])
-    drop = [v for v in versions if v not in keep]
-    # manifests store paths exactly as snapshot_write built them
-    # ({table_dir}/data/v{n}), so the data-dir NAME identifies a dir
-    referenced = {
-        p.rstrip("/").rsplit("/", 1)[-1]
-        for v in keep
-        for p in _manifest_paths(spark, table_dir, v)
-    }
-    fs, _, jvm = _hadoop_fs(spark, table_dir)
-    P = jvm.org.apache.hadoop.fs.Path
-    removed_dirs = 0
-    data_root = P(table_dir.rstrip("/") + "/data")
-    if fs.exists(data_root):
-        for st in fs.listStatus(data_root):
-            name = st.getPath().getName()
-            if name in referenced:
-                continue
-            if (
-                name.startswith("v")
-                and name[1:].isdigit()
-                and int(name[1:]) > latest
-            ):
-                continue  # in-flight writer or reclaimable orphan — skip
-            fs.delete(st.getPath(), True)
-            removed_dirs += 1
-    for v in drop:
-        fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
-    return {"versions_removed": len(drop), "data_dirs_removed": removed_dirs}
-
-
-def snapshot_diff(
-    spark: SparkSession,
-    table_dir: str,
-    v_old: int,
-    v_new: int,
-    key_cols: list[str],
-) -> DataFrame:
-    """S8 follow-through — CDC between two PINNED snapshot versions:
-    (key cols..., change) with change ∈ {'inserted', 'deleted',
-    'changed'} (unchanged rows are omitted — at table scale the diff is
-    the small output, the identity mass is not worth shuffling back).
-
-    Row equality = md5 of the canonical JSON of the non-key columns in
-    sorted-name order, computed per side BEFORE the join — the full-outer
-    join then carries only (key, fingerprint), never the payloads, so the
-    shuffle is key-sized regardless of row width. Versions are immutable
-    until vacuum (manifest pinning), so the diff is reproducible.
-
-    Keys must be UNIQUE per snapshot (the upsert-table invariant this
-    catalog maintains): a duplicated key would fan out through the
-    full-outer join and over-report changes."""
-    old = snapshot_read(spark, table_dir, version=v_old)
-    new = snapshot_read(spark, table_dir, version=v_new)
-    payload = sorted(set(old.columns) - set(key_cols))
-    if sorted(set(new.columns) - set(key_cols)) != payload:
-        raise ValueError("snapshot schemas differ in non-key columns")
-
-    def fingerprint(df: DataFrame, side: str) -> DataFrame:
-        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
-        return df.select(*key_cols, fp.alias(f"_fp_{side}"))
-
-    joined = fingerprint(old, "old").join(
-        fingerprint(new, "new"), key_cols, "full_outer"
-    )
-    return joined.withColumn(
-        "change",
-        F.when(F.col("_fp_old").isNull(), F.lit("inserted"))
-        .when(F.col("_fp_new").isNull(), F.lit("deleted"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed")),
-    ).filter(F.col("change").isNotNull()).select(*key_cols, "change")

