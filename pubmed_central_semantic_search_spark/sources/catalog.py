@@ -29,11 +29,15 @@ from .locks import (  # noqa: F401
     _BUCKET_LOCK_TTL_S,
     _LOCK_POOL_WIDTH,
     _TABLE_LOCK_NAME,
+    CasLockBackend,
     ConcurrentUpsertError,
+    ConditionalPutStore,
     HadoopFsLockBackend,
+    LocalFsConditionalPutStore,
     LockBackend,
     LockLease,
     LockLostError,
+    MemoryConditionalPutStore,
     _acquire_bucket_locks,
     _get_lock_backend,
     _locks_dir,
@@ -47,6 +51,7 @@ from .rebucket import (  # noqa: F401
     _migration_journal_path,
     _read_migration_journal,
     _rebucket_incremental_groups,
+    clear_dead_rebucket_staging,
     rebucket,
 )
 from .snapshots import (  # noqa: F401
@@ -598,6 +603,14 @@ def _upsert_partitioned(
                     "after it commits (a crashed rebucket's lock is "
                     f"broken automatically after {ttl}s)"
                 )
+            # the table lock is NOT held — if a crashed rebucket left a
+            # resumable staging behind, this commit is about to
+            # invalidate its journal's completed groups; clear it BEFORE
+            # merging so the resume re-migrates from a live table that
+            # includes these rows (round-12, verdict r11 #1 — see
+            # clear_dead_rebucket_staging for the data-loss sequence and
+            # the race argument)
+            clear_dead_rebucket_staging(spark, path)
             # re-validate the layout UNDER the locks: a rebucket that
             # committed between the validation above and the acquire here
             # would make this merge hash into directories the table no

@@ -2220,3 +2220,416 @@ def test_concurrent_writers_converge_with_retries(spark, tmp_path):
     lockdir = os.path.join(path, "_locks")
     held = [f for f in os.listdir(lockdir)] if os.path.isdir(lockdir) else []
     assert not any(f.endswith(".lock") for f in held), held
+
+
+# --- round-12: resume-journal invalidation, stamped TTL, beat sidecar, CAS --
+
+
+def test_writer_clears_dead_rebucket_staging_no_lost_rows(spark, tmp_path):
+    """Round-12 verdict #1 (the injected Done-test): crash an incremental
+    rebucket mid-migration, expire/break the dead table lock, commit an
+    upsert INTO AN ALREADY-JOURNALED GROUP, resume, swap — zero lost
+    rows. Pre-fix, the resume skipped the journaled groups and the swap
+    replaced the live table with a staging copy that predated the
+    crash-window commit: the writer's rows vanished silently."""
+    import json
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import rebucket
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(32)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    # crash after two journaled groups (groups = old buckets 0 and 1)
+    try:
+        rebucket(spark, path, 8, _fail_after_groups=2)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    staging = path + ".rebucket.staging"
+    journal_file = os.path.join(staging, "_migration", "migration.json")
+    assert os.path.isdir(staging) and os.path.exists(journal_file)
+    completed = set(json.load(open(journal_file))["completed"])
+    assert completed == {0, 1}
+    # a REAL crash leaves the dead rebucket's table lock behind — the
+    # injected raise released it (finally), so recreate it abandoned:
+    # foreign token, stamped 1 s TTL, backdated mtime
+    lockdir = os.path.join(path, "_locks")
+    tl = os.path.join(lockdir, "_table.lock")
+    with open(tl, "w") as fh:
+        fh.write("f" * 32 + "\n1")
+    old = time.time() - 7200
+    os.utime(tl, (old, old))
+    # crash-window commit: UPDATE a key of a completed group and INSERT
+    # a new key that also buckets into a completed group
+    victim = next(k for k in keys if _bucket_of(spark, k, 4) in completed)
+    newkey = next(
+        f"PMCnew{i}" for i in range(100)
+        if _bucket_of(spark, f"PMCnew{i}", 4) in completed
+    )
+    upsert_parquet(
+        spark, _rows(spark, [(victim, "CRASHWINDOW"), (newkey, "FRESH")]),
+        path, key_cols=["article_id"], n_buckets=4,
+    )
+    # the writer broke the stale lock and cleared the unsafe staging
+    assert not os.path.exists(staging), (
+        "crash-window writer left the stale migration journal resumable"
+    )
+    # resume: a fresh full migration from the live table
+    stats = rebucket(spark, path, 8)
+    assert stats["rows"] == len(keys) + 1
+    state = _table_state(spark, path)
+    assert state[victim] == "CRASHWINDOW"  # the row the old code lost
+    assert state[newkey] == "FRESH"
+    assert len(state) == len(keys) + 1
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_upsert_layout,
+    )
+
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+
+
+def test_live_rebucket_staging_survives_writer_and_backup_guard(spark, tmp_path):
+    """The clear must NOT fire on (a) a LIVE rebucket's staging — the
+    writer aborts by name on the table lock first — or (b) a mid-swap
+    crash state where .rebucket.old exists (the staging may be the only
+    complete migrated copy; RebucketStateError recovery owns it)."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        ConcurrentUpsertError,
+        _get_lock_backend,
+        _table_lock_path,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [(f"PMC{i}", "v") for i in range(12)]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    staging = path + ".rebucket.staging"
+    os.makedirs(staging)
+    open(os.path.join(staging, "marker"), "w").close()
+    # (a) live rebucket: table lock held -> abort by name, staging intact
+    backend = _get_lock_backend(spark, path)
+    tok = backend.try_acquire(_table_lock_path(path), 3600)
+    assert tok is not None
+    try:
+        try:
+            upsert_parquet(
+                spark, _rows(spark, [("PMC0", "x")]), path,
+                key_cols=["article_id"], n_buckets=4,
+            )
+            raise AssertionError("writer merged under a live table lock")
+        except ConcurrentUpsertError:
+            pass
+        assert os.path.exists(os.path.join(staging, "marker"))
+    finally:
+        backend.release(_table_lock_path(path), tok)
+    # (b) backup present (mid-swap crash family): writer commits but the
+    # staging is preserved for the operator/recovery path
+    os.makedirs(path + ".rebucket.old")
+    try:
+        upsert_parquet(
+            spark, _rows(spark, [("PMC0", "y")]), path,
+            key_cols=["article_id"], n_buckets=4,
+        )
+        assert os.path.exists(os.path.join(staging, "marker"))
+        assert _table_state(spark, path)["PMC0"] == "y"
+    finally:
+        import shutil
+
+        shutil.rmtree(path + ".rebucket.old")
+        shutil.rmtree(staging)
+
+
+def test_stamped_ttl_governs_staleness(spark, tmp_path):
+    """Round-12 ADVICE (medium): staleness is judged by the TTL the
+    HOLDER stamped into the lock, not the probing caller's — a
+    default-TTL writer must not break a live long-TTL holder whose
+    heartbeat cadence exceeds the caller's ttl. Unstamped (foreign /
+    crash-between-create-and-stamp) locks fall back to the caller's."""
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        HadoopFsLockBackend,
+    )
+
+    backend = HadoopFsLockBackend(spark, str(tmp_path))
+    lp = str(tmp_path / "x.lock")
+    tok = backend.try_acquire(lp, 3600)
+    assert tok is not None
+    time.sleep(1.2)
+    # a caller with ttl_s=1 probes: mtime is 1.2 s old, but the stamp
+    # says 3600 — the lock is LIVE to every observer
+    assert backend.is_held(lp, 1)
+    assert backend.try_acquire(lp, 1) is None
+    assert os.path.exists(lp) and backend.validate(lp, tok)
+    backend.release(lp, tok)
+    # unstamped foreign lock: caller's ttl is the fallback judgment
+    with open(lp, "w") as fh:
+        fh.write("f" * 32)
+    old = time.time() - 5
+    os.utime(lp, (old, old))
+    assert not backend.is_held(lp, 1)  # broken as a side effect
+    assert not os.path.exists(lp)
+
+
+def test_heartbeat_sidecar_fallback_never_rewrites_lock(spark, tmp_path):
+    """Round-12 verdict #2 + ADVICE (low ×2): on filesystems without
+    setTimes the heartbeat must not rewrite the lock file (the rewrite
+    could clobber a successor's token after a mid-beat break, and a
+    beat racing release could RECREATE the released lock). Freshness
+    rides on a .beat sidecar; the lock file is only ever written by its
+    creating acquire."""
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        HadoopFsLockBackend,
+    )
+
+    class NoSetTimes(HadoopFsLockBackend):
+        def _touch(self, lock_path):
+            raise OSError("setTimes unsupported (S3A-like)")
+
+    backend = NoSetTimes(spark, str(tmp_path))
+    lp = str(tmp_path / "x.lock")
+    tok = backend.try_acquire(lp, 2)
+    assert tok is not None
+    original = open(lp, "rb").read()
+    assert backend.heartbeat(lp, tok)
+    assert open(lp, "rb").read() == original, "fallback rewrote the lock file"
+    assert os.path.exists(lp + ".beat")
+    # liveness through the sidecar: lock mtime long past the TTL, beat
+    # fresh -> held to every probe; beat also stale -> broken
+    old = time.time() - 7200
+    os.utime(lp, (old, old))
+    assert backend.is_held(lp, 2)
+    os.utime(lp + ".beat", (old, old))
+    assert not backend.is_held(lp, 2)
+    assert not os.path.exists(lp) and not os.path.exists(lp + ".beat")
+    # steal between validate and beat cannot clobber the successor: a
+    # foreign-token lock stays byte-identical through our beat attempt
+    tok2 = backend.try_acquire(lp, 2)
+    assert tok2 is not None
+    os.remove(lp)
+    with open(lp, "w") as fh:
+        fh.write("f" * 32 + "\n3600")
+    foreign = open(lp, "rb").read()
+    assert not backend.heartbeat(lp, tok2)
+    assert open(lp, "rb").read() == foreign, "beat clobbered the successor"
+    os.remove(lp)
+    # a beat racing our own release must not recreate the lock
+    tok3 = backend.try_acquire(lp, 2)
+    backend.release(lp, tok3)
+    assert not backend.heartbeat(lp, tok3)
+    assert not os.path.exists(lp), "post-release beat recreated the lock"
+
+
+def test_rebucket_drains_abandoned_writer_lock(spark, tmp_path):
+    """Round-12 ADVICE (low): the writer drain judges LIVENESS, not bare
+    presence — a crashed writer's abandoned bucket lock must not wedge
+    every rebucket until an unrelated upsert happens to acquire that
+    exact path."""
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _get_lock_backend,
+        _locks_dir,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(16)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, "v") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    backend = _get_lock_backend(spark, path)
+    lp = f"{_locks_dir(path)}/bucket=1.lock"
+    assert backend.try_acquire(lp, 3600) is not None
+    old = time.time() - 7200  # the writer crashed two hours ago
+    os.utime(lp, (old, old))
+    stats = rebucket(spark, path, 8, _writer_drain_timeout_s=5)
+    assert stats["rows"] == len(keys)
+    assert _table_state(spark, path) == {k: "v" for k in keys}
+
+
+def _store_contract(store):
+    v1 = store.put_if("a/k1", None, b"one")
+    assert v1 is not None
+    assert store.put_if("a/k1", None, b"dup") is None  # create-if-absent
+    val, ver = store.get("a/k1")
+    assert val == b"one" and ver == v1
+    assert store.put_if("a/k1", "wrong", b"x") is None
+    v2 = store.put_if("a/k1", v1, b"two")
+    assert v2 is not None and v2 != v1
+    assert store.get("a/k1")[0] == b"two"
+    assert not store.delete_if("a/k1", v1)  # stale version
+    assert store.put_if("b/k2", None, b"z") is not None
+    assert sorted(store.list("a/")) == ["a/k1"]
+    assert store.delete_if("a/k1", v2)
+    assert store.get("a/k1") is None
+    assert store.list("a/") == []
+
+
+def test_conditional_put_store_contract(tmp_path):
+    """Both ConditionalPutStore implementations satisfy the CAS
+    contract CasLockBackend is built on."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        LocalFsConditionalPutStore,
+        MemoryConditionalPutStore,
+    )
+
+    _store_contract(MemoryConditionalPutStore())
+    _store_contract(LocalFsConditionalPutStore(str(tmp_path / "store")))
+
+
+def test_localfs_store_acquire_race_single_winner(tmp_path):
+    """flock-serialized conditional put: N threads racing try_acquire on
+    one key yield exactly one token."""
+    import threading
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        CasLockBackend,
+        LocalFsConditionalPutStore,
+    )
+
+    backend = CasLockBackend(LocalFsConditionalPutStore(str(tmp_path / "s")))
+    tokens = []
+
+    def race():
+        t = backend.try_acquire("t/_locks/bucket=0.lock", 3600)
+        if t is not None:
+            tokens.append(t)
+
+    threads = [threading.Thread(target=race) for _ in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert len(tokens) == 1
+
+
+def test_cas_lock_backend_primitives(tmp_path):
+    """CasLockBackend unit contract over both stores: token round-trip,
+    deadline liveness, one-CAS break of an abandoned lock, conditional
+    release (no validate→delete TOCTOU), heartbeat extends the
+    deadline and honestly reports a lost lease."""
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        CasLockBackend,
+        LocalFsConditionalPutStore,
+        MemoryConditionalPutStore,
+    )
+
+    for store in (
+        MemoryConditionalPutStore(),
+        LocalFsConditionalPutStore(str(tmp_path / "s")),
+    ):
+        b = CasLockBackend(store)
+        lp = "tbl/_locks/bucket=0.lock"
+        tok = b.try_acquire(lp, 1)
+        assert tok is not None
+        assert b.validate(lp, tok) and not b.validate(lp, "f" * 32)
+        assert b.try_acquire(lp, 1) is None  # live
+        assert b.is_held(lp, 1)
+        assert b.heartbeat(lp, tok)  # extends the deadline
+        time.sleep(0.7)
+        assert b.is_held(lp, 1)  # 0.7 s after the beat, still live
+        time.sleep(0.5)
+        assert b.heartbeat(lp, tok)
+        # abandoned after expiry: break + acquire is ONE conditional write
+        time.sleep(1.2)
+        tok2 = b.try_acquire(lp, 3600)
+        assert tok2 is not None and tok2 != tok
+        assert not b.validate(lp, tok)
+        assert not b.heartbeat(lp, tok)  # honest loss report, no clobber
+        assert b.validate(lp, tok2)
+        # the overrun holder's release is conditional — successor intact
+        b.release(lp, tok)
+        assert b.validate(lp, tok2)
+        assert sorted(b.list_held("tbl/_locks")) == ["bucket=0.lock"]
+        b.release(lp, tok2)
+        assert not b.is_held(lp, 3600)
+        assert b.list_held("tbl/_locks") == []
+
+
+def test_cas_lock_backend_full_write_path(spark, tmp_path):
+    """Round-12 verdict #3 Done-check: the CAS backend carries the FULL
+    write path — upsert, contention by name, steal→LockLostError abort,
+    rebucket (table lock + drain), leaf compaction — through
+    set_lock_backend, with no filesystem mtime anywhere."""
+    from pubmed_central_semantic_search_spark.sources import catalog
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        CasLockBackend,
+        ConcurrentUpsertError,
+        MemoryConditionalPutStore,
+        compact_partitioned_leaves,
+        rebucket,
+        set_lock_backend,
+    )
+
+    store = MemoryConditionalPutStore()
+    path = str(tmp_path / "t")
+    prev = set_lock_backend(CasLockBackend.factory(store))
+    try:
+        keys = [f"PMC{i}" for i in range(20)]
+        upsert_parquet(
+            spark, _rows(spark, [(k, "v1") for k in keys]), path,
+            key_cols=["article_id"], n_buckets=4,
+        )
+        upsert_parquet(
+            spark, _rows(spark, [("PMC0", "v2")]), path,
+            key_cols=["article_id"], n_buckets=4,
+        )
+        assert store.list("") == [], "backend leaked a lease"
+        # contention by name through the CAS backend
+        side = CasLockBackend(store)
+        b = _bucket_of(spark, "PMC1", 4)
+        held = side.try_acquire(f"{path}/_locks/bucket={b}.lock", 3600)
+        assert held is not None
+        try:
+            upsert_parquet(
+                spark, _rows(spark, [("PMC1", "v3")]), path,
+                key_cols=["article_id"], n_buckets=4,
+            )
+            raise AssertionError("CAS contention did not raise")
+        except ConcurrentUpsertError:
+            pass
+        finally:
+            side.release(f"{path}/_locks/bucket={b}.lock", held)
+        # steal mid-merge -> LockLostError, commit aborted, no clobber
+        def _steal(lease):
+            for lp, tok in lease._leases:
+                lease.backend.release(lp, tok)
+                assert lease.backend.try_acquire(lp, 3600) is not None
+
+        before = _table_state(spark, path)
+        catalog._TEST_PRE_COMMIT_HOOK = _steal
+        try:
+            try:
+                upsert_parquet(
+                    spark, _rows(spark, [("PMC2", "LOST")]), path,
+                    key_cols=["article_id"], n_buckets=4,
+                )
+                raise AssertionError("CAS steal did not abort the commit")
+            except catalog.LockLostError:
+                pass
+        finally:
+            catalog._TEST_PRE_COMMIT_HOOK = None
+        assert _table_state(spark, path) == before
+        for k in list(store.list("")):
+            rec = store.get(k)
+            store.delete_if(k, rec[1])
+        # rebucket + compaction through the CAS seam
+        stats = rebucket(spark, path, 8, _writer_drain_timeout_s=2)
+        assert stats["new_n_buckets"] == 8
+        assert store.list("") == []
+        cstats = compact_partitioned_leaves(spark, path, max_files_per_leaf=0)
+        assert cstats["leaves_seen"] > 0
+        assert store.list("") == []
+    finally:
+        set_lock_backend(prev)
+    state = _table_state(spark, path)
+    assert state["PMC0"] == "v2" and state["PMC2"] == "v1"
