@@ -288,7 +288,34 @@ def rebucket(
             fs.rename(backup, hpath)
             fs.delete(P(_locks_dir(base)), True)
         elif not fs.exists(staging_p):
-            fs.delete(backup, True)
+            # live has real content and the staging is gone. Staging
+            # disappears two ways: the swap's rename TO live (swap
+            # completed — only the backup delete crashed; finish it), or
+            # — round-12's own writer-side invalidation
+            # (clear_dead_rebucket_staging; eighteenth-pass find: that
+            # feature broke the old "staging only disappears via its
+            # rename to live" inference). A completed swap's live IS the
+            # staged table and always carries the _layout record written
+            # before the swap; a merge-path writer's dynamic overwrite
+            # that recreated a renamed-away live cannot have one. Demand
+            # that proof before destroying the only full pre-rebucket
+            # copy. Residue (documented, triple-fault): a CREATE-path
+            # writer recreating live mid-swap stamps its own _layout and
+            # would pass this check — reaching that state needs a
+            # stalled-heartbeat TTL break, a crash-window clear, AND a
+            # mid-swap crash all in the same microsecond windows.
+            if _read_upsert_layout(spark, path) is not None:
+                fs.delete(backup, True)
+            else:
+                raise RebucketStateError(
+                    f"rebucket: {path} holds real content WITHOUT a "
+                    f"_layout record while the pre-rebucket table sits in "
+                    f"{base}.rebucket.old — this live dir is a concurrent "
+                    "writer's partial recreation (a completed swap always "
+                    "carries _layout), not a finished migration. Nothing "
+                    "was deleted; restore the .rebucket.old backup and "
+                    "re-apply the concurrent writer's batch."
+                )
         else:
             raise RebucketStateError(
                 f"rebucket: {path} holds a concurrent writer's table "
@@ -433,6 +460,22 @@ def rebucket(
         # #1), and the re-run migrates from a live table that includes
         # its rows.
         locks.validate_or_raise()
+        # the staged table must still exist at the instant of the swap
+        # (round-12 eighteenth-pass find): a crash-window writer that
+        # TTL-broke a stalled-heartbeat table lock CLEARS the staging
+        # (clear_dead_rebucket_staging). validate_or_raise catches the
+        # break itself in all but the microseconds before the rename;
+        # this re-check narrows the staging side the same way, BEFORE
+        # the live table is renamed anywhere.
+        if not fs.exists(staging_p):
+            raise RebucketStateError(
+                f"rebucket: the staged migration at "
+                f"{base}.rebucket.staging vanished before the swap — a "
+                "crash-window writer invalidated it after breaking this "
+                "rebucket's table lock (the lock heartbeat must have "
+                "stalled past its TTL). The live table is untouched; "
+                "re-run rebucket."
+            )
         fs.rename(hpath, backup)
         if _catalog._TEST_MID_SWAP_HOOK is not None:
             _catalog._TEST_MID_SWAP_HOOK()  # test-only: simulate a concurrent
@@ -456,7 +499,29 @@ def rebucket(
                     f"{base}.rebucket.staging. Reconcile, then re-run."
                 )
             fs.delete(hpath, True)
-        fs.rename(staging_p, hpath)
+        try:
+            swapped = bool(fs.rename(staging_p, hpath))
+        except Exception:
+            swapped = False  # a missing source RAISES on some FS
+        if not swapped and not fs.exists(hpath):
+            # the staging vanished between the pre-swap re-check and this
+            # rename (the same crash-window-writer cause, microsecond
+            # residue): restore the backup IN-PROCESS — leaving the
+            # parked state to a later recovery call would be ambiguous
+            # with a completed swap, whose staging is also gone
+            # (round-12 eighteenth-pass find). If a racing create-path
+            # writer recreated live in this same instant, hpath exists,
+            # this branch is skipped (a rename onto an existing dir
+            # would NEST the backup inside it), and the parked state
+            # falls to the layout check below / recovery, which now
+            # demands _layout proof before deleting the backup.
+            fs.rename(backup, hpath)
+            raise RebucketStateError(
+                f"rebucket: the staged migration at "
+                f"{base}.rebucket.staging vanished mid-swap — the "
+                f"pre-rebucket table was restored from "
+                f"{base}.rebucket.old; re-run rebucket."
+            )
         if not fs.exists(P(_layout_dir(path))):
             # the rename landed somewhere unexpected — fail loudly with
             # the full table intact in the backup (next call restores)

@@ -2633,3 +2633,133 @@ def test_cas_lock_backend_full_write_path(spark, tmp_path):
         set_lock_backend(prev)
     state = _table_state(spark, path)
     assert state["PMC0"] == "v2" and state["PMC2"] == "v1"
+
+
+def test_rebucket_swap_aborts_if_staging_invalidated_pre_swap(spark, tmp_path):
+    """Round-12 eighteenth-pass find: a crash-window writer that broke a
+    stalled-heartbeat table lock clears the staging — if that lands
+    before the swap, rebucket must abort BY NAME with the live table
+    untouched (never rename live away toward a missing staging)."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources import catalog
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        RebucketStateError,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+
+    def _clear_staging(lease):
+        if os.path.isdir(path + ".rebucket.staging"):
+            shutil.rmtree(path + ".rebucket.staging")
+
+    catalog._TEST_PRE_COMMIT_HOOK = _clear_staging
+    try:
+        try:
+            rebucket(spark, path, 8)
+            raise AssertionError("swap ran toward a missing staging")
+        except RebucketStateError as e:
+            assert "vanished before the swap" in str(e)
+    finally:
+        catalog._TEST_PRE_COMMIT_HOOK = None
+    assert _table_state(spark, path) == before
+    assert not os.path.exists(path + ".rebucket.old")
+    stats = rebucket(spark, path, 8)  # re-run migrates from scratch
+    assert stats["rows"] == len(keys)
+    assert _table_state(spark, path) == before
+
+
+def test_rebucket_mid_swap_staging_loss_restores_backup(spark, tmp_path):
+    """Same cause one instant later: the staging vanishes AFTER live was
+    renamed to the backup — the failed swap rename must restore the
+    backup IN-PROCESS (a parked 'backup + no staging' state is
+    ambiguous with a completed swap) and raise by name."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources import catalog
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        RebucketStateError,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+
+    def _lose_staging():
+        shutil.rmtree(path + ".rebucket.staging")
+
+    catalog._TEST_MID_SWAP_HOOK = _lose_staging
+    try:
+        try:
+            rebucket(spark, path, 8)
+            raise AssertionError("mid-swap staging loss went unnoticed")
+        except RebucketStateError as e:
+            assert "restored" in str(e)
+    finally:
+        catalog._TEST_MID_SWAP_HOOK = None
+    # restored in-process: live intact, no parked copies
+    assert _table_state(spark, path) == before
+    assert not os.path.exists(path + ".rebucket.old")
+    assert not os.path.exists(path + ".rebucket.staging")
+    stats = rebucket(spark, path, 8)
+    assert stats["rows"] == len(keys)
+    assert _table_state(spark, path) == before
+
+
+def test_rebucket_recovery_demands_layout_proof_before_backup_delete(
+    spark, tmp_path
+):
+    """Recovery's 'swap completed, finish the backup delete' branch must
+    demand the staged table's _layout as proof: a merge-path writer's
+    dynamic overwrite that recreated a renamed-away live has real
+    content but NO _layout — deleting the backup then would destroy the
+    only full pre-rebucket copy (round-12 eighteenth-pass find)."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        RebucketStateError,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+    # park the full table in the backup; recreate live as a merge-path
+    # writer's partial overwrite would: one bucket dir, no _layout
+    shutil.move(path, path + ".rebucket.old")
+    os.makedirs(os.path.join(path, "_bucket=0"))
+    shutil.copy(
+        next(
+            os.path.join(r, f)
+            for r, _d, fs_ in os.walk(path + ".rebucket.old")
+            for f in fs_ if f.endswith(".parquet")
+        ),
+        os.path.join(path, "_bucket=0", "part-0.parquet"),
+    )
+    try:
+        rebucket(spark, path, 8)
+        raise AssertionError("recovery deleted the backup without proof")
+    except RebucketStateError as e:
+        assert "_layout" in str(e)
+    assert os.path.isdir(path + ".rebucket.old"), "backup was destroyed"
+    # operator resolution: drop the partial live -> recovery restores
+    shutil.rmtree(path)
+    stats = rebucket(spark, path, 8)
+    assert stats["rows"] == len(keys)
+    assert _table_state(spark, path) == before
