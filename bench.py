@@ -53,6 +53,11 @@ def main() -> None:
     # is the recorded number, the spread is the noise evidence, so one
     # noisy pass cannot silently dominate a round-over-round comparison.
     all_samples: dict[str, list[float]] = {}
+    # The three slowest bench-only extras (~14 s/pass combined) run a
+    # single timed pass after the warm pass (round-12, verdict #7): they
+    # are proof-pack evidence, not registry numbers, and trimming them
+    # keeps the extras block from outweighing the registry in wall time.
+    single_pass = {"x_pq_search", "x_quality_classifier_quantized", "x_semdedup"}
     for name in names:
         # Pass 1 warms codegen/JIT for this plan; then TWO timed passes,
         # keeping the min — each with the data cache cleared, so the number
@@ -66,6 +71,8 @@ def main() -> None:
         # exactly as that disagreement, and the extra pass is paid only on
         # the noisy queries.
         for attempt in range(3):
+            if attempt >= 1 and name in single_pass:
+                break
             if attempt == 2 and min(samples) / max(samples) > 0.7:
                 break
             spark.catalog.clearCache()

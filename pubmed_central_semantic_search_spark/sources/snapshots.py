@@ -82,7 +82,13 @@ def snapshot_write(
     is mid-commit while it runs."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    versions = snapshot_versions(spark, table_dir)
+    # resolve through the catalog module at call time: the version read
+    # is this writer's race-window seam, and the commit-race test pins
+    # it by patching catalog.snapshot_versions (the split must not
+    # silently detach that seam)
+    from . import catalog as _catalog
+
+    versions = _catalog.snapshot_versions(spark, table_dir)
     latest = versions[-1] if versions else 0
     version = latest + 1
     data_path = f"{table_dir.rstrip('/')}/data/v{version}"
