@@ -2763,3 +2763,66 @@ def test_rebucket_recovery_demands_layout_proof_before_backup_delete(
     stats = rebucket(spark, path, 8)
     assert stats["rows"] == len(keys)
     assert _table_state(spark, path) == before
+
+
+def test_cas_backend_concurrent_writers_converge(spark, tmp_path):
+    """The four-writer convergence stress rerun THROUGH CasLockBackend
+    (round-12): racing writers over a shared key set, retrying on
+    ConcurrentUpsertError, must each commit exactly once with no torn
+    rows and no leaked leases — the conditional-put protocol under real
+    thread concurrency, not just the single-caller unit contract."""
+    import threading
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        CasLockBackend,
+        ConcurrentUpsertError,
+        MemoryConditionalPutStore,
+        set_lock_backend,
+    )
+
+    store = MemoryConditionalPutStore()
+    path = str(tmp_path / "t")
+    prev = set_lock_backend(CasLockBackend.factory(store))
+    try:
+        keys = [f"PMC{i}" for i in range(12)]
+        upsert_parquet(
+            spark, _rows(spark, [(k, "seed") for k in keys]), path,
+            key_cols=["article_id"], n_buckets=2,
+        )
+        commits, errors = [], []
+
+        def work(tag):
+            deadline = time.monotonic() + 120
+            while True:
+                try:
+                    upsert_parquet(
+                        spark, _rows(spark, [(k, tag) for k in keys]), path,
+                        key_cols=["article_id"], n_buckets=2,
+                    )
+                    commits.append(tag)
+                    return
+                except ConcurrentUpsertError:
+                    if time.monotonic() >= deadline:
+                        errors.append((tag, "timeout"))
+                        return
+                    time.sleep(0.1)
+                except Exception as e:
+                    errors.append((tag, repr(e)))
+                    return
+
+        tags = [f"w{i}" for i in range(4)]
+        threads = [threading.Thread(target=work, args=(t,)) for t in tags]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert sorted(commits) == sorted(tags)
+        state = _table_state(spark, path)
+        assert len(state) == len(keys)
+        assert len(set(state.values())) == 1, state
+        assert next(iter(set(state.values()))) in tags
+        assert store.list("") == [], "a racing writer leaked a lease"
+    finally:
+        set_lock_backend(prev)
