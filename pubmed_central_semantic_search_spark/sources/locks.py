@@ -502,15 +502,18 @@ class LocalFsConditionalPutStore(ConditionalPutStore):
         return rec
 
     def get(self, key):
+        import base64
+
         def _go():
             rec = self._read(key)
             if rec is None:
                 return None
-            return rec["value"].encode("utf-8"), rec["version"]
+            return base64.b64decode(rec["value"]), rec["version"]
 
         return self._locked(_go)
 
     def put_if(self, key, expected_version, value):
+        import base64
         import json
         import os
         import uuid as _uuid
@@ -523,11 +526,14 @@ class LocalFsConditionalPutStore(ConditionalPutStore):
             p = self._path(key)
             tmp = p + ".tmp"
             with open(tmp, "w") as fh:
+                # base64, not a str decode: the seam's value is arbitrary
+                # BYTES (hypothesis model check caught a b"\x80" value
+                # crashing the utf-8 assumption)
                 json.dump(
                     {
                         "key": key,
                         "version": version,
-                        "value": bytes(value).decode("utf-8"),
+                        "value": base64.b64encode(bytes(value)).decode("ascii"),
                     },
                     fh,
                 )

@@ -2826,3 +2826,79 @@ def test_cas_backend_concurrent_writers_converge(spark, tmp_path):
         assert store.list("") == [], "a racing writer leaked a lease"
     finally:
         set_lock_backend(prev)
+
+
+def test_conditional_put_store_model_check(tmp_path):
+    """Hypothesis model check: random op sequences against both
+    ConditionalPutStore implementations must track a dict model exactly
+    — version mismatches always fail, matched versions always succeed,
+    and get/list always reflect the model state."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        LocalFsConditionalPutStore,
+        MemoryConditionalPutStore,
+    )
+
+    keys = st.sampled_from(["a/k1", "a/k2", "b/k1"])
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["put_new", "put_cur", "put_stale", "del_cur",
+                             "del_stale", "get", "list"]),
+            keys,
+            st.binary(min_size=0, max_size=8),
+        ),
+        max_size=30,
+    )
+    counter = [0]
+
+    @settings(max_examples=60, deadline=None)
+    @given(ops)
+    def run(seq):
+        counter[0] += 1
+        stores = [
+            MemoryConditionalPutStore(),
+            LocalFsConditionalPutStore(
+                str(tmp_path / f"s{counter[0]}")
+            ),
+        ]
+        for store in stores:
+            model = {}  # key -> (value, version)
+            stale = "0" * 32
+            for op, key, val in seq:
+                cur_ver = model[key][1] if key in model else None
+                if op == "put_new":
+                    got = store.put_if(key, None, val)
+                    if key in model:
+                        assert got is None
+                    else:
+                        assert got is not None
+                        model[key] = (val, got)
+                elif op == "put_cur":
+                    got = store.put_if(key, cur_ver, val)
+                    assert got is not None and got != cur_ver
+                    model[key] = (val, got)
+                elif op == "put_stale":
+                    assert store.put_if(key, stale, val) is None
+                elif op == "del_cur":
+                    if key in model:
+                        assert store.delete_if(key, cur_ver)
+                        del model[key]
+                    else:
+                        assert not store.delete_if(key, stale)
+                elif op == "del_stale":
+                    assert not store.delete_if(key, stale)
+                elif op == "get":
+                    got = store.get(key)
+                    if key in model:
+                        assert got == (bytes(model[key][0]), model[key][1])
+                    else:
+                        assert got is None
+                elif op == "list":
+                    prefix = key.split("/")[0] + "/"
+                    assert sorted(store.list(prefix)) == sorted(
+                        k for k in model if k.startswith(prefix)
+                    )
+
+    run()
