@@ -2902,3 +2902,26 @@ def test_conditional_put_store_model_check(tmp_path):
                     )
 
     run()
+
+
+def test_lock_lease_release_joins_heartbeat_thread(spark, tmp_path):
+    """Round-12 ADVICE (low): release() must stop AND JOIN the heartbeat
+    thread before deleting, so no beat can race the delete."""
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _acquire_bucket_locks,
+        _hadoop_fs,
+        _release_bucket_locks,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    locks = _acquire_bucket_locks(spark, path, [0, 1, 2], ttl_s=2)
+    assert locks._thread is not None and locks._thread.is_alive()
+    fs, _, _ = _hadoop_fs(spark, path)
+    _release_bucket_locks(fs, locks)
+    assert not locks._thread.is_alive(), "release returned with a live beat"
+    lockdir = os.path.join(path, "_locks")
+    assert not any(f.endswith(".lock") for f in os.listdir(lockdir))
