@@ -37,7 +37,18 @@ def _read_migration_journal(spark: SparkSession, staging: str):
     jp = jvm.org.apache.hadoop.fs.Path(_migration_journal_path(staging))
     if not fs.exists(jp):
         return None
-    rows = _read_small_json_lines(spark, _migration_journal_path(staging))
+    try:
+        rows = _read_small_json_lines(spark, _migration_journal_path(staging))
+    except Exception as e:
+        # round-12: this read runs BEFORE rebucket holds the table lock,
+        # so a crash-window writer's clear_dead_rebucket_staging can
+        # delete the staging between the exists check and the read — the
+        # correct meaning is "no resumable journal" (fresh migration),
+        # not a spurious retriable crash. Real IO errors on a PRESENT
+        # journal still propagate.
+        if "FileNotFoundException" in str(e) or not fs.exists(jp):
+            return None
+        raise
     return rows[0] if rows else None
 
 
