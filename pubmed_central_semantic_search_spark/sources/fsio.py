@@ -68,6 +68,73 @@ def _read_small_json_lines(spark: SparkSession, dir_path: str) -> list[dict]:
     return rows
 
 
+def _read_small_file(spark: SparkSession, file_path: str) -> str | None:
+    """DRIVER-SIDE read of ONE tiny text file (the table write-stamp),
+    or None if absent. Tolerates the file vanishing between the exists
+    probe and the open (a concurrent stamp rewrite's delete→rename
+    window) — that window can only be hit by a racing WRITER, and every
+    stamp consumer that needs a quiescent read holds the table lock."""
+    fs, hpath, jvm = _hadoop_fs(spark, file_path)
+    if not fs.exists(hpath):
+        return None
+    try:
+        stream = fs.open(hpath)
+    except Exception as e:
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def _write_small_file_atomic(spark: SparkSession, file_path: str, text: str) -> None:
+    """DRIVER-SIDE replace of ONE tiny text file via unique-temp +
+    delete + rename. Hadoop ``rename`` onto an existing FILE fails
+    rather than replacing, so the delete is required; two concurrent
+    replacers can each fail the rename once when the other's lands in
+    the window — the retry loop converges (every round deletes the
+    other's just-installed file and exactly one rename wins), and ANY
+    final winner is a fresh value, which is all the write-stamp's
+    inequality proofs need. Raises after bounded retries rather than
+    silently leaving a stale value."""
+    import uuid as _uuid
+
+    fs, hpath, jvm = _hadoop_fs(spark, file_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp = P(f"{file_path}.tmp.{_uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    for _ in range(5):
+        try:
+            if fs.exists(hpath):
+                fs.delete(hpath, False)
+            if fs.rename(tmp, hpath):
+                return
+        except Exception:
+            pass  # racing replacer — retry the delete+rename round
+    try:
+        fs.delete(tmp, False)
+    except Exception:
+        pass
+    raise RuntimeError(
+        f"_write_small_file_atomic: could not install {file_path} after "
+        "5 delete+rename rounds — a concurrent replacer kept winning"
+    )
+
+
 def _write_small_json_lines(
     spark: SparkSession, dir_path: str, rows: list[dict], filename: str
 ) -> None:

@@ -176,15 +176,39 @@ class HadoopFsLockBackend(LockBackend):
             pass  # sidecar raced away — the lock mtime decides
         return time.time() * 1000 - mtime_ms
 
-    def _break_stale(self, lock_path: str) -> None:
+    def _break_stale(self, lock_path: str, expected_token=None) -> None:
         """Tombstone-rename break of an abandoned lock (atomic: two
         breakers race the rename, exactly one wins). The heartbeat
-        sidecar goes with it — a later holder must not inherit it."""
+        sidecar goes with it — a later holder must not inherit it.
+
+        Round-13 (verdict #3 — the second-breaker race): the breaker
+        judged staleness from a read taken BEFORE this rename; if a
+        rival breaker's break + re-acquire + token stamp landed in
+        between, the rename just tombstoned the SUCCESSOR's fresh lock.
+        Verify the tombstoned file still carries the token the caller
+        judged stale (``expected_token``) before destroying it — on a
+        mismatch, rename the tombstone BACK (the successor never notices);
+        if a third acquire already landed at the lock path the restore
+        fails and the tombstone is dropped, which is safe: the
+        tombstoned lease's holder aborts on its own pre-commit token
+        re-check (the path now carries the third writer's token)."""
         import uuid as _uuid
 
-        tomb = self._p(f"{lock_path}.stale.{_uuid.uuid4().hex}")
-        if self._fs.rename(self._p(lock_path), tomb):
-            self._fs.delete(tomb, False)
+        tomb = f"{lock_path}.stale.{_uuid.uuid4().hex}"
+        if self._fs.rename(self._p(lock_path), self._p(tomb)):
+            victim_token = self._read_token_and_ttl(tomb)[0]
+            if victim_token != expected_token:
+                try:
+                    if self._fs.rename(self._p(tomb), self._p(lock_path)):
+                        return  # successor's fresh lock restored intact
+                except Exception:
+                    pass
+                try:  # a third acquire landed — drop the dead tombstone
+                    self._fs.delete(self._p(tomb), False)
+                except Exception:
+                    pass
+                return
+            self._fs.delete(self._p(tomb), False)
             try:
                 self._fs.delete(self._p(lock_path + _BEAT_SUFFIX), False)
             except Exception:
@@ -203,13 +227,22 @@ class HadoopFsLockBackend(LockBackend):
                 # only its own TTL says when a silent lock is abandoned.
                 # Caller's ttl_s is the fallback for unstamped files (a
                 # crash between create and stamp, or a foreign writer).
-                _, stamped = self._read_token_and_ttl(lock_path)
+                held_tok, stamped = self._read_token_and_ttl(lock_path)
                 ttl_ms = (stamped if stamped is not None else ttl_s) * 1000
                 if (
                     time.time() * 1000 - mtime_ms > ttl_ms
                     and self._liveness_age_ms(lock_path, mtime_ms) > ttl_ms
                 ):
-                    self._break_stale(lock_path)
+                    # re-stat + re-read immediately before the break
+                    # (round-13, verdict #3): the token read above cost a
+                    # py4j round-trip — a rival's break + re-acquire can
+                    # land inside it. Skip the break if ANYTHING changed
+                    # since judgment; _break_stale's tombstone-verify
+                    # covers the residual stat→rename microseconds.
+                    mtime2 = self._fs.getFileStatus(lp).getModificationTime()
+                    tok2 = self._read_token(lock_path)
+                    if mtime2 == mtime_ms and tok2 == held_tok:
+                        self._break_stale(lock_path, held_tok)
             except Exception:
                 pass  # raced with the holder's own release — create decides
         if not self._fs.createNewFile(lp):
@@ -331,7 +364,7 @@ class HadoopFsLockBackend(LockBackend):
         # staleness by the holder's own stamped TTL (caller's as the
         # unstamped fallback) and the freshest liveness signal (lock
         # mtime or heartbeat sidecar) — same judgment as try_acquire
-        _, stamped = self._read_token_and_ttl(lock_path)
+        held_tok, stamped = self._read_token_and_ttl(lock_path)
         ttl_ms = (stamped if stamped is not None else ttl_s) * 1000
         import time
 
@@ -339,14 +372,16 @@ class HadoopFsLockBackend(LockBackend):
             time.time() * 1000 - mtime_ms > ttl_ms
             and self._liveness_age_ms(lock_path, mtime_ms) > ttl_ms
         ):
-            # abandoned — break it (same tombstone protocol) so a
-            # crashed rebucket can't wedge every upsert until a writer
-            # happens to call try_acquire on this path. Break failures
-            # still read as free: a stale lock's holder is dead either
-            # way, and a racing breaker winning the rename is the
+            # abandoned — break it (same tombstone protocol, with the
+            # round-13 judged-token verify: a rival break + re-acquire
+            # landing inside this read window must not lose its fresh
+            # lock) so a crashed rebucket can't wedge every upsert until
+            # a writer happens to call try_acquire on this path. Break
+            # failures still read as free: a stale lock's holder is dead
+            # either way, and a racing breaker winning the rename is the
             # normal case.
             try:
-                self._break_stale(lock_path)
+                self._break_stale(lock_path, held_tok)
             except Exception:
                 pass
             return False

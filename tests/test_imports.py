@@ -115,6 +115,10 @@ def test_demoted_parity_tests_import_exported_cte_constants():
         ("test_pq.py", "similarity", "q47_pq_parity_sql"),
         ("test_graph.py", "dedup_pack", "_Q53_PAGERANK_PARITY_SQL"),
         ("test_components.py", "dedup_pack", "_Q53_LEXICAL_PARITY_SQL"),
+        # round-13 (verdict #2): the two arms the round-12 audit found
+        # outside this fence — both already followed the discipline
+        ("test_gopher.py", "extensions", "_GOPHER_CTES"),
+        ("test_bpe.py", "curation", "_q55_bpe_parity_oracle"),
     ]
     for test_file, module, name in registry:
         mod = importlib.import_module(
@@ -129,3 +133,54 @@ def test_demoted_parity_tests_import_exported_cte_constants():
             f"{test_file} no longer references {name} — the demoted "
             "parity must import the exported oracle text, not inline it"
         )
+
+
+def test_split_modules_late_bound_catalog_names_exist():
+    """Round-13 (verdict #4, the nineteenth review pass): the round-12
+    module split relies on LATE BINDING — split modules resolve catalog
+    attributes at call time (`_catalog.<name>` for the _TEST_* hooks and
+    snapshot_versions; `from .catalog import (...)` inside function
+    bodies for the layout/stamp helpers) so monkeypatch seams on the
+    catalog module keep working. The split already silently detached one
+    seam once (caught only by the full suite). This pins the contract
+    mechanically: every name a split module late-binds must exist on
+    catalog, so a rename fails THIS test immediately instead of a
+    distant monkeypatch-based test 20 minutes into the suite."""
+    import inspect
+    import re
+
+    from pubmed_central_semantic_search_spark.sources import (
+        catalog,
+        fsio,
+        locks,
+        rebucket,
+        snapshots,
+    )
+
+    found_any = False
+    for mod in (locks, rebucket, snapshots, fsio):
+        src = inspect.getsource(mod)
+        names = set(re.findall(r"_catalog\.([A-Za-z_][A-Za-z0-9_]*)", src))
+        for block in re.findall(
+            r"from\s+\.\s*catalog\s+import\s+\(([^)]*)\)", src
+        ):
+            names.update(
+                n.strip().strip(",")
+                for n in block.replace("\n", " ").split(",")
+                if n.strip().strip(",")
+            )
+        for line in re.findall(
+            r"from\s+\.\s*catalog\s+import\s+([A-Za-z_][A-Za-z0-9_, ]*)$",
+            src,
+            re.MULTILINE,
+        ):
+            names.update(n.strip() for n in line.split(",") if n.strip())
+        names.discard("catalog")  # `from . import catalog as _catalog`
+        for n in sorted(names):
+            found_any = True
+            assert hasattr(catalog, n), (
+                f"{mod.__name__} late-binds catalog.{n}, which no longer "
+                "exists on the catalog module — restore the name or "
+                "update the split module"
+            )
+    assert found_any, "the scan found no late-bound names — regex broke"
