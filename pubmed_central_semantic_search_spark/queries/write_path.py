@@ -142,6 +142,14 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     SELECT 'vacuum' AS kind, CAST(-2 AS BIGINT) AS doc_id,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
            '2:1:2' AS content_key, CAST(NULL AS BIGINT) AS n_chars
+    UNION ALL
+    -- 'gen' arm (round-13): the per-table write-generation stamp after
+    -- the partitioned table's three commits (create, UPSERT INTO,
+    -- group-replace) — every commit bumps _writestamp before its data
+    -- write, so the generation is exactly the commit count
+    SELECT 'gen' AS kind, CAST(-3 AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS lang,
+           '3' AS content_key, CAST(NULL AS BIGINT) AS n_chars
     """,
     survey_rows="S4 (sharded columnar sink), S7 (keyed idempotent upsert + "
     "group-replacing upsert + bucket-partitioned layout + POINT-LOOKUP "
@@ -162,7 +170,9 @@ _LOOKUP_KEYS = (0, 1, 60, 199)
     "VACUUM SNAPSHOTS KEEP 1 retires v1 after the CDC leg — the "
     "remaining-version set driver-hashed; the last two write-path "
     "lifecycle stages join upsert/snapshot/diff/stream in the certified "
-    "set)",
+    "set; round-13 'gen' arm: the write-generation stamp reads exactly "
+    "the table's commit count — the bump-per-commit contract rebucket's "
+    "crash proofs ride on, driver-certified)",
 )
 def q62_write_path_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -286,6 +296,23 @@ def _roundtrip_merges(
         replace_group_col="grp", n_buckets=8,
     )
     _merge_phases(spark, docs_grp, part_path, n_buckets=8)
+
+    # 'gen' arm (round-13, verdict #1/#6): the write-generation stamp —
+    # every content-changing commit bumps `<table>/_writestamp` BEFORE
+    # its data write (the proof token rebucket's resume/swap/recovery
+    # checks ride on; see catalog._bump_table_stamp). The partitioned
+    # table above took EXACTLY three commits (create, UPSERT INTO,
+    # group-replace), so the generation reads 3 — one driver-side file
+    # read, deterministic, and the whole stamp protocol's bump-per-
+    # commit contract joins the certified set. Stamp-uuid freshness and
+    # the compaction-does-not-bump rule are pinned in pytest
+    # (test_write_stamp_bumps_per_commit_not_on_compaction).
+    from ..sources.catalog import _read_table_stamp
+
+    gen_rows = [(
+        "gen", -3, None, None,
+        str(int(_read_table_stamp(spark, part_path)["generation"])), None,
+    )]
 
     # S9 — collection DDL round-trip on the same schema (create-if-absent,
     # exists-check, drop — the reference's collection lifecycle). Explicit
@@ -420,7 +447,8 @@ def _roundtrip_merges(
         compact_rows = compact_future.result()
     return local_df(
         spark,
-        part_rows + lookup_rows + diff_rows + stream_rows + compact_rows,
+        part_rows + lookup_rows + diff_rows + stream_rows + compact_rows
+        + gen_rows,
         part_out.schema,
     )
 
