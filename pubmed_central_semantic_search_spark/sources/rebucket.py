@@ -459,37 +459,18 @@ def rebucket(
                 f"counts (got {old_n} -> {new_n_buckets}); call with "
                 "incremental=False for the full staged rewrite"
             )
-        # the live table's write stamp at migration start (round-13,
-        # verdict #1): recorded in the resume journal and re-checked at
-        # the swap — "the live table is unwritten since X" becomes a
-        # provable equality instead of an inference. A pre-stamp legacy
-        # table is stamped NOW so the proof chain exists from this
-        # migration onward.
-        start = _read_table_stamp(spark, path)
-        if start is None:
-            start = _bump_table_stamp(spark, path)
-        start_stamp = start["stamp"]
-        start_gen = int(start.get("generation", 1))
-        # staging reconciliation — now UNDER the table lock (ADVICE r12
-        # #1): a staging dir with a journal matching BOTH the target
-        # bucket count and the live table's current write stamp is a
-        # resumable migration; anything else is orphaned and cleared.
-        journal = (
-            _read_migration_journal(spark, staging_p.toString())
-            if fs.exists(staging_p)
-            else None
-        )
-        if fs.exists(staging_p) and (
-            journal is None
-            or int(journal.get("target_n", -1)) != new_n_buckets
-            or journal.get("start_stamp") != start_stamp
-        ):
-            fs.delete(staging_p, True)
-            journal = None
         # drain in-flight writers: any bucket/leaf lock present now was
         # acquired BEFORE our table lock existed (later acquirers see the
         # table lock and abort), so poll briefly for those merges to
-        # finish, then fail by name rather than swap under them
+        # finish, then fail by name rather than swap under them.
+        # The drain runs BEFORE the start-stamp read (round-13,
+        # nineteenth-pass find on this round's own change): an in-flight
+        # writer commits DURING the drain and bumps the stamp — its rows
+        # ARE in the post-drain table the migration reads, so a stamp
+        # read taken pre-drain would make the swap's equality check
+        # abort spuriously on a commit the staging already includes.
+        # After the drain, only a TTL-breaking crash-window writer can
+        # bump the stamp — exactly the fault the check exists to catch.
         import time as _time
 
         deadline = _time.monotonic() + _writer_drain_timeout_s
@@ -519,6 +500,41 @@ def rebucket(
                     "commit (the table lock already blocks NEW writers)"
                 )
             _time.sleep(min(0.2, _writer_drain_timeout_s / 10 or 0.05))
+        # the live table's write stamp at migration start (round-13,
+        # verdict #1): recorded in the resume journal and re-checked at
+        # the swap — "the live table is unwritten since X" becomes a
+        # provable equality instead of an inference. Read AFTER the
+        # drain (see above). A pre-stamp legacy table is stamped NOW so
+        # the proof chain exists from this migration onward.
+        start = _read_table_stamp(spark, path)
+        if start is None:
+            start = _bump_table_stamp(spark, path)
+        start_stamp = start["stamp"]
+        start_gen = int(start.get("generation", 1))
+        # staging reconciliation — now UNDER the table lock (ADVICE r12
+        # #1): a staging dir with a journal matching BOTH the target
+        # bucket count and the live table's current write stamp is a
+        # resumable migration; anything else is orphaned and cleared.
+        journal = (
+            _read_migration_journal(spark, staging_p.toString())
+            if fs.exists(staging_p)
+            else None
+        )
+        if fs.exists(staging_p) and (
+            journal is None
+            or int(journal.get("target_n", -1)) != new_n_buckets
+            or journal.get("start_stamp") != start_stamp
+        ):
+            fs.delete(staging_p, True)
+            journal = None
+        # re-read the layout AFTER the drain (same nineteenth-pass
+        # reasoning as the stamp ordering): an in-flight writer's commit
+        # during the drain may have flipped the table-sticky `evolved`
+        # bit — migrating with the pre-drain record would read without
+        # footer merging and silently drop the evolved columns from the
+        # staged rewrite. n_buckets/bucket key cannot change under our
+        # table lock; the re-read just refreshes the evolution stamp.
+        stored = _read_upsert_layout(spark, path) or stored
         evolved = _layout_evolved(stored)
         reader = spark.read
         if evolved:

@@ -3316,3 +3316,52 @@ def test_second_breaker_race_preserves_successors_lock(spark, tmp_path):
     assert state["a_token"] is not None, "A's re-acquire failed"
     assert got is None, "B acquired over A's fresh lock"
     assert a.validate(lp, state["a_token"]), "A's fresh lock was lost"
+
+
+def test_rebucket_drain_window_commit_does_not_abort_swap(spark, tmp_path):
+    """Round-13 nineteenth-pass find ON THIS ROUND'S OWN CHANGE: the
+    migration-start stamp must be read AFTER the writer drain. An
+    in-flight writer (bucket locks acquired before the table lock
+    existed) commits DURING the drain and bumps the stamp — its rows
+    ARE in the post-drain table the migration reads, so a pre-drain
+    stamp read would make the swap's equality check abort spuriously
+    on a commit the staging already includes."""
+    import threading
+    import time
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _bump_table_stamp,
+        _get_lock_backend,
+        _locks_dir,
+        _read_upsert_layout,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    before = _table_state(spark, path)
+    # the in-flight writer: a live bucket lease taken BEFORE rebucket's
+    # table lock, committing (stamp bump) mid-drain, then releasing
+    backend = _get_lock_backend(spark, path)
+    blp = f"{_locks_dir(path)}/bucket=0.lock"
+    btok = backend.try_acquire(blp, 3600)
+    assert btok is not None
+
+    def writer_commits():
+        time.sleep(1.5)  # rebucket is inside its drain poll by now
+        _bump_table_stamp(spark, path)
+        backend.release(blp, btok)
+
+    t = threading.Thread(target=writer_commits)
+    t.start()
+    try:
+        stats = rebucket(spark, path, 8, _writer_drain_timeout_s=20.0)
+    finally:
+        t.join()
+    assert stats["rows"] == len(keys)
+    assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
+    assert _table_state(spark, path) == before
