@@ -24,7 +24,7 @@ from .fsio import (  # noqa: F401
     _list_parquet_sizes,
     _read_small_file,
     _read_small_json_lines,
-    _write_small_file_atomic,
+    _write_small_file_once,
     _write_small_json_lines,
 )
 from .locks import (  # noqa: F401
@@ -848,16 +848,29 @@ def _read_upsert_layout(spark: SparkSession, path: str):
 #     (the verdict's write-generation ask) honestly instead of by
 #     improbability.
 #
-# Two deliberate deviations from the verdict's letter, both strengthening:
-# the stamp lives in its OWN file rather than inside ``_layout`` (a
-# per-commit ``_layout`` rewrite would add a delete→rename absent window
-# to every upsert, and a concurrent reader catching it would mis-read
-# the table as pre-metadata — the mis-stamp hazard), and the proof token
-# is a UUID rather than the bare counter (two DISJOINT-bucket writers —
-# legal concurrency — can both read generation g and both write g+1, so
-# "generation advanced by exactly 1" is satisfiable by a foreign commit;
-# uuid equality is not). The integer generation is still stamped for
-# ordering/diagnostics and is the q62 'gen' arm's certified fact.
+# Three deliberate deviations from the verdict's letter, each
+# strengthening:
+# - the stamp lives OUTSIDE ``_layout`` (a per-commit ``_layout``
+#   rewrite would add a delete→rename absent window to every upsert,
+#   and a concurrent reader catching it would mis-read the table as
+#   pre-metadata — the mis-stamp hazard);
+# - the proof token is a UUID rather than the bare counter (two
+#   DISJOINT-bucket writers — legal concurrency — can both read
+#   generation g and both write g+1, so "generation advanced by exactly
+#   1" is satisfiable by a foreign commit; uuid equality is not). The
+#   integer generation is still stamped for ordering/diagnostics and is
+#   the q62 'gen' arm's certified fact;
+# - records are APPEND-ONLY: one immutable file per commit under the
+#   ``_writestamp/`` dir, named ``g<generation, zero-padded>.<uuid>``;
+#   the current stamp is the lexicographically-largest name. A
+#   replace-in-place single file (the first cut) TORE on Hadoop's local
+#   ChecksumFileSystem under racing disjoint-bucket writers — data and
+#   ``.crc`` sidecar move in two steps, so one writer's payload could
+#   pair with another's checksum persistently (caught by this repo's
+#   own 16-thread stress test). Immutable files cannot tear; racing
+#   same-generation bumps deterministically resolve by name, and every
+#   proof consumer reads under the table lock or in a quiescent crash
+#   state. Old records are pruned once two generations past.
 # Leaf compaction deliberately does NOT bump: it is row-equivalent by
 # construction (same rows, fewer files), so a resumable migration's
 # journaled groups stay valid through it — the same argument
@@ -867,41 +880,89 @@ def _read_upsert_layout(spark: SparkSession, path: str):
 _STAMP_NAME = "_writestamp"
 
 
-def _stamp_path(path: str) -> str:
-    # underscore-prefixed FILE at the table root: invisible to parquet
+def _stamp_dir(path: str) -> str:
+    # underscore-prefixed dir INSIDE the table: invisible to parquet
     # readers, travels with the table through the rebucket swap renames
     return path.rstrip("/") + "/" + _STAMP_NAME
 
 
+def _stamp_record_names(fs, jvm, sdir: str) -> list[str]:
+    """Sorted record filenames under the stamp dir (ascending — the
+    LAST is the current stamp)."""
+    import re as _re
+
+    dp = jvm.org.apache.hadoop.fs.Path(sdir)
+    if not fs.exists(dp):
+        return []
+    try:
+        statuses = fs.listStatus(dp)
+    except Exception as e:
+        if "FileNotFoundException" in str(e):
+            return []
+        raise
+    pat = _re.compile(r"^g\d{12}\.[0-9a-f]{32}\.json$")
+    return sorted(
+        st.getPath().getName()
+        for st in statuses
+        if st.isFile() and pat.match(st.getPath().getName())
+    )
+
+
 def _read_table_stamp(spark: SparkSession, path: str):
-    """The stamp record (dict) or None (legacy/pre-stamp table, or a
-    foreign-corrupt file — both degrade every proof to its documented
-    legacy fallback rather than failing a healthy table)."""
+    """The current stamp record (dict) or None (pre-stamp table, or
+    foreign-corrupt records — both degrade every proof to its
+    documented legacy fallback rather than failing a healthy table).
+    Retries the list+read when the chosen record was pruned mid-read
+    (only racing WRITERS prune; proof consumers read quiescent)."""
     import json as _json
 
-    txt = _read_small_file(spark, _stamp_path(path))
-    if txt is None:
-        return None
-    try:
-        rec = _json.loads(txt)
-        return rec if isinstance(rec, dict) and rec.get("stamp") else None
-    except Exception:
-        return None
+    fs, _, jvm = _hadoop_fs(spark, path)
+    sdir = _stamp_dir(path)
+    for _ in range(3):
+        names = _stamp_record_names(fs, jvm, sdir)
+        if not names:
+            return None
+        txt = _read_small_file(spark, f"{sdir}/{names[-1]}")
+        if txt is None:
+            continue  # pruned between list and open — re-list
+        try:
+            rec = _json.loads(txt)
+            if isinstance(rec, dict) and rec.get("stamp"):
+                return rec
+        except Exception:
+            pass
+        return None  # corrupt record: the documented legacy fallback
+    return None
 
 
 def _write_table_stamp(spark: SparkSession, path: str, record: dict) -> None:
+    """Append the record as a new immutable file and prune records two
+    generations behind it (never the current or previous generation, so
+    a racing reader's list stays valid)."""
     import json as _json
+    import uuid as _uuid
 
-    _write_small_file_atomic(spark, _stamp_path(path), _json.dumps(record))
+    fs, _, jvm = _hadoop_fs(spark, path)
+    sdir = _stamp_dir(path)
+    gen = int(record["generation"])
+    name = f"g{gen:012d}.{_uuid.uuid4().hex}.json"
+    _write_small_file_once(spark, f"{sdir}/{name}", _json.dumps(record))
+    P = jvm.org.apache.hadoop.fs.Path
+    for old in _stamp_record_names(fs, jvm, sdir):
+        if int(old[1:13]) < gen - 2:
+            try:
+                fs.delete(P(f"{sdir}/{old}"), False)
+            except Exception:
+                pass  # a racing pruner won — fine
 
 
 def _bump_table_stamp(spark: SparkSession, path: str) -> dict:
     """Install a fresh stamp (uuid) with generation+1. Called by every
     content-changing commit BEFORE its data write (crash direction: a
     bumped stamp over unchanged content only makes consumers
-    conservative). Disjoint-bucket writers may race this rewrite — the
-    retry loop in ``_write_small_file_atomic`` converges, the
-    generation may then under-count by the lost increment (documented:
+    conservative). Racing disjoint-bucket writers may both land the
+    same generation — the max-name rule picks one deterministically,
+    and the generation may under-count lost increments (documented:
     generation is diagnostic ordering; the uuid is the proof token)."""
     import uuid as _uuid
 

@@ -69,11 +69,11 @@ def _read_small_json_lines(spark: SparkSession, dir_path: str) -> list[dict]:
 
 
 def _read_small_file(spark: SparkSession, file_path: str) -> str | None:
-    """DRIVER-SIDE read of ONE tiny text file (the table write-stamp),
+    """DRIVER-SIDE read of ONE tiny text file (a write-stamp record),
     or None if absent. Tolerates the file vanishing between the exists
-    probe and the open (a concurrent stamp rewrite's delete→rename
-    window) — that window can only be hit by a racing WRITER, and every
-    stamp consumer that needs a quiescent read holds the table lock."""
+    probe and the open (a concurrent stamp PRUNE) — every stamp
+    consumer that needs a quiescent read holds the table lock; racing
+    readers retry at the protocol layer (``_read_table_stamp``)."""
     fs, hpath, jvm = _hadoop_fs(spark, file_path)
     if not fs.exists(hpath):
         return None
@@ -97,42 +97,22 @@ def _read_small_file(spark: SparkSession, file_path: str) -> str | None:
         stream.close()
 
 
-def _write_small_file_atomic(spark: SparkSession, file_path: str, text: str) -> None:
-    """DRIVER-SIDE replace of ONE tiny text file via unique-temp +
-    delete + rename. Hadoop ``rename`` onto an existing FILE fails
-    rather than replacing, so the delete is required; two concurrent
-    replacers can each fail the rename once when the other's lands in
-    the window — the retry loop converges (every round deletes the
-    other's just-installed file and exactly one rename wins), and ANY
-    final winner is a fresh value, which is all the write-stamp's
-    inequality proofs need. Raises after bounded retries rather than
-    silently leaving a stale value."""
-    import uuid as _uuid
-
-    fs, hpath, jvm = _hadoop_fs(spark, file_path)
-    P = jvm.org.apache.hadoop.fs.Path
-    tmp = P(f"{file_path}.tmp.{_uuid.uuid4().hex}")
-    out = fs.create(tmp, True)
+def _write_small_file_once(spark: SparkSession, file_path: str, text: str) -> None:
+    """DRIVER-SIDE write of ONE tiny text file that is NEVER rewritten
+    (write-stamp records are append-only: unique filename per record).
+    Immutability is the point — a replace-in-place protocol
+    (delete + rename) tore on Hadoop's local ChecksumFileSystem under
+    concurrent replacers: the data file and its ``.crc`` sidecar move
+    in two steps, so racing writers could pair one writer's data with
+    another's checksum, a PERSISTENT ChecksumException (caught by this
+    repo's own 16-thread stamp stress before it shipped). A file
+    written once by one writer always carries its own crc."""
+    fs, hpath, _ = _hadoop_fs(spark, file_path)
+    out = fs.create(hpath, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    for _ in range(5):
-        try:
-            if fs.exists(hpath):
-                fs.delete(hpath, False)
-            if fs.rename(tmp, hpath):
-                return
-        except Exception:
-            pass  # racing replacer — retry the delete+rename round
-    try:
-        fs.delete(tmp, False)
-    except Exception:
-        pass
-    raise RuntimeError(
-        f"_write_small_file_atomic: could not install {file_path} after "
-        "5 delete+rename rounds — a concurrent replacer kept winning"
-    )
 
 
 def _write_small_json_lines(

@@ -3365,3 +3365,95 @@ def test_rebucket_drain_window_commit_does_not_abort_swap(spark, tmp_path):
     assert stats["rows"] == len(keys)
     assert int(_read_upsert_layout(spark, path)["n_buckets"]) == 8
     assert _table_state(spark, path) == before
+
+
+def test_cas_backend_recovery_gate_symmetric(spark, tmp_path):
+    """The round-13 recovery gate through CasLockBackend: a KV lock key
+    never rides into the backup (no rename moves it), so the gate's
+    probe of the ORIGINAL table-lock path is what protects a mid-swap
+    holder there — a live CAS lease blocks recovery by name, and
+    recovery proceeds once the lease is released."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        CasLockBackend,
+        ConcurrentUpsertError,
+        MemoryConditionalPutStore,
+        _table_lock_path,
+        rebucket,
+        set_lock_backend,
+    )
+
+    store = MemoryConditionalPutStore()
+    prev = set_lock_backend(CasLockBackend.factory(store))
+    try:
+        path = str(tmp_path / "t")
+        keys = [f"PMC{i}" for i in range(24)]
+        upsert_parquet(
+            spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+            key_cols=["article_id"], n_buckets=4,
+        )
+        before = _table_state(spark, path)
+        backend = CasLockBackend(store)
+        tl = _table_lock_path(path)
+        token = backend.try_acquire(tl, 3600)  # the mid-swap holder
+        assert token is not None
+        shutil.move(path, path + ".rebucket.old")  # its absent window
+        try:
+            rebucket(spark, path, 8)
+            raise AssertionError("CAS recovery ignored the live lease")
+        except ConcurrentUpsertError as e:
+            assert "in flight" in str(e)
+        assert os.path.isdir(path + ".rebucket.old")
+        backend.release(tl, token)
+        stats = rebucket(spark, path, 8)
+        assert stats["rows"] == len(keys)
+        assert _table_state(spark, path) == before
+    finally:
+        set_lock_backend(prev)
+
+
+def test_concurrent_stamp_bumps_converge(spark, tmp_path):
+    """The stamp protocol under racing DISJOINT-bucket writers (legal
+    concurrency): 16 concurrent bumps through the APPEND-ONLY record
+    protocol — no bump raises, the current stamp is one of the written
+    uuids, and records two generations behind prune away as later
+    commits land. This stress is what caught the first-cut
+    replace-in-place design tearing on ChecksumFileSystem (data and
+    .crc pairing across writers) before it shipped."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _bump_table_stamp,
+        _read_table_stamp,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    with ThreadPoolExecutor(8) as pool:
+        stamps = list(
+            pool.map(lambda _: _bump_table_stamp(spark, path)["stamp"],
+                     range(16))
+        )
+    final = _read_table_stamp(spark, path)
+    assert final is not None
+    assert final["stamp"] in stamps
+    assert int(final["generation"]) >= 2
+    # the record set stays bounded: three more SERIAL commits advance
+    # the generation past the racing burst, pruning its records
+    for _ in range(3):
+        last = _bump_table_stamp(spark, path)
+    records = [
+        f for f in os.listdir(os.path.join(path, "_writestamp"))
+        if not f.startswith(".")  # ChecksumFileSystem .crc sidecars
+    ]
+    assert all(f.startswith("g") and f.endswith(".json") for f in records)
+    burst_gen = int(final["generation"])
+    kept_gens = {int(f[1:13]) for f in records}
+    assert min(kept_gens) >= int(last["generation"]) - 2
+    assert max(kept_gens) == int(last["generation"]) == burst_gen + 3
+    # reader still converges on the current stamp
+    assert _read_table_stamp(spark, path)["stamp"] == last["stamp"]
