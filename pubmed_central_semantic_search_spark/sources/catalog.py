@@ -900,7 +900,7 @@ def _stamp_record_names(fs, jvm, sdir: str) -> list[str]:
         if "FileNotFoundException" in str(e):
             return []
         raise
-    pat = _re.compile(r"^g\d{12}\.[0-9a-f]{32}\.json$")
+    pat = _re.compile(r"^g\d{12}\.[0-9a-f]{32}\.(?:anchor\.)?json$")
     return sorted(
         st.getPath().getName()
         for st in statuses
@@ -938,22 +938,59 @@ def _read_table_stamp(spark: SparkSession, path: str):
 def _write_table_stamp(spark: SparkSession, path: str, record: dict) -> None:
     """Append the record as a new immutable file and prune records two
     generations behind it (never the current or previous generation, so
-    a racing reader's list stays valid)."""
+    a racing reader's list stays valid). A record carrying ``prev_stamp``
+    — a rebucket swap's completed-swap ANCHOR — is named ``.anchor.json``
+    and the newest anchor is exempt from pruning: crash recovery's
+    finish-the-backup-delete proof scans anchors
+    (``_read_stamp_anchors``), and commits landing on the healthy
+    post-swap table must not age the proof out (twentieth-pass find:
+    the first cut pruned the anchor three commits after the swap, so a
+    crashed backup delete followed by ordinary writes wedged the NEXT
+    rebucket's recovery on a healthy table)."""
     import json as _json
     import uuid as _uuid
 
     fs, _, jvm = _hadoop_fs(spark, path)
     sdir = _stamp_dir(path)
     gen = int(record["generation"])
-    name = f"g{gen:012d}.{_uuid.uuid4().hex}.json"
+    kind = "anchor.json" if record.get("prev_stamp") else "json"
+    name = f"g{gen:012d}.{_uuid.uuid4().hex}.{kind}"
     _write_small_file_once(spark, f"{sdir}/{name}", _json.dumps(record))
     P = jvm.org.apache.hadoop.fs.Path
-    for old in _stamp_record_names(fs, jvm, sdir):
-        if int(old[1:13]) < gen - 2:
+    names = _stamp_record_names(fs, jvm, sdir)
+    anchors = [n for n in names if n.endswith(".anchor.json")]
+    newest_anchor = anchors[-1] if anchors else None
+    for old in names:
+        if old != newest_anchor and int(old[1:13]) < gen - 2:
             try:
                 fs.delete(P(f"{sdir}/{old}"), False)
             except Exception:
                 pass  # a racing pruner won — fine
+
+
+def _read_stamp_anchors(spark: SparkSession, path: str) -> list[dict]:
+    """Every surviving completed-swap anchor record (``prev_stamp``
+    carriers) on the table, oldest first. Tolerates a record vanishing
+    between list and open (a racing pruner deleting a SUPERSEDED
+    anchor) — the proof consumer only needs the surviving ones."""
+    import json as _json
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    sdir = _stamp_dir(path)
+    out = []
+    for name in _stamp_record_names(fs, jvm, sdir):
+        if not name.endswith(".anchor.json"):
+            continue
+        txt = _read_small_file(spark, f"{sdir}/{name}")
+        if txt is None:
+            continue
+        try:
+            rec = _json.loads(txt)
+        except Exception:
+            continue
+        if isinstance(rec, dict) and rec.get("prev_stamp"):
+            out.append(rec)
+    return out
 
 
 def _bump_table_stamp(spark: SparkSession, path: str) -> dict:

@@ -209,15 +209,33 @@ def _swap_completed_proof(spark, path: str, base: str) -> bool:
     ``live.prev_stamp == backup.stamp``. A concurrent CREATE-path
     writer's recreation carries a fresh uuid with no prev_stamp and
     fails the proof. Pre-stamp legacy backups fall back to the round-12
-    _layout-presence check (the documented legacy residue)."""
-    from .catalog import _read_table_stamp, _read_upsert_layout
+    _layout-presence check (the documented legacy residue).
+
+    Twentieth-pass refinement: the proof holds for ANY surviving anchor
+    record on live, not only the CURRENT stamp — ordinary commits on
+    the healthy post-swap table bump the current stamp past the anchor
+    (their records carry no prev_stamp), and the anchor itself is
+    prune-exempt (``_write_table_stamp``), so a crashed backup delete
+    followed by a week of writes still proves out instead of wedging
+    the next rebucket by name. Soundness is unchanged: anchors are
+    written ONLY by a swap into its staging, and an anchor can reach
+    the live path only via the staging→live rename — i.e. a completed
+    swap whose parked pre-table is exactly the backup it names."""
+    from .catalog import (
+        _read_stamp_anchors,
+        _read_table_stamp,
+        _read_upsert_layout,
+    )
 
     backup_stamp = _read_table_stamp(spark, base + ".rebucket.old")
     if backup_stamp is not None:
+        target = backup_stamp["stamp"]
         live_stamp = _read_table_stamp(spark, path)
-        return (
-            live_stamp is not None
-            and live_stamp.get("prev_stamp") == backup_stamp["stamp"]
+        if live_stamp is not None and live_stamp.get("prev_stamp") == target:
+            return True
+        return any(
+            a.get("prev_stamp") == target
+            for a in _read_stamp_anchors(spark, path)
         )
     return _read_upsert_layout(spark, path) is not None
 

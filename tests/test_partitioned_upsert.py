@@ -3161,6 +3161,62 @@ def test_rebucket_recovery_finishes_backup_delete_with_stamp_proof(
     assert _table_state(spark, path) == before
 
 
+def test_rebucket_backup_delete_recovery_survives_later_commits(
+    spark, tmp_path
+):
+    """Twentieth-pass regression: swap completes, the backup delete
+    crashes, and ORDINARY upserts then land on the healthy live table —
+    enough of them to cross the stamp-prune horizon. The completed-swap
+    anchor (the ``prev_stamp`` record) is prune-exempt and the proof
+    scans anchors rather than only the current stamp, so the next
+    rebucket's recovery still finishes the backup delete instead of
+    wedging a healthy table behind RebucketStateError (the first-cut
+    proof read only the current record, which commit 1 already
+    superseded, and pruning deleted the anchor at commit 3)."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        _read_table_stamp,
+        rebucket,
+    )
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(24)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, f"v{k}") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    pre_stamp = _read_table_stamp(spark, path)["stamp"]
+    shutil.copytree(path, path + ".rebucket.old.pending")
+    rebucket(spark, path, 8)
+    assert _read_table_stamp(spark, path)["prev_stamp"] == pre_stamp
+    # "swap completed, backup delete crashed" — and life goes on: four
+    # commits bump the stamp well past the anchor's prune window
+    shutil.move(path + ".rebucket.old.pending", path + ".rebucket.old")
+    for i in range(4):
+        upsert_parquet(
+            spark, _rows(spark, [(f"PMC{i}", f"rewrite{i}")]), path,
+            key_cols=["article_id"], n_buckets=8,
+        )
+    cur = _read_table_stamp(spark, path)
+    assert "prev_stamp" not in cur, "later commits superseded the anchor"
+    stamp_files = os.listdir(os.path.join(path, "_writestamp"))
+    assert any(n.endswith(".anchor.json") for n in stamp_files), (
+        "the completed-swap anchor must survive pruning"
+    )
+    stats = rebucket(spark, path, 16)  # recovery still proves the swap
+    assert stats["rows"] == len(keys)
+    assert not os.path.exists(path + ".rebucket.old")
+    got = {
+        (r["article_id"], r["payload"])
+        for r in read_upsert_table(spark, path).collect()
+    }
+    expected = {
+        (k, f"v{k}") for k in keys if k not in {f"PMC{i}" for i in range(4)}
+    } | {(f"PMC{i}", f"rewrite{i}") for i in range(4)}
+    assert got == expected
+
+
 def test_rebucket_swap_aborts_on_write_stamp_change(spark, tmp_path):
     """Round-13 (verdict #1, swap side): a commit landing during the
     migration BUMPS the write stamp — the swap re-reads it immediately
