@@ -79,6 +79,12 @@ _TEST_PRE_COMMIT_HOOK = None
 _TEST_MID_SWAP_HOOK = None
 
 
+# test-only injection point: called between snapshot_vacuum's two
+# phases (manifests dropped, data dirs not yet) so tests can pin the
+# crash state — every listed version must still be readable
+_TEST_MID_VACUUM_HOOK = None
+
+
 
 def ensure_table(
     spark: SparkSession, name: str, df: DataFrame, path: str | None = None

@@ -170,6 +170,8 @@ def snapshot_vacuum(
     in-flight version out from under its writer."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    from . import catalog as _catalog
+
     versions = snapshot_versions(spark, table_dir)
     latest = versions[-1] if versions else 0
     keep = set(versions[-keep_last:])
@@ -183,6 +185,18 @@ def snapshot_vacuum(
     }
     fs, _, jvm = _hadoop_fs(spark, table_dir)
     P = jvm.org.apache.hadoop.fs.Path
+    # Drop the retired MANIFESTS first, data second (twenty-first pass:
+    # the original order deleted data first, so a crash between the
+    # phases left a still-LISTED version whose parquet was gone — a
+    # reader got a raw FileNotFound mid-scan instead of "version not in
+    # {versions}"). With manifests-first, every crash state is clean:
+    # every listed version remains fully readable, and the now-
+    # unreferenced data dirs (names <= latest, in no retained manifest)
+    # are exactly what the data phase — or any re-run vacuum — deletes.
+    for v in drop:
+        fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
+    if _catalog._TEST_MID_VACUUM_HOOK is not None:
+        _catalog._TEST_MID_VACUUM_HOOK()  # test-only: crash between phases
     removed_dirs = 0
     data_root = P(table_dir.rstrip("/") + "/data")
     if fs.exists(data_root):
@@ -198,8 +212,6 @@ def snapshot_vacuum(
                 continue  # in-flight writer or reclaimable orphan — skip
             fs.delete(st.getPath(), True)
             removed_dirs += 1
-    for v in drop:
-        fs.delete(P(f"{_manifest_dir(table_dir)}/v{v}"), True)
     return {"versions_removed": len(drop), "data_dirs_removed": removed_dirs}
 
 

@@ -843,6 +843,63 @@ def test_snapshot_vacuum_skips_inflight_writer_dir(spark, tmp_path):
     assert out["data_dirs_removed"] == 1
 
 
+def test_snapshot_vacuum_crash_leaves_every_listed_version_readable(
+    spark, tmp_path
+):
+    """Twenty-first pass: vacuum drops retired MANIFESTS first, data
+    second — the original order (data first) meant a crash between the
+    phases left a still-listed version whose parquet was gone, so a
+    reader hit a raw FileNotFound mid-scan instead of the clean
+    "version not in {versions}". After a mid-vacuum crash every listed
+    version must read fully; a re-run vacuum finishes the data phase."""
+    import os
+
+    from pubmed_central_semantic_search_spark.sources import catalog
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "table")
+    d1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    d2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    d3 = spark.createDataFrame([(3, "c")], "k long, v string")
+    assert snapshot_write(spark, d1, tdir) == 1
+    assert snapshot_write(spark, d2, tdir, mode="overwrite") == 2
+    assert snapshot_write(spark, d3, tdir, mode="append") == 3
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crash():
+        raise _Boom()
+
+    catalog._TEST_MID_VACUUM_HOOK = crash
+    try:
+        try:
+            snapshot_vacuum(spark, tdir, keep_last=1)
+            raise AssertionError("hook did not fire")
+        except _Boom:
+            pass
+    finally:
+        catalog._TEST_MID_VACUUM_HOOK = None
+    # crash state: manifests v1/v2 are gone, their data dirs remain —
+    # and every version snapshot_versions still lists reads COMPLETELY
+    assert snapshot_versions(spark, tdir) == [3]
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tdir).collect())
+    assert got == [(2, "b"), (3, "c")]  # v3 = append over v2
+    # the re-run finishes the data phase: v1's dir (unreferenced) goes,
+    # v2's stays (v3's manifest references it)
+    out = snapshot_vacuum(spark, tdir, keep_last=1)
+    assert out["versions_removed"] == 0
+    assert sorted(os.listdir(f"{tdir}/data")) == ["v2", "v3"]
+    assert sorted(
+        (r["k"], r["v"]) for r in snapshot_read(spark, tdir).collect()
+    ) == [(2, "b"), (3, "c")]
+
+
 def test_stream_cms_commit_survives_crash_between_renames(spark, tmp_path):
     """The fold's commit is staging + rename; a crash between `live →
     .cms.old` and `staging → live` leaves the live dir absent. The next
