@@ -284,6 +284,14 @@ def _upsert_flat_locked(
     backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__upsert_old")
     staging = path.rstrip("/") + "__staging"
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    # a crashed flat compact_parquet may have parked the WHOLE table in
+    # `<path>.compact.old` (twenty-first pass, same bug class as the
+    # leaf variant): restore it under this table lock before the
+    # existence check below reads "first write" and the next compaction
+    # pass deletes the backup — the only copy of the table
+    _reconcile_compact_leftovers(
+        fs, jvm, path.rstrip("/"), path.rstrip("/")
+    )
     # Crash recovery FIRST (the compact_parquet / start_stream_cms rule —
     # the commit below is rename-to-backup + rename-staging, and a crash
     # between the two renames leaves the live path ABSENT with the prior
@@ -624,6 +632,26 @@ def _upsert_partitioned(
             # clear_dead_rebucket_staging for the data-loss sequence and
             # the race argument)
             clear_dead_rebucket_staging(spark, path)
+            # a crashed LEAF COMPACTION may have parked a touched
+            # bucket's rows in `.{leaf}.compact.old` (twenty-first pass
+            # — the rebucket round-11 bug class, live in the compaction
+            # path): restore-or-discard UNDER these bucket locks BEFORE
+            # reading existing rows, else this merge reads the leaf as
+            # empty and the next compaction pass deletes the backup —
+            # the only copy of the old rows. One root listing, empty in
+            # the steady state; only the touched (locked) leaves are
+            # adjudicated.
+            fs_r, _, jvm_r = _hadoop_fs(spark, path)
+            base_r = path.rstrip("/")
+            cores = _list_compact_leftover_cores(fs_r, jvm_r, base_r)
+            if cores:
+                for b in touched:
+                    leaf = f"{BUCKET_COL}={b}"
+                    if leaf in cores:
+                        _reconcile_compact_leftovers(
+                            fs_r, jvm_r,
+                            f"{base_r}/{leaf}", f"{base_r}/.{leaf}",
+                        )
             # re-validate the layout UNDER the locks: a rebucket that
             # committed between the validation above and the acquire here
             # would make this merge hash into directories the table no
@@ -1221,6 +1249,68 @@ def read_upsert_table(
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+def _reconcile_compact_leftovers(
+    fs, jvm, target_dir: str, work_base: str
+) -> bool:
+    """Adjudicate a crashed compaction's work dirs
+    (``{work_base}.compact.{old,staging}``) for ONE target directory.
+    MUST run under whatever lock serializes writes to that directory
+    (the leaf/table lock) — the rule that makes the adjudication sound:
+
+      - backup present + target MISSING: the compaction died between
+        its two renames with the rows parked in the backup — restore
+        (rename back). Without this, the next LOCKED writer reads the
+        directory as empty, merges its batch against nothing, and the
+        following compaction pass deletes the backup: the round-11
+        rebucket bug class, found live in the compaction path by the
+        twenty-first review pass.
+      - backup present + target present: under the lock discipline the
+        target is authoritative (every lock holder reconciles at entry
+        BEFORE writing, by induction — a recreated-while-parked target
+        cannot exist), so the backup is the crashed compaction's
+        already-swapped duplicate: delete it.
+      - staging present: only meaningful inside a live ``_compact_dir``
+        call, and the caller holds the lock — dead; delete.
+
+    Writers outside this catalog's lock protocol (bare appends to a
+    leaf of a generic partitioned layout) cannot be adjudicated —
+    for them the compaction contract stays single-writer, as
+    ``compact_parquet`` documents. Returns True if anything moved."""
+    P = jvm.org.apache.hadoop.fs.Path
+    did = False
+    b = P(work_base + ".compact.old")
+    if fs.exists(b):
+        t = P(target_dir)
+        if not fs.exists(t):
+            fs.rename(b, t)
+        else:
+            fs.delete(b, True)
+        did = True
+    s = P(work_base + ".compact.staging")
+    if fs.exists(s):
+        fs.delete(s, True)
+        did = True
+    return did
+
+
+def _list_compact_leftover_cores(fs, jvm, base: str) -> set[str]:
+    """Leaf names with crashed-compaction work dirs under ``base`` —
+    one listing, empty in the steady state."""
+    out = set()
+    bp = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(bp):
+        return out
+    for st in fs.listStatus(bp):
+        nm = st.getPath().getName()
+        if nm.startswith(".") and (
+            nm.endswith(".compact.old") or nm.endswith(".compact.staging")
+        ):
+            core = nm[1:].rsplit(".compact.", 1)[0]
+            if "=" in core:
+                out.add(core)
+    return out
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -1278,13 +1368,7 @@ def _compact_dir(
     staging_p = jvm.org.apache.hadoop.fs.Path(work_base + ".compact.staging")
     # Crash recovery: a previous run that died between its two renames left
     # the data stranded in .compact.old — restore it before anything else.
-    if fs.exists(backup):
-        if not fs.exists(hpath):
-            fs.rename(backup, hpath)
-        else:
-            fs.delete(backup, True)
-    if fs.exists(staging_p):  # stale staging from an aborted write
-        fs.delete(staging_p, True)
+    _reconcile_compact_leftovers(fs, jvm, hpath.toString(), work_base)
 
     sizes, nested = _list_parquet_sizes(fs, hpath, jvm)
     if nested:

@@ -518,6 +518,21 @@ def rebucket(
                     "commit (the table lock already blocks NEW writers)"
                 )
             _time.sleep(min(0.2, _writer_drain_timeout_s / 10 or 0.05))
+        # a crashed leaf compaction may have parked a bucket's rows in
+        # its `.{leaf}.compact.old` work dir (twenty-first pass) —
+        # migrating without restoring them would install a table
+        # missing that bucket and eventually delete the pre-rebucket
+        # backup holding the only other copy. The table lock is held
+        # and writers are drained, so every leaf is adjudicable here.
+        from .catalog import (
+            _list_compact_leftover_cores,
+            _reconcile_compact_leftovers,
+        )
+
+        for core in sorted(_list_compact_leftover_cores(fs, jvm, base)):
+            _reconcile_compact_leftovers(
+                fs, jvm, f"{base}/{core}", f"{base}/.{core}"
+            )
         # the live table's write stamp at migration start (round-13,
         # verdict #1): recorded in the resume journal and re-checked at
         # the swap — "the live table is unwritten since X" becomes a

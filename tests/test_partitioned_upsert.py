@@ -858,6 +858,107 @@ def test_leaf_compaction_staging_is_hidden_and_crash_recoverable(spark, tmp_path
     )
 
 
+def test_upsert_restores_parked_leaf_before_merging(spark, tmp_path):
+    """Twenty-first pass — the round-11 rebucket bug class, found live
+    in the COMPACTION path: a leaf compaction that crashed between its
+    two renames parks the leaf's rows in `.{leaf}.compact.old`. An
+    upsert touching that bucket (after TTL-breaking the dead lock) used
+    to read the leaf as EMPTY, merge its batch against nothing, and the
+    next compaction pass deleted the backup — the only copy of the old
+    rows. The writer now reconciles the leftovers UNDER its bucket
+    locks before reading: the parked rows are restored and merged."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        bucket_expr,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "v0") for i in range(40)]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=4,
+    )
+    state = _table_state(spark, path)
+    # park the bucket that holds PMC1 — the bucket the next merge touches
+    bval = (
+        _rows(spark, [("PMC1", "x")])
+        .select(bucket_expr(["article_id"], 4))
+        .head()[0]
+    )
+    leaf = f"{BUCKET_COL}={bval}"
+    shutil.move(
+        os.path.join(path, leaf), os.path.join(path, f".{leaf}.compact.old")
+    )
+    assert spark.read.parquet(path).count() < len(state)  # rows parked
+
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path,
+        key_cols=["article_id"], n_buckets=4,
+    )
+    expected = dict(state)
+    expected["PMC1"] = "v1"
+    # EVERY parked row survived the merge; the backup is adjudicated away
+    assert _table_state(spark, path) == expected
+    assert not os.path.exists(os.path.join(path, f".{leaf}.compact.old"))
+
+
+def test_rebucket_restores_parked_leaf_before_migrating(spark, tmp_path):
+    """Twenty-first pass, rebucket leg: a migration reading the table
+    while a leaf sits parked in its crashed-compaction backup would
+    install a staged table MISSING that bucket's rows (and the swap
+    eventually deletes the pre-rebucket copy). Rebucket now reconciles
+    compaction leftovers after its writer drain, under the table lock."""
+    import shutil
+
+    from pubmed_central_semantic_search_spark.sources.catalog import rebucket
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _rows(spark, [(f"PMC{i}", "v0") for i in range(40)]),
+        path,
+        key_cols=["article_id"],
+        n_buckets=4,
+    )
+    state = _table_state(spark, path)
+    leaf = next(
+        d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+    )
+    shutil.move(
+        os.path.join(path, leaf), os.path.join(path, f".{leaf}.compact.old")
+    )
+    stats = rebucket(spark, path, 8)
+    assert stats["rows"] == len(state)
+    assert _table_state(spark, path) == state
+    assert not any(".compact." in d for d in os.listdir(os.path.dirname(path)))
+
+
+def test_flat_upsert_restores_parked_table_before_merging(spark, tmp_path):
+    """Twenty-first pass, flat leg: a flat compact_parquet crash parks
+    the WHOLE table in `<path>.compact.old`; the flat upsert used to
+    read 'first write' and replace the table with new-rows-only. The
+    flat writer now reconciles under its table lock first."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark, _rows(spark, [(f"PMC{i}", "v0") for i in range(20)]), path,
+        key_cols=["article_id"],
+    )
+    state = _table_state(spark, path)
+    shutil.move(path, path + ".compact.old")
+    upsert_parquet(
+        spark, _rows(spark, [("PMC1", "v1")]), path, key_cols=["article_id"]
+    )
+    expected = dict(state)
+    expected["PMC1"] = "v1"
+    assert _table_state(spark, path) == expected
+    assert not os.path.exists(path + ".compact.old")
+
+
 def test_schema_evolution_both_layouts(spark, tmp_path):
     """allow_schema_evolution: a batch may ADD columns (existing rows
     read null) or OMIT non-key columns (the replaced key's new version
