@@ -638,13 +638,24 @@ def _upsert_partitioned(
             # path): restore-or-discard UNDER these bucket locks BEFORE
             # reading existing rows, else this merge reads the leaf as
             # empty and the next compaction pass deletes the backup —
-            # the only copy of the old rows. One root listing, empty in
-            # the steady state; only the touched (locked) leaves are
-            # adjudicated.
+            # the only copy of the old rows. Only the touched (locked)
+            # leaves are adjudicated. Probe cost scales with the SMALLER
+            # of the two shapes (the 100 TB reflection): a batch
+            # touching few buckets pays 2 existence probes per touched
+            # leaf; a wide batch pays ONE root listing (at 64k buckets a
+            # listing is ~64 paged LISTs on an object store — pure
+            # steady-state overhead if the batch only touched three).
             fs_r, _, jvm_r = _hadoop_fs(spark, path)
             base_r = path.rstrip("/")
-            cores = _list_compact_leftover_cores(fs_r, jvm_r, base_r)
-            if cores:
+            if len(touched) <= 32:
+                for b in touched:
+                    leaf = f"{BUCKET_COL}={b}"
+                    _reconcile_compact_leftovers(
+                        fs_r, jvm_r,
+                        f"{base_r}/{leaf}", f"{base_r}/.{leaf}",
+                    )
+            else:
+                cores = _list_compact_leftover_cores(fs_r, jvm_r, base_r)
                 for b in touched:
                     leaf = f"{BUCKET_COL}={b}"
                     if leaf in cores:

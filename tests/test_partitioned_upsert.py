@@ -905,6 +905,66 @@ def test_upsert_restores_parked_leaf_before_merging(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, f".{leaf}.compact.old"))
 
 
+def test_upsert_restores_parked_leaf_wide_batch_listing_path(
+    spark, tmp_path
+):
+    """The listing arm of the writer-side reconcile (touched > 32
+    buckets takes ONE root listing instead of per-leaf probes): a wide
+    merge over a 64-bucket table with one leaf parked must restore it
+    through that branch too."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    keys = [f"PMC{i}" for i in range(400)]
+    upsert_parquet(
+        spark, _rows(spark, [(k, "v0") for k in keys]), path,
+        key_cols=["article_id"], n_buckets=64,
+    )
+    state = _table_state(spark, path)
+    leaf = next(
+        d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+    )
+    shutil.move(
+        os.path.join(path, leaf), os.path.join(path, f".{leaf}.compact.old")
+    )
+    # the parked keys stay OUT of the new batch — their survival proves
+    # the restore — but the batch must still TOUCH the parked bucket
+    # (writers only adjudicate the leaves they hold locks on), so add
+    # fresh keys that hash into it
+    from pubmed_central_semantic_search_spark.sources.catalog import (
+        bucket_expr,
+    )
+
+    parked = {
+        r["article_id"]
+        for r in spark.read.parquet(
+            os.path.join(path, f".{leaf}.compact.old")
+        ).collect()
+    }
+    assert parked
+    bval = int(leaf.split("=", 1)[1])
+    cands = _rows(spark, [(f"NEW{i}", "v1") for i in range(300)])
+    hitters = [
+        r["article_id"]
+        for r in cands.withColumn("b", bucket_expr(["article_id"], 64))
+        .filter(F.col("b") == bval)
+        .limit(2)
+        .collect()
+    ]
+    assert hitters  # 300 candidates over 64 buckets always hit one
+    batch = [k for k in keys if k not in parked] + hitters
+    # ~394 old keys over the other 63 buckets + the hitters: > 32 touched
+    upsert_parquet(
+        spark, _rows(spark, [(k, "v1") for k in batch]), path,
+        key_cols=["article_id"], n_buckets=64,
+    )
+    expected = {k: ("v0" if k in parked else "v1") for k in keys}
+    expected.update({k: "v1" for k in hitters})
+    assert _table_state(spark, path) == expected
+    assert len(state) == len(keys)
+    assert not os.path.exists(os.path.join(path, f".{leaf}.compact.old"))
+
+
 def test_rebucket_restores_parked_leaf_before_migrating(spark, tmp_path):
     """Twenty-first pass, rebucket leg: a migration reading the table
     while a leaf sits parked in its crashed-compaction backup would
