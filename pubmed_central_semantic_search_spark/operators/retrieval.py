@@ -315,6 +315,7 @@ def mine_hard_negatives(
     vec_id_col: str = "vec_id",
     emb_col: str = "embedding",
     bm25: DataFrame | None = None,
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """Mine hard negatives for contrastive-embedding training (the DPR
     recipe, Karpukhin et al. 2020: BM25 top hits that are NOT the
@@ -342,7 +343,11 @@ def mine_hard_negatives(
     union — the q3_multiquery_topk broadcast pattern. Callers that
     already ranked the corpus (hybrid retrieval runs the same BM25 pass)
     pass it via ``bm25`` (needs doc_id/bm25_score/bm25_rank, top
-    ``n_candidates``) so the corpus is scanned once, not twice.
+    ``n_candidates``) so the corpus is scanned once, not twice. Callers
+    that already hold the query's cosine top list pass the positive via
+    ``pos`` (one row: pos_doc_id, _pos_emb — the head of the SAME
+    (round(cos,6) DESC, id ASC) ordering this function would compute) so
+    the positive-selection scan of ``emb`` is skipped too (round-13).
     """
     from ..functions.vector import cosine_similarity
 
@@ -357,16 +362,17 @@ def mine_hard_negatives(
     # the repo's round-before-rank discipline (q49 cos_top): DuckDB's
     # sqrt(x*y) vs Spark's sqrt(x)*sqrt(y) differ in the last ulp, and a
     # near-tie here would flip the positive and cascade through the arm
-    pos = (
-        emb.select(
-            F.col(vec_id_col).alias("pos_doc_id"),
-            F.col(emb_col).alias("_pos_emb"),
-            F.round(cosine_similarity(emb_col, qv), 6).alias("_qc"),
+    if pos is None:
+        pos = (
+            emb.select(
+                F.col(vec_id_col).alias("pos_doc_id"),
+                F.col(emb_col).alias("_pos_emb"),
+                F.round(cosine_similarity(emb_col, qv), 6).alias("_qc"),
+            )
+            .orderBy(F.desc("_qc"), F.asc("pos_doc_id"))
+            .limit(1)
+            .drop("_qc")
         )
-        .orderBy(F.desc("_qc"), F.asc("pos_doc_id"))
-        .limit(1)
-        .drop("_qc")
-    )
     cands = bm.join(
         emb.select(F.col(vec_id_col).alias(id_col), F.col(emb_col).alias("_emb")),
         id_col,

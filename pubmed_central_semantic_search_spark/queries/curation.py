@@ -329,32 +329,62 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import mine_hard_negatives, phrase_match_counts
 
     docs = load(spark, sf_dir, "documents")
-    # Three consumers (rrf fusion, score exposure, hard-negative mining)
-    # share this subtree; AQE's runtime exchange reuse already dedupes the
-    # repeated BM25 stages inside the one union job — an eager persist+
-    # count here measured SLOWER (serializes an extra action before the
-    # main job), so the plan stays fully lazy.
-    bm25_top = bm25_rank(docs, BM25_TERMS, k=100)
+    # FOUR consumers (rrf fusion, score exposure, hard-negative mining,
+    # cross-encoder re-rank) share the BM25 subtree. Round-13 measurement
+    # (guide §1/§2.4): the lazy plan re-executed it per consumer — the
+    # executed plan showed 29 parquet scans and only 4 ReusedExchange out
+    # of 43 (AQE reuse misses the copies because each consumer prunes
+    # different columns, so the exchanges are not canonically identical).
+    # Evaluate it ONCE into a k-row local frame instead (guide §8:
+    # decisions on small rows, the corpus scanned once): ≤100 rows by
+    # construction, so the collect is driver-safe, and every consumer now
+    # broadcast-joins the tiny side — three whole corpus-sized BM25
+    # re-executions (tokenize+explode+2 aggregates each) leave the plan.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..session import collect_bounded, local_df
+
+    bm25_plan = bm25_rank(docs, BM25_TERMS, k=100)
     emb = load(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(
-            # array_lit (round-8 literal hygiene): the query vector rides
-            # as ONE constant-folded Literal, never an element-wise tree
-            cosine_similarity("embedding", array_lit(QUERY_VEC)),
-            6,
-        ).alias("cos_score"),
-    )
-    cos_top = (
-        scored.orderBy(F.desc("cos_score"), F.asc("doc_id"))
-        .limit(100)
-        .withColumn(
-            "cos_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cos_score"), F.asc("doc_id"))
-            ),
+    # ONE emb pass serves three arms (same guide-§8 move): the cosine
+    # top-100 — ranked by (round(cos,6) DESC, doc_id ASC), a total order
+    # — collected WITH embeddings is simultaneously (a) cos_top for the
+    # fusion (rank = position in the sorted collect ≡ the old
+    # row_number over the identical ordering), (b) the MMR candidate
+    # list (its old plan was the same orderBy/limit cut at _MMR_N ≤
+    # 100), and (c) the hard-negative positive (the old hn_pos plan was
+    # the same ordering at LIMIT 1). The two plan-time collects (docs
+    # pass for BM25, emb pass for cosine) run CONCURRENTLY (guide §2.6 —
+    # independent jobs back-fill each other's stragglers).
+    cos_plan = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(
+                # array_lit (round-8 literal hygiene): the query vector
+                # rides as ONE constant-folded Literal
+                cosine_similarity("embedding", array_lit(QUERY_VEC)),
+                6,
+            ).alias("_c"),
         )
-        .select("doc_id", "cos_rank")
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(100)
+    )
+    with ThreadPoolExecutor(2) as _pool:
+        _bm25_fut = _pool.submit(
+            collect_bounded, bm25_plan, 100, "q49 bm25 top"
+        )
+        cos_rows = collect_bounded(cos_plan, 100, "q49 cosine top")
+        bm25_rows = _bm25_fut.result()
+    bm25_top = local_df(spark, bm25_rows, bm25_plan.schema)
+    cos_top = local_df(
+        spark,
+        [(r["doc_id"], i + 1) for i, r in enumerate(cos_rows)],
+        StructType(
+            [cos_plan.schema["doc_id"], StructField("cos_rank", IntegerType())]
+        ),
     )
     fused = rrf_fuse(bm25_top, cos_top, k=20)
     # expose the BM25 scores themselves (the lexical-ranker value contract,
@@ -383,9 +413,31 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cos_pos"),
         F.lit(None).cast("bigint").alias("pos_doc_id"),
     )
+    # the positive is the cosine top-1 — the head of the SAME collected
+    # ordering (round-13: saves mine_hard_negatives' own emb
+    # TakeOrderedAndProject pass; empty-corpus falls back to the
+    # operator's in-plan selection)
+    pos_local = (
+        local_df(
+            spark,
+            [(cos_rows[0]["doc_id"], cos_rows[0]["embedding"])],
+            StructType(
+                [
+                    StructField(
+                        "pos_doc_id", cos_plan.schema["doc_id"].dataType
+                    ),
+                    StructField(
+                        "_pos_emb", cos_plan.schema["embedding"].dataType
+                    ),
+                ]
+            ),
+        )
+        if cos_rows
+        else None
+    )
     hardneg = mine_hard_negatives(
         docs, emb, BM25_TERMS, QUERY_VEC, k_neg=10, n_candidates=100,
-        bm25=bm25_top,
+        bm25=bm25_top, pos=pos_local,
     ).select(
         F.lit("hardneg").alias("kind"),
         "doc_id",
@@ -404,16 +456,16 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-rank over the shared BM25 candidate list (one Arrow batch).
     from ..operators.retrieval import cross_encoder_rerank, mmr_rerank
 
-    mmr_cand = (
-        emb.select(
-            F.col("vec_id").alias("doc_id"),
-            "embedding",
-            F.round(
-                cosine_similarity("embedding", array_lit(QUERY_VEC)), 6
-            ).alias("_c"),
-        )
-        .orderBy(F.desc("_c"), F.asc("doc_id"))
-        .limit(_MMR_N)
+    # MMR candidates = the first _MMR_N of the SAME collected cosine
+    # ordering (its old plan was the identical orderBy/limit over emb —
+    # round-13: the second emb scan leaves the query; mmr_rerank's own
+    # bounded collect now reads a 20-row local relation)
+    mmr_cand = local_df(
+        spark,
+        [(r["doc_id"], r["embedding"]) for r in cos_rows[:_MMR_N]],
+        StructType(
+            [cos_plan.schema["doc_id"], cos_plan.schema["embedding"]]
+        ),
     )
     mmr = mmr_rerank(
         mmr_cand, QUERY_VEC, k=_MMR_K, lam=_MMR_LAM,

@@ -85,3 +85,23 @@ def test_plan_shape(mined):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_precomputed_pos_matches_inplan_selection(spark, mined):
+    """Round-13 optimization seam: a caller that already holds the
+    query's cosine top list passes the positive via ``pos`` — the
+    result must be IDENTICAL to the in-plan positive selection."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    emb = spark.createDataFrame(EMB, "vec_id long, embedding array<double>")
+    # doc 0 is the cosine top-1 (embedding == query direction)
+    pos = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "pos_doc_id long, _pos_emb array<double>",
+    )
+    with_pos = mine_hard_negatives(
+        docs, emb, TERMS, QV, k_neg=3, n_candidates=10, max_pos_sim=0.95,
+        pos=pos,
+    )
+    assert sorted(map(tuple, with_pos.collect())) == sorted(
+        map(tuple, mined.collect())
+    )
