@@ -158,10 +158,20 @@ def train_logreg(
     id_col: str = "doc_id",
 ) -> LogRegModel:
     """Full-batch logistic-regression GD over a featurized frame
-    (label ∈ {0, 1}). Per iteration: one aggregate pass (posexplode +
-    groupBy(pos), plus the scalar bias-gradient/count in the same job via
-    a grouping on pos = −1 for the residual itself). Weights start at
-    zero — deterministic. Callers should persist ``feats`` (n_iter scans).
+    (label ∈ {0, 1}). Per iteration: ONE partial-gradient pass — a
+    ``mapInPandas`` kernel emits (n, Σr, Σr·x) per partition and the
+    ≤ n_partitions rows reduce driver-side (guide §4.2: whole batches
+    through numpy matmuls). Round-13 rewrite: the previous Catalyst
+    gradient (a 65-slot struct explode + zip_with + groupBy(pos) whose
+    weight literals changed every iteration, forcing a fresh optimize +
+    codegen of the giant expression tree per iteration) measured
+    ~2.5 s/iteration at sf0.1; the Arrow kernel is a single narrow
+    stage with no exchange. Numerics: per-row residuals are identical
+    IEEE-754 ops; only the summation ORDER changes (BLAS partials per
+    partition, partition-ordered driver fold vs the shuffled F.sum) —
+    inside the 1e-9 numpy-reference pin, like every partial-agg sum in
+    the package. Weights start at zero — deterministic. Callers should
+    persist ``feats`` (n_iter scans).
 
     ``sample_mod`` selects the SAMPLE-FIT tier (the x768_kmeans rule:
     classifier quality saturates at sample sizes far below the corpus, so
@@ -184,51 +194,68 @@ def train_logreg(
     try:
         w = np.zeros(n_buckets, dtype=np.float64)
         b = 0.0
+        # only the two needed columns cross the Arrow boundary (guide §4)
+        slim = feats.select(
+            F.col(label_col).cast("double").alias("_y"),
+            F.col(feat_col).alias("_x"),
+        )
+        nb = int(n_buckets)
         for _ in range(n_iter):
-            resid = (
-                _sigmoid(_dot_lit(feat_col, w.tolist()) + F.lit(b))
-                - F.col(label_col).cast("double")
-            ).alias("_r")
-            # gradient rows: pos ∈ [0, n_buckets) carry Σ r·x_d; pos = −1
-            # carries Σ r (bias gradient); n rides along for the mean
-            g = (
-                feats.select(resid, F.col(feat_col).alias("_x"))
-                .select(
-                    F.explode(
-                        F.concat(
-                            F.array(
-                                F.struct(
-                                    F.lit(-1).alias("pos"), F.col("_r").alias("gv")
-                                )
-                            ),
-                            F.zip_with(
-                                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-                                F.transform("_x", lambda x: x * F.col("_r")),
-                                lambda i, v: F.struct(
-                                    i.alias("pos"), v.alias("gv")
-                                ),
-                            ),
-                        )
-                    ).alias("_g")
+            w_now, b_now = w.tolist(), float(b)
+
+            def _partial(batches):
+                # per-partition partial gradient: rows with a NULL feature
+                # array are dropped entirely (the old explode dropped
+                # them); rows with a null label or null COMPONENT count
+                # toward n but contribute 0 to every sum (the old F.sum
+                # skipped their null gv) — nan_to_num implements both.
+                import numpy as _np
+                import pandas as _pd
+
+                ww = _np.array(w_now, dtype=_np.float64)
+                n = 0
+                gb = 0.0
+                gw = _np.zeros(nb, dtype=_np.float64)
+                for pdf in batches:
+                    sub = pdf[pdf["_x"].notna()]
+                    if len(sub) == 0:
+                        continue
+                    x = _np.array(
+                        [
+                            (list(v) + [_np.nan] * nb)[:nb]
+                            for v in sub["_x"]
+                        ],
+                        dtype=_np.float64,
+                    )
+                    y = sub["_y"].to_numpy(dtype=_np.float64, na_value=_np.nan)
+                    r = 1.0 / (1.0 + _np.exp(-(x @ ww + b_now))) - y
+                    rr = _np.nan_to_num(r, nan=0.0)
+                    n += len(sub)
+                    gb += float(rr.sum())
+                    # nan feature cells only occur on rows whose r is
+                    # already nan (the dot poisons first), so rr is 0
+                    # there and zeroing the nans keeps 0·x = 0
+                    gw += _np.nan_to_num(x).T @ rr
+                yield _pd.DataFrame(
+                    {"n": [n], "gb": [gb], "gw": [gw.tolist()]}
                 )
-                .groupBy(F.col("_g.pos").alias("pos"))
-                .agg(F.sum("_g.gv").alias("gsum"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            if not g:
+
+            g = slim.mapInPandas(
+                _partial, "n long, gb double, gw array<double>"
+            ).collect()
+            n_rows = sum(int(r["n"]) for r in g)
+            if n_rows == 0:
                 raise ValueError(
                     "train_logreg: empty training frame (or every row's "
                     "feature array is null) — nothing to fit"
                 )
-            grad = {
-                int(r["pos"]): float(r["gsum"]) if r["gsum"] is not None else 0.0
-                for r in g
-            }
-            n_rows = next(int(r["n"]) for r in g)
-            w -= (lr / n_rows) * np.array(
-                [grad.get(d, 0.0) for d in range(n_buckets)]
-            )
-            b -= (lr / n_rows) * grad.get(-1, 0.0)
+            grad_w = np.zeros(nb, dtype=np.float64)
+            grad_b = 0.0
+            for r in g:  # partition order — deterministic fold
+                grad_w += np.array(r["gw"], dtype=np.float64)
+                grad_b += float(r["gb"])
+            w -= (lr / n_rows) * grad_w
+            b -= (lr / n_rows) * grad_b
     finally:
         # released on EVERY exit path — a failed gradient job must
         # not leave the internal sample pinned in the cache

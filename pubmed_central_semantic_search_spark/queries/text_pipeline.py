@@ -434,11 +434,15 @@ def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bt_dir = tempfile.mkdtemp(prefix="pmc_q16bloomtab_")
     try:
+        # coalesce(1): a ≤n_words-row KB-sized words table is ONE file at
+        # any scale (round-13, guide §6 small-files) — the uncoalesced
+        # local frame wrote defaultParallelism shard files, so both the
+        # write and the read-back paid a 32-task listing for 2048 rows
         local_df(
             spark, bw_rows, "word_idx int, word bigint"
         ).withColumn("n_words", F.lit(_Q16_BLOOM_WORDS)).withColumn(
             "k", F.lit(_Q16_BLOOM_K)
-        ).write.mode("overwrite").parquet(bt_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(bt_dir)
         back = [
             (int(r["word_idx"]), int(r["word"]),
              int(r["n_words"]), int(r["k"]))

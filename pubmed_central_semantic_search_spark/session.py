@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Guide §9/§3.1: let the planner pick shuffled-hash join when its
+        # size conditions hold instead of always sort-merge — skips both
+        # sort passes. Round-13 interleaved A/B at sf0.1 (min of 3x2):
+        # q16 5.44→3.55 s, q23 4.76→2.45 s, q53 neutral; plan check:
+        # SortMergeJoin → ShuffledHashJoin on the md5/band equi-joins.
+        # At scale the planner still gates SHJ on per-partition build
+        # size (and AQE skew-split applies to SHJ too); env-overridable
+        # for clusters that want the always-spillable SMJ back.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     if master.startswith("local"):
         # Pin the driver address to loopback in local mode: the default

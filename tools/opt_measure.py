@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--suffix", default="_before")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-extras", action="store_true")
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra spark conf k=v (repeatable), for config A/B runs",
+    )
     args = ap.parse_args()
 
     from pubmed_central_semantic_search_spark import registry
@@ -54,7 +58,8 @@ def main() -> int:
             return 2
         runnable = {w: runnable[w] for w in want}
 
-    spark = get_spark(app_name="pmc-opt-measure")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="pmc-opt-measure", extra_conf=extra)
     names = sorted(runnable)
     # Warm JVM/parquet footers once, same as bench.py.
     runnable[names[0]](spark, args.sf).count()
